@@ -1,0 +1,84 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is executed as the driver's correctness gate would consume it —
+fully materialized (collect) — so the numbers include result delivery, not
+just plan submission.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from yelpdatawarehouse_spark.queries import all_queries
+    from yelpdatawarehouse_spark.session import get_spark
+
+    registry = all_queries()
+    spark = get_spark(app_name="ydw-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # Headline set: the heavy/representative operators (joins that shuffle,
+    # exact distincts, windows, dedup/similarity). Everything else in the
+    # registry is dominated by these shapes.
+    headline = [
+        "j1_multiway_revenue",
+        "j5_copurchase_pairs",
+        "j6_two_hop_supplier_pairs",
+        "a8_distinct_parts_per_customer",
+        "a14_customer_summary_rebuild",
+        "w3_running_avg_per_customer",
+        "t7_hourly_tumbling_window",
+        "j9_date_spine_join",
+    ]
+    # include LLM-pipeline ops when present
+    for opt in (
+        "dedup_minhash_lsh_candidates",
+        "dedup_ngram_jaccard_pairs",
+        "ann_topk_cosine",
+        "text_quality_scores",
+    ):
+        if opt in registry:
+            headline.append(opt)
+
+    timings: dict[str, float] = {}
+    # one warm-up action so JVM/codegen startup isn't billed to the first query
+    spark.read.parquet(os.path.join(sf_dir, "nation.parquet")).count()
+
+    for name in headline:
+        qd = registry[name]
+        t0 = time.perf_counter()
+        rows = qd.fn(spark, sf_dir).collect()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        del rows
+
+    total = round(sum(timings.values()), 3)
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    try:
+        sf_val = float(sf)
+    except ValueError:
+        sf_val = sf
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_wall_clock",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_val,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

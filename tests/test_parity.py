@@ -1,0 +1,27 @@
+"""Every registered query must hash-match its ANSI-SQL oracle — the same
+check the driver runs (CORRECTNESS_r{N}.json), executed at sf0.001 for speed.
+
+Set SPARK_GRAFT_TEST_SF_DIR=/root/testdata/sf0.01 to run at driver scale.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.parity import SF_TEST_DIR, compare
+from yelpdatawarehouse_spark.queries import all_queries
+from yelpdatawarehouse_spark.queries.registry import REGISTRY
+
+all_queries()  # force registration
+
+
+@pytest.mark.parametrize("name", sorted(REGISTRY))
+def test_query_matches_oracle(spark, name):
+    qd = REGISTRY[name]
+    df = qd.fn(spark, SF_TEST_DIR)
+    if qd.oracle is None:
+        # rows-only check, mirroring the driver's weaker gate
+        assert df.count() >= 0
+        return
+    problems = compare(df, qd.oracle, SF_TEST_DIR)
+    assert not problems, f"{name}:\n" + "\n".join(problems)

@@ -1,0 +1,21 @@
+"""Public query surface. Importing this package registers every query."""
+
+from __future__ import annotations
+
+from .registry import REGISTRY, oracles, queries  # noqa: F401
+
+
+def all_queries():
+    """Import every query module (registration side effect) and return the
+    registry."""
+    from . import relational  # noqa: F401
+
+    try:
+        from . import llmops  # noqa: F401
+    except ImportError:
+        pass
+    try:
+        from . import graphq  # noqa: F401
+    except ImportError:
+        pass
+    return REGISTRY

@@ -1,0 +1,1149 @@
+"""Relational query surface — scans, predicates, joins, aggregates, windows,
+sorts, pagination, set ops (SURVEY.md §2.1-§2.8).
+
+Each query re-expresses one operator family from the reference warehouse
+(file:line citations point into /root/reference/) over the harness star
+schema (region→nation→customer→orders→lineitem←part/supplier). All plans
+are declarative DataFrame compositions: Catalyst handles pushdown, pruning,
+join selection; dimension sides are explicitly broadcast where the 100 TB
+plan wants a map-side join.
+
+Presentation contract (see functions/presentation.py): integer outputs are
+64-bit on both sides, temporal outputs are ISO strings, computed floats go
+through rfix() / rfix_sql() — raw stored values pass through unrounded.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.presentation import rfix, rfix_sql
+from ..sources.tables import table
+from .registry import register
+
+# ---------------------------------------------------------------------------
+# §2.1 Scans / sources  +  §2.2 projections & predicates
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "s1_scan_filter_project",
+    oracle=f"""
+    SELECT l_orderkey, l_linenumber, l_quantity,
+           {rfix_sql('l_extendedprice * (1 - l_discount)')} AS net_price
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1998-01-01' AND l_quantity > 30
+    """,
+    tags=("S1", "S2", "P1", "P3"),
+)
+def s1_scan_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan + range predicate + projection (S1/P1/P3).
+
+    Reference: JSON-lines scan with row filters, init/mysql_loader.py:354-365;
+    range predicates webapp/mysql_routes.py:636-643. Filters and the 4-column
+    projection reach the parquet scan (PushedFilters / ReadSchema pruning).
+    """
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.filter((F.col("l_shipdate") >= F.lit("1998-01-01")) & (F.col("l_quantity") > 30))
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "l_quantity",
+            rfix(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("net_price"),
+        )
+    )
+
+
+@register(
+    "s3_semi_join_filter",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus
+    FROM orders
+    WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 8000)
+    """,
+    tags=("S3", "J3"),
+)
+def s3_semi_join_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join load filter (S3/J3).
+
+    Reference: facts loaded only for known business_ids — a Python set
+    intersection at init/mysql_loader.py:606-609. Spark-first: LEFT SEMI join
+    against the (broadcastable) filtered dimension; no fact-side shuffle.
+    """
+    orders = table(spark, sf_dir, "orders")
+    rich = table(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 8000).select("c_custkey")
+    return (
+        orders.join(F.broadcast(rich), orders.o_custkey == rich.c_custkey, "left_semi")
+        .select("o_orderkey", "o_orderstatus")
+    )
+
+
+@register(
+    "p4_substring_search",
+    oracle="""
+    SELECT p_partkey, p_name, p_brand, p_retailprice
+    FROM part
+    WHERE lower(p_name) LIKE '%widget%'
+    ORDER BY p_retailprice DESC, p_partkey
+    LIMIT 25
+    """,
+    tags=("P4", "O1", "O3"),
+)
+def p4_substring_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Case-insensitive substring search + multi-key top-k (P4/O1/O3).
+
+    Reference: LIKE %q% name search, webapp/mysql_routes.py:619-626;
+    Mongo $regex "i", webapp/mongodb_routes.py:126-138. Deterministic order
+    via unique-key tie-break.
+    """
+    part = table(spark, sf_dir, "part")
+    return (
+        part.filter(F.lower(F.col("p_name")).contains("widget"))
+        .select("p_partkey", "p_name", "p_brand", "p_retailprice")
+        .orderBy(F.desc("p_retailprice"), F.asc("p_partkey"))
+        .limit(25)
+    )
+
+
+@register(
+    "p5_disjunctive_filter",
+    oracle="""
+    SELECT c_custkey, c_mktsegment, c_acctbal
+    FROM customer
+    WHERE c_mktsegment = 'BUILDING' OR c_acctbal < 0
+    """,
+    tags=("P2", "P5"),
+)
+def p5_disjunctive_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equality OR range disjunction (P2/P5).
+
+    Reference: city-OR-state location match, webapp/mysql_routes.py:625-626.
+    """
+    c = table(spark, sf_dir, "customer")
+    return c.filter((F.col("c_mktsegment") == "BUILDING") | (F.col("c_acctbal") < 0)).select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+
+
+@register(
+    "p6_array_membership",
+    oracle="""
+    SELECT p_partkey, p_name
+    FROM part
+    WHERE list_contains(string_split(p_name, ' '), 'widget')
+    """,
+    tags=("P6", "F6", "F10"),
+)
+def p6_array_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-membership predicate on a split string column (P6/F6).
+
+    Reference: categories $in on the split comma-string array,
+    webapp/mongodb_routes.py:122-123 (split: init/mongodb_loader.py:152-153).
+    """
+    part = table(spark, sf_dir, "part")
+    return part.filter(F.array_contains(F.split(F.col("p_name"), " "), "widget")).select(
+        "p_partkey", "p_name"
+    )
+
+
+@register(
+    "p7_json_field_predicate",
+    oracle="""
+    SELECT event_id, event_type, json_extract_string(props, '$.k')::BIGINT AS k
+    FROM events
+    WHERE json_extract_string(props, '$.k')::BIGINT >= 90
+    """,
+    tags=("P7", "F11"),
+)
+def p7_json_field_predicate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested/JSON field predicate (P7).
+
+    Reference: attributes.GoodForKids nested-attribute filters with value
+    normalization, webapp/mongodb_routes.py:188-269. Props stays a JSON
+    string; extraction is JVM-side get_json_object (no UDF).
+    """
+    ev = table(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return ev.select("event_id", "event_type", k.alias("k")).filter(F.col("k") >= 90)
+
+
+@register(
+    "p8_null_safe_filter",
+    oracle="""
+    SELECT doc_id, lang, n_chars
+    FROM documents
+    WHERE text IS NOT NULL AND text <> '' AND lang IS NOT NULL AND n_chars > 400
+    """,
+    tags=("P8",),
+)
+def p8_null_safe_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null/empty existence predicate (P8).
+
+    Reference: state IS NOT NULL AND state != '', webapp/mysql_routes.py:1028-1029.
+    """
+    d = table(spark, sf_dir, "documents")
+    return d.filter(
+        F.col("text").isNotNull()
+        & (F.col("text") != "")
+        & F.col("lang").isNotNull()
+        & (F.col("n_chars") > 400)
+    ).select("doc_id", "lang", "n_chars")
+
+
+# ---------------------------------------------------------------------------
+# §2.3 Joins
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "j1_multiway_revenue",
+    oracle=f"""
+    SELECT r.r_name, n.n_name,
+           CAST(count(*) AS BIGINT) AS order_cnt,
+           {rfix_sql('sum(o.o_totalprice)')} AS revenue,
+           {rfix_sql('avg(o.o_totalprice)')} AS avg_order
+    FROM region r
+    JOIN nation n ON n.n_regionkey = r.r_regionkey
+    JOIN customer c ON c.c_nationkey = n.n_nationkey
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY r.r_name, n.n_name
+    """,
+    tags=("J1", "A3", "A5", "A6"),
+)
+def j1_multiway_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-way dim⋈fact star join + multi-aggregate rollup (J1/A3).
+
+    Reference: business⋈location⋈bridge⋈category joins,
+    webapp/mysql_routes.py:90-100,497-517. Scale plan: region/nation/customer
+    are broadcast; the only shuffle is the final group-by on (r_name, n_name)
+    with map-side partial aggregation.
+    """
+    r = F.broadcast(table(spark, sf_dir, "region"))
+    n = F.broadcast(table(spark, sf_dir, "nation"))
+    c = F.broadcast(table(spark, sf_dir, "customer"))
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count("*").alias("order_cnt"),
+            rfix(F.sum("o_totalprice")).alias("revenue"),
+            rfix(F.avg("o_totalprice")).alias("avg_order"),
+        )
+    )
+
+
+@register(
+    "j2_left_join_summary",
+    oracle=f"""
+    SELECT c.c_custkey,
+           coalesce(s.order_cnt, 0) AS order_cnt,
+           {rfix_sql('coalesce(s.total_spend, 0)')} AS total_spend
+    FROM customer c
+    LEFT JOIN (
+        SELECT o_custkey, CAST(count(*) AS BIGINT) AS order_cnt,
+               sum(o_totalprice) AS total_spend
+        FROM orders GROUP BY o_custkey
+    ) s ON s.o_custkey = c.c_custkey
+    """,
+    tags=("J2", "F8"),
+)
+def j2_left_join_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join against a pre-aggregated summary + coalesce (J2/F8).
+
+    Reference: LEFT JOIN summary_business_performance,
+    webapp/mysql_routes.py:395-402; IFNULL init/mysql_loader.py:1086-1087.
+    Aggregate-then-join keeps the join input small (one row per customer).
+    """
+    c = table(spark, sf_dir, "customer")
+    s = (
+        table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("order_cnt"), F.sum("o_totalprice").alias("total_spend"))
+    )
+    return c.join(s, c.c_custkey == s.o_custkey, "left").select(
+        "c_custkey",
+        F.coalesce("order_cnt", F.lit(0)).alias("order_cnt"),
+        rfix(F.coalesce("total_spend", F.lit(0.0))).alias("total_spend"),
+    )
+
+
+@register(
+    "j4_anti_join",
+    oracle="""
+    SELECT c_custkey, c_name, c_mktsegment
+    FROM customer
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    """,
+    tags=("J4",),
+)
+def j4_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti join — rows with no match (J4).
+
+    Reference: graph NOT-pattern "businesses the user has NOT reviewed",
+    webapp/neo4j_routes.py:643-644. LEFT ANTI is the distributed form.
+    """
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").select("o_custkey")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+@register(
+    "j5_copurchase_pairs",
+    oracle="""
+    SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+           CAST(count(*) AS BIGINT) AS together_cnt
+    FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a
+    JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY a.l_partkey, b.l_partkey
+    HAVING count(*) >= 3
+    """,
+    tags=("J5", "P9", "A9"),
+)
+def j5_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-join co-occurrence via a shared parent (J5/P9/A9).
+
+    Reference: category co-occurrence pairs c1.name < c2.name,
+    webapp/neo4j_routes.py:861-867; common-category business network :443-452.
+    Scale plan: both sides shuffle-partition on l_orderkey (co-located join
+    key), pair explosion is bounded per order; HAVING prunes the long tail
+    before any further consumption.
+    """
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a = li.alias("a")
+    b = li.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(F.col("a.l_partkey").alias("part_a"), F.col("b.l_partkey").alias("part_b"))
+        .agg(F.count("*").alias("together_cnt"))
+        .filter(F.col("together_cnt") >= 3)
+    )
+
+
+@register(
+    "j6_two_hop_supplier_pairs",
+    oracle="""
+    WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+    SELECT a.l_suppkey AS supp_a, b.l_suppkey AS supp_b,
+           CAST(count(*) AS BIGINT) AS shared_parts
+    FROM ps a JOIN ps b
+      ON a.l_partkey = b.l_partkey AND a.l_suppkey < b.l_suppkey
+    GROUP BY a.l_suppkey, b.l_suppkey
+    HAVING count(*) >= 5
+    """,
+    tags=("J6",),
+)
+def j6_two_hop_supplier_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-hop co-occurrence through an entity graph (J6).
+
+    Reference: co-reviewer 2-hop pattern b←review←user→review→b2,
+    webapp/neo4j_routes.py:459-467. Edges (part, supplier) are deduped first
+    so the self-join fans out on genuinely shared parts only.
+    """
+    ps = table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey").distinct()
+    a = ps.alias("a")
+    b = ps.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_partkey") == F.col("b.l_partkey"))
+            & (F.col("a.l_suppkey") < F.col("b.l_suppkey")),
+        )
+        .groupBy(F.col("a.l_suppkey").alias("supp_a"), F.col("b.l_suppkey").alias("supp_b"))
+        .agg(F.count("*").alias("shared_parts"))
+        .filter(F.col("shared_parts") >= 5)
+    )
+
+
+@register(
+    "j9_date_spine_join",
+    oracle=f"""
+    WITH spine AS (
+        SELECT unnest(generate_series(DATE '2024-01-01', DATE '2024-01-31',
+                                      INTERVAL 1 DAY))::DATE AS d
+    ),
+    daily AS (
+        SELECT ts::DATE AS d, CAST(count(*) AS BIGINT) AS event_cnt,
+               sum(value) AS total_value
+        FROM events GROUP BY 1
+    )
+    SELECT strftime(spine.d, '%Y-%m-%d') AS day,
+           coalesce(daily.event_cnt, 0) AS event_cnt,
+           {rfix_sql('coalesce(daily.total_value, 0)')} AS total_value
+    FROM spine LEFT JOIN daily ON spine.d = daily.d
+    """,
+    tags=("J9", "F4"),
+)
+def j9_date_spine_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generated calendar dimension joined to facts — zero-filled days (J9).
+
+    Reference: dim_time generated for every day 2004-2023 then joined by date,
+    init/mysql_loader.py:243-288,592-594; dense-array chart fills
+    webapp/mysql_routes.py:189-229. Spark-first: sequence()+explode generates
+    the spine distributively; the daily aggregate is map-side partial.
+    """
+    ev = table(spark, sf_dir, "events")
+    spine = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit("2024-01-01").cast("date"),
+                F.lit("2024-01-31").cast("date"),
+                F.expr("INTERVAL 1 DAY"),
+            )
+        ).alias("d")
+    )
+    daily = (
+        ev.groupBy(F.col("ts").cast("date").alias("d"))
+        .agg(F.count("*").alias("event_cnt"), F.sum("value").alias("total_value"))
+    )
+    return spine.join(daily, "d", "left").select(
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        F.coalesce("event_cnt", F.lit(0)).alias("event_cnt"),
+        rfix(F.coalesce("total_value", F.lit(0.0))).alias("total_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.4 Aggregations
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "a2_status_histogram",
+    oracle="""
+    SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS cnt
+    FROM orders GROUP BY o_orderstatus
+    """,
+    tags=("A1", "A2"),
+)
+def a2_status_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-by count histogram (A2) — the star-rating distribution analog.
+
+    Reference: reviews per star value, webapp/mysql_routes.py:49-54.
+    """
+    return table(spark, sf_dir, "orders").groupBy("o_orderstatus").agg(
+        F.count("*").alias("cnt")
+    )
+
+
+@register(
+    "a3_nation_customer_stats",
+    oracle=f"""
+    SELECT n.n_name,
+           CAST(count(DISTINCT c.c_custkey) AS BIGINT) AS customer_cnt,
+           {rfix_sql('avg(c.c_acctbal)')} AS avg_bal,
+           {rfix_sql('sum(c.c_acctbal)')} AS total_bal,
+           CAST(count(CASE WHEN c.c_acctbal > 5000 THEN 1 END) AS BIGINT) AS rich_cnt,
+           CAST(count(CASE WHEN c.c_acctbal < 0 THEN 1 END) AS BIGINT) AS debtor_cnt
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+    tags=("A3", "A4", "A8"),
+)
+def a3_nation_customer_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-aggregate with conditional (pivot-style) counts (A3/A4/A8).
+
+    Reference: per-city COUNT DISTINCT / AVG / SUM + CASE-bucket counts,
+    webapp/mysql_routes.py:329-361.
+    """
+    c = table(spark, sf_dir, "customer")
+    n = F.broadcast(table(spark, sf_dir, "nation"))
+    return (
+        c.join(n, c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.countDistinct("c_custkey").alias("customer_cnt"),
+            rfix(F.avg("c_acctbal")).alias("avg_bal"),
+            rfix(F.sum("c_acctbal")).alias("total_bal"),
+            F.count(F.when(F.col("c_acctbal") > 5000, 1)).alias("rich_cnt"),
+            F.count(F.when(F.col("c_acctbal") < 0, 1)).alias("debtor_cnt"),
+        )
+    )
+
+
+@register(
+    "a4_price_band_histogram",
+    oracle="""
+    SELECT CASE WHEN o_totalprice < 50000 THEN 'lt_50k'
+                WHEN o_totalprice < 150000 THEN '50k_150k'
+                WHEN o_totalprice < 300000 THEN '150k_300k'
+                ELSE 'gte_300k' END AS price_band,
+           CAST(count(*) AS BIGINT) AS cnt
+    FROM orders GROUP BY 1
+    """,
+    tags=("A4", "F9"),
+)
+def a4_price_band_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE-bucketed histogram (A4/F9) — the stars>=4.5 bucket analog.
+
+    Reference: COUNT(CASE WHEN stars>=4.5 ...) x5, webapp/mysql_routes.py:336-340.
+    """
+    o = table(spark, sf_dir, "orders")
+    band = (
+        F.when(F.col("o_totalprice") < 50000, "lt_50k")
+        .when(F.col("o_totalprice") < 150000, "50k_150k")
+        .when(F.col("o_totalprice") < 300000, "150k_300k")
+        .otherwise("gte_300k")
+    )
+    return o.groupBy(band.alias("price_band")).agg(F.count("*").alias("cnt"))
+
+
+@register(
+    "a5_value_by_dayname",
+    oracle=f"""
+    SELECT dayname(ts) AS day_name,
+           CAST(count(*) AS BIGINT) AS event_cnt,
+           {rfix_sql('sum(value)')} AS total_value
+    FROM events GROUP BY 1
+    """,
+    tags=("A5", "F1"),
+)
+def a5_value_by_dayname(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sum by day-of-week (A5/F1) — checkins-per-weekday analog.
+
+    Reference: SUM(checkin_count) GROUP BY day_of_week,
+    webapp/mysql_routes.py:176-185.
+    """
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.date_format("ts", "EEEE").alias("day_name"))
+        .agg(F.count("*").alias("event_cnt"), rfix(F.sum("value")).alias("total_value"))
+    )
+
+
+@register(
+    "a6_avg_by_year_month",
+    oracle=f"""
+    SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+           CAST(month(o_orderdate) AS BIGINT) AS mon,
+           CAST(count(*) AS BIGINT) AS order_cnt,
+           {rfix_sql('avg(o_totalprice)')} AS avg_price
+    FROM orders GROUP BY 1, 2
+    """,
+    tags=("A6", "A2", "F1"),
+)
+def a6_avg_by_year_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series monthly aggregate (A6/F1) — review trends analog.
+
+    Reference: reviews per (year, month), webapp/mysql_routes.py:413-421.
+    """
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.year("o_orderdate").cast("long").alias("yr"),
+            F.month("o_orderdate").cast("long").alias("mon"),
+        )
+        .agg(F.count("*").alias("order_cnt"), rfix(F.avg("o_totalprice")).alias("avg_price"))
+    )
+
+
+@register(
+    "a7_user_event_span",
+    oracle="""
+    SELECT user_id,
+           strftime(min(ts), '%Y-%m-%d') AS first_day,
+           strftime(max(ts), '%Y-%m-%d') AS last_day,
+           CAST(count(*) AS BIGINT) AS event_cnt
+    FROM events GROUP BY user_id
+    """,
+    tags=("A7",),
+)
+def a7_user_event_span(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Min/max temporal span per entity (A7).
+
+    Reference: first/last review date per user, webapp/mysql_routes.py:1218-1219.
+    """
+    ev = table(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.date_format(F.min("ts"), "yyyy-MM-dd").alias("first_day"),
+        F.date_format(F.max("ts"), "yyyy-MM-dd").alias("last_day"),
+        F.count("*").alias("event_cnt"),
+    )
+
+
+@register(
+    "a8_distinct_parts_per_customer",
+    oracle="""
+    SELECT o.o_custkey AS custkey,
+           CAST(count(DISTINCT l.l_partkey) AS BIGINT) AS distinct_parts,
+           CAST(count(*) AS BIGINT) AS line_cnt
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_custkey
+    """,
+    tags=("A8", "J1"),
+)
+def a8_distinct_parts_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact count-distinct over a fact join (A8).
+
+    Reference: COUNT(DISTINCT r.business_id) per user,
+    webapp/mysql_routes.py:1220. Exact (not approx) — it is the correctness
+    gate; the join shuffles both facts on the shared orderkey.
+    """
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(
+            F.countDistinct("l_partkey").alias("distinct_parts"),
+            F.count("*").alias("line_cnt"),
+        )
+    )
+
+
+@register(
+    "a9_having_filter",
+    oracle=f"""
+    SELECT c_nationkey, CAST(count(*) AS BIGINT) AS customer_cnt,
+           {rfix_sql('avg(c_acctbal)')} AS avg_bal
+    FROM customer GROUP BY c_nationkey
+    HAVING count(*) > 40
+    """,
+    tags=("A9",),
+)
+def a9_having_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-aggregation HAVING filter (A9).
+
+    Reference: cities HAVING COUNT(...) > 5, webapp/mysql_routes.py:355-357.
+    """
+    c = table(spark, sf_dir, "customer")
+    return (
+        c.groupBy("c_nationkey")
+        .agg(F.count("*").alias("customer_cnt"), rfix(F.avg("c_acctbal")).alias("avg_bal"))
+        .filter(F.col("customer_cnt") > 40)
+    )
+
+
+@register(
+    "a10_token_explode_count",
+    oracle="""
+    SELECT word, CAST(count(*) AS BIGINT) AS cnt
+    FROM (SELECT unnest(string_split(p_name, ' ')) AS word FROM part)
+    GROUP BY word
+    """,
+    tags=("A10", "F6"),
+)
+def a10_token_explode_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array unwind + frequency count (A10) — category counts analog.
+
+    Reference: $unwind categories → count, webapp/mongodb_routes.py:33-39.
+    """
+    part = table(spark, sf_dir, "part")
+    return (
+        part.select(F.explode(F.split("p_name", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+@register(
+    "a11_json_key_frequency",
+    oracle="""
+    SELECT key, CAST(count(*) AS BIGINT) AS cnt
+    FROM (SELECT unnest(json_keys(props)) AS key FROM events)
+    GROUP BY key
+    """,
+    tags=("A11", "F11"),
+)
+def a11_json_key_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Object-key frequency over semi-structured columns (A11/F11).
+
+    Reference: $objectToArray attributes → key counts,
+    webapp/mongodb_routes.py:713-720.
+    """
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.select(F.explode(F.json_object_keys("props")).alias("key"))
+        .groupBy("key")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+@register(
+    "a13_sampled_doc_stats",
+    oracle=f"""
+    SELECT lang, CAST(count(*) AS BIGINT) AS doc_cnt,
+           {rfix_sql('avg(n_chars)')} AS avg_chars,
+           CAST(min(n_chars) AS BIGINT) AS min_chars,
+           CAST(max(n_chars) AS BIGINT) AS max_chars
+    FROM documents
+    WHERE doc_id % 10 = 0
+    GROUP BY lang
+    """,
+    tags=("A13", "A7"),
+)
+def a13_sampled_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic-sample statistics (A13).
+
+    Reference: $sample 100 → avg/max field stats, webapp/mongodb_routes.py:839-856.
+    The reference samples randomly; we sample by key mod so the engine and the
+    oracle see the same rows (reproducibility over randomness).
+    """
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.filter(F.col("doc_id") % 10 == 0)
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("doc_cnt"),
+            rfix(F.avg("n_chars")).alias("avg_chars"),
+            F.min("n_chars").cast("long").alias("min_chars"),
+            F.max("n_chars").cast("long").alias("max_chars"),
+        )
+    )
+
+
+@register(
+    "a14_customer_summary_rebuild",
+    oracle=f"""
+    SELECT c.c_custkey, n.n_name AS nation,
+           coalesce(s.order_cnt, 0) AS order_cnt,
+           {rfix_sql('coalesce(s.total_spend, 0)')} AS total_spend,
+           {rfix_sql('coalesce(s.avg_order, 0)')} AS avg_order,
+           coalesce(s.first_order, '') AS first_order,
+           coalesce(s.last_order, '') AS last_order
+    FROM customer c
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    LEFT JOIN (
+        SELECT o_custkey,
+               CAST(count(*) AS BIGINT) AS order_cnt,
+               sum(o_totalprice) AS total_spend,
+               avg(o_totalprice) AS avg_order,
+               strftime(min(o_orderdate), '%Y-%m-%d') AS first_order,
+               strftime(max(o_orderdate), '%Y-%m-%d') AS last_order
+        FROM orders GROUP BY o_custkey
+    ) s ON s.o_custkey = c.c_custkey
+    """,
+    tags=("A14", "J2", "F8"),
+)
+def a14_customer_summary_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized per-entity summary rebuild (A14).
+
+    Reference: summary_business_performance full rebuild — per-business
+    review/checkin/tip totals via left joins, init/mysql_loader.py:1080-1104;
+    Mongo $out pipeline init/mongodb_loader.py:434-529. This is the batch
+    half of the batch/stream convergence invariant (§5.5); the streaming half
+    maintains the same table incrementally (streaming/pipeline.py).
+    """
+    c = table(spark, sf_dir, "customer")
+    n = F.broadcast(table(spark, sf_dir, "nation"))
+    s = (
+        table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.count("*").alias("order_cnt"),
+            F.sum("o_totalprice").alias("total_spend"),
+            F.avg("o_totalprice").alias("avg_order"),
+            F.date_format(F.min("o_orderdate"), "yyyy-MM-dd").alias("first_order"),
+            F.date_format(F.max("o_orderdate"), "yyyy-MM-dd").alias("last_order"),
+        )
+    )
+    return (
+        c.join(n, c.c_nationkey == n.n_nationkey)
+        .join(s, c.c_custkey == s.o_custkey, "left")
+        .select(
+            "c_custkey",
+            F.col("n_name").alias("nation"),
+            F.coalesce("order_cnt", F.lit(0)).alias("order_cnt"),
+            rfix(F.coalesce("total_spend", F.lit(0.0))).alias("total_spend"),
+            rfix(F.coalesce("avg_order", F.lit(0.0))).alias("avg_order"),
+            F.coalesce("first_order", F.lit("")).alias("first_order"),
+            F.coalesce("last_order", F.lit("")).alias("last_order"),
+        )
+    )
+
+
+@register(
+    "a_pivot_year_quarter",
+    oracle="""
+    SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+           CAST(count(CASE WHEN quarter(o_orderdate) = 1 THEN 1 END) AS BIGINT) AS q1,
+           CAST(count(CASE WHEN quarter(o_orderdate) = 2 THEN 1 END) AS BIGINT) AS q2,
+           CAST(count(CASE WHEN quarter(o_orderdate) = 3 THEN 1 END) AS BIGINT) AS q3,
+           CAST(count(CASE WHEN quarter(o_orderdate) = 4 THEN 1 END) AS BIGINT) AS q4
+    FROM orders GROUP BY 1
+    """,
+    tags=("A4", "F5"),
+)
+def a_pivot_year_quarter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: rows → per-quarter columns (year_comparison analog).
+
+    Reference: per-year month pivot done in a Python loop,
+    webapp/mysql_routes.py:863-898 — here it's a single relational pivot.
+    """
+    o = table(spark, sf_dir, "orders")
+    p = (
+        o.select(F.year("o_orderdate").cast("long").alias("yr"), F.quarter("o_orderdate").alias("q"))
+        .groupBy("yr")
+        .pivot("q", [1, 2, 3, 4])
+        .count()
+    )
+    return p.select(
+        "yr",
+        *[F.coalesce(F.col(str(i)), F.lit(0)).cast("long").alias(f"q{i}") for i in (1, 2, 3, 4)],
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.5 Windows
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "w1_topn_parts_per_brand",
+    oracle="""
+    SELECT p_brand, p_partkey, p_retailprice, rn
+    FROM (
+        SELECT p_brand, p_partkey, p_retailprice,
+               CAST(row_number() OVER (PARTITION BY p_brand
+                    ORDER BY p_retailprice DESC, p_partkey) AS BIGINT) AS rn
+        FROM part
+    ) WHERE rn <= 3
+    """,
+    tags=("W1", "J7"),
+)
+def w1_topn_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-N per group via row_number window (W1) — replaces the reference's
+    per-row correlated loop.
+
+    Reference: per-user top-3 categories computed in a Python loop over the
+    top-10 users, webapp/mysql_routes.py:1235-1256. One window, no loop.
+    """
+    part = table(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy(F.desc("p_retailprice"), F.asc("p_partkey"))
+    return (
+        part.select(
+            "p_brand",
+            "p_partkey",
+            "p_retailprice",
+            F.row_number().over(w).cast("long").alias("rn"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+@register(
+    "w2_rank_customers_in_segment",
+    oracle="""
+    SELECT c_mktsegment, c_custkey, c_acctbal, rnk
+    FROM (
+        SELECT c_mktsegment, c_custkey, c_acctbal,
+               CAST(rank() OVER (PARTITION BY c_mktsegment
+                    ORDER BY c_acctbal DESC, c_custkey) AS BIGINT) AS rnk
+        FROM customer
+    ) WHERE rnk <= 5
+    """,
+    tags=("W2",),
+)
+def w2_rank_customers_in_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank() top-k per partition (W2).
+
+    Reference: top businesses per category, webapp/mysql_routes.py:90-100.
+    """
+    c = table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    return (
+        c.select(
+            "c_mktsegment",
+            "c_custkey",
+            "c_acctbal",
+            F.rank().over(w).cast("long").alias("rnk"),
+        )
+        .filter(F.col("rnk") <= 5)
+    )
+
+
+@register(
+    "w3_running_avg_per_customer",
+    oracle=f"""
+    SELECT o_custkey, o_orderkey,
+           {rfix_sql('''avg(o_totalprice) OVER (PARTITION BY o_custkey
+                 ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)''')} AS running_avg
+    FROM orders
+    """,
+    tags=("W3", "T5"),
+)
+def w3_running_avg_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running average over an ordered frame (W3) — the batch analog of the
+    streaming running-average maintenance.
+
+    Reference: avg = (avg*n + stars)/(n+1) applied per event,
+    streaming/consumer.py:431-441 (including its off-by-one bug, SURVEY §8 —
+    the window form is the correct semantics).
+    """
+    o = table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        rfix(F.avg("o_totalprice").over(w)).alias("running_avg"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.6 Sorts / limits / pagination  +  §2.7 set ops
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "o1_multikey_topk",
+    oracle="""
+    SELECT p_partkey, p_name, p_size, p_retailprice
+    FROM part
+    ORDER BY p_size DESC, p_retailprice DESC, p_partkey
+    LIMIT 10
+    """,
+    tags=("O1", "O3"),
+)
+def o1_multikey_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-key global top-k (O1/O3) — TakeOrderedAndProject, no full sort.
+
+    Reference: ORDER BY stars DESC, review_count DESC LIMIT 10,
+    webapp/mysql_routes.py:98,650-655.
+    """
+    return (
+        table(spark, sf_dir, "part")
+        .select("p_partkey", "p_name", "p_size", "p_retailprice")
+        .orderBy(F.desc("p_size"), F.desc("p_retailprice"), F.asc("p_partkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "o4_pagination_page3",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer
+    ORDER BY c_name, c_custkey
+    LIMIT 20 OFFSET 40
+    """,
+    tags=("O4",),
+)
+def o4_pagination_page3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offset/limit pagination with a deterministic total order (O4).
+
+    Reference: LIMIT %s OFFSET %s + separate total-count query,
+    webapp/mysql_routes.py:99,106-118. See plans.builder.paginate for the
+    parameterized form with the count envelope.
+    """
+    return (
+        table(spark, sf_dir, "customer")
+        .select("c_custkey", "c_name")
+        .orderBy("c_name", "c_custkey")
+        .offset(40)
+        .limit(20)
+    )
+
+
+@register(
+    "set_intersect_nations",
+    oracle="""
+    SELECT n_name FROM nation JOIN customer ON c_nationkey = n_nationkey
+    INTERSECT
+    SELECT n_name FROM nation JOIN supplier ON s_nationkey = n_nationkey
+    """,
+    tags=("SET",),
+)
+def set_intersect_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT distinct (§2.7 — free via the DataFrame API)."""
+    n = F.broadcast(table(spark, sf_dir, "nation"))
+    c = table(spark, sf_dir, "customer")
+    s = table(spark, sf_dir, "supplier")
+    cn = c.join(n, c.c_nationkey == n.n_nationkey).select("n_name")
+    sn = s.join(n, s.s_nationkey == n.n_nationkey).select("n_name")
+    return cn.intersect(sn)
+
+
+@register(
+    "set_except_nations",
+    oracle="""
+    SELECT n_name FROM nation JOIN customer ON c_nationkey = n_nationkey
+    EXCEPT
+    SELECT n_name FROM nation JOIN supplier ON s_nationkey = n_nationkey
+    """,
+    tags=("SET",),
+)
+def set_except_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT distinct (§2.7). DataFrame.subtract IS set-difference distinct."""
+    n = F.broadcast(table(spark, sf_dir, "nation"))
+    c = table(spark, sf_dir, "customer")
+    s = table(spark, sf_dir, "supplier")
+    cn = c.join(n, c.c_nationkey == n.n_nationkey).select("n_name")
+    sn = s.join(n, s.s_nationkey == n.n_nationkey).select("n_name")
+    return cn.subtract(sn)
+
+
+# ---------------------------------------------------------------------------
+# §2.8 Scalar functions
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "f_scalar_showcase",
+    oracle=f"""
+    SELECT c_custkey,
+           upper(substr(c_name, 1, 8)) AS name_prefix,
+           concat(c_mktsegment, '#', CAST(c_nationkey AS VARCHAR)) AS seg_nation,
+           CASE WHEN c_acctbal < 0 THEN 'negative'
+                WHEN c_acctbal < 5000 THEN 'mid' ELSE 'high' END AS bal_band,
+           {rfix_sql('abs(c_acctbal)', 1)} AS abs_bal,
+           coalesce(nullif(c_mktsegment, ''), 'UNKNOWN') AS segment
+    FROM customer
+    """,
+    tags=("F7", "F8", "F9", "F13"),
+)
+def f_scalar_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String/conditional/null scalar function battery (F7/F8/F9/F13).
+
+    Reference: CONCAT webapp/mysql_routes.py:1109, CASE buckets :336-340,
+    IFNULL init/mysql_loader.py:1086-1087, boundary coercions
+    webapp/db_utils.py:37-43. All JVM-side, whole-stage-codegen friendly.
+    """
+    c = table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.upper(F.substring("c_name", 1, 8)).alias("name_prefix"),
+        F.concat("c_mktsegment", F.lit("#"), F.col("c_nationkey").cast("string")).alias(
+            "seg_nation"
+        ),
+        F.when(F.col("c_acctbal") < 0, "negative")
+        .when(F.col("c_acctbal") < 5000, "mid")
+        .otherwise("high")
+        .alias("bal_band"),
+        rfix(F.abs("c_acctbal"), 1).alias("abs_bal"),
+        F.coalesce(F.nullif("c_mktsegment", F.lit("")), F.lit("UNKNOWN")).alias("segment"),
+    )
+
+
+@register(
+    "f2_quarter_label_counts",
+    oracle="""
+    SELECT concat(CAST(year(o_orderdate) AS VARCHAR), '-Q',
+                  CAST(quarter(o_orderdate) AS VARCHAR)) AS quarter_label,
+           strftime(date_trunc('month', min(o_orderdate)), '%Y-%m-%d') AS first_month,
+           CAST(count(*) AS BIGINT) AS order_cnt
+    FROM orders GROUP BY 1
+    """,
+    tags=("F2", "F5", "F7"),
+)
+def f2_quarter_label_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date truncation + label formatting (F2/F5/F7).
+
+    Reference: CONCAT(year,'-Q',quarter) quarterly labels,
+    webapp/mysql_routes.py:1109; DATE_FORMAT month buckets :721-731.
+    """
+    o = table(spark, sf_dir, "orders")
+    label = F.concat(
+        F.year("o_orderdate").cast("string"), F.lit("-Q"), F.quarter("o_orderdate").cast("string")
+    )
+    return (
+        o.groupBy(label.alias("quarter_label"))
+        .agg(
+            F.date_format(F.date_trunc("month", F.min("o_orderdate")), "yyyy-MM-dd").alias(
+                "first_month"
+            ),
+            F.count("*").alias("order_cnt"),
+        )
+    )
+
+
+@register(
+    "f3_recent_orders",
+    oracle="""
+    SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS order_day
+    FROM orders
+    WHERE o_orderdate >= (SELECT max(o_orderdate) FROM orders) - INTERVAL 6 MONTH
+    """,
+    tags=("F3",),
+)
+def f3_recent_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relative date arithmetic anchored on the data's watermark (F3).
+
+    Reference: DATE_SUB(CURRENT_DATE, INTERVAL 12 MONTH),
+    webapp/mysql_routes.py:727 — anchored on max(o_orderdate) instead of the
+    wall clock so results are reproducible. The scalar max is broadcast, not
+    collected.
+    """
+    o = table(spark, sf_dir, "orders")
+    maxd = o.agg(F.max("o_orderdate").alias("maxd"))
+    return (
+        o.crossJoin(F.broadcast(maxd))
+        .filter(F.col("o_orderdate") >= F.expr("maxd - INTERVAL 6 MONTH"))
+        .select("o_orderkey", F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_day"))
+    )
+
+
+@register(
+    "f12_doc_size_buckets",
+    oracle=f"""
+    SELECT CASE WHEN length(text) < 150 THEN 'xs'
+                WHEN length(text) < 300 THEN 's'
+                WHEN length(text) < 450 THEN 'm'
+                ELSE 'l' END AS size_bucket,
+           CAST(count(*) AS BIGINT) AS doc_cnt,
+           {rfix_sql('avg(length(text))')} AS avg_len
+    FROM documents GROUP BY 1
+    """,
+    tags=("F12", "A4"),
+)
+def f12_doc_size_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-size histogram (F12).
+
+    Reference: len(json.dumps(doc))/1024 size buckets,
+    webapp/mongodb_routes.py:661-678.
+    """
+    d = table(spark, sf_dir, "documents")
+    ln = F.length("text")
+    bucket = (
+        F.when(ln < 150, "xs").when(ln < 300, "s").when(ln < 450, "m").otherwise("l")
+    )
+    return d.groupBy(bucket.alias("size_bucket")).agg(
+        F.count("*").alias("doc_cnt"), rfix(F.avg(ln)).alias("avg_len")
+    )
+
+
+@register(
+    "t7_hourly_tumbling_window",
+    oracle=f"""
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           CAST(count(*) AS BIGINT) AS event_cnt,
+           {rfix_sql('sum(value)')} AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+    tags=("T7", "A5"),
+)
+def t7_hourly_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling event-time window aggregate (T7) — batch form.
+
+    Reference: events carry ISO timestamps but are never windowed
+    (streaming/consumer.py:360); this is the windowed-agg capability the
+    reference lacks. The identical F.window() plan runs on a stream with
+    a watermark in streaming/pipeline.py.
+    """
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
+        .agg(F.count("*").alias("event_cnt"), rfix(F.sum("value")).alias("total_value"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "event_cnt",
+            "total_value",
+        )
+    )

@@ -1,0 +1,66 @@
+"""Harness table catalog.
+
+The driver materializes deterministic synthetic parquet at
+``/root/testdata/sf{0.001,0.01,0.1}/<table>.parquet`` (TESTDATA.md). Parquet
+carries its own schema, so no inference is involved; the vectorized parquet
+reader + predicate pushdown/column pruning are Catalyst built-ins.
+
+Reference analog: the five Yelp JSON entity loads at
+``init/mysql_loader.py:354-365`` (scan S1) — for the raw-JSON path with
+explicit StructTypes see :mod:`yelpdatawarehouse_spark.sources.yelp`.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Dimension-sized tables we always hint broadcastable in joins against facts.
+DIMENSIONS = ("region", "nation", "supplier", "part", "customer")
+
+
+def default_sf_dir() -> str:
+    return os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; have {TABLES}")
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name != "events":
+        return spark.read.parquet(path)
+    # events.ts is physically TIMESTAMP(NANOS), which Spark's vectorized
+    # reader rejects. Read nanos as long, floor-convert to microseconds —
+    # byte-identical to how nanos-unaware engines (e.g. DuckDB) read it.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
+
+    if isinstance(df.schema["ts"].dataType, LongType):
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {t: table(spark, sf_dir, t) for t in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every table as a temp view for the spark.sql path."""
+    for t in TABLES:
+        table(spark, sf_dir, t).createOrReplaceTempView(t)
