@@ -1,0 +1,52 @@
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from yelpdatawarehouse_spark.multimodal import (
+    attach_fake_media,
+    decode_image_features,
+    sample_frames,
+)
+from yelpdatawarehouse_spark.sources.tables import table
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_decode_schema_and_determinism(spark):
+    media = attach_fake_media(table(spark, SF, "documents").limit(50))
+    feats = decode_image_features(media)
+    assert [f.name for f in feats.schema.fields] == ["doc_id", "width", "height", "features"]
+    rows1 = {r.doc_id: (r.width, r.height, tuple(r.features)) for r in feats.collect()}
+    rows2 = {r.doc_id: (r.width, r.height, tuple(r.features)) for r in feats.collect()}
+    assert rows1 == rows2  # deterministic kernel
+    assert len(rows1) == 50
+    assert all(len(v[2]) <= 8 and len(v[2]) > 0 for v in rows1.values())
+
+
+def test_decode_strict_raises(spark):
+    media = attach_fake_media(table(spark, SF, "documents").limit(2))
+    with pytest.raises(Exception) as exc_info:
+        decode_image_features(media, strict=True).collect()
+    assert "NotImplementedError" in str(exc_info.value) or isinstance(
+        exc_info.value, NotImplementedError
+    )
+
+
+def test_frame_sampling_fanout(spark):
+    media = attach_fake_media(table(spark, SF, "documents").limit(20))
+    frames = sample_frames(media, every_n_bytes=64)
+    per_doc = {
+        r["doc_id"]: r["n"]
+        for r in frames.groupBy("doc_id").agg(F.count("*").alias("n")).collect()
+    }
+    sizes = {r.doc_id: r.media.n_bytes for r in media.collect()}
+    for doc_id, n in per_doc.items():
+        assert n == max(sizes[doc_id] // 64, 1)
+    # frames reassemble to a prefix of the payload
+    one = frames.filter(F.col("doc_id") == min(sizes)).orderBy("frame_idx").collect()
+    reassembled = b"".join(bytes(r.frame_bytes) for r in one)
+    payload = bytes(
+        media.filter(F.col("doc_id") == min(sizes)).select("payload").collect()[0][0]
+    )
+    assert payload.startswith(reassembled[: len(payload)])

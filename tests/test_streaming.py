@@ -1,0 +1,100 @@
+"""Streaming tests: the batch/stream convergence invariant (SURVEY §5.5).
+
+Feed a deterministic event sequence through the streaming path in chunks,
+then assert the incrementally maintained summary equals the batch rebuild
+over the full input — the invariant the reference's consumer is supposed to
+satisfy (streaming/consumer.py:417-441 vs init/mysql_loader.py:1080-1104)
+but breaks with its read-modify-write running average.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from yelpdatawarehouse_spark.sources.tables import table
+from yelpdatawarehouse_spark.streaming import (
+    batch_user_summary,
+    event_file_stream,
+    read_summary,
+    run_incremental_summary,
+    windowed_type_counts,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture()
+def event_chunks_dir(spark, tmp_path):
+    """testdata events split into 3 JSON-lines files (micro-batch chunks)."""
+    src = tmp_path / "incoming"
+    src.mkdir()
+    ev = table(spark, SF, "events")
+    for i in range(3):
+        chunk = ev.filter(F.col("event_id") % 3 == i).toPandas()
+        chunk["ts"] = chunk["ts"].dt.strftime("%Y-%m-%dT%H:%M:%S.%f")
+        chunk.to_json(src / f"chunk_{i}.json", orient="records", lines=True)
+    return str(src)
+
+
+def test_incremental_summary_converges_to_batch(spark, tmp_path, event_chunks_dir):
+    state_dir = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(state_dir)
+
+    stream = event_file_stream(spark, event_chunks_dir)
+    q = run_incremental_summary(spark, stream, state_dir, ckpt)
+    q.awaitTermination(120)
+
+    got = {
+        r["user_id"]: (r["event_cnt"], round(r["value_sum"], 6), round(r["value_avg"], 6))
+        for r in read_summary(spark, state_dir).collect()
+    }
+    want = {
+        r["user_id"]: (r["event_cnt"], round(r["value_sum"], 6), round(r["value_avg"], 6))
+        for r in batch_user_summary(table(spark, SF, "events")).collect()
+    }
+    assert got == want
+
+
+def test_incremental_summary_is_restart_safe(spark, tmp_path, event_chunks_dir):
+    """Second run over the same checkpoint must not double-count."""
+    state_dir = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(state_dir)
+
+    q = run_incremental_summary(spark, event_file_stream(spark, event_chunks_dir), state_dir, ckpt)
+    q.awaitTermination(120)
+    first = {r["user_id"]: r["event_cnt"] for r in read_summary(spark, state_dir).collect()}
+
+    # restart: same source, same checkpoint → no new batches → unchanged state
+    q2 = run_incremental_summary(spark, event_file_stream(spark, event_chunks_dir), state_dir, ckpt)
+    q2.awaitTermination(120)
+    second = {r["user_id"]: r["event_cnt"] for r in read_summary(spark, state_dir).collect()}
+    assert first == second
+
+
+def test_windowed_counts_stream_equals_batch(spark, tmp_path, event_chunks_dir):
+    stream = event_file_stream(spark, event_chunks_dir)
+    windowed = windowed_type_counts(stream)
+    q = (
+        windowed.writeStream.format("memory")
+        .queryName("win_counts")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt_w"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (r["window_start"], r["event_type"]): (r["event_cnt"], round(r["total_value"], 6))
+        for r in spark.sql("SELECT * FROM win_counts").collect()
+    }
+    want = {
+        (r["window_start"], r["event_type"]): (r["event_cnt"], round(r["total_value"], 6))
+        for r in windowed_type_counts(table(spark, SF, "events")).collect()
+    }
+    assert got == want

@@ -1,0 +1,62 @@
+"""Iterative graph primitives over edge DataFrames.
+
+The reference's only graph-native operator is Neo4j shortestPath to depth 6
+(webapp/neo4j_routes.py:735-780); everything else is joins. We implement BFS
+as iterative frontier expansion: each hop is one distributed equi-join on the
+edge table plus an anti-join against the visited set. The Python loop only
+sequences a *fixed, small* number of Spark jobs (max_hops); no row data ever
+touches the driver.
+
+For 100 TB graphs the edge table shuffles once onto its src key and is
+reused every hop (cached); frontier/visited sets stay distributed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def bfs_min_hops(
+    spark: SparkSession,
+    edges: DataFrame,
+    start: int,
+    max_hops: int,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Minimum hop count from ``start`` to every node reachable within
+    ``max_hops``. Returns columns (node BIGINT, hops BIGINT), including the
+    start node at 0 hops.
+    """
+    edges = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).cache()
+    visited = spark.createDataFrame([(start, 0)], "node BIGINT, hops BIGINT")
+    frontier = visited
+    for hop in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(edges, frontier.node == edges.src)
+            .select(F.col("dst").cast("long").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .select("node", F.lit(hop).cast("long").alias("hops"))
+        )
+        if nxt.isEmpty():
+            break
+        visited = visited.union(nxt)
+        frontier = nxt
+    return visited
+
+
+def connected_within(
+    spark: SparkSession,
+    edges: DataFrame,
+    start: int,
+    end: int,
+    max_hops: int,
+) -> int | None:
+    """Shortest-path length between two nodes if within max_hops, else None
+    (the reference's connection_path endpoint shape,
+    webapp/neo4j_routes.py:695-780)."""
+    hops = bfs_min_hops(spark, edges, start, max_hops)
+    row = hops.filter(F.col("node") == end).collect()
+    return int(row[0]["hops"]) if row else None

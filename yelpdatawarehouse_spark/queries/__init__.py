@@ -8,14 +8,6 @@ from .registry import REGISTRY, oracles, queries  # noqa: F401
 def all_queries():
     """Import every query module (registration side effect) and return the
     registry."""
-    from . import relational  # noqa: F401
+    from . import dynamic, graphq, llmops, mmops, relational  # noqa: F401
 
-    try:
-        from . import llmops  # noqa: F401
-    except ImportError:
-        pass
-    try:
-        from . import graphq  # noqa: F401
-    except ImportError:
-        pass
     return REGISTRY

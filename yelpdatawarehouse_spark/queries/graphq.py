@@ -1,0 +1,108 @@
+"""Graph-flavored query surface (SURVEY.md §2.3 J10, §2.4 A16).
+
+The reference's property graph is relationally encoded here: edges are just
+join tables (SURVEY §1.4). The trade graph below connects nations — an edge
+(n1, n2) exists when some customer of n1 bought from some supplier of n2
+(orders⋈lineitem⋈customer⋈supplier). Node count is dimension-small, edge
+*derivation* is fact-scale: the heavy lifting (the two fact joins + distinct)
+is fully distributed; only the final iteration state is small.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.graph import bfs_min_hops
+from ..sources.tables import table
+from .registry import register
+
+_EDGE_SQL = """
+    directed AS (
+        SELECT DISTINCT c.c_nationkey AS src, s.s_nationkey AS dst
+        FROM orders o
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        WHERE c.c_nationkey <> s.s_nationkey
+    ),
+    edges AS (
+        SELECT src, dst FROM directed
+        UNION
+        SELECT dst AS src, src AS dst FROM directed
+    )
+"""
+
+
+def trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Undirected nation-trade edge set, derived distributively from facts."""
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    c = F.broadcast(table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey"))
+    s = F.broadcast(table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey"))
+    directed = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .filter(F.col("c_nationkey") != F.col("s_nationkey"))
+        .select(F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst"))
+        .distinct()
+    )
+    return directed.union(
+        directed.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+
+
+@register(
+    "g_bfs_nation_hops",
+    oracle=f"""
+    WITH RECURSIVE {_EDGE_SQL},
+    walk(node, hop) AS (
+        SELECT 0, 0
+        UNION ALL
+        SELECT e.dst, w.hop + 1
+        FROM walk w JOIN edges e ON e.src = w.node
+        WHERE w.hop < 3
+    )
+    SELECT CAST(node AS BIGINT) AS node, CAST(min(hop) AS BIGINT) AS hops
+    FROM walk GROUP BY node
+    """,
+    tags=("J10",),
+)
+def g_bfs_nation_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BFS / variable-length-path search to depth 3 from nation 0 (J10).
+
+    Reference: shortestPath((b1)-[*..6]-(b2)), webapp/neo4j_routes.py:735-780
+    — the one genuinely graph-native operator in the reference. Spark-first:
+    iterative frontier expansion, each hop a distributed join + anti-join
+    against the visited set (operators/graph.py). The oracle is a recursive
+    CTE computing min-hop per node — semantically identical to BFS level.
+    """
+    edges = trade_edges(spark, sf_dir)
+    return bfs_min_hops(spark, edges, start=0, max_hops=3)
+
+
+@register(
+    "g_degree_centrality",
+    oracle=f"""
+    WITH {_EDGE_SQL}
+    SELECT n.n_name,
+           CAST(coalesce(d.degree, 0) AS BIGINT) AS degree
+    FROM nation n
+    LEFT JOIN (SELECT src, count(*) AS degree FROM edges GROUP BY src) d
+      ON d.src = n.n_nationkey
+    """,
+    tags=("A16",),
+)
+def g_degree_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree centrality over the derived graph (A16).
+
+    Reference: per-node relationship counts top-5, webapp/neo4j_routes.py:812-843.
+    Zero-degree nodes are preserved via the dimension left join.
+    """
+    edges = trade_edges(spark, sf_dir)
+    deg = edges.groupBy("src").agg(F.count("*").alias("degree"))
+    n = table(spark, sf_dir, "nation")
+    return n.join(deg, n.n_nationkey == deg.src, "left").select(
+        "n_name", F.coalesce("degree", F.lit(0)).cast("long").alias("degree")
+    )

@@ -1,0 +1,596 @@
+"""LLM-training-data pipeline operators over the documents/embeddings tables:
+deduplication (exact, MinHash-LSH, SimHash, n-gram Jaccard, embedding-cosine),
+similarity search (brute-force + LSH-bucketed ANN), and text analysis
+(tokenization, quality scoring, language ID, winnowing fingerprints).
+
+These extend the reference's surface (review text is only ever LIKE-filtered,
+webapp/mysql_routes.py:619-626) with the operators a 100 TB corpus pipeline
+needs. Design rules:
+
+* Candidate generation is always hash/bucket-based (explode→shuffle on the
+  shingle/band/bucket key) — never an unbounded cross join. Where a query
+  does bound its input (the O(n²) verification sweeps), the bound is an
+  explicit key predicate mirrored in the oracle.
+* All hashing is md5-derived (functions/hashing.py) so every operator is
+  verifiable against the DuckDB oracle bit-for-bit — signatures, bands,
+  fingerprints included.
+* Everything is JVM-side DataFrame expressions (higher-order array
+  functions); no Python UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions import hashing
+from ..functions import text as T
+from ..functions import vectors as V
+from ..functions.presentation import rfix, rfix_sql
+from ..sources.tables import table
+from .registry import register
+
+# DuckDB-side token expression (oracle counterpart of T.tokens)
+_TOKS = "string_split_regex(text, '\\s+')"
+
+# ---------------------------------------------------------------------------
+# Deduplication
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact_groups",
+    oracle="""
+    SELECT md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'),
+                                   '\\s+', ' ', 'g'))) AS fingerprint,
+           CAST(count(*) AS BIGINT) AS dup_cnt,
+           CAST(min(doc_id) AS BIGINT) AS canonical_doc
+    FROM documents
+    GROUP BY 1
+    """,
+    tags=("DEDUP", "A2"),
+)
+def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on normalized text, keep min-id canonical.
+
+    The scale path for 100 TB: one shuffle on the 128-bit fingerprint; no
+    row ever compares against another directly. (Reference analog: INSERT
+    IGNORE first-writer-wins on PK, init/mysql_loader.py:435-439.)
+    """
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.select(F.md5(T.normalize("text")).alias("fingerprint"), "doc_id")
+        .groupBy("fingerprint")
+        .agg(
+            F.count("*").alias("dup_cnt"),
+            F.min("doc_id").cast("long").alias("canonical_doc"),
+        )
+    )
+
+
+@register(
+    "dedup_prefix_near_groups",
+    oracle=f"""
+    SELECT md5(array_to_string(({_TOKS})[1:5], ' ')) AS prefix_fp,
+           CAST(count(*) AS BIGINT) AS dup_cnt,
+           CAST(min(doc_id) AS BIGINT) AS min_doc,
+           CAST(max(doc_id) AS BIGINT) AS max_doc
+    FROM documents
+    GROUP BY 1
+    HAVING count(*) > 1
+    """,
+    tags=("DEDUP",),
+)
+def dedup_prefix_near_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup grouping on a 5-token prefix fingerprint (cheap first-pass
+    blocking before expensive pairwise verification)."""
+    d = table(spark, sf_dir, "documents")
+    prefix = F.concat_ws(" ", F.slice(T.tokens("text"), 1, 5))
+    return (
+        d.select(F.md5(prefix).alias("prefix_fp"), "doc_id")
+        .groupBy("prefix_fp")
+        .agg(
+            F.count("*").alias("dup_cnt"),
+            F.min("doc_id").cast("long").alias("min_doc"),
+            F.max("doc_id").cast("long").alias("max_doc"),
+        )
+        .filter(F.col("dup_cnt") > 1)
+    )
+
+
+def _minhash_sigs(spark: SparkSession, sf_dir: str, n_perm: int) -> DataFrame:
+    """(doc_id, m0..m{n-1}) MinHash signatures over distinct 3-token shingles."""
+    d = table(spark, sf_dir, "documents")
+    sh = d.select(
+        "doc_id", F.explode(F.array_distinct(T.shingles(T.tokens("text"), 3))).alias("s")
+    )
+    return sh.groupBy("doc_id").agg(
+        *[F.min(hashing.seeded(F.col("s"), i)).alias(f"m{i}") for i in range(n_perm)]
+    )
+
+
+N_PERM = 16
+N_BANDS = 4
+ROWS_PER_BAND = N_PERM // N_BANDS
+
+
+def _minhash_oracle() -> str:
+    shingle_expr = T.shingles_sql("t", 3)
+    mins = ",\n           ".join(
+        f"min({hashing.seeded_sql('s', i)}) AS m{i}" for i in range(N_PERM)
+    )
+    band_selects = []
+    for b in range(N_BANDS):
+        cols = [f"m{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)]
+        concat = " || ',' || ".join(cols)
+        band_selects.append(
+            f"SELECT doc_id, {b} AS band, md5({concat}) AS bh FROM mh"
+        )
+    bands = "\n    UNION ALL ".join(band_selects)
+    return f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    sh AS (SELECT doc_id, unnest(list_distinct({shingle_expr})) AS s
+           FROM toks WHERE len(t) >= 3),
+    mh AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id),
+    bands AS ({bands})
+    SELECT DISTINCT CAST(a.doc_id AS BIGINT) AS doc_a,
+                    CAST(b.doc_id AS BIGINT) AS doc_b
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+    """
+
+
+@register("dedup_minhash_lsh_candidates", oracle=_minhash_oracle(), tags=("DEDUP", "LSH"))
+def dedup_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH banding candidate pairs (Broder resemblance sketches;
+    16 permutations, 4 bands × 4 rows).
+
+    Scale path: shingle-explode → per-doc min-aggregate (one shuffle on
+    doc_id) → band hash → self-join on (band, band_hash) — pair work is
+    proportional to bucket collisions, never to n². The md5-seeded hash
+    family makes signatures identical in the SQL oracle.
+    """
+    sigs = _minhash_sigs(spark, sf_dir, N_PERM)
+    band_cols = []
+    for b in range(N_BANDS):
+        cols = [F.col(f"m{b * ROWS_PER_BAND + r}").cast("string") for r in range(ROWS_PER_BAND)]
+        band_cols.append(
+            F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws(",", *cols)).alias("bh"))
+        )
+    bands = sigs.select(
+        "doc_id", F.explode(F.array(*band_cols)).alias("bb")
+    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").cast("long").alias("doc_a"),
+            F.col("b.doc_id").cast("long").alias("doc_b"),
+        )
+        .distinct()
+    )
+
+
+@register(
+    "dedup_ngram_jaccard_pairs",
+    oracle=f"""
+    WITH docs AS (
+        SELECT doc_id, list_distinct({T.shingles_sql(_TOKS, 3)}) AS sh
+        FROM documents
+        WHERE doc_id < 300 AND len({_TOKS}) >= 3
+    )
+    SELECT CAST(a.doc_id AS BIGINT) AS doc_a, CAST(b.doc_id AS BIGINT) AS doc_b,
+           {rfix_sql('''len(list_intersect(a.sh, b.sh))::DOUBLE /
+             (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))''', 4)} AS jaccard
+    FROM docs a JOIN docs b ON a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.sh, b.sh)) > 0
+      AND len(list_intersect(a.sh, b.sh))::DOUBLE /
+          (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.2
+    """,
+    tags=("DEDUP",),
+)
+def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard similarity pairs (≥ 0.2) on a bounded slice.
+
+    Spark-first shape: instead of the oracle's O(n²) cross join, shingles are
+    exploded and pairs are generated by a shuffle join on the shingle key —
+    only docs sharing ≥1 shingle ever meet, then |A∩B| is a pair count and
+    |A∪B| = |A|+|B|−|A∩B|. This is the verification stage that confirms
+    MinHash candidates; the doc_id < 300 bound keeps the oracle cross join
+    tractable and is part of the query contract.
+    """
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    docs = d.select(
+        "doc_id", F.array_distinct(T.shingles(T.tokens("text"), 3)).alias("sh")
+    ).filter(F.size("sh") > 0)
+    sizes = docs.select("doc_id", F.size("sh").alias("n"))
+    ex = docs.select("doc_id", F.explode("sh").alias("s"))
+    a, b = ex.alias("a"), ex.alias("b")
+    inter = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("da"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("db"), F.col("n").alias("nb"))
+    jac = F.col("inter").cast("double") / (F.col("na") + F.col("nb") - F.col("inter"))
+    return (
+        inter.join(sa, "da")
+        .join(sb, "db")
+        .filter(jac >= 0.2)
+        .select(
+            F.col("da").cast("long").alias("doc_a"),
+            F.col("db").cast("long").alias("doc_b"),
+            rfix(jac, 4).alias("jaccard"),
+        )
+    )
+
+
+SIMHASH_BITS = 32
+
+
+def _simhash_oracle() -> str:
+    h = hashing.md5_long_sql("tok")
+    bits = " + ".join(
+        f"(CASE WHEN sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) >= 0 "
+        f"THEN {1 << b}::BIGINT ELSE 0 END)"
+        for b in range(SIMHASH_BITS)
+    )
+    return f"""
+    WITH tok AS (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents WHERE doc_id < 1000),
+    hashed AS (SELECT doc_id, {h} AS h FROM tok),
+    fps AS (SELECT doc_id, {bits} AS fp FROM hashed GROUP BY doc_id)
+    SELECT CAST(a.doc_id AS BIGINT) AS doc_a, CAST(b.doc_id AS BIGINT) AS doc_b,
+           CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS hamming
+    FROM fps a JOIN fps b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.fp, b.fp)) <= 6
+    """
+
+
+@register("dedup_simhash_pairs", oracle=_simhash_oracle(), tags=("DEDUP",))
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash (Charikar) near-dup pairs: 32-bit sign-of-sums fingerprint
+    over token hashes, pairs at Hamming distance ≤ 6.
+
+    Fingerprinting is one explode + one groupBy (linear, shuffle on doc_id).
+    The pairwise Hamming sweep is bounded (doc_id < 1000) — the unbounded
+    scale path is banding on fingerprint chunks, same pattern as MinHash-LSH.
+    """
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 1000)
+    tok = d.select("doc_id", F.explode(T.tokens("text")).alias("tok"))
+    hashed = tok.select("doc_id", hashing.md5_long("tok").alias("h"))
+    bit_sum = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(1) == 1, 1).otherwise(-1)
+        ).alias(f"s{b}")
+        for b in range(SIMHASH_BITS)
+    ]
+    sums = hashed.groupBy("doc_id").agg(*bit_sum)
+    fp = None
+    for b in range(SIMHASH_BITS):
+        term = F.when(F.col(f"s{b}") >= 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0))
+        fp = term if fp is None else fp + term
+    fps = sums.select("doc_id", fp.alias("fp"))
+    a, b = fps.alias("a"), fps.alias("b")
+    hamming = F.expr("bit_count(a.fp ^ b.fp)")
+    return (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .filter(hamming <= 6)
+        .select(
+            F.col("a.doc_id").cast("long").alias("doc_a"),
+            F.col("b.doc_id").cast("long").alias("doc_b"),
+            hamming.cast("long").alias("hamming"),
+        )
+    )
+
+
+@register(
+    "dedup_embedding_cosine_pairs",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 1000)
+    SELECT CAST(a.vec_id AS BIGINT) AS vec_a, CAST(b.vec_id AS BIGINT) AS vec_b,
+           {rfix_sql(V.cosine_sql('a.embedding', 'b.embedding'), 4)} AS cos_sim
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE {rfix_sql(V.cosine_sql('a.embedding', 'b.embedding'), 6)} >= 0.4
+    """,
+    tags=("DEDUP", "ANN"),
+)
+def dedup_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (cosine ≥ 0.4) on a bounded
+    slice (vec_id < 1000; the corpus max pairwise cosine is ~0.51 so 0.4
+    yields a meaningful, boundary-safe candidate set).
+
+    The threshold is applied to the 6-digit-canonicalized cosine on both
+    sides so engine/oracle set membership can't flip on last-ulp noise.
+    Unbounded scale path: LSH bucketing (ann_lsh_bucket_topk below).
+    """
+    e = table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 1000)
+    a, b = e.alias("a"), e.alias("b")
+    cos = V.cosine(F.col("a.embedding"), F.col("b.embedding"))
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .filter(rfix(cos, 6) >= 0.4)
+        .select(
+            F.col("a.vec_id").cast("long").alias("vec_a"),
+            F.col("b.vec_id").cast("long").alias("vec_b"),
+            rfix(cos, 4).alias("cos_sim"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Similarity search (ANN)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ann_topk_cosine",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 5),
+    scored AS (
+        SELECT q.query_id, e.vec_id AS neighbor_id,
+               {rfix_sql(V.cosine_sql('q.qe', 'e.embedding'), 6)} AS c6,
+               {rfix_sql(V.cosine_sql('q.qe', 'e.embedding'), 4)} AS cos_sim
+        FROM q JOIN embeddings e ON e.vec_id <> q.query_id
+    )
+    SELECT CAST(query_id AS BIGINT) AS query_id, CAST(neighbor_id AS BIGINT) AS neighbor_id,
+           cos_sim, rn
+    FROM (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                         ORDER BY c6 DESC, neighbor_id) AS BIGINT) AS rn
+          FROM scored)
+    WHERE rn <= 10
+    """,
+    tags=("ANN", "W1"),
+)
+def ann_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k — the exact-ANN baseline.
+
+    Query vectors (a tiny set) are broadcast against the full corpus; ranking
+    is a per-query row_number window ordered by the 6-digit-canonicalized
+    cosine with a deterministic id tie-break. One corpus scan per batch of
+    queries, no shuffle of the corpus itself.
+    """
+    e = table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    cos = V.cosine(F.col("qe"), F.col("embedding"))
+    scored = (
+        e.join(F.broadcast(q), e.vec_id != q.query_id)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            rfix(cos, 6).alias("c6"),
+            rfix(cos, 4).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("c6"), F.asc("neighbor_id"))
+    return (
+        scored.select(
+            F.col("query_id").cast("long").alias("query_id"),
+            F.col("neighbor_id").cast("long").alias("neighbor_id"),
+            "cos_sim",
+            F.row_number().over(w).cast("long").alias("rn"),
+        )
+        .filter(F.col("rn") <= 10)
+    )
+
+
+def _srp_bucket_sql(vec: str, n_planes: int) -> str:
+    """Signed-random-projection bucket id via md5-derived pseudo-planes.
+
+    Plane p, dim i weight = ((hash(p:i) % 1000) - 499.5) — deterministic,
+    portable, zero-mean. Bucket bit p = sign of <v, plane_p>.
+    """
+    bits = []
+    for p in range(n_planes):
+        w = f"(({hashing.seeded_sql('CAST(i AS VARCHAR)', p)}) % 1000 - 499.5)"
+        dotp = (
+            f"(SELECT sum({vec}[i + 1] * {w}) "
+            f"FROM range(64) r(i))"
+        )
+        bits.append(f"(CASE WHEN {dotp} >= 0 THEN {1 << p} ELSE 0 END)")
+    return "(" + " + ".join(bits) + ")"
+
+
+@register(
+    "ann_lsh_bucket_histogram",
+    oracle=f"""
+    SELECT CAST({_srp_bucket_sql('embedding', 4)} AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS vec_cnt
+    FROM embeddings
+    GROUP BY 1
+    """,
+    tags=("ANN", "LSH"),
+)
+def ann_lsh_bucket_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signed-random-projection LSH bucketing — the scale path for ANN.
+
+    Each vector is assigned a 4-bit hyperplane-sign bucket; at query time
+    only same-bucket (or neighboring-bucket) candidates are scored, turning
+    the O(n) scan into O(n / 2^planes) per query. Planes are md5-derived so
+    the oracle assigns identical buckets. This query materializes the bucket
+    histogram (the index-build step).
+    """
+    e = table(spark, sf_dir, "embeddings")
+    emb = F.col("embedding").cast("array<double>")
+    bucket = None
+    for p in range(4):
+        # weight for dim i: (seeded_hash(p, i) % 1000) - 499.5  (zero-mean)
+        weights = F.transform(
+            F.sequence(F.lit(0), F.lit(63)),
+            lambda i: (hashing.seeded(i.cast("string"), p) % 1000).cast("double") - 499.5,
+        )
+        dotp = F.aggregate(
+            F.zip_with(emb, weights, lambda x, w: x * w), F.lit(0.0), lambda acc, x: acc + x
+        )
+        term = F.when(dotp >= 0, F.lit(1 << p)).otherwise(F.lit(0))
+        bucket = term if bucket is None else bucket + term
+    return (
+        e.select(bucket.cast("long").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("vec_cnt"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_quality_scores",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks, text FROM documents)
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           CAST(len(list_distinct(toks)) AS BIGINT) AS n_uniq,
+           CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS BIGINT) AS n_words_re,
+           {rfix_sql("list_aggregate(list_transform(toks, x -> length(x)), 'sum')::DOUBLE / len(toks)", 4)} AS avg_token_len,
+           {rfix_sql(f"{T.marker_count_sql('toks', T.STOPWORDS)}::DOUBLE / len(toks)", 4)} AS stopword_ratio,
+           {rfix_sql('len(list_distinct(toks))::DOUBLE / len(toks)', 4)} AS uniq_ratio
+    FROM t WHERE len(toks) > 0
+    """,
+    tags=("TEXT", "F10"),
+)
+def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality scoring: token counts, regex word count,
+    average token length, stopword ratio, lexical diversity.
+
+    All higher-order array functions inside codegen; the standard heuristic
+    filters (Gopher/C4-style length & repetition rules) compose from these
+    columns.
+    """
+    d = table(spark, sf_dir, "documents")
+    toks = T.tokens("text")
+    base = d.select("doc_id", "text", toks.alias("toks")).filter(F.size("toks") > 0)
+    n = F.size("toks")
+    sum_len = F.aggregate(
+        F.transform(F.col("toks"), F.length), F.lit(0), lambda acc, x: acc + x
+    )
+    return base.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        n.cast("long").alias("n_tokens"),
+        F.size(F.array_distinct("toks")).cast("long").alias("n_uniq"),
+        F.regexp_count("text", F.lit("[a-z0-9]+")).cast("long").alias("n_words_re"),
+        rfix(sum_len.cast("double") / n, 4).alias("avg_token_len"),
+        rfix(T.marker_count(F.col("toks"), T.STOPWORDS).cast("double") / n, 4).alias(
+            "stopword_ratio"
+        ),
+        rfix(F.size(F.array_distinct("toks")).cast("double") / n, 4).alias("uniq_ratio"),
+    )
+
+
+def _langid_oracle() -> str:
+    counts = ",\n           ".join(
+        f"{T.marker_count_sql('toks', T.LANG_MARKERS[lang])} AS hits_{lang}"
+        for lang in T.LANG_PRIORITY
+    )
+    # deterministic argmax: first language in priority order with max hits
+    cases = []
+    for lang in T.LANG_PRIORITY:
+        conds = " AND ".join(
+            f"hits_{lang} >= hits_{other}" for other in T.LANG_PRIORITY if other != lang
+        )
+        cases.append(f"WHEN {conds} THEN '{lang}'")
+    case_expr = "CASE " + " ".join(cases) + " ELSE 'und' END"
+    hit_cols = ", ".join(f"CAST(hits_{lang} AS BIGINT) AS hits_{lang}" for lang in T.LANG_PRIORITY)
+    return f"""
+    WITH t AS (SELECT doc_id, lang, {_TOKS} AS toks FROM documents),
+    scored AS (SELECT doc_id, lang, {counts} FROM t)
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, lang AS labeled_lang,
+           {case_expr} AS predicted_lang, {hit_cols}
+    FROM scored
+    """
+
+
+@register("text_langid_heuristic", oracle=_langid_oracle(), tags=("TEXT",))
+def text_langid_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram/stopword heuristic language ID: count per-language marker
+    tokens, pick the max with a deterministic priority tie-break.
+
+    (The synthetic corpus is vocab-random, so precision vs the labeled lang
+    column is not meaningful — the operator shape and its portability are.)
+    """
+    d = table(spark, sf_dir, "documents")
+    toks = T.tokens("text")
+    scored = d.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("lang").alias("labeled_lang"),
+        *[
+            T.marker_count(toks, T.LANG_MARKERS[lang]).cast("long").alias(f"hits_{lang}")
+            for lang in T.LANG_PRIORITY
+        ],
+    )
+    pred = None
+    for lang in T.LANG_PRIORITY:
+        cond = None
+        for other in T.LANG_PRIORITY:
+            if other == lang:
+                continue
+            c = F.col(f"hits_{lang}") >= F.col(f"hits_{other}")
+            cond = c if cond is None else cond & c
+        pred = F.when(cond, lang) if pred is None else pred.when(cond, lang)
+    return scored.select(
+        "doc_id",
+        "labeled_lang",
+        pred.otherwise("und").alias("predicted_lang"),
+        *[f"hits_{lang}" for lang in T.LANG_PRIORITY],
+    )
+
+
+def _winnow_oracle(k: int, w: int) -> str:
+    shingle_expr = T.shingles_sql("t", k)
+    h = hashing.md5_long_sql("s")
+    return f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    hs AS (SELECT doc_id,
+                  list_transform({shingle_expr}, s -> {h}) AS hashes
+           FROM toks WHERE len(t) >= {k}),
+    wins AS (SELECT doc_id,
+                    CASE WHEN len(hashes) >= {w} THEN
+                      list_distinct(list_transform(
+                        range(1, len(hashes) - {w - 2}),
+                        i -> list_aggregate(hashes[i:i + {w - 1}], 'min')))
+                    ELSE list_distinct([list_aggregate(hashes, 'min')]) END AS fps
+             FROM hs)
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(len(fps) AS BIGINT) AS n_fingerprints,
+           CAST(list_aggregate(fps, 'min') AS BIGINT) AS min_fp,
+           CAST(list_aggregate(fps, 'max') AS BIGINT) AS max_fp
+    FROM wins
+    """
+
+
+@register("text_winnow_fingerprints", oracle=_winnow_oracle(4, 5), tags=("TEXT", "DEDUP"))
+def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken '03):
+    4-gram rolling hashes, window-of-5 minima, distinct selected prints.
+
+    Entirely array-expression math per row — no explode, no shuffle; the
+    downstream near-dup join on fingerprints is the same bucket-join shape
+    as MinHash.
+    """
+    k, w = 4, 5
+    d = table(spark, sf_dir, "documents")
+    toks = T.tokens("text")
+    hashes = F.transform(T.shingles(toks, k), lambda s: hashing.md5_long(s))
+    base = d.select("doc_id", hashes.alias("hashes")).filter(F.size("hashes") > 0)
+    windows = F.transform(
+        F.sequence(F.lit(1), F.size("hashes") - (w - 1)),
+        lambda i: F.array_min(F.slice(F.col("hashes"), i, w)),
+    )
+    fps = F.when(F.size("hashes") >= w, F.array_distinct(windows)).otherwise(
+        F.array_distinct(F.array(F.array_min(F.col("hashes"))))
+    )
+    return base.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.size(fps).cast("long").alias("n_fingerprints"),
+        F.array_min(fps).cast("long").alias("min_fp"),
+        F.array_max(fps).cast("long").alias("max_fp"),
+    )

@@ -41,6 +41,12 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; have {TABLES}")
     path = os.path.join(sf_dir, f"{name}.parquet")
+    # The engine's canonical session timezone is UTC (presentation layer
+    # renders ISO strings; oracles read tz-naive parquet values). Pinned here
+    # — the single data entry point — because the driver may hand us a
+    # session with any JVM-default timezone. Without this, every LTZ
+    # timestamp rendering (date_format/dayname/window) would shift.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name != "events":
         return spark.read.parquet(path)
     # events.ts is physically TIMESTAMP(NANOS), which Spark's vectorized

@@ -1,0 +1,9 @@
+from .pipeline import (  # noqa: F401
+    EVENT_SCHEMA,
+    batch_user_summary,
+    event_file_stream,
+    kafka_event_stream,
+    read_summary,
+    run_incremental_summary,
+    windowed_type_counts,
+)

@@ -1,0 +1,173 @@
+"""Structured Streaming ingestion + incremental aggregate maintenance.
+
+Reference semantics being re-expressed (SURVEY.md §2.9):
+
+* T1 topic demux            — consumer.py:132-171 routes by Kafka topic;
+                              here: one stream filtered per event_type, or
+                              per-topic readStream.
+* T2/T3 upsert/append       — consumer.py:197-414 INSERT per event;
+                              here: idempotent additive MERGE in foreachBatch.
+* T4/T5 incremental counters & running average
+                            — consumer.py:417-441 does read-modify-write
+                              (`avg = (avg*n + stars)/(n+1)`) with an
+                              order-of-evaluation bug (SURVEY §8). We keep
+                              (sum, count) state and derive avg — associative,
+                              idempotent per batch, and convergent with the
+                              batch rebuild (test_streaming.py asserts it).
+* T7 event-time handling    — the reference applies events immediately with
+                              no late-data story (consumer.py:31-32 drops or
+                              re-applies on restart). We add watermarked
+                              tumbling windows + checkpointed exactly-once
+                              foreachBatch.
+
+The summary store is plain parquet (no Delta in this environment): each
+micro-batch folds its partial aggregate into the previous state additively
+and atomically swaps the state directory. On a cluster with Delta/Iceberg
+the fold becomes `MERGE WHEN MATCHED UPDATE SET cnt = t.cnt + s.cnt ...` —
+same algebra, same convergence proof.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as S
+
+EVENT_SCHEMA = S.StructType(
+    [
+        S.StructField("event_id", S.LongType()),
+        S.StructField("ts", S.TimestampType()),
+        S.StructField("user_id", S.LongType()),
+        S.StructField("event_type", S.StringType()),
+        S.StructField("value", S.DoubleType()),
+        S.StructField("props", S.StringType()),
+    ]
+)
+
+
+def event_file_stream(spark: SparkSession, source_dir: str) -> DataFrame:
+    """File-source stream of JSON-lines events (the test/dev source; swap in
+    kafka_event_stream in production — identical downstream plan)."""
+    return (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(source_dir)
+    )
+
+
+def kafka_event_stream(spark: SparkSession, brokers: str, topics: str) -> DataFrame:
+    """Kafka source (S6): subscribe + JSON-decode into the event schema.
+
+    Reference: consumer.py:27-33 subscribes yelp-reviews/-checkins/
+    -businesses/-users; the topic column is the demux key (T1).
+    Not exercised in this container (no broker) — the file stream above
+    drives the same downstream plan in tests.
+    """
+    raw = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", brokers)
+        .option("subscribe", topics)
+        .option("startingOffsets", "earliest")
+        .load()
+    )
+    return raw.select(
+        F.col("topic"),
+        F.from_json(F.col("value").cast("string"), EVENT_SCHEMA).alias("e"),
+    ).select("topic", "e.*")
+
+
+# ---------------------------------------------------------------------------
+# Incremental summary maintenance (T2-T5)
+# ---------------------------------------------------------------------------
+
+_SUMMARY_AGGS = lambda: [  # noqa: E731  (sum,count) state — avg is DERIVED
+    F.count("*").alias("event_cnt"),
+    F.sum("value").alias("value_sum"),
+    F.min("ts").alias("first_ts"),
+    F.max("ts").alias("last_ts"),
+]
+
+
+def batch_user_summary(events: DataFrame) -> DataFrame:
+    """The batch rebuild (A14 analog): ground truth for convergence."""
+    return (
+        events.groupBy("user_id")
+        .agg(*_SUMMARY_AGGS())
+        .withColumn("value_avg", F.col("value_sum") / F.col("event_cnt"))
+    )
+
+
+def _fold_state(state: DataFrame, delta: DataFrame) -> DataFrame:
+    """Additive fold of a batch partial into the previous state — the
+    associative form of the reference's read-modify-write counters."""
+    u = state.unionByName(delta)
+    return (
+        u.groupBy("user_id")
+        .agg(
+            F.sum("event_cnt").alias("event_cnt"),
+            F.sum("value_sum").alias("value_sum"),
+            F.min("first_ts").alias("first_ts"),
+            F.max("last_ts").alias("last_ts"),
+        )
+    )
+
+
+def run_incremental_summary(
+    spark: SparkSession,
+    stream: DataFrame,
+    state_dir: str,
+    checkpoint_dir: str,
+):
+    """Maintain a per-user summary table from a stream via foreachBatch.
+
+    Exactly-once effect: the checkpoint makes batch ids durable; a replayed
+    batch overwrites the same fold (we swap the state dir atomically per
+    batch), so restarts neither drop nor double-count — unlike the
+    reference's auto_offset_reset='latest' consumer (SURVEY §2.9).
+    """
+    cur = os.path.join(state_dir, "current")
+    nxt = os.path.join(state_dir, "next")
+
+    def fold_batch(batch_df: DataFrame, batch_id: int) -> None:
+        delta = batch_df.groupBy("user_id").agg(*_SUMMARY_AGGS())
+        if os.path.exists(cur):
+            state = spark.read.parquet(cur)
+            folded = _fold_state(state, delta)
+        else:
+            folded = delta
+        folded.write.mode("overwrite").parquet(nxt)
+        if os.path.exists(cur):
+            shutil.rmtree(cur)
+        os.rename(nxt, cur)
+
+    return (
+        stream.writeStream.foreachBatch(fold_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_summary(spark: SparkSession, state_dir: str) -> DataFrame:
+    state = spark.read.parquet(os.path.join(state_dir, "current"))
+    return state.withColumn("value_avg", F.col("value_sum") / F.col("event_cnt"))
+
+
+# ---------------------------------------------------------------------------
+# Watermarked windowed aggregation (T7)
+# ---------------------------------------------------------------------------
+
+
+def windowed_type_counts(events: DataFrame, window: str = "1 hour", watermark: str = "2 hours"):
+    """Tumbling event-time window counts with late-data tolerance. Works on
+    both a stream (with watermark state eviction) and a batch DataFrame
+    (watermark is a no-op) — the same plan as t7_hourly_tumbling_window."""
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return (
+        src.groupBy(F.window("ts", window).alias("w"), F.col("event_type"))
+        .agg(F.count("*").alias("event_cnt"), F.sum("value").alias("total_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "event_cnt", "total_value")
+    )
