@@ -47,3 +47,43 @@ def seeded(col: Column | str, seed: int) -> Column:
 
 def seeded_sql(expr: str, seed: int) -> str:
     return md5_long_sql(f"'{seed}:' || {expr}")
+
+
+# --- Universal-hash permutation family -------------------------------------
+#
+# MinHash needs k independent hash functions per shingle. Hashing the string
+# k times (``seeded``) costs k md5 evaluations per row; the standard
+# Carter-Wegman construction h_i(x) = (a_i * H(x) + b_i) mod p needs only ONE
+# string hash plus k integer ops — identical arithmetic in any SQL engine,
+# and 16× less hashing at 100 TB. p = 2^31 - 1 (Mersenne); H(x) is reduced
+# mod p first so a_i * (H mod p) + b_i < 2^62 never overflows int64 on
+# either engine.
+
+MERSENNE = (1 << 31) - 1
+
+
+def _perm_coeffs(n: int) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs via a fixed-seed LCG (no RNG dependency —
+    the same Python generates both the Spark plan and the SQL oracle)."""
+    coeffs, state = [], 0x5DEECE66D
+    for _ in range(n):
+        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        a = state % (MERSENNE - 1) + 1  # a in [1, p-1]
+        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        b = state % MERSENNE  # b in [0, p-1]
+        coeffs.append((a, b))
+    return coeffs
+
+
+PERM_COEFFS = _perm_coeffs(64)
+
+
+def perm(hash_col: Column, i: int) -> Column:
+    """i-th permutation of an already-reduced hash column (h must be < p)."""
+    a, b = PERM_COEFFS[i]
+    return (F.lit(a) * hash_col + F.lit(b)) % F.lit(MERSENNE)
+
+
+def perm_sql(hash_expr: str, i: int) -> str:
+    a, b = PERM_COEFFS[i]
+    return f"(({a} * {hash_expr} + {b}) % {MERSENNE})"

@@ -48,14 +48,22 @@ def shingles(tokens_col: Column, k: int = 3) -> Column:
     """k-token shingles as space-joined strings, 1..n-k+1 (empty array when
     the doc is shorter than k).
 
-    Spark arrays are 0-indexed via ``[]``; the SQL oracle uses 1-indexed
-    lists — both iterate i = 1..n-k+1 and read k consecutive tokens.
+    Formulated as ``zip_with`` over k shifted ``slice``s so the (possibly
+    expensive) ``tokens_col`` expression is evaluated only k times per row.
+    The naive ``transform(sequence(...), i -> t[i]||' '||t[i+1]||...)``
+    re-evaluates the token-split regex on every element access inside the
+    lambda (no common-subexpression elimination within higher-order
+    functions) — measured 4× slower at sf0.1.
     """
-    idx = F.sequence(F.lit(1), F.greatest(F.size(tokens_col) - (k - 1), F.lit(0)))
-    parts = lambda i: [tokens_col[i + j - 1] for j in range(k)]  # noqa: E731
-    return F.when(F.size(tokens_col) >= k,
-                  F.transform(idx, lambda i: F.concat_ws(" ", *parts(i)))
-                  ).otherwise(F.array().cast("array<string>"))
+    m = F.greatest(F.size(tokens_col) - (k - 1), F.lit(0))
+    acc = F.slice(tokens_col, 1, m)
+    for j in range(2, k + 1):
+        acc = F.zip_with(
+            acc, F.slice(tokens_col, j, m), lambda a, b: F.concat(a, F.lit(" "), b)
+        )
+    return F.when(F.size(tokens_col) >= k, acc).otherwise(
+        F.array().cast("array<string>")
+    )
 
 
 def shingles_sql(toks: str, k: int = 3) -> str:

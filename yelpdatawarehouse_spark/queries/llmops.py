@@ -99,13 +99,18 @@ def dedup_prefix_near_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _minhash_sigs(spark: SparkSession, sf_dir: str, n_perm: int) -> DataFrame:
-    """(doc_id, m0..m{n-1}) MinHash signatures over distinct 3-token shingles."""
+    """(doc_id, m0..m{n-1}) MinHash signatures over distinct 3-token shingles.
+
+    One md5 per shingle, then n_perm Carter-Wegman affine permutations
+    (``hashing.perm``) — not n_perm string hashes per shingle.
+    """
     d = table(spark, sf_dir, "documents")
     sh = d.select(
         "doc_id", F.explode(F.array_distinct(T.shingles(T.tokens("text"), 3))).alias("s")
     )
-    return sh.groupBy("doc_id").agg(
-        *[F.min(hashing.seeded(F.col("s"), i)).alias(f"m{i}") for i in range(n_perm)]
+    hashed = sh.select("doc_id", (hashing.md5_long("s") % hashing.MERSENNE).alias("h"))
+    return hashed.groupBy("doc_id").agg(
+        *[F.min(hashing.perm(F.col("h"), i)).alias(f"m{i}") for i in range(n_perm)]
     )
 
 
@@ -116,8 +121,9 @@ ROWS_PER_BAND = N_PERM // N_BANDS
 
 def _minhash_oracle() -> str:
     shingle_expr = T.shingles_sql("t", 3)
+    h = f"({hashing.md5_long_sql('s')} % {hashing.MERSENNE})"
     mins = ",\n           ".join(
-        f"min({hashing.seeded_sql('s', i)}) AS m{i}" for i in range(N_PERM)
+        f"min({hashing.perm_sql(h, i)}) AS m{i}" for i in range(N_PERM)
     )
     band_selects = []
     for b in range(N_BANDS):

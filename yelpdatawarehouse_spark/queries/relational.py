@@ -341,15 +341,19 @@ def j5_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
       ON a.l_partkey = b.l_partkey AND a.l_suppkey < b.l_suppkey
     GROUP BY a.l_suppkey, b.l_suppkey
     HAVING count(*) >= 5
+    ORDER BY shared_parts DESC, supp_a, supp_b
+    LIMIT 1000
     """,
-    tags=("J6",),
+    tags=("J6", "O3"),
 )
 def j6_two_hop_supplier_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-hop co-occurrence through an entity graph (J6).
 
     Reference: co-reviewer 2-hop pattern b←review←user→review→b2,
-    webapp/neo4j_routes.py:459-467. Edges (part, supplier) are deduped first
-    so the self-join fans out on genuinely shared parts only.
+    webapp/neo4j_routes.py:459-467 — a top-N query there too, so the result
+    is the deterministic top-1000 (full tie-break on the pair keys); the
+    join/agg work is unchanged but the driver-side materialization is O(k),
+    not O(suppliers²).
     """
     ps = table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey").distinct()
     a = ps.alias("a")
@@ -363,6 +367,8 @@ def j6_two_hop_supplier_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("a.l_suppkey").alias("supp_a"), F.col("b.l_suppkey").alias("supp_b"))
         .agg(F.count("*").alias("shared_parts"))
         .filter(F.col("shared_parts") >= 5)
+        .orderBy(F.desc("shared_parts"), "supp_a", "supp_b")
+        .limit(1000)
     )
 
 
