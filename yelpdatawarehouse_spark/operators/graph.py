@@ -47,6 +47,57 @@ def bfs_min_hops(
     return visited
 
 
+def bfs_parents(
+    spark: SparkSession,
+    edges: DataFrame,
+    start: str,
+    end: str,
+    max_hops: int = 6,
+) -> DataFrame:
+    """Shortest path between two (string-id) nodes to ``max_hops``, with the
+    path itself reconstructed — the Spark-native shortestPath((b1)-[*..6]-(b2))
+    (webapp/neo4j_routes.py:767-780).
+
+    Frontier expansion keeps (node, parent) pairs distributed; each hop picks
+    a deterministic parent (min) per newly-reached node. Only the final
+    backtrack touches the driver: ≤ max_hops single-node lookups.
+
+    Returns (position INT, node STRING) ordered start→end; empty if
+    unreachable within max_hops.
+    """
+    edges = edges.select(F.col("src").cast("string"), F.col("dst").cast("string")).cache()
+    visited = spark.createDataFrame([(start, None)], "node STRING, parent STRING")
+    frontier = visited.select("node")
+    found = start == end
+    for _ in range(max_hops):
+        if found:
+            break
+        nxt = (
+            frontier.join(edges, frontier.node == edges.src)
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.min("src").alias("parent"))
+            .join(visited.select("node"), "node", "left_anti")
+        ).cache()
+        if nxt.isEmpty():
+            break
+        visited = visited.union(nxt)
+        found = not nxt.filter(F.col("node") == end).isEmpty()
+        frontier = nxt.select("node")
+    if not found:
+        return spark.createDataFrame([], "position INT, node STRING")
+    # backtrack end → start through parent pointers (≤ max_hops tiny jobs)
+    path = [end]
+    cur = end
+    while cur != start:
+        row = visited.filter(F.col("node") == cur).collect()
+        cur = row[0]["parent"]
+        path.append(cur)
+    path.reverse()
+    return spark.createDataFrame(
+        [(i, n) for i, n in enumerate(path)], "position INT, node STRING"
+    )
+
+
 def connected_within(
     spark: SparkSession,
     edges: DataFrame,

@@ -123,13 +123,16 @@ def review_facts(review: DataFrame, business: DataFrame) -> DataFrame:
     )
 
 
-def checkin_facts(checkin: DataFrame, business: DataFrame) -> DataFrame:
-    """fact_checkin: explode the polymorphic date payload to per-timestamp
-    rows, then group to per-(business, day) counts
-    (init/mysql_loader.py:791-811; init/mongodb_loader.py:328-349).
+def checkin_timestamps(checkin: DataFrame, business: DataFrame) -> DataFrame:
+    """Per-timestamp checkin rows (business_id, checkin_ts) from the
+    polymorphic date payload (init/mysql_loader.py:791-802;
+    init/mongodb_loader.py:328-349).
 
     Branch-parse: if the raw string is a JSON object ({day: "times"}),
     take its values; else treat it as a comma-joined timestamp list.
+    Timestamp grain is kept (like the reference's MongoDB path) so hour
+    histograms are computed from real data — the reference's MySQL path
+    fabricates them (SURVEY.md §8, webapp/mysql_routes.py:231-280).
     """
     is_map = F.col("date").startswith("{")
     map_times = F.concat_ws(
@@ -145,6 +148,14 @@ def checkin_facts(checkin: DataFrame, business: DataFrame) -> DataFrame:
         .filter(F.col("ts_raw") != "")
         .select("business_id", F.to_timestamp("ts_raw").alias("checkin_ts"))
         .filter(F.col("checkin_ts").isNotNull())
+    )
+
+
+def checkin_facts(checkin: DataFrame, business: DataFrame) -> DataFrame:
+    """fact_checkin: per-(business, day) counts over the exploded timestamps
+    (init/mysql_loader.py:804-811)."""
+    return (
+        checkin_timestamps(checkin, business)
         .groupBy("business_id", F.col("checkin_ts").cast("date").alias("checkin_date"))
         .agg(F.count("*").alias("checkin_count"))
     )
@@ -204,7 +215,12 @@ def build_warehouse(
     tip = read_entity(spark, raw_dir, "tip")
 
     fact_review = review_facts(review, business)
-    fact_checkin = checkin_facts(checkin, business)
+    fact_checkin_ts = checkin_timestamps(checkin, business)
+    fact_checkin = (
+        fact_checkin_ts.groupBy(
+            "business_id", F.col("checkin_ts").cast("date").alias("checkin_date")
+        ).agg(F.count("*").alias("checkin_count"))
+    )
     fact_tip = tip_facts(tip, business)
     return {
         "dim_time": dim_time(spark),
@@ -214,10 +230,19 @@ def build_warehouse(
         "dim_user": dim_user(user),
         "fact_review": fact_review,
         "fact_checkin": fact_checkin,
+        "fact_checkin_ts": fact_checkin_ts,
         "fact_tip": fact_tip,
         "summary_business_performance": business_summary(
             business, fact_review, fact_checkin, fact_tip
         ),
+        # raw documents — the "MongoDB collections" of the reference's
+        # document model (init/mongodb_loader.py:68-93); consumed by the
+        # document-flavored endpoints (attributes/schema/array analysis)
+        "raw_business": business,
+        "raw_user": user,
+        "raw_review": review,
+        "raw_checkin": checkin,
+        "raw_tip": tip,
     }
 
 
@@ -226,8 +251,14 @@ def write_warehouse(tables: dict[str, DataFrame], out_dir: str) -> None:
     (S4 batched sink — batching/commit is Spark-internal; S5 dedup-upsert
     handled upstream via dropDuplicates.)"""
     for name, df in tables.items():
+        if name.startswith("raw_"):
+            continue  # raw documents stay at their source; only derived tables persist
         path = os.path.join(out_dir, name)
-        if name == "fact_review":
+        if name == "fact_checkin_ts":
+            df.withColumn("checkin_year", F.year("checkin_ts")).write.mode(
+                "overwrite"
+            ).partitionBy("checkin_year").parquet(path)
+        elif name == "fact_review":
             df.withColumn("review_year", F.year("review_date")).write.mode(
                 "overwrite"
             ).partitionBy("review_year").parquet(path)
