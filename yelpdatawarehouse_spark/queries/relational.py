@@ -1153,3 +1153,88 @@ def t7_hourly_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
+
+
+@register(
+    "a1_global_counts",
+    oracle="""
+    SELECT 'customer' AS table_name, CAST(count(*) AS BIGINT) AS row_cnt FROM customer
+    UNION ALL SELECT 'orders', CAST(count(*) AS BIGINT) FROM orders
+    UNION ALL SELECT 'lineitem', CAST(count(*) AS BIGINT) FROM lineitem
+    UNION ALL SELECT 'supplier', CAST(count(*) AS BIGINT) FROM supplier
+    UNION ALL SELECT 'part', CAST(count(*) AS BIGINT) FROM part
+    """,
+    tags=("A1", "SET"),
+)
+def a1_global_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global scalar COUNT(*) per table, unioned into one result (A1).
+
+    Reference: the dashboard's per-table counts (webapp/mysql_routes.py:26-35,
+    utility_routes.py:32-129). Each count is a metadata-cheap scan
+    (parquet row-group statistics); the union is five 1-row DataFrames.
+    """
+    parts = []
+    for t in ("customer", "orders", "lineitem", "supplier", "part"):
+        parts.append(
+            table(spark, sf_dir, t).agg(
+                F.lit(t).alias("table_name"), F.count("*").alias("row_cnt")
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
+
+
+@register(
+    "a12_array_inline_agg",
+    oracle=f"""
+    SELECT vec_id,
+           CAST(len(embedding) AS BIGINT) AS dims,
+           {rfix_sql('list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))', 4)} AS sq_norm,
+           {rfix_sql('list_max(embedding)::DOUBLE', 4)} AS max_val
+    FROM embeddings
+    WHERE vec_id < 100
+    """,
+    tags=("A12", "F10"),
+)
+def a12_array_inline_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-row aggregate OVER an array column — no explode, no shuffle (A12).
+
+    Reference: $size / $sum-of-$map over nested arrays,
+    init/mongodb_loader.py:471-503. Spark-first: F.aggregate folds inside the
+    row (whole-stage codegen), so a 100 TB embedding table needs zero
+    shuffles for per-vector statistics.
+    """
+    e = table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 100)
+    sq = F.aggregate(
+        "embedding",
+        F.lit(0.0),
+        lambda acc, x: acc + x.cast("double") * x.cast("double"),
+    )
+    return e.select(
+        "vec_id",
+        F.size("embedding").cast("long").alias("dims"),
+        rfix(sq, 4).alias("sq_norm"),
+        rfix(F.array_max("embedding").cast("double"), 4).alias("max_val"),
+    )
+
+
+@register(
+    "set_union_nations",
+    oracle="""
+    SELECT n_name FROM nation n JOIN customer c ON c.c_nationkey = n.n_nationkey
+    UNION
+    SELECT n_name FROM nation n JOIN supplier s ON s.s_nationkey = n.n_nationkey
+    """,
+    tags=("SET",),
+)
+def set_union_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION (distinct) of two derived sets — completes the set-op family
+    with intersect/except (SURVEY.md §2.7: free via the DataFrame API)."""
+    n = table(spark, sf_dir, "nation")
+    c = table(spark, sf_dir, "customer")
+    s = table(spark, sf_dir, "supplier")
+    cn = n.join(c, n.n_nationkey == c.c_nationkey).select("n_name")
+    sn = n.join(s, n.n_nationkey == s.s_nationkey).select("n_name")
+    return cn.union(sn).distinct()
