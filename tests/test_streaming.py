@@ -76,6 +76,43 @@ def test_incremental_summary_is_restart_safe(spark, tmp_path, event_chunks_dir):
     assert first == second
 
 
+def test_stateful_operator_converges_to_batch(spark, tmp_path, event_chunks_dir):
+    """applyInPandasWithState running aggregate: after all batches, the last
+    update emitted per key equals the batch rebuild (arrival-order and
+    batching independence — the property the reference's stored running
+    average lacks, SURVEY §8)."""
+    from yelpdatawarehouse_spark.streaming import stateful_user_summary
+
+    stream = event_file_stream(spark, event_chunks_dir)
+    q = (
+        stateful_user_summary(stream)
+        .writeStream.format("memory")
+        .queryName("stateful_summary")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt_s"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    # memory sink in update mode appends every emitted update; the final
+    # state per key is the row with the highest event_cnt
+    updates = spark.sql("SELECT * FROM stateful_summary").collect()
+    last: dict = {}
+    for r in updates:
+        if r["user_id"] not in last or r["event_cnt"] > last[r["user_id"]]["event_cnt"]:
+            last[r["user_id"]] = r
+    got = {
+        uid: (r["event_cnt"], round(r["value_sum"], 6), round(r["value_avg"], 6))
+        for uid, r in last.items()
+    }
+    want = {
+        r["user_id"]: (r["event_cnt"], round(r["value_sum"], 6), round(r["value_avg"], 6))
+        for r in batch_user_summary(table(spark, SF, "events")).collect()
+    }
+    assert got == want
+
+
 def test_windowed_counts_stream_equals_batch(spark, tmp_path, event_chunks_dir):
     stream = event_file_stream(spark, event_chunks_dir)
     windowed = windowed_type_counts(stream)

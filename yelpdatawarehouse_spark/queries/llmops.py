@@ -387,6 +387,106 @@ def ann_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_IVF_K = 8  # coarse centroids
+_IVF_QUERIES = 5
+
+
+@register(
+    "ann_ivf_topk",
+    oracle=f"""
+    WITH cents AS (
+        SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < {_IVF_K}
+    ),
+    assign AS (
+        SELECT vec_id, cid, embedding FROM (
+            SELECT e.vec_id, c.cid, e.embedding,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY {rfix_sql(V.cosine_sql('e.embedding', 'c.cv'), 6)} DESC, c.cid
+                   ) AS rn
+            FROM embeddings e CROSS JOIN cents c
+        ) WHERE rn = 1
+    ),
+    q AS (SELECT vec_id AS query_id, cid, embedding AS qe FROM assign
+          WHERE vec_id < {_IVF_QUERIES}),
+    scored AS (
+        SELECT q.query_id, a.vec_id AS neighbor_id,
+               {rfix_sql(V.cosine_sql('q.qe', 'a.embedding'), 6)} AS c6,
+               {rfix_sql(V.cosine_sql('q.qe', 'a.embedding'), 4)} AS cos_sim
+        FROM q JOIN assign a ON a.cid = q.cid AND a.vec_id <> q.query_id
+    )
+    SELECT CAST(query_id AS BIGINT) AS query_id, CAST(neighbor_id AS BIGINT) AS neighbor_id,
+           cos_sim, rn
+    FROM (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                         ORDER BY c6 DESC, neighbor_id) AS BIGINT) AS rn
+          FROM scored)
+    WHERE rn <= 5
+    """,
+    tags=("ANN", "IVF"),
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (inverted-file) approximate nearest neighbor — the 100 TB scale
+    path next to the brute-force baseline (ann_topk_cosine).
+
+    Index build: every vector is assigned to its nearest of K coarse
+    centroids (here the first K vectors — a deterministic stand-in for a
+    k-means codebook; the assignment plan is identical). Search: a query
+    scores ONLY its own centroid's inverted list — corpus work drops from
+    O(n) to O(n/K) per query (nprobe=1). Both stages are shuffle-light:
+    centroids broadcast, assignment is a map-side cross-score + one window,
+    and the search joins on the centroid id.
+
+    Determinism: assignment and ranking order by the 6-digit-canonicalized
+    cosine with id tie-breaks, so engine and oracle pick identical buckets
+    and neighbors.
+    """
+    e = table(spark, sf_dir, "embeddings")
+    cents = e.filter(F.col("vec_id") < _IVF_K).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
+    )
+    aw = Window.partitionBy("vec_id").orderBy(F.desc("ac6"), F.asc("cid"))
+    assign = (
+        e.join(F.broadcast(cents))
+        .select(
+            "vec_id",
+            "cid",
+            "embedding",
+            rfix(V.cosine(F.col("embedding"), F.col("cv")), 6).alias("ac6"),
+        )
+        .withColumn("rn", F.row_number().over(aw))
+        .filter(F.col("rn") == 1)
+        .drop("rn", "ac6")
+    )
+    q = assign.filter(F.col("vec_id") < _IVF_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("cid").alias("qcid"),
+        F.col("embedding").alias("qe"),
+    )
+    cos = V.cosine(F.col("qe"), F.col("embedding"))
+    scored = (
+        assign.join(
+            F.broadcast(q),
+            (F.col("cid") == F.col("qcid")) & (F.col("vec_id") != F.col("query_id")),
+        )
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            rfix(cos, 6).alias("c6"),
+            rfix(cos, 4).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("c6"), F.asc("neighbor_id"))
+    return (
+        scored.select(
+            F.col("query_id").cast("long").alias("query_id"),
+            F.col("neighbor_id").cast("long").alias("neighbor_id"),
+            "cos_sim",
+            F.row_number().over(w).cast("long").alias("rn"),
+        )
+        .filter(F.col("rn") <= 5)
+    )
+
+
 def _srp_bucket_sql(vec: str, n_planes: int) -> str:
     """Signed-random-projection bucket id via md5-derived pseudo-planes.
 

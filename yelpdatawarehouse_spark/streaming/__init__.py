@@ -5,5 +5,11 @@ from .pipeline import (  # noqa: F401
     kafka_event_stream,
     read_summary,
     run_incremental_summary,
+    stateful_user_summary,
     windowed_type_counts,
+)
+from .yelp_consumer import (  # noqa: F401
+    YELP_EVENT_SCHEMA,
+    YelpStreamApplier,
+    yelp_event_file_stream,
 )

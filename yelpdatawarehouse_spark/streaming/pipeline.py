@@ -157,6 +157,67 @@ def read_summary(spark: SparkSession, state_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Custom stateful operator (T4/T5 as arbitrary per-key state)
+# ---------------------------------------------------------------------------
+
+_STATE_SCHEMA = S.StructType(
+    [
+        S.StructField("event_cnt", S.LongType()),
+        S.StructField("value_sum", S.DoubleType()),
+    ]
+)
+
+_STATEFUL_OUT_SCHEMA = S.StructType(
+    [
+        S.StructField("user_id", S.LongType()),
+        S.StructField("event_cnt", S.LongType()),
+        S.StructField("value_sum", S.DoubleType()),
+        S.StructField("value_avg", S.DoubleType()),
+    ]
+)
+
+
+def _update_user_state(key, pdf_iter, state):
+    """Per-key state update: fold the batch's rows into (count, sum) state
+    and emit the refreshed running aggregate. Arbitrary-state analog of the
+    reference's per-event counter updates (consumer.py:417-441) — but the
+    state is (sum, count), so the derived average is exact regardless of
+    arrival order or batching."""
+    import pandas as pd  # noqa: PLC0415 — runs on executors
+
+    cnt, vsum = state.get if state.exists else (0, 0.0)
+    for pdf in pdf_iter:
+        cnt += len(pdf)
+        vsum += float(pdf["value"].sum())
+    state.update((cnt, vsum))
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "event_cnt": [cnt],
+            "value_sum": [vsum],
+            "value_avg": [vsum / cnt if cnt else None],
+        }
+    )
+
+
+def stateful_user_summary(stream: DataFrame) -> DataFrame:
+    """T4/T5 via ``applyInPandasWithState``: true incremental per-key state
+    kept by the streaming engine (RocksDB/HDFS state store on a cluster),
+    emitting updated running aggregates each micro-batch. The foreachBatch
+    fold (run_incremental_summary) maintains a TABLE; this maintains
+    OPERATOR STATE — both converge to batch_user_summary."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return stream.groupBy("user_id").applyInPandasWithState(
+        _update_user_state,
+        outputStructType=_STATEFUL_OUT_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+# ---------------------------------------------------------------------------
 # Watermarked windowed aggregation (T7)
 # ---------------------------------------------------------------------------
 
