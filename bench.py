@@ -44,6 +44,7 @@ def main() -> None:
         "dedup_minhash_lsh_candidates",
         "dedup_ngram_jaccard_pairs",
         "ann_topk_cosine",
+        "ann_ivf_topk",
         "text_quality_scores",
     ):
         if opt in registry:

@@ -50,3 +50,18 @@ def test_frame_sampling_fanout(spark):
         media.filter(F.col("doc_id") == min(sizes)).select("payload").collect()[0][0]
     )
     assert payload.startswith(reassembled[: len(payload)])
+
+
+def test_resize_stub_plumbing(spark):
+    from yelpdatawarehouse_spark.multimodal import resize_images
+
+    media = attach_fake_media(table(spark, SF, "documents").limit(20))
+    resized = resize_images(media, width=224, height=224)
+    rows = resized.collect()
+    assert len(rows) == 20
+    target = 224 * 224 // 64
+    for r in rows:
+        assert (r.width, r.height) == (224, 224)
+        assert 0 < len(bytes(r.payload)) <= target
+    with pytest.raises(Exception, match="NotImplementedError|resize"):
+        resize_images(media, strict=True).collect()

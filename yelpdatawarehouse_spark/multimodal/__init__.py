@@ -3,5 +3,6 @@ from .columns import (  # noqa: F401
     attach_fake_media,
     decode_image_features,
     media_metadata,
+    resize_images,
     sample_frames,
 )

@@ -108,6 +108,51 @@ def decode_image_features(media_df: DataFrame, strict: bool = False) -> DataFram
     return cols.repartition(F.col("doc_id")).mapInPandas(kernel, _DECODE_SCHEMA)
 
 
+_RESIZE_SCHEMA = S.StructType(
+    [
+        S.StructField("doc_id", S.LongType()),
+        S.StructField("width", S.IntegerType()),
+        S.StructField("height", S.IntegerType()),
+        S.StructField("payload", S.BinaryType()),
+    ]
+)
+
+
+def resize_images(
+    media_df: DataFrame, width: int = 224, height: int = 224, strict: bool = False
+) -> DataFrame:
+    """Resize plumbing via mapInPandas (Arrow record batches in/out, binary
+    column preserved end-to-end).
+
+    STUB KERNEL: without a codec the "resize" deterministically re-samples
+    the payload bytes to width*height/64 bytes (shape checkable in tests);
+    ``strict=True`` raises NotImplementedError where a real PIL/torchvision
+    resize goes. The Spark-side contract — schema, batch streaming, binary
+    round-trip, per-task memory bounded by the Arrow batch size — is real.
+    """
+
+    target = max(width * height // 64, 1)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if strict:
+                raise NotImplementedError(
+                    "image resize requires a codec (PIL) not present in this "
+                    "environment; wire one in here"
+                )
+            out = {"doc_id": [], "width": [], "height": [], "payload": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload or b"")
+                step = max(len(b) // target, 1)
+                out["doc_id"].append(int(doc_id))
+                out["width"].append(width)
+                out["height"].append(height)
+                out["payload"].append(b[::step][:target])
+            yield pd.DataFrame(out)
+
+    return media_df.select("doc_id", "payload").mapInPandas(kernel, _RESIZE_SCHEMA)
+
+
 def sample_frames(media_df: DataFrame, every_n_bytes: int = 64) -> DataFrame:
     """Frame-sampling analog: slice the payload every N bytes (JVM-side
     substring on binary) — the plumbing shape of video frame extraction:
