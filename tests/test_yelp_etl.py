@@ -67,3 +67,26 @@ def test_summary_totals(wh):
     # no reviews → avg falls back to business stars (IFNULL semantics)
     assert s["b3"].total_reviews == 0 and s["b3"].avg_rating == 3.0
     assert s["b4"].total_reviews == 1 and s["b4"].avg_rating == 5.0
+
+
+def test_write_warehouse_roundtrip(spark, wh, tmp_path_factory):
+    """Persisted layout: facts partitioned by year (partition pruning) and
+    sorted by business_id within files; raw_* not persisted; every derived
+    table round-trips value-identical."""
+    import os
+
+    from yelpdatawarehouse_spark.sources.etl import write_warehouse
+
+    out = str(tmp_path_factory.mktemp("wh_out"))
+    write_warehouse(wh, out)
+    assert not any(d.startswith("raw_") for d in os.listdir(out))
+    # year partition dirs exist for facts
+    assert any(d.startswith("review_year=") for d in os.listdir(os.path.join(out, "fact_review")))
+    for name, df in wh.items():
+        if name.startswith("raw_"):
+            continue
+        back = spark.read.parquet(os.path.join(out, name))
+        cols = df.columns  # partition column ordering may differ; compare on source cols
+        a = df.select(cols)
+        b = back.select(cols)
+        assert a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty(), name

@@ -255,16 +255,16 @@ def write_warehouse(tables: dict[str, DataFrame], out_dir: str) -> None:
             continue  # raw documents stay at their source; only derived tables persist
         path = os.path.join(out_dir, name)
         if name == "fact_checkin_ts":
-            df.withColumn("checkin_year", F.year("checkin_ts")).write.mode(
-                "overwrite"
-            ).partitionBy("checkin_year").parquet(path)
+            df.withColumn("checkin_year", F.year("checkin_ts")).sortWithinPartitions(
+                "business_id"
+            ).write.mode("overwrite").partitionBy("checkin_year").parquet(path)
         elif name == "fact_review":
-            df.withColumn("review_year", F.year("review_date")).write.mode(
-                "overwrite"
-            ).partitionBy("review_year").parquet(path)
+            df.withColumn("review_year", F.year("review_date")).sortWithinPartitions(
+                "business_id"
+            ).write.mode("overwrite").partitionBy("review_year").parquet(path)
         elif name == "fact_checkin":
-            df.withColumn("checkin_year", F.year("checkin_date")).write.mode(
-                "overwrite"
-            ).partitionBy("checkin_year").parquet(path)
+            df.withColumn("checkin_year", F.year("checkin_date")).sortWithinPartitions(
+                "business_id"
+            ).write.mode("overwrite").partitionBy("checkin_year").parquet(path)
         else:
             df.write.mode("overwrite").parquet(path)
