@@ -135,3 +135,41 @@ def test_windowed_counts_stream_equals_batch(spark, tmp_path, event_chunks_dir):
         for r in windowed_type_counts(table(spark, SF, "events")).collect()
     }
     assert got == want
+
+
+def test_streaming_dedup_across_batches(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: the same event_id arriving in later
+    micro-batches (within the watermark) is emitted exactly once."""
+    import json
+
+    from yelpdatawarehouse_spark.streaming import deduped_event_stream, event_file_stream
+
+    src = tmp_path / "dup_src"
+    src.mkdir()
+    base = {"user_id": 1, "event_type": "view", "value": 1.0, "props": "{}"}
+    batch0 = [
+        {"event_id": 1, "ts": "2024-01-01T10:00:00", **base},
+        {"event_id": 2, "ts": "2024-01-01T10:01:00", **base},
+        {"event_id": 1, "ts": "2024-01-01T10:00:00", **base},  # in-batch dup
+    ]
+    batch1 = [
+        {"event_id": 2, "ts": "2024-01-01T10:01:00", **base},  # cross-batch dup
+        {"event_id": 3, "ts": "2024-01-01T10:02:00", **base},
+    ]
+    for i, b in enumerate([batch0, batch1]):
+        with open(src / f"b{i}.json", "w") as f:
+            for e in b:
+                f.write(json.dumps(e) + "\n")
+
+    q = (
+        deduped_event_stream(event_file_stream(spark, str(src)))
+        .writeStream.format("memory")
+        .queryName("dedup_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_d"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    ids = sorted(r["event_id"] for r in spark.sql("SELECT event_id FROM dedup_out").collect())
+    assert ids == [1, 2, 3]

@@ -157,6 +157,28 @@ def read_summary(spark: SparkSession, state_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Streaming dedup (exactly-once ingestion for training-data pipelines)
+# ---------------------------------------------------------------------------
+
+
+def deduped_event_stream(stream: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Drop duplicate events by event_id across micro-batches.
+
+    ``dropDuplicatesWithinWatermark`` keeps per-key state only until the
+    watermark passes — bounded state at any throughput, unlike a plain
+    dropDuplicates whose state grows forever on a stream. This is the
+    ingestion-side dedup of a training-data pipeline (the streaming
+    counterpart of dedup_exact_groups); the reference has no dedup at all
+    on its consumer (at-least-once re-application, SURVEY §2.9).
+    """
+    if stream.isStreaming:
+        return stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+            ["event_id"]
+        )
+    return stream.dropDuplicates(["event_id"])
+
+
+# ---------------------------------------------------------------------------
 # Custom stateful operator (T4/T5 as arbitrary per-key state)
 # ---------------------------------------------------------------------------
 
