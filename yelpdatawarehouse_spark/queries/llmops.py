@@ -182,6 +182,52 @@ def dedup_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _minhash_verified_oracle() -> str:
+    """LSH candidates (the minhash oracle's CTE chain) verified with exact
+    3-gram Jaccard ≥ 0.2 — the canonical generate→verify dedup pipeline."""
+    return f"""
+    WITH cand AS ({_minhash_oracle()}),
+    sh AS (SELECT doc_id, list_distinct({T.shingles_sql(_TOKS, 3)}) AS s FROM documents)
+    SELECT c.doc_a, c.doc_b,
+           {rfix_sql('''len(list_intersect(a.s, b.s))::DOUBLE /
+             (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))''', 4)} AS jaccard
+    FROM cand c
+    JOIN sh a ON a.doc_id = c.doc_a
+    JOIN sh b ON b.doc_id = c.doc_b
+    WHERE {rfix_sql('''len(list_intersect(a.s, b.s))::DOUBLE /
+             (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))''', 6)} >= 0.2
+    """
+
+
+@register("dedup_minhash_verified", oracle=_minhash_verified_oracle(), tags=("DEDUP", "LSH"))
+def dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full two-stage dedup pipeline: MinHash-LSH candidate generation
+    followed by exact shingle-Jaccard verification of ONLY the candidates.
+
+    This is the shape that runs at 100 TB: stage 1 touches every doc once
+    (hash → band → bucket join, work ∝ collisions); stage 2's exact
+    pairwise cost is proportional to the candidate count, not n². The
+    threshold is applied to the 6-digit-canonicalized Jaccard on both sides
+    so set membership can't flip on last-ulp noise.
+    """
+    cands = dedup_minhash_lsh_candidates(spark, sf_dir)
+    d = table(spark, sf_dir, "documents")
+    sh = d.select(
+        "doc_id", F.array_distinct(T.shingles(T.tokens("text"), 3)).alias("s")
+    )
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("sa"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("sb"))
+    inter = F.size(F.array_intersect("sa", "sb")).cast("double")
+    union = F.size("sa") + F.size("sb") - F.size(F.array_intersect("sa", "sb"))
+    jac = inter / union
+    return (
+        cands.join(a, "doc_a")
+        .join(b, "doc_b")
+        .filter(rfix(jac, 6) >= 0.2)
+        .select("doc_a", "doc_b", rfix(jac, 4).alias("jaccard"))
+    )
+
+
 @register(
     "dedup_ngram_jaccard_pairs",
     oracle=f"""
