@@ -228,6 +228,86 @@ def dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _dedup_clusters_oracle() -> str:
+    """Transitive closure of the verified near-dup graph via WITH RECURSIVE;
+    cluster id = min reachable doc_id."""
+    return f"""
+    WITH RECURSIVE cand AS ({_minhash_verified_oracle()}),
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM cand
+        UNION SELECT doc_b, doc_a FROM cand
+    ),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    reach(node, other) AS (
+        SELECT node, node FROM nodes
+        UNION
+        SELECT r.node, e.dst FROM reach r JOIN edges e ON e.src = r.other
+    )
+    SELECT node AS doc_id, min(other) AS cluster_id,
+           CAST(count(DISTINCT other) AS BIGINT) AS cluster_size
+    FROM reach GROUP BY node
+    """
+
+
+@register("dedup_clusters", oracle=_dedup_clusters_oracle(), tags=("DEDUP", "ITER"))
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate CLUSTERS: connected components over the verified near-dup
+    pair graph — the final stage of a dedup pipeline (transitive closure:
+    A~B and B~C put A,B,C in one cluster; keep min doc_id as canonical).
+
+    Spark-first iterative min-label propagation: each round joins labels to
+    the (cached, pre-shuffled) edge list and takes the elementwise min —
+    O(diameter) rounds, each one distributed join + aggregate, no driver
+    data. Converges when no label changes (checked with a count, the only
+    driver-side value). The DuckDB oracle computes the same closure with
+    WITH RECURSIVE.
+
+    cluster_size counts reachable docs (= component size); singleton docs
+    (no near-dup pair) are excluded — they're already canonical.
+    """
+    pairs = dedup_minhash_verified(spark, sf_dir).select("doc_a", "doc_b")
+    fwd = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    edges = fwd.union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))).distinct().cache()
+    labels = edges.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    for _ in range(15):  # diameter cap; tiny vs log-rounds convergence
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        # eager localCheckpoint: truncates the per-round join lineage (plans
+        # would otherwise nest geometrically) and materializes once
+        new_labels = (
+            labels.join(neighbor_min, "node", "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce("nbr_label", F.col("label"))).alias(
+                    "label"
+                ),
+            )
+        ).localCheckpoint()
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    sizes = labels.groupBy("label").agg(F.count("*").cast("long").alias("cluster_size"))
+    return (
+        labels.join(sizes, "label")
+        .select(
+            F.col("node").alias("doc_id"),
+            F.col("label").alias("cluster_id"),
+            "cluster_size",
+        )
+    )
+
+
 @register(
     "dedup_ngram_jaccard_pairs",
     oracle=f"""
