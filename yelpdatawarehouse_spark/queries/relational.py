@@ -1238,3 +1238,33 @@ def set_union_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     cn = n.join(c, n.n_nationkey == c.c_nationkey).select("n_name")
     sn = n.join(s, n.n_nationkey == s.s_nationkey).select("n_name")
     return cn.union(sn).distinct()
+
+
+@register(
+    "a_percentiles_by_segment",
+    oracle=f"""
+    SELECT c_mktsegment,
+           {rfix_sql('quantile_cont(c_acctbal, 0.5)', 4)} AS median_bal,
+           {rfix_sql('quantile_cont(c_acctbal, 0.9)', 4)} AS p90_bal,
+           {rfix_sql('quantile_cont(c_acctbal, 0.99)', 4)} AS p99_bal
+    FROM customer
+    GROUP BY c_mktsegment
+    """,
+    tags=("A6", "PCTL"),
+)
+def a_percentiles_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (median/p90/p99).
+
+    Absent from the reference's aggregate surface entirely; a quality-score
+    pipeline needs them (threshold selection). Spark `percentile` and
+    DuckDB `quantile_cont` share linear-interpolation semantics (probed to
+    1e-9 before registration). The 100 TB note: exact percentile sorts each
+    group's values; for heavy groups swap in `approx_percentile` (t-digest,
+    mergeable map-side) — same call shape, documented tolerance.
+    """
+    c = table(spark, sf_dir, "customer")
+    return c.groupBy("c_mktsegment").agg(
+        rfix(F.expr("percentile(c_acctbal, 0.5)"), 4).alias("median_bal"),
+        rfix(F.expr("percentile(c_acctbal, 0.9)"), 4).alias("p90_bal"),
+        rfix(F.expr("percentile(c_acctbal, 0.99)"), 4).alias("p99_bal"),
+    )
