@@ -1268,3 +1268,54 @@ def a_percentiles_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
         rfix(F.expr("percentile(c_acctbal, 0.9)"), 4).alias("p90_bal"),
         rfix(F.expr("percentile(c_acctbal, 0.99)"), 4).alias("p99_bal"),
     )
+
+
+@register(
+    "a_rollup_region_nation",
+    oracle=f"""
+    SELECT coalesce(r.r_name, 'ALL') AS region_name,
+           coalesce(CASE WHEN GROUPING(n.n_name) = 1 THEN 'ALL' ELSE n.n_name END,
+                    'ALL') AS nation_name,
+           CAST(GROUPING(r.r_name) * 2 + GROUPING(n.n_name) AS BIGINT) AS gid,
+           CAST(count(*) AS BIGINT) AS cust_cnt,
+           {rfix_sql('sum(c.c_acctbal)')} AS total_bal
+    FROM region r
+    JOIN nation n ON n.n_regionkey = r.r_regionkey
+    JOIN customer c ON c.c_nationkey = n.n_nationkey
+    GROUP BY ROLLUP (r.r_name, n.n_name)
+    """,
+    tags=("ROLLUP",),
+)
+def a_rollup_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical ROLLUP totals (nation → region → grand total) in ONE
+    aggregation pass — beyond the reference, which re-queries per level
+    (each dashboard tab is its own GROUP BY; SURVEY §2.4 notes the gap).
+    Spark expands grouping sets map-side: the fact is scanned once and every
+    level's partial aggregates combine in the same shuffle.
+
+    Null grouping keys are disambiguated with GROUPING()/grouping_id (the
+    standard way to tell 'rollup total' from a genuinely null key) and
+    rendered as 'ALL' so the hash-compare is label-stable.
+    """
+    r = table(spark, sf_dir, "region")
+    n = table(spark, sf_dir, "nation")
+    c = table(spark, sf_dir, "customer")
+    joined = (
+        r.join(n, r.r_regionkey == n.n_regionkey)
+        .join(c, n.n_nationkey == c.c_nationkey)
+    )
+    return (
+        joined.rollup("r_name", "n_name")
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            F.count("*").alias("cust_cnt"),
+            rfix(F.sum("c_acctbal")).alias("total_bal"),
+        )
+        .select(
+            F.coalesce("r_name", F.lit("ALL")).alias("region_name"),
+            F.coalesce("n_name", F.lit("ALL")).alias("nation_name"),
+            "gid",
+            "cust_cnt",
+            "total_bal",
+        )
+    )
