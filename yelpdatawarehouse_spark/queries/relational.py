@@ -1319,3 +1319,46 @@ def a_rollup_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_bal",
         )
     )
+
+
+@register(
+    "w4_month_over_month_delta",
+    oracle=f"""
+    WITH monthly AS (
+        SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS ym,
+               CAST(count(*) AS BIGINT) AS order_cnt,
+               sum(o_totalprice) AS revenue
+        FROM orders GROUP BY 1
+    )
+    SELECT ym, order_cnt,
+           {rfix_sql('revenue')} AS revenue,
+           {rfix_sql("coalesce(revenue - lag(revenue) OVER (ORDER BY ym), 0)")} AS mom_delta,
+           coalesce(CAST(order_cnt - lag(order_cnt) OVER (ORDER BY ym) AS BIGINT), 0) AS cnt_delta
+    FROM monthly
+    """,
+    tags=("W4", "F2"),
+)
+def w4_month_over_month_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag() month-over-month deltas on a monthly rollup.
+
+    Reference analog: year_comparison/review_trends compute period series and
+    leave the delta math to the dashboard JS (webapp/mysql_routes.py:863-898);
+    here it's one window over the (tiny) aggregated series — the window input
+    is post-aggregation, so the sort is over months, never over the fact.
+    """
+    o = table(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM").alias("ym")
+    ).agg(F.count("*").alias("order_cnt"), F.sum("o_totalprice").alias("revenue"))
+    w = Window.orderBy("ym")
+    return monthly.select(
+        "ym",
+        "order_cnt",
+        rfix(F.col("revenue")).alias("revenue"),
+        rfix(F.coalesce(F.col("revenue") - F.lag("revenue").over(w), F.lit(0))).alias(
+            "mom_delta"
+        ),
+        F.coalesce(F.col("order_cnt") - F.lag("order_cnt").over(w), F.lit(0))
+        .cast("long")
+        .alias("cnt_delta"),
+    )
