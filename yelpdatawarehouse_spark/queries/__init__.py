@@ -8,6 +8,6 @@ from .registry import REGISTRY, oracles, queries  # noqa: F401
 def all_queries():
     """Import every query module (registration side effect) and return the
     registry."""
-    from . import dynamic, graphq, llmops, mmops, relational  # noqa: F401
+    from . import dynamic, graphq, llmops, mmops, relational, sessions  # noqa: F401
 
     return REGISTRY

@@ -1,0 +1,230 @@
+"""Event-time operators over the ``events`` stream table — sessionization,
+as-of join, and bucketed range join.
+
+The reference applies each streaming event independently and has no
+event-time operators at all (SURVEY.md §2.9: no windows, no watermarks,
+``streaming/consumer.py:128-179``); a large-scale training-data pipeline
+needs them constantly (session construction for behavioral corpora,
+as-of feature joins, bounded-interval attribution). Every implementation
+here is shaped for the 100 TB plan:
+
+* **one shuffle on the entity key** (user_id) per operator — session
+  assignment and the as-of lookup are single window passes, never
+  per-row subqueries;
+* **no inequality-join explosion** — the range join equi-joins on a
+  coarse time bucket (bucket width == interval length, so each probe
+  touches exactly two buckets) and filters the exact predicate after;
+* timestamp arithmetic is done on epoch **microseconds** (events carry
+  sub-second precision; Spark ``unix_micros`` ≡ DuckDB ``epoch_us``)
+  with the session pinned to UTC (session.py), so the DuckDB oracle
+  computes identical values.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.presentation import rfix, rfix_sql
+from ..sources.tables import table
+from .registry import register
+
+# Gap threshold separating two sessions of one user.
+SESSION_GAP_SECONDS = 6 * 3600
+
+# Attribution window for the range join (purchases following a view).
+RANGE_WINDOW_SECONDS = 24 * 3600
+
+_ISO = "yyyy-MM-dd HH:mm:ss"
+_ISO_DUCK = "%Y-%m-%d %H:%M:%S"
+
+
+@register(
+    "t8_sessionization",
+    oracle=f"""
+    WITH flagged AS (
+        SELECT user_id, event_id, ts, event_type, value,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > {SESSION_GAP_SECONDS}::BIGINT * 1000000
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), numbered AS (
+        SELECT *, sum(new_sess) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS sess_no
+        FROM flagged
+    )
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           CAST(sess_no AS BIGINT) AS sess_no,
+           strftime(min(ts), '{_ISO_DUCK}') AS session_start,
+           CAST((epoch_us(max(ts)) - epoch_us(min(ts))) // 1000000 AS BIGINT) AS duration_secs,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT) AS n_purchases,
+           {rfix_sql('sum(value)')} AS total_value
+    FROM numbered
+    GROUP BY user_id, sess_no
+    """,
+    tags=("T8", "W3", "SESSION"),
+)
+def t8_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization: a new session starts after >6 h of user
+    inactivity; emit per-session start/duration/size/value stats.
+
+    Reference analog: none — the consumer applies events one at a time
+    (streaming/consumer.py:128-179) and never groups them. Plan shape:
+    one hash shuffle on user_id feeds BOTH window passes (lag + running
+    sum share the partitioning) and the final group-by is on (user_id,
+    sess_no), a prefix of the same key — Catalyst reuses the exchange,
+    so the whole operator is a single shuffle regardless of scale. The
+    streaming twin is F.session_window (see streaming/pipeline.py).
+    """
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
+    flagged = ev.withColumn(
+        "new_sess", F.when(gap.isNull() | (gap > SESSION_GAP_SECONDS * 1_000_000), 1).otherwise(0)
+    )
+    numbered = flagged.withColumn(
+        "sess_no", F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return (
+        numbered.groupBy(
+            F.col("user_id").cast("long").alias("user_id"),
+            F.col("sess_no").cast("long").alias("sess_no"),
+        )
+        .agg(
+            F.date_format(F.min("ts"), _ISO).alias("session_start"),
+            F.floor((F.max(F.unix_micros("ts")) - F.min(F.unix_micros("ts"))) / 1_000_000)
+            .cast("long")
+            .alias("duration_secs"),
+            F.count("*").alias("n_events"),
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+            .cast("long")
+            .alias("n_purchases"),
+            rfix(F.sum("value")).alias("total_value"),
+        )
+    )
+
+
+@register(
+    "j11_asof_join_last_view",
+    oracle=f"""
+    WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase')
+    SELECT CAST(p.event_id AS BIGINT) AS purchase_id,
+           CAST(p.user_id AS BIGINT) AS user_id,
+           strftime(p.ts, '{_ISO_DUCK}') AS purchase_ts,
+           strftime(lv.last_view_ts, '{_ISO_DUCK}') AS last_view_ts,
+           CAST((epoch_us(p.ts) - epoch_us(lv.last_view_ts)) // 1000000 AS BIGINT) AS secs_since_view
+    FROM p, LATERAL (
+        SELECT max(v.ts) AS last_view_ts
+        FROM events v
+        WHERE v.user_id = p.user_id AND v.event_type = 'view' AND v.ts <= p.ts
+    ) lv
+    WHERE lv.last_view_ts IS NOT NULL
+    """,
+    tags=("J11", "ASOF"),
+)
+def j11_asof_join_last_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for every purchase, the latest same-user view at or
+    before it (time-to-convert attribution).
+
+    Spark has no ASOF JOIN operator; the scalable encoding is the
+    union+window trick — interleave both streams on the shared (user,
+    time) axis and carry the reference side forward with last(...,
+    ignorenulls) — one shuffle on user_id, no per-probe lookup, no
+    inequality-join explosion. Views sort before purchases at equal ts
+    (sort key includes is_probe) so the join boundary is inclusive.
+    The oracle states the same semantics as a LATERAL max() subquery.
+    """
+    ev = table(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", F.lit(0).alias("is_probe"), F.lit(None).cast("long").alias("event_id")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.lit(1).alias("is_probe"), F.col("event_id").cast("long")
+    )
+    merged = views.unionByName(purchases)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_probe")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    last_view = F.last(F.when(F.col("is_probe") == 0, F.col("ts")), ignorenulls=True).over(w)
+    return (
+        merged.withColumn("last_view", last_view)
+        .filter((F.col("is_probe") == 1) & F.col("last_view").isNotNull())
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").cast("long").alias("user_id"),
+            F.date_format("ts", _ISO).alias("purchase_ts"),
+            F.date_format("last_view", _ISO).alias("last_view_ts"),
+            F.floor((F.unix_micros("ts") - F.unix_micros("last_view")) / 1_000_000)
+            .cast("long")
+            .alias("secs_since_view"),
+        )
+    )
+
+
+@register(
+    "j12_range_join_bucketed",
+    oracle=f"""
+    SELECT CAST(v.event_id AS BIGINT) AS view_id,
+           CAST(v.user_id AS BIGINT) AS user_id,
+           strftime(v.ts, '{_ISO_DUCK}') AS view_ts,
+           CAST(count(*) AS BIGINT) AS purchase_cnt,
+           {rfix_sql('sum(p.value)')} AS purchase_value
+    FROM events v JOIN events p
+      ON p.user_id = v.user_id
+     AND p.event_type = 'purchase'
+     AND epoch_us(p.ts) >= epoch_us(v.ts)
+     AND epoch_us(p.ts) < epoch_us(v.ts) + {RANGE_WINDOW_SECONDS}::BIGINT * 1000000
+    WHERE v.event_type = 'view'
+    GROUP BY v.event_id, v.user_id, v.ts
+    """,
+    tags=("J12", "RANGE"),
+)
+def j12_range_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-interval range join: purchases within 24 h after each view
+    by the same user, aggregated per view (attribution counting).
+
+    A naive ``t BETWEEN`` join is an inequality join — Spark falls back
+    to broadcast-nested-loop and the plan dies at scale. Here the bucket
+    width equals the interval length, so a purchase in time-bucket b can
+    only match views in buckets b and b-1: explode each purchase to those
+    two candidate bucket keys, hash-equi-join on (user_id, bucket), then
+    apply the exact range filter. Work is O(matches), the join stays a
+    shuffled hash join, and AQE's skew handling applies as usual.
+    """
+    ev = table(spark, sf_dir, "events")
+    bucket = lambda c: F.floor(F.unix_micros(F.col(c)) / (RANGE_WINDOW_SECONDS * 1_000_000))  # noqa: E731
+    views = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"),
+        F.col("user_id"),
+        F.col("ts").alias("view_ts"),
+        bucket("ts").alias("bucket"),
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.col("ts").alias("p_ts"),
+            F.col("value").alias("p_value"),
+            F.explode(F.array(bucket("ts"), bucket("ts") - 1)).alias("bucket"),
+        )
+    )
+    joined = views.join(purchases, ["user_id", "bucket"]).filter(
+        (F.unix_micros("p_ts") >= F.unix_micros("view_ts"))
+        & (F.unix_micros("p_ts") < F.unix_micros("view_ts") + RANGE_WINDOW_SECONDS * 1_000_000)
+    )
+    return (
+        joined.groupBy(
+            F.col("view_id").cast("long").alias("view_id"),
+            F.col("user_id").cast("long").alias("user_id"),
+            F.date_format("view_ts", _ISO).alias("view_ts"),
+        )
+        .agg(
+            F.count("*").alias("purchase_cnt"),
+            rfix(F.sum("p_value")).alias("purchase_value"),
+        )
+    )
