@@ -1362,3 +1362,105 @@ def w4_month_over_month_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("cnt_delta"),
     )
+
+
+@register(
+    "a_cube_priority_status",
+    oracle=f"""
+    SELECT CASE WHEN GROUPING(o_orderpriority) = 1 THEN 'ALL' ELSE o_orderpriority END
+             AS priority,
+           CASE WHEN GROUPING(o_orderstatus) = 1 THEN 'ALL' ELSE o_orderstatus END
+             AS status,
+           CAST(GROUPING(o_orderpriority) * 2 + GROUPING(o_orderstatus) AS BIGINT) AS gid,
+           CAST(count(*) AS BIGINT) AS order_cnt,
+           {rfix_sql('sum(o_totalprice)')} AS revenue
+    FROM orders
+    GROUP BY CUBE (o_orderpriority, o_orderstatus)
+    """,
+    tags=("CUBE",),
+)
+def a_cube_priority_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE cross-dimensional totals — all four grouping sets of
+    (priority, status) in ONE fact scan, complementing the hierarchical
+    ROLLUP above. The reference's dashboards issue one GROUP BY per
+    marginal (SURVEY §2.4); Spark expands the grouping sets map-side so
+    partials for every set ride the same shuffle. GROUPING() labels
+    distinguish subtotal rows from genuine keys, as in a_rollup.
+    """
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            F.count("*").alias("order_cnt"),
+            rfix(F.sum("o_totalprice")).alias("revenue"),
+        )
+        .select(
+            F.when(F.shiftright("gid", 1).bitwiseAND(1) == 1, F.lit("ALL"))
+            .otherwise(F.col("o_orderpriority"))
+            .alias("priority"),
+            F.when(F.col("gid").bitwiseAND(1) == 1, F.lit("ALL"))
+            .otherwise(F.col("o_orderstatus"))
+            .alias("status"),
+            "gid",
+            "order_cnt",
+            "revenue",
+        )
+    )
+
+
+@register(
+    "w5_segment_spend_quartiles",
+    oracle=f"""
+    WITH spend AS (
+        SELECT c.c_mktsegment AS segment, c.c_custkey AS custkey,
+               {rfix_sql('sum(o.o_totalprice)')} AS total_spent,
+               CAST(count(*) AS BIGINT) AS n_orders
+        FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+        GROUP BY 1, 2
+    )
+    SELECT segment, CAST(custkey AS BIGINT) AS custkey, total_spent, n_orders,
+           CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+           {rfix_sql('cume_dist() OVER w', 6)} AS cume,
+           {rfix_sql('coalesce(total_spent - lead(total_spent) OVER w, 0)')} AS gap_to_next,
+           {rfix_sql('first_value(total_spent) OVER w')} AS segment_top
+    FROM spend
+    WINDOW w AS (PARTITION BY segment ORDER BY total_spent DESC, custkey)
+    """,
+    tags=("W5", "W2"),
+)
+def w5_segment_spend_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution windows per market segment: spend quartile (ntile),
+    cumulative share of rank (cume_dist), gap to the next-ranked customer
+    (lead), and the segment leader (first_value) in one window pass.
+
+    The window input is the per-customer aggregate, not the fact, and is
+    PARTITIONED by segment — no global sort, so the plan scales with the
+    widest segment, not the table (SURVEY §2.5: the reference has no
+    window functions at all). Ordering is made unique with the rounded
+    spend + custkey tiebreak so ntile/lead are deterministic on both
+    engines.
+    """
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    spend = (
+        c.join(o, o.o_custkey == c.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("segment"), F.col("c_custkey").alias("custkey"))
+        .agg(
+            rfix(F.sum("o_totalprice")).alias("total_spent"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+    w = Window.partitionBy("segment").orderBy(F.desc("total_spent"), F.asc("custkey"))
+    return spend.select(
+        "segment",
+        F.col("custkey").cast("long"),
+        "total_spent",
+        "n_orders",
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        rfix(F.cume_dist().over(w), 6).alias("cume"),
+        rfix(
+            F.coalesce(F.col("total_spent") - F.lead("total_spent").over(w), F.lit(0))
+        ).alias("gap_to_next"),
+        rfix(F.first("total_spent").over(w)).alias("segment_top"),
+    )
