@@ -630,6 +630,27 @@ def _srp_bucket_sql(vec: str, n_planes: int) -> str:
     return "(" + " + ".join(bits) + ")"
 
 
+def _srp_bucket_col(emb_col: str = "embedding", n_planes: int = 4):
+    """Spark twin of _srp_bucket_sql: 4-bit hyperplane-sign bucket id.
+
+    Weight for plane p, dim i: (seeded_hash(p, i) % 1000) - 499.5 (zero-mean),
+    md5-derived so the DuckDB oracle assigns identical buckets.
+    """
+    emb = F.col(emb_col).cast("array<double>")
+    bucket = None
+    for p in range(n_planes):
+        weights = F.transform(
+            F.sequence(F.lit(0), F.lit(63)),
+            lambda i: (hashing.seeded(i.cast("string"), p) % 1000).cast("double") - 499.5,
+        )
+        dotp = F.aggregate(
+            F.zip_with(emb, weights, lambda x, w: x * w), F.lit(0.0), lambda acc, x: acc + x
+        )
+        term = F.when(dotp >= 0, F.lit(1 << p)).otherwise(F.lit(0))
+        bucket = term if bucket is None else bucket + term
+    return bucket.cast("long")
+
+
 @register(
     "ann_lsh_bucket_histogram",
     oracle=f"""
@@ -650,21 +671,8 @@ def ann_lsh_bucket_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     histogram (the index-build step).
     """
     e = table(spark, sf_dir, "embeddings")
-    emb = F.col("embedding").cast("array<double>")
-    bucket = None
-    for p in range(4):
-        # weight for dim i: (seeded_hash(p, i) % 1000) - 499.5  (zero-mean)
-        weights = F.transform(
-            F.sequence(F.lit(0), F.lit(63)),
-            lambda i: (hashing.seeded(i.cast("string"), p) % 1000).cast("double") - 499.5,
-        )
-        dotp = F.aggregate(
-            F.zip_with(emb, weights, lambda x, w: x * w), F.lit(0.0), lambda acc, x: acc + x
-        )
-        term = F.when(dotp >= 0, F.lit(1 << p)).otherwise(F.lit(0))
-        bucket = term if bucket is None else bucket + term
     return (
-        e.select(bucket.cast("long").alias("bucket"))
+        e.select(_srp_bucket_col().alias("bucket"))
         .groupBy("bucket")
         .agg(F.count("*").alias("vec_cnt"))
     )
@@ -825,4 +833,135 @@ def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(fps).cast("long").alias("n_fingerprints"),
         F.array_min(fps).cast("long").alias("min_fp"),
         F.array_max(fps).cast("long").alias("max_fp"),
+    )
+
+
+@register(
+    "ann_lsh_bucket_topk",
+    oracle=f"""
+    WITH b AS (
+        SELECT vec_id, embedding,
+               CAST({_srp_bucket_sql('embedding', 4)} AS BIGINT) AS bucket
+        FROM embeddings
+    ), scored AS (
+        SELECT a.vec_id AS query_id, n.vec_id AS neighbor_id, a.bucket,
+               {rfix_sql(V.cosine_sql('a.embedding', 'n.embedding'), 6)} AS c6,
+               {rfix_sql(V.cosine_sql('a.embedding', 'n.embedding'), 4)} AS cos_sim
+        FROM b a JOIN b n ON n.bucket = a.bucket AND n.vec_id <> a.vec_id
+    )
+    SELECT CAST(query_id AS BIGINT) AS query_id,
+           CAST(neighbor_id AS BIGINT) AS neighbor_id,
+           bucket, cos_sim, rn
+    FROM (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                         ORDER BY c6 DESC, neighbor_id) AS BIGINT) AS rn
+          FROM scored)
+    WHERE rn <= 3
+    """,
+    tags=("ANN", "LSH", "W1"),
+)
+def ann_lsh_bucket_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN search — top-3 same-bucket neighbors for EVERY
+    vector (all-pairs k-NN, the near-dup/similarity workhorse).
+
+    This is the query-time half of ann_lsh_bucket_histogram: candidates
+    are restricted to the probe's own 4-bit hyperplane-sign bucket, so
+    each vector scores ~n/16 candidates instead of n — the same
+    shuffle-on-bucket plan that at 100 TB keeps per-task candidate sets
+    bounded (more planes → smaller buckets). Exact cosine then ranks the
+    candidates; ties break on the 6-digit-canonicalized score + vec_id
+    so engine and oracle agree bit-for-bit. Recall tradeoff vs the
+    brute-force ann_topk_cosine baseline is the standard LSH contract.
+    """
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", _srp_bucket_col().alias("bucket")
+    )
+    a, n = e.alias("a"), e.alias("n")
+    cos = V.cosine(F.col("a.embedding"), F.col("n.embedding"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("c6"), F.asc("neighbor_id"))
+    return (
+        a.join(
+            n,
+            (F.col("n.bucket") == F.col("a.bucket"))
+            & (F.col("n.vec_id") != F.col("a.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").cast("long").alias("query_id"),
+            F.col("n.vec_id").cast("long").alias("neighbor_id"),
+            F.col("a.bucket").alias("bucket"),
+            rfix(cos, 6).alias("c6"),
+            rfix(cos, 4).alias("cos_sim"),
+        )
+        .withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= 3)
+        .drop("c6")
+    )
+
+
+# DuckDB-side lowercased word expression (oracle counterpart of the tf-idf
+# tokenizer below — alnum runs, case-folded, so 'The'/'the' share a term).
+_WORDS = "regexp_extract_all(lower(text), '[a-z0-9]+')"
+
+
+@register(
+    "text_tfidf_top_terms",
+    oracle=f"""
+    WITH tf AS (
+        SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        FROM (SELECT doc_id, unnest({_WORDS}) AS term FROM documents)
+        GROUP BY doc_id, term
+    ), df AS (
+        SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term
+    ), n AS (
+        SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs FROM tf
+    ), scored AS (
+        SELECT tf.doc_id, tf.term, tf.tf, df.df,
+               {rfix_sql('tf.tf * ln(n.n_docs::DOUBLE / df.df)', 6)} AS score
+        FROM tf JOIN df USING (term) CROSS JOIN n
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, term, tf, df, score, rn
+    FROM (SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+                         ORDER BY score DESC, term) AS BIGINT) AS rn
+          FROM scored)
+    WHERE rn <= 3
+    """,
+    tags=("TEXT", "TFIDF", "W1"),
+)
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 TF-IDF terms (keyword extraction).
+
+    tf = in-doc term count, idf = ln(N / df) over the corpus; both exact
+    integer-derived quantities, so the score is reproducible anywhere.
+    Plan shape: one explode→groupBy(doc,term) shuffle for tf, a groupBy
+    (term) for df that Catalyst pipelines from tf's output, a broadcast
+    of the scalar N, then a per-doc window for the top-3 — the corpus is
+    never cross-joined and every stage keys on (doc) or (term), the two
+    natural partitionings. Ranking ties break on the 6-digit-rounded
+    score then term, keeping engine and oracle row-identical.
+    """
+    d = table(spark, sf_dir, "documents")
+    words = F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")
+    tf = (
+        d.select("doc_id", F.explode(words).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = tf.select(F.countDistinct("doc_id").alias("n_docs"))
+    scored = (
+        tf.join(df_, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            "term",
+            F.col("tf").cast("long").alias("tf"),
+            F.col("df").cast("long").alias("df"),
+            rfix(
+                F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")), 6
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= 3)
     )
