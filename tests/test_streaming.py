@@ -173,3 +173,59 @@ def test_streaming_dedup_across_batches(spark, tmp_path):
     q.awaitTermination(120)
     ids = sorted(r["event_id"] for r in spark.sql("SELECT event_id FROM dedup_out").collect())
     assert ids == [1, 2, 3]
+
+
+def test_sessionized_stats_stream_converges_to_batch(spark, tmp_path):
+    """Append-mode session windows with watermark eviction must converge to
+    the batch computation: time-ordered micro-batches stream in, a far-
+    future sentinel event pushes the watermark past every real session,
+    and the no-data flush batch emits them all finalized."""
+    import os as _os
+    import pandas as pd
+
+    from yelpdatawarehouse_spark.streaming.pipeline import sessionized_stats
+
+    src = tmp_path / "incoming_sess"
+    src.mkdir()
+    ev = table(spark, SF, "events")
+    pdf = ev.toPandas().sort_values("ts").reset_index(drop=True)
+    sentinel_ts = pdf["ts"].max() + pd.Timedelta(days=30)
+    chunks = [pdf.iloc[: len(pdf) // 3], pdf.iloc[len(pdf) // 3 : 2 * len(pdf) // 3],
+              pdf.iloc[2 * len(pdf) // 3 :]]
+    chunks.append(
+        pd.DataFrame([{"event_id": 10**9, "ts": sentinel_ts, "user_id": 999999,
+                       "event_type": "view", "value": 0.0, "props": "{}"}])
+    )
+    for i, chunk in enumerate(chunks):
+        chunk = chunk.copy()
+        chunk["ts"] = chunk["ts"].dt.strftime("%Y-%m-%dT%H:%M:%S.%f")
+        path = src / f"chunk_{i}.json"
+        chunk.to_json(path, orient="records", lines=True)
+        _os.utime(path, (1_700_000_000 + i, 1_700_000_000 + i))  # order file pickup
+
+    stream = event_file_stream(spark, str(src))
+    q = (
+        sessionized_stats(stream)
+        .writeStream.format("memory")
+        .queryName("sess_stats")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_s"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    def key(rows):
+        return {
+            (r["user_id"], r["session_start"].isoformat()): (
+                r["n_events"],
+                r["n_purchases"],
+                round(r["total_value"], 6),
+            )
+            for r in rows
+            if r["user_id"] != 999999
+        }
+
+    got = key(spark.table("sess_stats").collect())
+    want = key(sessionized_stats(ev).collect())
+    assert got == want and len(want) > 0

@@ -254,3 +254,44 @@ def windowed_type_counts(events: DataFrame, window: str = "1 hour", watermark: s
         .agg(F.count("*").alias("event_cnt"), F.sum("value").alias("total_value"))
         .select(F.col("w.start").alias("window_start"), "event_type", "event_cnt", "total_value")
     )
+
+
+# ---------------------------------------------------------------------------
+# Session windows (T8)
+# ---------------------------------------------------------------------------
+
+
+def sessionized_stats(
+    events: DataFrame, gap: str = "6 hours", watermark: str = "12 hours"
+) -> DataFrame:
+    """Gap-based session aggregation via F.session_window — the streaming
+    twin of queries/sessions.t8_sessionization. A session closes once a
+    user is idle for ``gap``; with a watermark, closed sessions are
+    finalized and their state evicted, so state size tracks only the
+    OPEN sessions — the property that makes sessionization feasible on
+    an unbounded stream. Works on a batch DataFrame too (watermark no-op),
+    which is what the convergence test compares against.
+
+    Run the stream in **append** (or update) mode: in complete mode Spark
+    does NOT merge a batch's sessions with prior state (observed on 4.1:
+    each micro-batch's sessions land as separate rows), so cross-batch
+    sessions only assemble correctly under watermark-driven finalization.
+    """
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return (
+        src.groupBy(F.session_window("ts", gap).alias("sw"), F.col("user_id"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
+                "n_purchases"
+            ),
+            F.sum("value").alias("total_value"),
+        )
+        .select(
+            F.col("user_id"),
+            F.col("sw.start").alias("session_start"),
+            "n_events",
+            "n_purchases",
+            "total_value",
+        )
+    )
