@@ -39,13 +39,18 @@ def main() -> None:
         "t7_hourly_tumbling_window",
         "j9_date_spine_join",
     ]
-    # include LLM-pipeline ops when present
+    # include event-time + LLM-pipeline ops when present
     for opt in (
+        "t8_sessionization",
+        "j11_asof_join_last_view",
+        "j12_range_join_bucketed",
         "dedup_minhash_lsh_candidates",
         "dedup_ngram_jaccard_pairs",
         "ann_topk_cosine",
         "ann_ivf_topk",
+        "ann_lsh_bucket_topk",
         "text_quality_scores",
+        "text_tfidf_top_terms",
     ):
         if opt in registry:
             headline.append(opt)

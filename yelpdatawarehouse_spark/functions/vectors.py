@@ -47,3 +47,4 @@ def cosine_sql(a: str, b: str) -> str:
         f"(sqrt(list_inner_product({a}::DOUBLE[], {a}::DOUBLE[])) * "
         f"sqrt(list_inner_product({b}::DOUBLE[], {b}::DOUBLE[]))))"
     )
+

@@ -613,36 +613,50 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _srp_bucket_sql(vec: str, n_planes: int) -> str:
-    """Signed-random-projection bucket id via md5-derived pseudo-planes.
+def _srp_weights(n_planes: int = 4, dims: int = 64) -> list[list[float]]:
+    """Hyperplane weight table: plane p, dim i weight =
+    (md5_60bit(f"{p}:{i}") % 1000) - 499.5 — deterministic, zero-mean,
+    and the exact value ``hashing.seeded`` would compute per row. The
+    planes are row-independent CONSTANTS, so they are materialized once
+    here (driver-side md5) and embedded as literals in both the Spark
+    plan and the SQL oracle — the per-row md5(seed:i) evaluation that
+    used to dominate the LSH queries' runtime is gone, and the bucket
+    ids are bit-identical to the previous formulation.
+    """
+    import hashlib
 
-    Plane p, dim i weight = ((hash(p:i) % 1000) - 499.5) — deterministic,
-    portable, zero-mean. Bucket bit p = sign of <v, plane_p>.
+    return [
+        [
+            (int(hashlib.md5(f"{p}:{i}".encode()).hexdigest()[:15], 16) % 1000) - 499.5
+            for i in range(dims)
+        ]
+        for p in range(n_planes)
+    ]
+
+
+def _srp_bucket_sql(vec: str, n_planes: int) -> str:
+    """Signed-random-projection bucket id over literal hyperplanes.
+
+    Bucket bit p = sign of <v, plane_p>; the dot product is an explicit
+    left-to-right sum so DuckDB's float addition order matches Spark's
+    ``aggregate`` fold in :func:`_srp_bucket_col`.
     """
     bits = []
-    for p in range(n_planes):
-        w = f"(({hashing.seeded_sql('CAST(i AS VARCHAR)', p)}) % 1000 - 499.5)"
-        dotp = (
-            f"(SELECT sum({vec}[i + 1] * {w}) "
-            f"FROM range(64) r(i))"
+    for p, plane in enumerate(_srp_weights(n_planes)):
+        dotp = " + ".join(
+            f"{vec}[{i + 1}]::DOUBLE * ({w})" for i, w in enumerate(plane)
         )
-        bits.append(f"(CASE WHEN {dotp} >= 0 THEN {1 << p} ELSE 0 END)")
+        bits.append(f"(CASE WHEN ({dotp}) >= 0 THEN {1 << p} ELSE 0 END)")
     return "(" + " + ".join(bits) + ")"
 
 
 def _srp_bucket_col(emb_col: str = "embedding", n_planes: int = 4):
-    """Spark twin of _srp_bucket_sql: 4-bit hyperplane-sign bucket id.
-
-    Weight for plane p, dim i: (seeded_hash(p, i) % 1000) - 499.5 (zero-mean),
-    md5-derived so the DuckDB oracle assigns identical buckets.
-    """
+    """Spark twin of _srp_bucket_sql: 4-bit hyperplane-sign bucket id over
+    the same literal hyperplane table (see _srp_weights)."""
     emb = F.col(emb_col).cast("array<double>")
     bucket = None
-    for p in range(n_planes):
-        weights = F.transform(
-            F.sequence(F.lit(0), F.lit(63)),
-            lambda i: (hashing.seeded(i.cast("string"), p) % 1000).cast("double") - 499.5,
-        )
+    for p, plane in enumerate(_srp_weights(n_planes)):
+        weights = F.array(*[F.lit(w) for w in plane])
         dotp = F.aggregate(
             F.zip_with(emb, weights, lambda x, w: x * w), F.lit(0.0), lambda acc, x: acc + x
         )
@@ -841,12 +855,13 @@ def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH b AS (
         SELECT vec_id, embedding,
+               sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm,
                CAST({_srp_bucket_sql('embedding', 4)} AS BIGINT) AS bucket
         FROM embeddings
     ), scored AS (
         SELECT a.vec_id AS query_id, n.vec_id AS neighbor_id, a.bucket,
-               {rfix_sql(V.cosine_sql('a.embedding', 'n.embedding'), 6)} AS c6,
-               {rfix_sql(V.cosine_sql('a.embedding', 'n.embedding'), 4)} AS cos_sim
+               {rfix_sql(f"{V.dot_sql('a.embedding', 'n.embedding')} / (a.nrm * n.nrm)", 6)} AS c6,
+               {rfix_sql(f"{V.dot_sql('a.embedding', 'n.embedding')} / (a.nrm * n.nrm)", 4)} AS cos_sim
         FROM b a JOIN b n ON n.bucket = a.bucket AND n.vec_id <> a.vec_id
     )
     SELECT CAST(query_id AS BIGINT) AS query_id,
@@ -872,11 +887,25 @@ def ann_lsh_bucket_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     so engine and oracle agree bit-for-bit. Recall tradeoff vs the
     brute-force ann_topk_cosine baseline is the standard LSH contract.
     """
-    e = table(spark, sf_dir, "embeddings").select(
-        "vec_id", "embedding", _srp_bucket_col().alias("bucket")
+    # The bucketed + pre-normed projection IS the ANN index: materialize it
+    # once (eager localCheckpoint) so (a) norms are computed per ROW, not per
+    # pair, and (b) the probe join's generated code doesn't re-inline the
+    # 4x64-literal plane expressions on both sides — whole-stage-codegen
+    # compile time of that doubled expression tree dominated the cold run.
+    e = (
+        table(spark, sf_dir, "embeddings")
+        .select(
+            "vec_id",
+            "embedding",
+            _srp_bucket_col().alias("bucket"),
+            V.norm(F.col("embedding")).alias("nrm"),
+        )
+        .localCheckpoint(eager=True)
     )
     a, n = e.alias("a"), e.alias("n")
-    cos = V.cosine(F.col("a.embedding"), F.col("n.embedding"))
+    cos = V.dot(F.col("a.embedding"), F.col("n.embedding")) / (
+        F.col("a.nrm") * F.col("n.nrm")
+    )
     w = Window.partitionBy("query_id").orderBy(F.desc("c6"), F.asc("neighbor_id"))
     return (
         a.join(
