@@ -229,3 +229,47 @@ def test_sessionized_stats_stream_converges_to_batch(spark, tmp_path):
     got = key(spark.table("sess_stats").collect())
     want = key(sessionized_stats(ev).collect())
     assert got == want and len(want) > 0
+
+
+def test_stream_stream_interval_join_converges_to_batch(spark, tmp_path):
+    """The watermarked view⋈purchase interval join over micro-batches must
+    produce exactly the pairs the batch range join produces. Chunks are
+    TIME-ordered: a watermark is a bounded-disorder contract, so state
+    eviction is only correct for arrivals within the tolerance — the
+    event_id-sharded fixture violates it by a month and rows would be
+    (correctly) dropped as late."""
+    import os as _os
+
+    from yelpdatawarehouse_spark.streaming.pipeline import attributed_purchases
+
+    src = tmp_path / "incoming_join"
+    src.mkdir()
+    pdf = table(spark, SF, "events").toPandas().sort_values("ts").reset_index(drop=True)
+    for i, chunk in enumerate(
+        (pdf.iloc[: len(pdf) // 3], pdf.iloc[len(pdf) // 3 : 2 * len(pdf) // 3],
+         pdf.iloc[2 * len(pdf) // 3 :])
+    ):
+        chunk = chunk.copy()
+        chunk["ts"] = chunk["ts"].dt.strftime("%Y-%m-%dT%H:%M:%S.%f")
+        path = src / f"chunk_{i}.json"
+        chunk.to_json(path, orient="records", lines=True)
+        _os.utime(path, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    stream = event_file_stream(spark, str(src))
+    q = (
+        attributed_purchases(stream)
+        .writeStream.format("memory")
+        .queryName("attrib")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_j"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    def key(rows):
+        return {(r["view_id"], r["purchase_id"]) for r in rows}
+
+    got = key(spark.table("attrib").collect())
+    want = key(attributed_purchases(table(spark, SF, "events")).collect())
+    assert got == want and len(want) > 0

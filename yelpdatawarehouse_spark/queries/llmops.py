@@ -994,3 +994,38 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rn", F.row_number().over(w).cast("long"))
         .filter(F.col("rn") <= 3)
     )
+
+
+@register(
+    "text_top_bigrams",
+    oracle=f"""
+    WITH grams AS (
+        SELECT unnest({T.shingles_sql(_TOKS, 2)}) AS bigram FROM documents
+    )
+    SELECT bigram, CAST(count(*) AS BIGINT) AS gram_cnt
+    FROM grams
+    GROUP BY bigram
+    ORDER BY gram_cnt DESC, bigram
+    LIMIT 20
+    """,
+    tags=("TEXT", "A10", "O3"),
+)
+def text_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide bigram frequency, top-20 — the n-gram statistics pass a
+    corpus pipeline runs for tokenizer/LM training diagnostics.
+
+    Shingle construction is the same zip_with-over-slices used by MinHash
+    (functions/text.shingles, k=2): the token split is evaluated twice per
+    row, not per gram. One explode→groupBy(bigram) shuffle; Spark's partial
+    map-side counts do the heavy lifting before exchange, so the shuffle
+    carries only distinct grams per task — the corpus itself never moves.
+    Deterministic top-20 via the (count desc, bigram) tiebreak.
+    """
+    d = table(spark, sf_dir, "documents")
+    grams = d.select(F.explode(T.shingles(T.tokens("text"), 2)).alias("bigram"))
+    return (
+        grams.groupBy("bigram")
+        .agg(F.count("*").alias("gram_cnt"))
+        .orderBy(F.desc("gram_cnt"), F.asc("bigram"))
+        .limit(20)
+    )

@@ -295,3 +295,44 @@ def sessionized_stats(
             "total_value",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Stream-stream interval join (T8b — streaming twin of j12_range_join_bucketed)
+# ---------------------------------------------------------------------------
+
+
+def attributed_purchases(
+    events: DataFrame, window_hours: int = 24, watermark: str = "12 hours"
+) -> DataFrame:
+    """Stream-stream interval join: each purchase matched to the same-user
+    views in the preceding ``window_hours``.
+
+    Both sides carry a watermark and the join condition bounds purchase.ts
+    to [view.ts, view.ts + window], so Spark can expire buffered view state
+    once the watermark passes the window bound — state stays O(open window),
+    the property that makes stream-stream joins runnable indefinitely. On a
+    batch DataFrame the same plan degrades to the (bucketable) range join.
+    """
+    views = events.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"),
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("v_ts"),
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("p_ts"),
+        F.col("value").alias("p_value"),
+    )
+    if events.isStreaming:
+        views = views.withWatermark("v_ts", watermark)
+        purchases = purchases.withWatermark("p_ts", watermark)
+    cond = (
+        (F.col("p_user") == F.col("v_user"))
+        & (F.col("p_ts") >= F.col("v_ts"))
+        & (F.col("p_ts") < F.col("v_ts") + F.expr(f"INTERVAL {window_hours} HOURS"))
+    )
+    return views.join(purchases, cond).select(
+        "view_id", "purchase_id", F.col("v_user").alias("user_id"), "v_ts", "p_ts", "p_value"
+    )
