@@ -1029,3 +1029,97 @@ def text_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("gram_cnt"), F.asc("bigram"))
         .limit(20)
     )
+
+
+# Per-source sampling rates (percent of the md5 keyspace kept) for the
+# stratified downsample below.
+_STRATA_RATES = {"web": 40, "wiki": 80, "books": 100}
+
+
+@register(
+    "sample_stratified_hash",
+    oracle=f"""
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS kept_docs,
+           CAST(sum(n_chars) AS BIGINT) AS kept_chars
+    FROM (
+        SELECT source, n_chars,
+               {hashing.md5_long_sql("'sample:' || CAST(doc_id AS VARCHAR)")} % 100 AS slot
+        FROM documents
+    )
+    WHERE slot < CASE source
+                 {' '.join(f"WHEN '{k}' THEN {v}" for k, v in _STRATA_RATES.items())}
+                 ELSE 20 END
+    GROUP BY source
+    """,
+    tags=("SAMPLE", "A2"),
+)
+def sample_stratified_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified downsampling by keyed hash — keep a
+    per-stratum percentage of documents (web 40%, wiki 80%, books 100%,
+    default 20%), the data-mixing step of a corpus pipeline.
+
+    ``df.sampleBy`` draws per-partition randomness: resplitting the input
+    changes the sample, which is unacceptable for reproducible training
+    sets. Hashing the stable document key into 100 slots gives a sample
+    that is a pure function of the data — same rows on any cluster
+    layout, any engine (the oracle reproduces it bit-for-bit) — and it's
+    a stateless map over the scan: no shuffle at any scale.
+    """
+    d = table(spark, sf_dir, "documents")
+    slot = hashing.md5_long(F.concat(F.lit("sample:"), F.col("doc_id").cast("string"))) % 100
+    rate = F.lit(20)
+    for src, pct in _STRATA_RATES.items():
+        rate = F.when(F.col("source") == src, pct).otherwise(rate)
+    return (
+        d.withColumn("slot", slot)
+        .filter(F.col("slot") < rate)
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("kept_docs"),
+            F.sum("n_chars").cast("long").alias("kept_chars"),
+        )
+    )
+
+
+@register(
+    "split_train_val_test",
+    oracle=f"""
+    SELECT source, split,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(min(doc_id) AS BIGINT) AS min_doc
+    FROM (
+        SELECT source, doc_id,
+               CASE WHEN slot < 90 THEN 'train'
+                    WHEN slot < 95 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM (SELECT source, doc_id,
+                     {hashing.md5_long_sql("'split:' || CAST(doc_id AS VARCHAR)")} % 100 AS slot
+              FROM documents)
+    )
+    GROUP BY source, split
+    """,
+    tags=("SAMPLE", "A2"),
+)
+def split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/5/5 train/val/test assignment by keyed hash.
+
+    Same reproducibility argument as sample_stratified_hash: the split is
+    a pure function of the document key (salted so it is independent of
+    the sampling hash above — a document's sample slot says nothing about
+    its split slot), survives any repartitioning, and needs no shuffle;
+    the reported per-(source, split) counts aggregate in one exchange.
+    """
+    d = table(spark, sf_dir, "documents")
+    slot = hashing.md5_long(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))) % 100
+    split = (
+        F.when(slot < 90, "train").when(slot < 95, "val").otherwise("test")
+    )
+    return (
+        d.select("source", "doc_id", split.alias("split"))
+        .groupBy("source", "split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("doc_id").cast("long").alias("min_doc"),
+        )
+    )
