@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.presentation import rfix, rfix_sql
 from ..operators.graph import bfs_min_hops
 from ..sources.tables import table
 from .registry import register
@@ -106,3 +107,59 @@ def g_degree_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return n.join(deg, n.n_nationkey == deg.src, "left").select(
         "n_name", F.coalesce("degree", F.lit(0)).cast("long").alias("degree")
     )
+
+
+@register(
+    "g_pagerank_nations",
+    oracle=f"""
+    WITH {_EDGE_SQL},
+    nodes AS (SELECT n_nationkey AS node FROM nation),
+    ncnt AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+    outdeg AS (SELECT src, CAST(count(*) AS DOUBLE) AS od FROM edges GROUP BY src),
+    pr0 AS (SELECT node, 1.0 / (SELECT n FROM ncnt) AS rank FROM nodes),
+    pr1 AS (SELECT nn.node, 0.15 / (SELECT n FROM ncnt) + 0.85 * coalesce(c.contrib, 0) AS rank FROM nodes nn LEFT JOIN (SELECT e.dst, sum(p.rank / od.od) AS contrib FROM edges e JOIN pr0 p ON p.node = e.src JOIN outdeg od ON od.src = e.src GROUP BY e.dst) c ON c.dst = nn.node),
+    pr2 AS (SELECT nn.node, 0.15 / (SELECT n FROM ncnt) + 0.85 * coalesce(c.contrib, 0) AS rank FROM nodes nn LEFT JOIN (SELECT e.dst, sum(p.rank / od.od) AS contrib FROM edges e JOIN pr1 p ON p.node = e.src JOIN outdeg od ON od.src = e.src GROUP BY e.dst) c ON c.dst = nn.node),
+    pr3 AS (SELECT nn.node, 0.15 / (SELECT n FROM ncnt) + 0.85 * coalesce(c.contrib, 0) AS rank FROM nodes nn LEFT JOIN (SELECT e.dst, sum(p.rank / od.od) AS contrib FROM edges e JOIN pr2 p ON p.node = e.src JOIN outdeg od ON od.src = e.src GROUP BY e.dst) c ON c.dst = nn.node),
+    pr4 AS (SELECT nn.node, 0.15 / (SELECT n FROM ncnt) + 0.85 * coalesce(c.contrib, 0) AS rank FROM nodes nn LEFT JOIN (SELECT e.dst, sum(p.rank / od.od) AS contrib FROM edges e JOIN pr3 p ON p.node = e.src JOIN outdeg od ON od.src = e.src GROUP BY e.dst) c ON c.dst = nn.node),
+    pr5 AS (SELECT nn.node, 0.15 / (SELECT n FROM ncnt) + 0.85 * coalesce(c.contrib, 0) AS rank FROM nodes nn LEFT JOIN (SELECT e.dst, sum(p.rank / od.od) AS contrib FROM edges e JOIN pr4 p ON p.node = e.src JOIN outdeg od ON od.src = e.src GROUP BY e.dst) c ON c.dst = nn.node)
+    SELECT CAST(node AS BIGINT) AS node,
+           {rfix_sql('rank', 6)} AS rank
+    FROM pr5
+    """,
+    tags=("A16", "J10", "ITER"),
+)
+def g_pagerank_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (damping 0.85, 5 fixed iterations) over the nation trade
+    graph — the canonical iterative-algorithm shape the reference cannot
+    express (its graph store would need the Neo4j GDS plugin; none is
+    installed, docker-compose.yml:51-58).
+
+    Scale shape: the fact-scale edge DERIVATION runs once and is pinned
+    with an eager localCheckpoint, so the 5 iterations re-join only the
+    node-sized rank state — one shuffle on dst per iteration, state
+    O(nodes), lineage kept flat instead of 5x fact joins. Isolated
+    nodes keep the (1-d)/N base; the symmetric edge set has no dangling
+    mass. The oracle unrolls the same 5 iterations as chained CTEs.
+    """
+    edges = trade_edges(spark, sf_dir).localCheckpoint(eager=True)
+    nodes = table(spark, sf_dir, "nation").select(F.col("n_nationkey").alias("node"))
+    ncnt = F.broadcast(nodes.agg(F.count("*").cast("double").alias("n")))
+    outdeg = edges.groupBy("src").agg(F.count("*").cast("double").alias("od"))
+    ranks = nodes.crossJoin(ncnt).select("node", (F.lit(1.0) / F.col("n")).alias("rank"))
+    for _ in range(5):
+        contrib = (
+            edges.join(ranks, edges.src == ranks.node)
+            .join(outdeg, "src")
+            .groupBy("dst")
+            .agg(F.sum(F.col("rank") / F.col("od")).alias("contrib"))
+        )
+        ranks = (
+            nodes.crossJoin(ncnt)
+            .join(contrib, nodes.node == contrib.dst, "left")
+            .select(
+                "node",
+                (F.lit(0.15) / F.col("n")
+                 + F.lit(0.85) * F.coalesce(F.col("contrib"), F.lit(0.0))).alias("rank"),
+            )
+        )
+    return ranks.select(F.col("node").cast("long").alias("node"), rfix("rank", 6).alias("rank"))
