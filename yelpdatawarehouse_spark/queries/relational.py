@@ -1464,3 +1464,90 @@ def w5_segment_spend_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("gap_to_next"),
         rfix(F.first("total_spent").over(w)).alias("segment_top"),
     )
+
+
+@register(
+    "w6_sliding_30day_avg",
+    oracle=f"""
+    SELECT CAST(o_custkey AS BIGINT) AS custkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+           CAST(epoch(o_orderdate) // 86400 AS BIGINT) AS day_no,
+           {rfix_sql("avg(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY epoch(o_orderdate) // 86400 RANGE BETWEEN 29 PRECEDING AND CURRENT ROW)")} AS avg_30d,
+           CAST(count(*) OVER (PARTITION BY o_custkey ORDER BY epoch(o_orderdate) // 86400 RANGE BETWEEN 29 PRECEDING AND CURRENT ROW) AS BIGINT) AS cnt_30d
+    FROM orders
+    """,
+    tags=("W6", "W3"),
+)
+def w6_sliding_30day_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-based sliding window: per customer, the average and count of
+    orders in the trailing 30 DAYS — a RANGE frame over the event-time
+    axis, not a ROWS frame over positions (w3): rows 40 days apart do not
+    see each other even when adjacent in sequence, and tied days share
+    one frame. Frame bounds are on integer day numbers (orders carry
+    midnight timestamps; epoch//86400 ≡ unix_date), identical on both
+    engines. One shuffle on custkey, like every window here.
+
+    Reference analog: none — review_trends (webapp/mysql_routes.py:708-760)
+    buckets by calendar month because MySQL 8.0 window RANGE frames were
+    not used anywhere in the codebase.
+    """
+    o = table(spark, sf_dir, "orders")
+    # orders carry midnight stamps; unix_date(to_date) is the tz-free day
+    # number and works whether parquet surfaces TIMESTAMP or TIMESTAMP_NTZ
+    day_no = F.unix_date(F.to_date("o_orderdate"))
+    w = (
+        Window.partitionBy("custkey")
+        .orderBy("day_no")
+        .rangeBetween(-29, Window.currentRow)
+    )
+    return o.select(
+        F.col("o_custkey").cast("long").alias("custkey"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+        day_no.cast("long").alias("day_no"),
+        "o_totalprice",
+    ).select(
+        "custkey",
+        "order_date",
+        "day_no",
+        rfix(F.avg("o_totalprice").over(w)).alias("avg_30d"),
+        F.count("*").over(w).cast("long").alias("cnt_30d"),
+    )
+
+
+@register(
+    "a_unpivot_status_counts",
+    oracle="""
+    WITH wide AS (
+        SELECT o_orderpriority,
+               CAST(count(*) FILTER (o_orderstatus = 'O') AS BIGINT) AS cnt_open,
+               CAST(count(*) FILTER (o_orderstatus = 'F') AS BIGINT) AS cnt_filled,
+               CAST(count(*) FILTER (o_orderstatus = 'P') AS BIGINT) AS cnt_partial
+        FROM orders GROUP BY o_orderpriority
+    )
+    SELECT o_orderpriority, status, cnt
+    FROM wide
+    UNPIVOT (cnt FOR status IN (cnt_open AS 'open', cnt_filled AS 'filled',
+                                cnt_partial AS 'partial'))
+    """,
+    tags=("F9", "A4", "UNPIVOT"),
+)
+def a_unpivot_status_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot then melt back to long form (unpivot via ``stack``) — the
+    wide↔long reshape every feature-table pipeline needs; the reference
+    reshapes in dashboard JS instead (year_comparison Python pivot,
+    webapp/mysql_routes.py:863-898). The wide aggregate is one conditional-
+    count pass (A4); stack() is a zero-shuffle projection.
+    """
+    o = table(spark, sf_dir, "orders")
+    wide = o.groupBy("o_orderpriority").agg(
+        F.count(F.when(F.col("o_orderstatus") == "O", 1)).cast("long").alias("cnt_open"),
+        F.count(F.when(F.col("o_orderstatus") == "F", 1)).cast("long").alias("cnt_filled"),
+        F.count(F.when(F.col("o_orderstatus") == "P", 1)).cast("long").alias("cnt_partial"),
+    )
+    return wide.select(
+        "o_orderpriority",
+        F.expr(
+            "stack(3, 'open', cnt_open, 'filled', cnt_filled, 'partial', cnt_partial) "
+            "AS (status, cnt)"
+        ),
+    )
