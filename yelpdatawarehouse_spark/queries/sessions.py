@@ -228,3 +228,65 @@ def j12_range_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
             rfix(F.sum("p_value")).alias("purchase_value"),
         )
     )
+
+
+@register(
+    "a_funnel_signup_view_purchase",
+    oracle=f"""
+    WITH s AS (
+        SELECT user_id, min(ts) AS s_ts FROM events
+        WHERE event_type = 'signup' GROUP BY user_id
+    ), v AS (
+        SELECT e.user_id, min(e.ts) AS v_ts
+        FROM events e JOIN s ON s.user_id = e.user_id AND e.ts >= s.s_ts
+        WHERE e.event_type = 'view' GROUP BY e.user_id
+    ), p AS (
+        SELECT e.user_id, min(e.ts) AS p_ts
+        FROM events e JOIN v ON v.user_id = e.user_id AND e.ts >= v.v_ts
+        WHERE e.event_type = 'purchase' GROUP BY e.user_id
+    )
+    SELECT stage, CAST(n_users AS BIGINT) AS n_users FROM (
+        SELECT '1_signup' AS stage, count(*) AS n_users FROM s
+        UNION ALL SELECT '2_view_after_signup', count(*) FROM v
+        UNION ALL SELECT '3_purchase_after_view', count(*) FROM p
+    )
+    """,
+    tags=("FUNNEL", "A2", "J11"),
+)
+def a_funnel_signup_view_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel: users who signed up, then viewed at or
+    after their first signup, then purchased at or after that first view —
+    the product-analytics sequence query the reference's dashboards can't
+    ask (every endpoint aggregates one event type at a time).
+
+    Each stage is a groupBy(user_id) min plus a join back to events on the
+    SAME key, so all three stages ride one user_id hash partitioning and
+    the per-stage state is one timestamp per user. The event table is
+    scanned per stage but filtered to one type at the scan (pushed
+    predicate), never materialized per pair — at 100 TB this is 3 pruned
+    scans + co-partitioned joins, no window over the full stream.
+    """
+    ev = table(spark, sf_dir, "events")
+
+    def stage(prev: DataFrame | None, etype: str, prev_ts: str, out_ts: str) -> DataFrame:
+        src = ev.filter(F.col("event_type") == etype)
+        if prev is not None:
+            src = src.join(prev, "user_id").filter(F.col("ts") >= F.col(prev_ts))
+        return src.groupBy("user_id").agg(F.min("ts").alias(out_ts))
+
+    s = stage(None, "signup", "", "s_ts")
+    v = stage(s, "view", "s_ts", "v_ts")
+    p = stage(v, "purchase", "v_ts", "p_ts")
+    counts = [
+        s.agg(F.count("*").alias("n_users")).select(F.lit("1_signup").alias("stage"), "n_users"),
+        v.agg(F.count("*").alias("n_users")).select(
+            F.lit("2_view_after_signup").alias("stage"), "n_users"
+        ),
+        p.agg(F.count("*").alias("n_users")).select(
+            F.lit("3_purchase_after_view").alias("stage"), "n_users"
+        ),
+    ]
+    out = counts[0]
+    for c in counts[1:]:
+        out = out.unionByName(c)
+    return out
