@@ -41,6 +41,8 @@ def main() -> None:
     ]
     # include event-time + LLM-pipeline ops when present
     for opt in (
+        "g_pagerank_nations",
+        "a_funnel_signup_view_purchase",
         "t8_sessionization",
         "j11_asof_join_last_view",
         "j12_range_join_bucketed",

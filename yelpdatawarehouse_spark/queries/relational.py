@@ -1551,3 +1551,67 @@ def a_unpivot_status_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             "AS (status, cnt)"
         ),
     )
+
+
+@register(
+    "a_mode_priority_per_segment",
+    oracle="""
+    SELECT segment, priority AS mode_priority, CAST(cnt AS BIGINT) AS cnt
+    FROM (
+        SELECT c.c_mktsegment AS segment, o.o_orderpriority AS priority,
+               count(*) AS cnt,
+               row_number() OVER (PARTITION BY c.c_mktsegment
+                                  ORDER BY count(*) DESC, o.o_orderpriority) AS rn
+        FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+        GROUP BY 1, 2
+    )
+    WHERE rn = 1
+    """,
+    tags=("A-mode", "A2", "W1"),
+)
+def a_mode_priority_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most-frequent value (statistical mode) per group, with a
+    deterministic tie-break — built as count + rank rather than F.mode(),
+    whose tie behavior is engine-defined and therefore un-oracle-able.
+    The window input is the (segment, priority) aggregate — 25 rows — so
+    the rank pass is free at any scale; the count shuffle dominates.
+    """
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    counts = (
+        c.join(o, o.o_custkey == c.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("segment"), F.col("o_orderpriority").alias("priority"))
+        .agg(F.count("*").alias("cnt"))
+    )
+    w = Window.partitionBy("segment").orderBy(F.desc("cnt"), F.asc("priority"))
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("segment", F.col("priority").alias("mode_priority"), "cnt")
+    )
+
+
+@register(
+    "a_array_assembly_per_user",
+    oracle="""
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           list_sort(list(DISTINCT event_type)) AS types_seen,
+           CAST(count(DISTINCT event_type) AS BIGINT) AS n_types
+    FROM events
+    GROUP BY user_id
+    """,
+    tags=("A-array", "F10", "A8"),
+)
+def a_array_assembly_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested-result assembly: per user, the SORTED distinct event types
+    as an array column — the grouping-into-example step of a training
+    pipeline (assembling chunks/labels per key into one nested row).
+    collect_set order is partition-dependent, so the array is canonical-
+    ized with sort_array; with that, nested output hash-matches the
+    oracle's list(DISTINCT ... ) + list_sort exactly. One shuffle.
+    """
+    ev = table(spark, sf_dir, "events")
+    return ev.groupBy(F.col("user_id").cast("long").alias("user_id")).agg(
+        F.sort_array(F.collect_set("event_type")).alias("types_seen"),
+        F.countDistinct("event_type").cast("long").alias("n_types"),
+    )
