@@ -1123,3 +1123,103 @@ def split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("doc_id").cast("long").alias("min_doc"),
         )
     )
+
+
+# Mixing weights: average copies of each document per epoch of the blended
+# corpus (fractional part applied via an independent hash slot).
+_MIX_WEIGHTS = {"books": 2.5, "wiki": 1.0, "web": 0.5}
+
+
+@register(
+    "sample_weighted_mix",
+    oracle=f"""
+    WITH w AS (
+        SELECT source, doc_id, n_chars,
+               CASE source {' '.join(f"WHEN '{k}' THEN {int(v)}" for k, v in _MIX_WEIGHTS.items())} ELSE 1 END
+                 AS whole,
+               CASE source {' '.join(f"WHEN '{k}' THEN {int(round((v - int(v)) * 100))}" for k, v in _MIX_WEIGHTS.items())} ELSE 0 END
+                 AS frac_pct,
+               {hashing.md5_long_sql("'mix:' || CAST(doc_id AS VARCHAR)")} % 100 AS slot
+        FROM documents
+    ), expanded AS (
+        SELECT source, doc_id, n_chars,
+               whole + CASE WHEN slot < frac_pct THEN 1 ELSE 0 END AS copies
+        FROM w
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs_in,
+           CAST(sum(copies) AS BIGINT) AS n_docs_out,
+           CAST(sum(copies * n_chars) AS BIGINT) AS chars_out
+    FROM expanded
+    GROUP BY source
+    """,
+    tags=("SAMPLE", "A2"),
+)
+def sample_weighted_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted corpus mixing (upsampling): each document is
+    repeated floor(w) times plus one more for the hash-chosen fraction of
+    its stratum — books 2.5x, wiki 1x, web 0.5x — the blend step after
+    [[sample_stratified_hash]]'s filtering.
+
+    Like the other sampling ops, repetition is a pure function of the
+    document key (salted 'mix:' hash, independent of the sample/split
+    hashes), so the blended corpus is identical on any layout. At scale
+    the expansion is explode(sequence(1, copies)) — a stateless
+    flatMap, no shuffle; this query reports the per-source blend totals
+    (sum(copies) ≡ the exploded row count, cheaper to verify).
+    """
+    d = table(spark, sf_dir, "documents")
+    whole = F.lit(1)
+    frac_pct = F.lit(0)
+    for src, wgt in _MIX_WEIGHTS.items():
+        whole = F.when(F.col("source") == src, int(wgt)).otherwise(whole)
+        frac_pct = F.when(F.col("source") == src, int(round((wgt - int(wgt)) * 100))).otherwise(
+            frac_pct
+        )
+    slot = hashing.md5_long(F.concat(F.lit("mix:"), F.col("doc_id").cast("string"))) % 100
+    copies = whole + F.when(slot < frac_pct, 1).otherwise(0)
+    return (
+        d.withColumn("copies", copies)
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs_in"),
+            F.sum("copies").cast("long").alias("n_docs_out"),
+            F.sum(F.col("copies") * F.col("n_chars")).cast("long").alias("chars_out"),
+        )
+    )
+
+
+@register(
+    "diag_key_skew_profile",
+    oracle="""
+    WITH sizes AS (
+        SELECT l_partkey, CAST(count(*) AS BIGINT) AS group_sz
+        FROM lineitem GROUP BY l_partkey
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_keys,
+           CAST(min(group_sz) AS BIGINT) AS min_sz,
+           CAST(max(group_sz) AS BIGINT) AS max_sz,
+           CAST(sum(group_sz) AS BIGINT) AS n_rows,
+           (floor(quantile_cont(group_sz, 0.50) * 100 + 0.5) / 100) AS p50_sz,
+           (floor(quantile_cont(group_sz, 0.99) * 100 + 0.5) / 100) AS p99_sz
+    FROM sizes
+    """,
+    tags=("SKEW", "A13"),
+)
+def diag_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-distribution profiler for join/agg planning: group-size min,
+    max, exact interpolated p50/p99 over l_partkey — the diagnostic that
+    decides whether a key needs salting (operators/skew) or AQE's skew
+    join can handle it. Two aggregations: the fact-scale groupBy, then a
+    single-partition reduce over the (already tiny) per-key sizes.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    sizes = li.groupBy("l_partkey").agg(F.count("*").alias("group_sz"))
+    return sizes.agg(
+        F.count("*").alias("n_keys"),
+        F.min("group_sz").alias("min_sz"),
+        F.max("group_sz").alias("max_sz"),
+        F.sum("group_sz").alias("n_rows"),
+        rfix(F.expr("percentile(group_sz, 0.50)")).alias("p50_sz"),
+        rfix(F.expr("percentile(group_sz, 0.99)")).alias("p99_sz"),
+    )
