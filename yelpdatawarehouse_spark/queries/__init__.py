@@ -8,6 +8,14 @@ from .registry import REGISTRY, oracles, queries  # noqa: F401
 def all_queries():
     """Import every query module (registration side effect) and return the
     registry."""
-    from . import dynamic, graphq, llmops, mmops, relational, sessions  # noqa: F401
+    from . import (  # noqa: F401
+        dynamic,
+        graphq,
+        llmops,
+        mmops,
+        relational,
+        sessions,
+        sketches,
+    )
 
     return REGISTRY

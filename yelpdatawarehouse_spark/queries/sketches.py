@@ -1,0 +1,191 @@
+"""Approximate (sketch) aggregates and multi-set grouping surfaces.
+
+Sketches are the scale path for cardinality/quantile questions: an exact
+``count(DISTINCT x)`` over 100 TB shuffles every distinct key once, while a
+HyperLogLog++ sketch is a fixed few-KB buffer per group, mergeable map-side
+(partial aggregation), so the shuffle carries sketches instead of keys.
+Likewise ``approx_percentile`` (KLL/GK-style) replaces a full sort with a
+bounded-memory mergeable summary.
+
+Approximation needs its own correctness contract: the driver's oracle gate
+compares value hashes, and a sketch's raw output is not bit-reproducible
+across engines. These queries therefore return the EXACT value (independently
+computed) plus a BOOLEAN asserting the sketch landed inside its documented
+error envelope; the oracle computes the same exact value and asserts literal
+TRUE. The gate then verifies both that the exact path matches DuckDB and
+that the sketch's error bound held — which is precisely the guarantee a user
+of the approximate operator relies on.
+
+Reference analog: the reference has no approximate aggregates (every
+COUNT(DISTINCT ...) is exact, e.g. webapp/mysql_routes.py user stats); these
+are beyond-reference scale operators.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.presentation import rfix, rfix_sql
+from ..sources.tables import table
+from .registry import register
+
+
+@register(
+    "a_approx_distinct_check",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count(DISTINCT o_custkey) AS BIGINT) AS exact_uniques,
+           TRUE AS hll_within_5pct
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    tags=("SKETCH", "A8"),
+)
+def a_approx_distinct_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct buyers per order priority, exact AND via HyperLogLog++
+    (``approx_count_distinct`` rsd=0.01), returning the exact count plus a
+    boolean that the sketch landed within ±5% (5 standard deviations — the
+    check is deterministic, not flaky, because the sketch itself is
+    deterministic for a fixed input set).
+
+    At scale only the sketch path survives: it aggregates map-side into a
+    fixed-width buffer per group, so the exchange carries ~4 KB per
+    (group × partition) instead of one row per distinct key. The exact
+    column here is the verification harness, not the scale path.
+    """
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.countDistinct("o_custkey").alias("exact_uniques"),
+            F.approx_count_distinct("o_custkey", 0.01).alias("hll"),
+        )
+        .select(
+            "o_orderpriority",
+            "exact_uniques",
+            (
+                F.abs(F.col("hll") - F.col("exact_uniques"))
+                <= 0.05 * F.col("exact_uniques")
+            ).alias("hll_within_5pct"),
+        )
+    )
+
+
+@register(
+    "a_approx_median_band",
+    oracle=f"""
+    SELECT l_returnflag,
+           {rfix_sql("quantile_cont(l_extendedprice, 0.5)")} AS exact_median,
+           TRUE AS approx_in_band
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("SKETCH", "A-pctl"),
+)
+def a_approx_median_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median extended price per return flag: the exact interpolated median,
+    plus a boolean that ``approx_percentile`` (mergeable GK summary,
+    accuracy=10000) falls inside the exact [p48, p52] band.
+
+    The exact ``percentile`` sorts every group; the approx path is the one
+    that scales (bounded memory, map-side mergeable). The band check pins the
+    approximation contract into the oracle gate: a regression in the sketch
+    (or a wrong accuracy parameter) flips the boolean and fails the hash.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            rfix(F.expr("percentile(l_extendedprice, 0.5)")).alias("exact_median"),
+            F.expr("approx_percentile(l_extendedprice, 0.5, 10000)").alias("ap"),
+            F.expr("percentile(l_extendedprice, 0.48)").alias("lo"),
+            F.expr("percentile(l_extendedprice, 0.52)").alias("hi"),
+        )
+        .select(
+            "l_returnflag",
+            "exact_median",
+            ((F.col("ap") >= F.col("lo")) & (F.col("ap") <= F.col("hi"))).alias(
+                "approx_in_band"
+            ),
+        )
+    )
+
+
+@register(
+    "a_grouping_sets_mixed",
+    oracle="""
+    SELECT coalesce(n_name, 'ALL') AS nation,
+           coalesce(c_mktsegment, 'ALL') AS segment,
+           CAST(grouping(n_name) AS INTEGER) AS g_nation,
+           CAST(grouping(c_mktsegment) AS INTEGER) AS g_segment,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(sum(c_acctbal) AS DOUBLE) AS total_acctbal
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY GROUPING SETS ((n_name), (c_mktsegment), ())
+    """,
+    tags=("A-cube",),
+)
+def a_grouping_sets_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — two independent one-dimension rollups plus
+    the grand total in ONE aggregation pass (vs three scans + UNION ALL),
+    with ``grouping()`` flags disambiguating which set each row belongs to.
+
+    Complements the cube (a_cube_priority_status) and rollup
+    (a_rollup_region_nation) queries: GROUPING SETS is the primitive both
+    desugar to. Single shuffle; Spark expands each input row once per
+    grouping set map-side and partially aggregates before the exchange.
+    c_acctbal values are exact in storage and summed identically by both
+    engines, so the sum is emitted raw (no rounding needed beyond cast).
+    """
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    j = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+    return (
+        j.groupingSets(
+            [[F.col("n_name")], [F.col("c_mktsegment")], []],
+            F.col("n_name"),
+            F.col("c_mktsegment"),
+        )
+        .agg(
+            F.grouping("n_name").cast("int").alias("g_nation"),
+            F.grouping("c_mktsegment").cast("int").alias("g_segment"),
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("c_acctbal").alias("total_acctbal"),
+        )
+        .select(
+            F.coalesce("n_name", F.lit("ALL")).alias("nation"),
+            F.coalesce("c_mktsegment", F.lit("ALL")).alias("segment"),
+            "g_nation",
+            "g_segment",
+            "n_customers",
+            F.col("total_acctbal").cast("double").alias("total_acctbal"),
+        )
+    )
+
+
+@register(
+    "set_except_all_lines",
+    oracle="""
+    SELECT l_returnflag, l_linestatus
+    FROM lineitem WHERE l_quantity > 10
+    EXCEPT ALL
+    SELECT l_returnflag, l_linestatus
+    FROM lineitem WHERE l_discount > 0.05
+    """,
+    tags=("SET",),
+)
+def set_except_all_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL — bag (multiplicity-preserving) difference, completing
+    §2.7 alongside the DISTINCT-semantics set ops (set_union_nations etc.).
+
+    Spark plans this as a single hash aggregation over the union of both
+    sides with per-side counts (no join): one shuffle on the value columns,
+    multiplicities subtracted in the reduce — the same shape it would keep
+    at 100 TB. The duplicate rows in the result are exactly what the
+    DISTINCT variant would collapse.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    big = li.filter(F.col("l_quantity") > 10).select("l_returnflag", "l_linestatus")
+    disc = li.filter(F.col("l_discount") > 0.05).select("l_returnflag", "l_linestatus")
+    return big.exceptAll(disc)
