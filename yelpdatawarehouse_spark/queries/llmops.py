@@ -1223,3 +1223,241 @@ def diag_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         rfix(F.expr("percentile(group_sz, 0.50)")).alias("p50_sz"),
         rfix(F.expr("percentile(group_sz, 0.99)")).alias("p99_sz"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Chunking, filtering, clustering — the downstream corpus-prep stages
+# ---------------------------------------------------------------------------
+
+_CHUNK, _STRIDE = 16, 12  # tokens per chunk / sliding stride (4-token overlap)
+
+
+@register(
+    "text_chunk_sliding",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    s AS (SELECT doc_id, toks,
+                 unnest(range(0, greatest(len(toks), 1), {_STRIDE})) AS start
+          FROM t)
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(start // {_STRIDE} AS BIGINT) AS chunk_idx,
+           CAST(len(list_slice(toks, start + 1, start + {_CHUNK})) AS BIGINT)
+               AS n_tokens,
+           md5(array_to_string(list_slice(toks, start + 1, start + {_CHUNK}), ' '))
+               AS chunk_hash
+    FROM s
+    """,
+    tags=("TEXT", "CHUNK"),
+)
+def text_chunk_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking: 16-token chunks every 12 tokens
+    (4-token overlap) — the standard pre-embedding / pre-tokenization split
+    for long documents.
+
+    Pure stateless row expansion: sequence() builds the chunk starts,
+    explode() flattens, slice() cuts each window — a flatMap with NO
+    shuffle, so at 100 TB it streams through executors at scan speed and
+    parallelism is inherited from the input partitioning. Chunk text is
+    emitted as md5 so the verified payload stays narrow.
+    """
+    d = table(spark, sf_dir, "documents")
+    base = d.select(
+        F.col("doc_id").cast("long").alias("doc_id"), T.tokens("text").alias("toks")
+    )
+    n = F.size("toks")
+    exploded = base.select(
+        "doc_id",
+        "toks",
+        F.explode(
+            F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(_STRIDE))
+        ).alias("start"),
+    )
+    chunk = F.slice(F.col("toks"), F.col("start") + 1, _CHUNK)
+    return exploded.select(
+        "doc_id",
+        (F.col("start") / _STRIDE).cast("long").alias("chunk_idx"),
+        F.size(chunk).cast("long").alias("n_tokens"),
+        F.md5(F.array_join(chunk, " ")).alias("chunk_hash"),
+    )
+
+
+@register(
+    "text_top_token_repetition",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents),
+    cnt AS (SELECT doc_id, tok, count(*) AS c FROM tok GROUP BY doc_id, tok),
+    m AS (SELECT doc_id, CAST(max(c) AS BIGINT) AS top_cnt,
+                 CAST(sum(c) AS BIGINT) AS n_tokens
+          FROM cnt GROUP BY doc_id)
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, top_cnt, n_tokens,
+           {rfix_sql('top_cnt::DOUBLE / n_tokens', 4)} AS top_ratio,
+           (top_cnt::DOUBLE / n_tokens > 0.2) AS repetitive
+    FROM m
+    """,
+    tags=("TEXT", "FILTER"),
+)
+def text_top_token_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition detector (Gopher-style): the most frequent
+    token's share of the document; > 20% flags boilerplate/spam.
+
+    Explode → two-level aggregation. The (doc_id, token) count partially
+    aggregates map-side, and because the second groupBy's key (doc_id) is a
+    prefix of the first's, Catalyst reuses the same hash partitioning — the
+    doc-level max/sum needs no second exchange. Scale cost is one shuffle
+    of the distinct (doc, token) pairs, never the raw token stream.
+    """
+    d = table(spark, sf_dir, "documents")
+    tok = d.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.explode(T.tokens("text")).alias("tok"),
+    )
+    cnt = tok.groupBy("doc_id", "tok").agg(F.count("*").alias("c"))
+    m = cnt.groupBy("doc_id").agg(
+        F.max("c").alias("top_cnt"), F.sum("c").alias("n_tokens")
+    )
+    ratio = F.col("top_cnt").cast("double") / F.col("n_tokens")
+    return m.select(
+        "doc_id",
+        "top_cnt",
+        "n_tokens",
+        rfix(ratio, 4).alias("top_ratio"),
+        (ratio > 0.2).alias("repetitive"),
+    )
+
+
+@register(
+    "text_quality_filter_stats",
+    oracle=f"""
+    WITH t AS (SELECT source, n_chars, {_TOKS} AS toks FROM documents),
+    m AS (SELECT source, n_chars,
+                 len(toks) AS n,
+                 len(list_distinct(toks))::DOUBLE / len(toks) AS uniq_ratio,
+                 {T.marker_count_sql('toks', T.STOPWORDS)}::DOUBLE / len(toks)
+                     AS stop_ratio
+          FROM t),
+    v AS (SELECT source, n_chars,
+                 CASE WHEN n < 15 THEN 'too_short'
+                      WHEN uniq_ratio < 0.35 THEN 'low_diversity'
+                      WHEN stop_ratio < 0.01 THEN 'no_stopwords'
+                      ELSE 'keep' END AS verdict
+          FROM m)
+    SELECT source, verdict,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS n_chars
+    FROM v GROUP BY source, verdict
+    """,
+    tags=("TEXT", "FILTER"),
+)
+def text_quality_filter_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/C4-style quality-filter pipeline: per-document keep/drop
+    verdict (first failing rule wins — length, lexical diversity, stopword
+    presence) rolled up to corpus yield per (source, verdict).
+
+    The per-doc verdict is a pure row expression (higher-order functions,
+    no shuffle); the rollup is one map-side-combined aggregation over a
+    handful of groups. This is the triage report a 100 TB cleaning run
+    produces before committing to the filtered write — the same verdict
+    column, kept per-row, IS the filter predicate downstream.
+    """
+    d = table(spark, sf_dir, "documents")
+    toks = T.tokens("text")
+    m = d.select(
+        "source",
+        "n_chars",
+        F.size(toks).alias("n"),
+        (F.size(F.array_distinct(toks)).cast("double") / F.size(toks)).alias(
+            "uniq_ratio"
+        ),
+        (T.marker_count(toks, T.STOPWORDS).cast("double") / F.size(toks)).alias(
+            "stop_ratio"
+        ),
+    )
+    verdict = (
+        F.when(F.col("n") < 15, "too_short")
+        .when(F.col("uniq_ratio") < 0.35, "low_diversity")
+        .when(F.col("stop_ratio") < 0.01, "no_stopwords")
+        .otherwise("keep")
+    )
+    return (
+        m.select("source", "n_chars", verdict.alias("verdict"))
+        .groupBy("source", "verdict")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("n_chars"),
+        )
+    )
+
+
+_KMEANS_K = 8
+
+
+def _kmeans_oracle() -> str:
+    return f"""
+    WITH cents AS (
+        SELECT vec_id AS cid, embedding::DOUBLE[] AS c
+        FROM embeddings WHERE vec_id < {_KMEANS_K}
+    ),
+    d AS (
+        SELECT e.vec_id, cents.cid,
+               list_inner_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])
+               + list_inner_product(cents.c, cents.c)
+               - 2 * list_inner_product(e.embedding::DOUBLE[], cents.c) AS d2
+        FROM embeddings e CROSS JOIN cents
+    ),
+    a AS (
+        SELECT vec_id, cid, d2,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+        FROM d
+    )
+    SELECT CAST(cid AS BIGINT) AS cluster_id,
+           CAST(count(*) AS BIGINT) AS n_members,
+           {rfix_sql('avg(sqrt(greatest(d2, 0)))', 4)} AS mean_dist
+    FROM a WHERE rn = 1
+    GROUP BY cid
+    """
+
+
+@register("emb_kmeans_assign_stats", oracle=_kmeans_oracle(), tags=("EMB", "CLUSTER"))
+def emb_kmeans_assign_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One Lloyd assignment step of k-means over the embedding column:
+    deterministic seed centroids (the first K vectors by vec_id), every
+    vector assigned to its nearest centroid (squared-L2 via the
+    three-inner-product identity, ties broken on centroid id), per-cluster
+    membership and mean distance.
+
+    The K centroids are collected driver-side (K rows — the legitimate
+    collect) and inlined as literals, so assignment is a stateless row
+    expression: array_min over K (d2, cid) structs picks the argmin with NO
+    join and NO per-vector window. One shuffle total (the K-group rollup).
+    At 100 TB this is exactly the iteration body you'd repeat: broadcast
+    centroids in, partial-aggregated (sum, count) per cluster out.
+
+    Both engines accumulate dot products left-to-right over doubles, so d2
+    agrees bitwise and the argmin is stable cross-engine.
+    """
+    e = table(spark, sf_dir, "embeddings")
+    cents = sorted(
+        e.filter(F.col("vec_id") < _KMEANS_K)
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("c"))
+        .collect(),
+        key=lambda r: r.vec_id,
+    )
+    a = F.col("embedding")
+    self_dot = V.dot(a, a)
+    choices = []
+    for r in cents:
+        c_lit = F.array(*[F.lit(float(x)) for x in r.c])
+        c2 = 0.0
+        for x in r.c:  # same left-to-right double fold as both engines
+            c2 += x * x
+        d2 = self_dot + F.lit(c2) - 2 * V.dot(a, c_lit)
+        choices.append(F.struct(d2.alias("d2"), F.lit(int(r.vec_id)).alias("cid")))
+    best = F.array_min(F.array(*choices))
+    assigned = e.select(
+        best["cid"].cast("long").alias("cluster_id"),
+        F.sqrt(F.greatest(best["d2"], F.lit(0.0))).alias("dist"),
+    )
+    return assigned.groupBy("cluster_id").agg(
+        F.count("*").alias("n_members"),
+        rfix(F.avg("dist"), 4).alias("mean_dist"),
+    )
