@@ -53,6 +53,9 @@ def main() -> None:
         "ann_lsh_bucket_topk",
         "text_quality_scores",
         "text_tfidf_top_terms",
+        "text_chunk_sliding",
+        "emb_kmeans_assign_stats",
+        "dedup_cross_split_contamination",
     ):
         if opt in registry:
             headline.append(opt)

@@ -1466,3 +1466,132 @@ def emb_kmeans_assign_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_members"),
         rfix(F.avg("dist"), 4).alias("mean_dist"),
     )
+
+
+@register(
+    "dedup_cross_split_contamination",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id, {_TOKS} AS toks,
+               {hashing.md5_long_sql("'split:' || CAST(doc_id AS VARCHAR)")} % 100
+                   AS slot
+        FROM documents
+    ),
+    train_sh AS (
+        SELECT DISTINCT {hashing.md5_long_sql('sh')} AS h
+        FROM (SELECT unnest({T.shingles_sql('toks', 3)}) AS sh
+              FROM d WHERE slot < 90)
+    ),
+    test_sh AS (
+        SELECT DISTINCT doc_id, {hashing.md5_long_sql('sh')} AS h
+        FROM (SELECT doc_id, unnest({T.shingles_sql('toks', 3)}) AS sh
+              FROM d WHERE slot >= 95)
+    )
+    SELECT CAST(t.doc_id AS BIGINT) AS doc_id,
+           CAST(count(*) AS BIGINT) AS n_shingles,
+           CAST(count(train_sh.h) AS BIGINT) AS n_overlap,
+           {rfix_sql('count(train_sh.h)::DOUBLE / count(*)', 4)} AS overlap_ratio,
+           (count(train_sh.h) > 0) AS contaminated
+    FROM test_sh t LEFT JOIN train_sh ON t.h = train_sh.h
+    GROUP BY t.doc_id
+    """,
+    tags=("DEDUP", "SPLIT"),
+)
+def dedup_cross_split_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train→test contamination scan: for every test-split document, the
+    fraction of its distinct 3-token shingles that also occur anywhere in
+    the train split — the decontamination pass run before an eval set is
+    trusted (n-gram overlap, the standard benchmark-leakage check).
+
+    Splits reuse the keyed-hash slots of split_train_val_test, so the scan
+    needs no split table. Shingles travel as 60-bit md5 keys (16 bytes of
+    string → 8 bytes), and both sides deduplicate BEFORE the join — the
+    shuffle carries distinct (doc, shingle) pairs, never the raw shingle
+    stream. The join keys on the shingle hash: at 100 TB that is the flat
+    uniform key a shuffle wants (no skew: identical shingles collapsed
+    pre-join on both sides; the test side keeps per-doc multiplicity only
+    at distinct-(doc,shingle) grain). Documents shorter than 3 tokens have
+    no shingles and drop out — by construction they cannot leak n-grams.
+    """
+    d = table(spark, sf_dir, "documents")
+    slot = (
+        hashing.md5_long(F.concat(F.lit("split:"), F.col("doc_id").cast("string")))
+        % 100
+    )
+    base = d.select("doc_id", T.tokens("text").alias("toks"), slot.alias("slot"))
+    sh = F.explode(T.shingles(F.col("toks"), 3)).alias("sh")
+    train_sh = (
+        base.filter(F.col("slot") < 90)
+        .select(sh)
+        .select(hashing.md5_long(F.col("sh")).alias("h"))
+        .distinct()
+        .withColumn("mark", F.lit(1))
+    )
+    test_sh = (
+        base.filter(F.col("slot") >= 95)
+        .select("doc_id", sh)
+        .select("doc_id", hashing.md5_long(F.col("sh")).alias("h"))
+        .distinct()
+    )
+    joined = test_sh.join(train_sh, "h", "left")
+    return joined.groupBy(F.col("doc_id").cast("long").alias("doc_id")).agg(
+        F.count("*").alias("n_shingles"),
+        F.count("mark").alias("n_overlap"),
+        rfix(F.count("mark").cast("double") / F.count("*"), 4).alias("overlap_ratio"),
+        (F.count("mark") > 0).alias("contaminated"),
+    )
+
+
+@register(
+    "text_oov_rate",
+    oracle=f"""
+    WITH tok AS (SELECT source, unnest({_TOKS}) AS tok FROM documents),
+    vocab AS (
+        SELECT tok FROM (
+            SELECT tok, count(*) AS c FROM tok
+            GROUP BY tok ORDER BY c DESC, tok LIMIT 100
+        )
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_oov,
+           {rfix_sql("sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END)::DOUBLE / count(*)", 4)}
+               AS oov_rate
+    FROM tok LEFT JOIN vocab v USING (tok)
+    GROUP BY source
+    """,
+    tags=("TEXT", "VOCAB"),
+)
+def text_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-vocabulary rate per source against the corpus top-100
+    vocabulary — the tokenizer-coverage diagnostic run before fixing a
+    vocab/merges file: how much of each source's token stream falls
+    outside the head of the distribution.
+
+    The vocabulary is a deterministic top-k (count desc, term) built with
+    one token-count exchange + TakeOrderedAndProject, then broadcast to
+    the marking join — the fact-side token stream is never reshuffled for
+    the lookup, and the per-source rollup partially aggregates map-side.
+    At 100 TB the vocab stays a driver-bounded k rows, so the only
+    fact-scale costs are the token-count shuffle and the final rollup.
+    """
+    d = table(spark, sf_dir, "documents")
+    tok = d.select("source", F.explode(T.tokens("text")).alias("tok"))
+    vocab = (
+        tok.groupBy("tok")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.desc("c"), "tok")
+        .limit(100)
+        .select("tok", F.lit(1).alias("in_vocab"))
+    )
+    oov = F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0))
+    return (
+        tok.join(F.broadcast(vocab), "tok", "left")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            oov.cast("long").alias("n_oov"),
+            rfix(oov.cast("double") / F.count("*"), 4).alias("oov_rate"),
+        )
+    )
