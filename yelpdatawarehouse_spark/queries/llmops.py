@@ -565,6 +565,14 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism: assignment and ranking order by the 6-digit-canonicalized
     cosine with id tie-breaks, so engine and oracle pick identical buckets
     and neighbors.
+
+    The assignment (the IVF index) is pinned with an eager localCheckpoint
+    before the search join: it feeds BOTH join sides, and inlining its
+    K-way cosine + window tree twice into the join stage made Janino
+    compilation dominate cold runs (6.6s cold vs 1.2s warm at sf0.1 —
+    same pathology and fix as ann_lsh_bucket_topk). At cluster scale this
+    is exactly "build the index once, then search it": the index is a
+    materialization point by design.
     """
     e = table(spark, sf_dir, "embeddings")
     cents = e.filter(F.col("vec_id") < _IVF_K).select(
@@ -582,7 +590,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rn", F.row_number().over(aw))
         .filter(F.col("rn") == 1)
         .drop("rn", "ac6")
-    )
+    ).localCheckpoint()
     q = assign.filter(F.col("vec_id") < _IVF_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("cid").alias("qcid"),
