@@ -273,3 +273,42 @@ def test_stream_stream_interval_join_converges_to_batch(spark, tmp_path):
     got = key(spark.table("attrib").collect())
     want = key(attributed_purchases(table(spark, SF, "events")).collect())
     assert got == want and len(want) > 0
+
+
+def test_windowed_approx_uniques_stream_equals_batch(spark, tmp_path, event_chunks_dir):
+    """HLL sketches merge register-wise (order-insensitive), so the
+    micro-batched stream must produce bit-identical window sketches to one
+    batch pass — and land within the 1% rsd envelope of the exact count."""
+    from yelpdatawarehouse_spark.streaming.pipeline import windowed_approx_uniques
+
+    stream = event_file_stream(spark, event_chunks_dir)
+    q = (
+        windowed_approx_uniques(stream)
+        .writeStream.format("memory")
+        .queryName("win_uniq")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt_u"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        r["window_start"]: (r["approx_users"], r["event_cnt"])
+        for r in spark.sql("SELECT * FROM win_uniq").collect()
+    }
+    batch = table(spark, SF, "events")
+    want = {
+        r["window_start"]: (r["approx_users"], r["event_cnt"])
+        for r in windowed_approx_uniques(batch).collect()
+    }
+    assert got == want
+
+    exact = {
+        r["w"]["start"]: r["exact"]
+        for r in batch.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.countDistinct("user_id").alias("exact"))
+        .collect()
+    }
+    for ws, (approx, _) in got.items():
+        assert abs(approx - exact[ws]) <= max(1, 0.05 * exact[ws])

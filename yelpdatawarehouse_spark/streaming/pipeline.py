@@ -256,6 +256,33 @@ def windowed_type_counts(events: DataFrame, window: str = "1 hour", watermark: s
     )
 
 
+def windowed_approx_uniques(
+    events: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Approximate distinct users per tumbling event-time window via
+    HyperLogLog++ (rsd=0.01).
+
+    An EXACT streaming count-distinct would have to keep every user id seen
+    per open window in state; the HLL sketch keeps a fixed few-KB register
+    set per window regardless of cardinality, merges order-insensitively
+    across micro-batches (register-wise max — the same result as one batch
+    pass over the same rows), and the watermark evicts window state. This
+    is the streaming face of a_approx_distinct_check's scale argument.
+    Works identically on a batch frame (watermark no-op) for backfill.
+    """
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return (
+        src.groupBy(F.window("ts", window).alias("w"))
+        .agg(
+            F.approx_count_distinct("user_id", 0.01).alias("approx_users"),
+            F.count("*").alias("event_cnt"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"), "approx_users", "event_cnt"
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Session windows (T8)
 # ---------------------------------------------------------------------------
