@@ -189,3 +189,83 @@ def set_except_all_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     big = li.filter(F.col("l_quantity") > 10).select("l_returnflag", "l_linestatus")
     disc = li.filter(F.col("l_discount") > 0.05).select("l_returnflag", "l_linestatus")
     return big.exceptAll(disc)
+
+
+@register(
+    "a_sketch_rollup_regions",
+    oracle="""
+    SELECT r_name,
+           CAST(count(DISTINCT c_custkey) AS BIGINT) AS exact_uniques,
+           TRUE AS sketch_within_5pct
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    """,
+    tags=("SKETCH", "A8", "A3"),
+)
+def a_sketch_rollup_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Re-aggregatable sketch columns: distinct customers are sketched at
+    NATION granularity (hll_sketch_agg → one binary column per nation),
+    then rolled up to REGION by unioning the sketches — the raw customer
+    keys are never revisited.
+
+    This is the pattern that makes 100 TB cardinality rollups cheap:
+    materialize per-partition/per-day sketches once, answer any coarser
+    grouping by hll_union_agg over kilobyte blobs. The estimate is checked
+    against the independently computed exact count with the same in-envelope
+    boolean contract as a_approx_distinct_check (lgConfigK=12 → well under
+    ±5% at any scale).
+    """
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region")
+    base = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+    nat = base.groupBy("n_regionkey", "n_nationkey").agg(
+        F.hll_sketch_agg("c_custkey", 12).alias("sk"),
+        F.countDistinct("c_custkey").alias("exact"),
+    )
+    reg = nat.groupBy("n_regionkey").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk", False)).alias("est"),
+        F.sum("exact").alias("exact_uniques"),  # custkeys are disjoint by nation
+    )
+    return reg.join(F.broadcast(r), reg.n_regionkey == r.r_regionkey).select(
+        "r_name",
+        F.col("exact_uniques").cast("long").alias("exact_uniques"),
+        (
+            F.abs(F.col("est") - F.col("exact_uniques"))
+            <= 0.05 * F.col("exact_uniques")
+        ).alias("sketch_within_5pct"),
+    )
+
+
+@register(
+    "a_approx_topk_priorities",
+    oracle="""
+    SELECT o_orderpriority AS item, CAST(count(*) AS BIGINT) AS cnt
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY cnt DESC, item
+    LIMIT 3
+    """,
+    tags=("SKETCH", "O3"),
+)
+def a_approx_topk_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters via the approx_top_k frequency sketch, exploded to
+    (item, count) rows.
+
+    maxItemsTracked (1024) exceeds the column's cardinality, so the sketch
+    is in its exact regime and the counts are guaranteed equal to a full
+    groupBy — which is what the oracle asserts. At 100 TB the same one-pass
+    mergeable sketch answers top-k over unbounded-cardinality columns with
+    bounded memory (then approximately, with tracked-count error bounds);
+    the plan never materializes the full (key, count) table the way the
+    exact TakeOrdered path (text_oov_rate's vocab) must.
+    """
+    o = table(spark, sf_dir, "orders")
+    topk = o.agg(F.expr("approx_top_k(o_orderpriority, 3, 1024)").alias("tk"))
+    ex = topk.select(F.explode("tk").alias("e")).select(
+        F.col("e.item").alias("item"), F.col("e.count").cast("long").alias("cnt")
+    )
+    # canonical order independent of the sketch's internal tie order
+    return ex.orderBy(F.desc("cnt"), "item")
