@@ -1651,3 +1651,104 @@ def a_array_assembly_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sort_array(F.collect_set("event_type")).alias("types_seen"),
         F.countDistinct("event_type").cast("long").alias("n_types"),
     )
+
+
+@register(
+    "o5_keyset_page",
+    oracle="""
+    WITH page1 AS (
+        SELECT c_name, c_custkey FROM customer
+        ORDER BY c_name, c_custkey LIMIT 40
+    ),
+    cur AS (
+        SELECT c_name AS cn, c_custkey AS ck FROM page1
+        ORDER BY c_name DESC, c_custkey DESC LIMIT 1
+    )
+    SELECT c_custkey, c_name
+    FROM customer, cur
+    WHERE (c_name, c_custkey) > (cn, ck)
+    ORDER BY c_name, c_custkey
+    LIMIT 20
+    """,
+    tags=("O4", "O3"),
+)
+def o5_keyset_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyset (seek-method) pagination — the scale-correct alternative to
+    o4's LIMIT/OFFSET: the client passes the last row's sort key back, and
+    the page is WHERE (keys) > cursor ORDER BY LIMIT k.
+
+    OFFSET n must produce and discard n rows per partition before the
+    merge (TakeOrdered still sorts everything ahead of the offset); the
+    seek predicate instead prunes at the scan — on a sort-keyed layout it
+    skips whole files via min/max statistics, making page 10,000 cost the
+    same as page 1. The cursor here is derived from the previous page
+    deterministically (the driver cannot pass one in); production callers
+    supply it as two literals. Tuple comparison is expressed as a struct
+    comparison, which Spark and SQL define identically (lexicographic by
+    field position).
+    """
+    c = table(spark, sf_dir, "customer")
+    cur = (
+        c.select("c_name", "c_custkey")
+        .orderBy("c_name", "c_custkey")
+        .limit(40)
+        .orderBy(F.desc("c_name"), F.desc("c_custkey"))
+        .limit(1)
+        .select(F.col("c_name").alias("cn"), F.col("c_custkey").alias("ck"))
+    )
+    key = F.struct(F.col("c_name").alias("k1"), F.col("c_custkey").alias("k2"))
+    cursor = F.struct(F.col("cn").alias("k1"), F.col("ck").alias("k2"))
+    return (
+        c.crossJoin(F.broadcast(cur))
+        .filter(key > cursor)
+        .select("c_custkey", "c_name")
+        .orderBy("c_name", "c_custkey")
+        .limit(20)
+    )
+
+
+@register(
+    "a_filtered_aggregates",
+    oracle=f"""
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(count(*) FILTER (WHERE o_totalprice > 200000) AS BIGINT)
+               AS n_big,
+           {rfix_sql("coalesce(sum(o_totalprice) FILTER (WHERE o_orderpriority = '1-URGENT'), 0)")}
+               AS urgent_value,
+           CAST(count(DISTINCT o_custkey) FILTER (WHERE o_totalprice > 200000)
+                AS BIGINT) AS n_big_buyers
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+    tags=("A9", "A2"),
+)
+def a_filtered_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTER-clause aggregates — several differently-predicated measures
+    in ONE aggregation pass (ANSI `agg FILTER (WHERE ...)`), instead of the
+    reference's N separate conditional-sum queries per dashboard card.
+
+    One scan, one exchange, every measure partially aggregated map-side;
+    the conditional logic is evaluated per-row before the partial, so
+    adding a measure adds zero I/O. The distinct-with-filter measure shows
+    the two compose (it expands to its own distinct aggregation path but
+    still shares the scan).
+    """
+    o = table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_orders"),
+        F.expr("count(*) FILTER (WHERE o_totalprice > 200000)")
+        .cast("long")
+        .alias("n_big"),
+        rfix(
+            F.coalesce(
+                F.expr(
+                    "sum(o_totalprice) FILTER (WHERE o_orderpriority = '1-URGENT')"
+                ),
+                F.lit(0.0),
+            )
+        ).alias("urgent_value"),
+        F.expr("count(DISTINCT o_custkey) FILTER (WHERE o_totalprice > 200000)")
+        .cast("long")
+        .alias("n_big_buyers"),
+    )
