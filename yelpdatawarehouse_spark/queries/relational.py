@@ -1752,3 +1752,177 @@ def a_filtered_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_big_buyers"),
     )
+
+
+@register(
+    "j13_local_supplier_volume",
+    oracle=f"""
+    SELECT n_name,
+           {rfix_sql('sum(l_extendedprice * (1 - l_discount))')} AS revenue,
+           CAST(count(*) AS BIGINT) AS n_lines
+    FROM customer, orders, lineitem, supplier, nation, region
+    WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+      AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      AND r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1997-01-01'
+    GROUP BY n_name
+    """,
+    tags=("J1", "J8", "P2"),
+)
+def j13_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local-supplier volume (TPC-H Q5 shape): 6-way join where the
+    interesting predicate CROSSES branches — the customer's nation must
+    equal the supplier's nation — so this is not a pure star: the
+    fact-side join carries both foreign keys until they meet.
+
+    Scale plan: lineitem joins orders on the shuffle; customer, supplier,
+    nation, region all broadcast (dimension-sized); the year filter on
+    orders is a pushed parquet range predicate that prunes before the
+    shuffle. One exchange for the fact join + one for the final rollup.
+    """
+    c = F.broadcast(table(spark, sf_dir, "customer"))
+    s = F.broadcast(table(spark, sf_dir, "supplier"))
+    n = F.broadcast(table(spark, sf_dir, "nation"))
+    r = F.broadcast(table(spark, sf_dir, "region"))
+    o = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.expr("TIMESTAMP_NTZ'1996-01-01 00:00:00'"))
+        & (F.col("o_orderdate") < F.expr("TIMESTAMP_NTZ'1997-01-01 00:00:00'"))
+    )
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(
+            s,
+            (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(n, s.s_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .filter(F.col("r_name") == "ASIA")
+        .groupBy("n_name")
+        .agg(
+            rfix(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
+                "revenue"
+            ),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "j14_unshipped_value_topk",
+    oracle=f"""
+    SELECT CAST(l_orderkey AS BIGINT) AS l_orderkey,
+           {rfix_sql('sum(l_extendedprice * (1 - l_discount))')} AS revenue,
+           strftime(o_orderdate, '%Y-%m-%d') AS order_day,
+           o_orderpriority
+    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE o_orderdate < TIMESTAMP '1998-06-01'
+      AND l_shipdate > TIMESTAMP '1998-06-01'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+    tags=("J1", "O1", "O3"),
+)
+def j14_unshipped_value_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Highest-value not-yet-shipped orders at a cutoff date (TPC-H Q3
+    shape): ordered-before / shipped-after predicates on BOTH join sides,
+    group at order grain, deterministic top-10.
+
+    Both date filters are pushed parquet range predicates, so the join
+    sees only the pruned slices; the rollup groups on the join key the
+    fact is already shuffled by (no second exchange); the top-10 is
+    TakeOrderedAndProject. The orderdate travels as a grouping column and
+    is emitted as an ISO day string (timezone-free on both engines).
+    """
+    cutoff = "TIMESTAMP_NTZ'1998-06-01 00:00:00'"
+    o = table(spark, sf_dir, "orders").filter(F.expr(f"o_orderdate < {cutoff}"))
+    li = table(spark, sf_dir, "lineitem").filter(F.expr(f"l_shipdate > {cutoff}"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            rfix(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
+                "revenue"
+            )
+        )
+        .select(
+            F.col("l_orderkey").cast("long").alias("l_orderkey"),
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_day"),
+            "o_orderpriority",
+        )
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+@register(
+    "w_pandas_zscore_outliers",
+    oracle=f"""
+    WITH s AS (
+        SELECT o_orderstatus,
+               {rfix_sql('avg(o_totalprice)', 6)} AS m,
+               {rfix_sql('stddev_samp(o_totalprice)', 6)} AS sd
+        FROM orders GROUP BY o_orderstatus
+    ),
+    z AS (
+        SELECT o.o_orderstatus, o_orderkey,
+               (o_totalprice - m) / sd AS z
+        FROM orders o JOIN s USING (o_orderstatus)
+    )
+    SELECT o_orderstatus, CAST(o_orderkey AS BIGINT) AS o_orderkey,
+           {rfix_sql('z', 4)} AS zscore
+    FROM (SELECT *, row_number() OVER (PARTITION BY o_orderstatus
+                    ORDER BY abs(z) DESC, o_orderkey) AS rn FROM z)
+    WHERE rn <= 3
+    """,
+    tags=("UDF", "W1"),
+)
+def w_pandas_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group outlier extraction through a grouped Pandas kernel
+    (§2.10's applyInPandas surface, under the full oracle gate): top-3
+    |z-score| orders per status, z computed and ranked inside an
+    Arrow-batched kernel.
+
+    Division of labor is deliberate: mean/stddev come from the exact JVM
+    aggregation (canonicalized to 6 digits so the kernel's inputs are
+    bit-identical on engine and oracle — pandas' pairwise summation would
+    NOT reproducibly match a SQL engine's fold, scalar arithmetic on
+    identical doubles does), broadcast-joined back; the kernel does the
+    per-row arithmetic and the per-group selection. One shuffle (the
+    applyInPandas grouping); each group crosses the Arrow boundary once.
+    """
+    import pandas as pd
+
+    o = table(spark, sf_dir, "orders")
+    stats = o.groupBy("o_orderstatus").agg(
+        rfix(F.avg("o_totalprice"), 6).alias("m"),
+        rfix(F.stddev_samp("o_totalprice"), 6).alias("sd"),
+    )
+    joined = o.join(F.broadcast(stats), "o_orderstatus").select(
+        "o_orderstatus", "o_orderkey", "o_totalprice", "m", "sd"
+    )
+
+    def top_outliers(pdf: pd.DataFrame) -> pd.DataFrame:
+        z = (pdf["o_totalprice"] - pdf["m"]) / pdf["sd"]
+        out = pd.DataFrame(
+            {
+                "o_orderstatus": pdf["o_orderstatus"],
+                "o_orderkey": pdf["o_orderkey"],
+                "z": z,
+                "az": z.abs(),
+            }
+        )
+        out = out.sort_values(["az", "o_orderkey"], ascending=[False, True]).head(3)
+        return out[["o_orderstatus", "o_orderkey", "z"]]
+
+    res = joined.groupBy("o_orderstatus").applyInPandas(
+        top_outliers, "o_orderstatus string, o_orderkey long, z double"
+    )
+    return res.select(
+        "o_orderstatus", "o_orderkey", rfix(F.col("z"), 4).alias("zscore")
+    )
