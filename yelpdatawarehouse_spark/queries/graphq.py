@@ -163,3 +163,58 @@ def g_pagerank_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return ranks.select(F.col("node").cast("long").alias("node"), rfix("rank", 6).alias("rank"))
+
+
+@register(
+    "g_triangle_support",
+    oracle=f"""
+    WITH {_EDGE_SQL},
+    elt AS (SELECT src AS a, dst AS b FROM edges WHERE src < dst),
+    tri AS (
+        SELECT e1.a, e1.b, e2.b AS c
+        FROM elt e1
+        JOIN elt e2 ON e2.a = e1.b
+        JOIN elt e3 ON e3.a = e1.a AND e3.b = e2.b
+    )
+    SELECT CAST(a AS BIGINT) AS node,
+           CAST(count(*) AS BIGINT) AS triangles
+    FROM (SELECT a FROM tri UNION ALL SELECT b FROM tri UNION ALL
+          SELECT c FROM tri)
+    GROUP BY a
+    """,
+    tags=("A16", "J6"),
+)
+def g_triangle_support(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle support (clustering-structure metric) over the
+    nation trade graph — the canonical a<b<c edge-orientation algorithm:
+    orient every undirected edge low→high, join wedges (a-b, b-c), close
+    them against the oriented edge (a, c), then credit each triangle to
+    its three corners.
+
+    Orientation is what makes this scale: each triangle is enumerated
+    exactly once (no 6-way symmetry blowup), and the wedge join's fan-out
+    is bounded by out-degree in the orientation, which the low→high rule
+    caps near sqrt(E) for any skew. Edge derivation reuses the fact-scale
+    distributed pipeline of trade_edges; the joins here run on the
+    deduplicated edge list, keyed on node ids.
+    """
+    edges = trade_edges(spark, sf_dir)
+    elt = edges.filter(F.col("src") < F.col("dst")).select(
+        F.col("src").alias("a"), F.col("dst").alias("b")
+    ).localCheckpoint()
+    e1 = elt.alias("e1")
+    e2 = elt.select(F.col("a").alias("b"), F.col("b").alias("c")).alias("e2")
+    e3 = elt.select(F.col("a").alias("a3"), F.col("b").alias("c3")).alias("e3")
+    tri = (
+        e1.join(e2, "b")
+        .join(e3, (F.col("a") == F.col("a3")) & (F.col("c") == F.col("c3")))
+        .select("a", "b", "c")
+    )
+    corners = (
+        tri.select(F.col("a").alias("node"))
+        .unionAll(tri.select(F.col("b").alias("node")))
+        .unionAll(tri.select(F.col("c").alias("node")))
+    )
+    return corners.groupBy(F.col("node").cast("long").alias("node")).agg(
+        F.count("*").alias("triangles")
+    )

@@ -1603,3 +1603,71 @@ def text_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             rfix(oov.cast("double") / F.count("*"), 4).alias("oov_rate"),
         )
     )
+
+
+# Redaction denylist (stands in for a PII/unsafe-term lexicon; the synthetic
+# corpus has no emails/SSNs, so the mechanism is exercised on real hits).
+_DENYLIST = ("key", "hash", "token", "secret", "stream")
+
+
+@register(
+    "text_redaction_stats",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, source, {_TOKS} AS toks FROM documents),
+    m AS (
+        SELECT source,
+               len(toks) AS n_tokens,
+               len(list_filter(toks, x -> x IN
+                   ({", ".join("'" + w + "'" for w in _DENYLIST)}))) AS n_hits,
+               md5(array_to_string(list_transform(toks, x -> CASE
+                   WHEN x IN ({", ".join("'" + w + "'" for w in _DENYLIST)})
+                   THEN '[REDACTED]' ELSE x END), ' ')) AS redacted_hash
+        FROM t
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_hits) AS BIGINT) AS n_redactions,
+           CAST(sum(CASE WHEN n_hits > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS docs_touched,
+           CAST(count(DISTINCT redacted_hash) AS BIGINT) AS distinct_redacted
+    FROM m GROUP BY source
+    """,
+    tags=("TEXT", "FILTER"),
+)
+def text_redaction_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Denylist redaction pass — every denylist token replaced with a
+    [REDACTED] marker, reported as per-source hit counts plus the distinct
+    count of post-redaction documents (the dedup-after-scrub effect: docs
+    differing only in redacted terms collapse).
+
+    The scrub is a pure row transform (higher-order token map, no UDF, no
+    shuffle); at 100 TB it runs at scan speed and the redacted text would
+    stream straight to the filtered write. A real deployment swaps the
+    token lexicon for PII regexes (the same regexp_replace machinery as
+    functions/text.normalize) — the plan shape is identical. The md5 of
+    the redacted text keeps the verified payload narrow while still
+    proving the transform output matches the oracle byte-for-byte.
+    """
+    d = table(spark, sf_dir, "documents")
+    deny = F.array(*[F.lit(w) for w in _DENYLIST])
+    toks = T.tokens("text")
+    hit = lambda x: F.array_contains(deny, x)  # noqa: E731
+    m = d.select(
+        "source",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.filter(toks, hit)).alias("n_hits"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    toks, lambda x: F.when(hit(x), "[REDACTED]").otherwise(x)
+                ),
+                " ",
+            )
+        ).alias("redacted_hash"),
+    )
+    return m.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_hits").cast("long").alias("n_redactions"),
+        F.sum((F.col("n_hits") > 0).cast("long")).alias("docs_touched"),
+        F.countDistinct("redacted_hash").alias("distinct_redacted"),
+    )
