@@ -1,0 +1,59 @@
+"""Small-file compaction: correctness (bag-identical data), file-count
+reduction, and clustering restoration."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from yelpdatawarehouse_spark.operators.maintenance import compact_parquet, layout_stats
+from yelpdatawarehouse_spark.sources.tables import table
+
+SF = "/root/testdata/sf0.001"
+
+
+def _bag(df):
+    return sorted(repr(sorted(r.asDict().items())) for r in df.collect())
+
+
+def test_compact_reduces_files_and_preserves_rows(spark, tmp_path):
+    target = str(tmp_path / "orders_frag")
+    # simulate micro-batch fragmentation: 40 tiny files
+    table(spark, SF, "orders").repartition(40).write.parquet(target)
+    before = layout_stats(target)
+    assert before.n_files >= 40
+
+    want = _bag(spark.read.parquet(target))
+    after = compact_parquet(spark, target, target_file_bytes=1 << 30)
+
+    assert after.n_files < before.n_files
+    assert after.n_files == 1  # everything fits one target-sized file
+    assert after.total_bytes > 0
+    assert _bag(spark.read.parquet(target)) == want
+
+
+def test_compact_sorted_restores_clustering(spark, tmp_path):
+    target = str(tmp_path / "orders_sorted")
+    table(spark, SF, "orders").repartition(16).write.parquet(target)
+
+    compact_parquet(
+        spark, target, target_file_bytes=8 * 1024, sort_by=["o_orderdate"]
+    )
+    after = layout_stats(target)
+    assert after.n_files > 1  # range-partitioned into multiple files
+
+    # clustering: per-file [min, max] o_orderdate ranges must not overlap
+    ranges = (
+        spark.read.parquet(target)
+        .groupBy(F.input_file_name().alias("f"))
+        .agg(F.min("o_orderdate").alias("lo"), F.max("o_orderdate").alias("hi"))
+        .collect()
+    )
+    spans = sorted((r["lo"], r["hi"]) for r in ranges)
+    for (_, hi_prev), (lo_next, _) in zip(spans, spans[1:]):
+        assert hi_prev <= lo_next
+
+    # data unchanged
+    assert (
+        spark.read.parquet(target).count()
+        == table(spark, SF, "orders").count()
+    )

@@ -1,0 +1,88 @@
+"""Table-maintenance operators: small-file compaction and layout stats.
+
+The silent killer of 100 TB parquet lakes is file-count explosion:
+streaming micro-batches and over-parallel writes leave thousands of
+KB-sized files per partition, and every downstream scan then pays one
+file-open + footer-read per file (driver-side listing grows linearly
+too). The fix is periodic compaction: rewrite each table partition's
+files into ~target-sized outputs.
+
+Reference analog: none — the reference's stores (MySQL/MongoDB/Neo4j)
+manage their own pages. This is the lake-format counterpart every Spark
+warehouse needs (Delta/Iceberg expose it as OPTIMIZE / rewrite_data_files;
+plain parquet directories need it hand-rolled like this).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+from pyspark.sql import SparkSession
+
+
+@dataclass
+class LayoutStats:
+    n_files: int
+    total_bytes: int
+
+    @property
+    def avg_bytes(self) -> float:
+        return self.total_bytes / self.n_files if self.n_files else 0.0
+
+
+def layout_stats(path: str) -> LayoutStats:
+    """File-count / size profile of a parquet directory (recursive)."""
+    n, total = 0, 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if f.endswith(".parquet"):
+                n += 1
+                total += os.path.getsize(os.path.join(root, f))
+    return LayoutStats(n_files=n, total_bytes=total)
+
+
+def compact_parquet(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    sort_by: list[str] | None = None,
+) -> LayoutStats:
+    """Rewrite a parquet directory into ~target-sized files.
+
+    The output file count is computed from the CURRENT on-disk bytes (the
+    honest predictor of rewritten size — same codec, same data), then the
+    data is rewritten through a single repartition: round-robin when no
+    sort is requested, or a range-partitioned sortWithinPartitions when
+    ``sort_by`` is given — the latter restores clustering (min/max file
+    skipping) that incremental appends destroy, at the cost of one range
+    exchange instead of a cheap coalesce.
+
+    Writes to a sibling temp dir and atomically swaps via rename, so a
+    failed compaction never corrupts the live table. Returns the new
+    layout stats.
+
+    At cluster scale this runs per table-partition (e.g. per day), so the
+    unit of rewrite is bounded and compactions parallelize across
+    partitions; this single-directory form IS that per-partition unit.
+    """
+    before = layout_stats(path)
+    if before.n_files == 0:
+        return before
+    n_out = max(1, round(before.total_bytes / target_file_bytes))
+
+    df = spark.read.parquet(path)
+    tmp = path.rstrip("/") + "._compacting"
+    old = path.rstrip("/") + "._old"
+    if sort_by:
+        out = df.repartitionByRange(n_out, *sort_by).sortWithinPartitions(*sort_by)
+    else:
+        out = df.repartition(n_out)
+    out.write.mode("overwrite").parquet(tmp)
+
+    os.rename(path, old)
+    os.rename(tmp, path)
+    import shutil
+
+    shutil.rmtree(old)
+    return layout_stats(path)

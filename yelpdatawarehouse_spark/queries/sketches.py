@@ -269,3 +269,42 @@ def a_approx_topk_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # canonical order independent of the sketch's internal tie order
     return ex.orderBy(F.desc("cnt"), "item")
+
+
+@register(
+    "a_stats_aggregates",
+    oracle=f"""
+    SELECT l_returnflag,
+           {rfix_sql('corr(l_quantity, l_extendedprice)', 6)} AS qty_price_corr,
+           {rfix_sql('covar_samp(l_quantity, l_extendedprice)', 2)} AS qty_price_covar,
+           {rfix_sql('regr_slope(l_extendedprice, l_quantity)', 4)} AS price_per_qty,
+           {rfix_sql('stddev_samp(l_extendedprice)', 2)} AS price_stddev
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("A3", "STATS"),
+)
+def a_stats_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-moment statistical aggregates — correlation, sample
+    covariance, regression slope, standard deviation — per group in one
+    pass.
+
+    All four are single-pass mergeable moment accumulators ((co)variance
+    via the standard shifted-moment updates), so they partially aggregate
+    map-side and cost one exchange of fixed-width state per group — at
+    100 TB the same scaling argument as the count/sum family. Rounded at
+    the presentation edge because different engines associate the moment
+    merges differently (last-ulp noise only; the moments themselves are
+    algebraically identical).
+    """
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        rfix(F.corr("l_quantity", "l_extendedprice"), 6).alias("qty_price_corr"),
+        rfix(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias(
+            "qty_price_covar"
+        ),
+        rfix(F.regr_slope("l_extendedprice", "l_quantity"), 4).alias(
+            "price_per_qty"
+        ),
+        rfix(F.stddev_samp("l_extendedprice"), 2).alias("price_stddev"),
+    )
