@@ -1926,3 +1926,42 @@ def w_pandas_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select(
         "o_orderstatus", "o_orderkey", rfix(F.col("z"), 4).alias("zscore")
     )
+
+
+@register(
+    "o6_null_ordering",
+    oracle="""
+    SELECT CAST(c_custkey AS BIGINT) AS c_custkey, band
+    FROM (
+        SELECT c_custkey,
+               CASE WHEN c_acctbal < 0 THEN NULL
+                    ELSE floor(c_acctbal / 1000) END AS band
+        FROM customer
+    )
+    ORDER BY band ASC NULLS FIRST, c_custkey DESC
+    LIMIT 50
+    """,
+    tags=("O1", "P8"),
+)
+def o6_null_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit NULL placement in ORDER BY (§2.6) — the cross-engine trap
+    pinned down: Spark sorts ASC with NULLS FIRST by default, ANSI/DuckDB
+    with NULLS LAST, so any nullable sort key silently produces different
+    pages on different engines unless the placement is spelled out. Every
+    sort in this engine therefore either orders non-nullable keys or
+    states placement explicitly, and this query asserts the contract
+    (the null band is synthesized — the harness tables carry no NULLs).
+
+    asc_nulls_first + desc tie-break keeps the page deterministic;
+    TakeOrderedAndProject still applies (null placement is part of the
+    ordering, not a post-sort filter).
+    """
+    c = table(spark, sf_dir, "customer")
+    band = F.when(F.col("c_acctbal") < 0, F.lit(None)).otherwise(
+        F.floor(F.col("c_acctbal") / 1000)
+    )
+    return (
+        c.select(F.col("c_custkey").cast("long").alias("c_custkey"), band.alias("band"))
+        .orderBy(F.col("band").asc_nulls_first(), F.col("c_custkey").desc())
+        .limit(50)
+    )
