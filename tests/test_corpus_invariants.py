@@ -1,0 +1,140 @@
+"""Structural invariants for the corpus-prep operators — properties that
+must hold on ANY input, checked on the harness tables (complementing the
+value-exact oracle parity in test_parity.py).
+
+These are the checks that keep refactors honest at scale: parity pins the
+output values at one SF; invariants pin the semantics (coverage, bounds,
+conservation) that must survive any partitioning or data growth.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from yelpdatawarehouse_spark.queries import all_queries
+from yelpdatawarehouse_spark.sources.tables import table
+
+SF = "/root/testdata/sf0.001"
+REG = all_queries()
+
+
+def _run(spark, name):
+    return REG[name].fn(spark, SF)
+
+
+def test_chunking_covers_every_token_exactly(spark):
+    """Chunk windows tile each document: chunk 0 starts at token 1, strides
+    are constant, and the union of [start, start+len) intervals covers
+    1..n_tokens with overlap exactly chunk_size - stride on interior seams."""
+    chunks = _run(spark, "text_chunk_sliding")
+    docs = (
+        table(spark, SF, "documents")
+        .select("doc_id", F.size(F.split("text", r"\s+")).alias("n"))
+        .collect()
+    )
+    n_by_doc = {r["doc_id"]: r["n"] for r in docs}
+    got = chunks.groupBy("doc_id").agg(
+        F.count("*").alias("n_chunks"),
+        F.sum("n_tokens").alias("tok_sum"),
+        F.max("chunk_idx").alias("max_idx"),
+    ).collect()
+    CHUNK, STRIDE = 16, 12
+    import math
+
+    for r in got:
+        n = n_by_doc[r["doc_id"]]
+        want_chunks = max(1, math.ceil(n / STRIDE))
+        assert r["n_chunks"] == want_chunks
+        assert r["max_idx"] == want_chunks - 1
+        # slice lengths clamp at the doc end: exact expected token total
+        want_tok_sum = sum(
+            min(CHUNK, n - s) for s in range(0, max(n, 1), STRIDE)
+        )
+        assert r["tok_sum"] == want_tok_sum
+        assert r["tok_sum"] >= n  # full coverage: no token dropped
+
+
+def test_split_and_contamination_are_consistent(spark):
+    """Contamination scan only reports docs from the test split, ratios are
+    in [0,1], and n_overlap never exceeds n_shingles."""
+    cont = _run(spark, "dedup_cross_split_contamination").collect()
+    assert len(cont) > 0
+    from yelpdatawarehouse_spark.functions import hashing
+
+    d = table(spark, SF, "documents")
+    slot = (
+        hashing.md5_long(F.concat(F.lit("split:"), F.col("doc_id").cast("string")))
+        % 100
+    )
+    test_ids = {
+        r["doc_id"] for r in d.select("doc_id").filter(slot >= 95).collect()
+    }
+    for r in cont:
+        assert r["doc_id"] in test_ids
+        assert 0 <= r["n_overlap"] <= r["n_shingles"]
+        assert 0.0 <= r["overlap_ratio"] <= 1.0
+        assert r["contaminated"] == (r["n_overlap"] > 0)
+
+
+def test_kmeans_assignment_is_nearest(spark):
+    """Every cluster is non-empty only if some vector is nearest to it, the
+    membership total equals the vector count, and mean distances are
+    non-negative."""
+    stats = _run(spark, "emb_kmeans_assign_stats").collect()
+    total = sum(r["n_members"] for r in stats)
+    assert total == table(spark, SF, "embeddings").count()
+    assert all(r["mean_dist"] >= 0 for r in stats)
+    assert all(0 <= r["cluster_id"] < 8 for r in stats)
+
+
+def test_triangle_support_matches_bruteforce(spark):
+    """Per-node triangle counts equal a brute-force enumeration of the
+    (small) nation graph done driver-side."""
+    from yelpdatawarehouse_spark.queries.graphq import trade_edges
+    from collections import defaultdict
+    from itertools import combinations
+
+    edges = {
+        (r["src"], r["dst"])
+        for r in trade_edges(spark, SF).collect()
+        if r["src"] < r["dst"]
+    }
+    adj = defaultdict(set)
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    want = defaultdict(int)
+    nodes = sorted(adj)
+    for a in nodes:
+        for b, c in combinations(sorted(n for n in adj[a] if n > a), 2):
+            if c in adj[b]:
+                want[a] += 1
+                want[b] += 1
+                want[c] += 1
+    got = {
+        r["node"]: r["triangles"]
+        for r in _run(spark, "g_triangle_support").collect()
+    }
+    assert got == dict(want)
+
+
+def test_quality_filter_verdicts_partition_the_corpus(spark):
+    """Every document lands in exactly one verdict bucket; totals match."""
+    stats = _run(spark, "text_quality_filter_stats")
+    n_total = stats.agg(F.sum("n_docs")).collect()[0][0]
+    assert n_total == table(spark, SF, "documents").count()
+    verdicts = {r["verdict"] for r in stats.collect()}
+    assert verdicts <= {"keep", "too_short", "low_diversity", "no_stopwords"}
+    assert "keep" in verdicts
+
+
+def test_redaction_conserves_documents(spark):
+    """Redaction reports every document exactly once per source and never
+    redacts more tokens than exist."""
+    d = table(spark, SF, "documents")
+    want = {r["source"]: r["cnt"] for r in d.groupBy("source").count().withColumnRenamed("count", "cnt").collect()}
+    got = _run(spark, "text_redaction_stats").collect()
+    assert {r["source"]: r["n_docs"] for r in got} == want
+    for r in got:
+        assert 0 <= r["docs_touched"] <= r["n_docs"]
+        assert 0 < r["distinct_redacted"] <= r["n_docs"]
