@@ -660,17 +660,24 @@ def _srp_bucket_sql(vec: str, n_planes: int) -> str:
 
 def _srp_bucket_col(emb_col: str = "embedding", n_planes: int = 4):
     """Spark twin of _srp_bucket_sql: 4-bit hyperplane-sign bucket id over
-    the same literal hyperplane table (see _srp_weights)."""
-    emb = F.col(emb_col).cast("array<double>")
-    bucket = None
+    the same literal hyperplane table (see _srp_weights).
+
+    Built as ONE ``F.expr`` string rather than composed Column objects:
+    the 4×64 literal weights would otherwise cost ~260 py4j round trips
+    per query CONSTRUCTION (measured ~1s of driver-side latency at plan
+    build — pure Python↔JVM chatter, before Spark even sees the plan).
+    The parsed expression — zip_with product + left-to-right aggregate
+    fold — is identical, so bucket ids are unchanged.
+    """
+    parts = []
     for p, plane in enumerate(_srp_weights(n_planes)):
-        weights = F.array(*[F.lit(w) for w in plane])
-        dotp = F.aggregate(
-            F.zip_with(emb, weights, lambda x, w: x * w), F.lit(0.0), lambda acc, x: acc + x
+        arr = ", ".join(f"{w!r}D" for w in plane)
+        dotp = (
+            f"aggregate(zip_with(CAST({emb_col} AS ARRAY<DOUBLE>), "
+            f"array({arr}), (x, w) -> x * w), 0.0D, (acc, x) -> acc + x)"
         )
-        term = F.when(dotp >= 0, F.lit(1 << p)).otherwise(F.lit(0))
-        bucket = term if bucket is None else bucket + term
-    return bucket.cast("long")
+        parts.append(f"(CASE WHEN {dotp} >= 0 THEN {1 << p} ELSE 0 END)")
+    return F.expr("CAST((" + " + ".join(parts) + ") AS BIGINT)")
 
 
 @register(
@@ -1455,15 +1462,26 @@ def emb_kmeans_assign_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .collect(),
         key=lambda r: r.vec_id,
     )
-    a = F.col("embedding")
-    self_dot = V.dot(a, a)
+    # Centroid dot products as single parsed expressions: composing 8×64
+    # literal Columns costs ~500 py4j round trips at plan build (the same
+    # driver-side latency fixed in _srp_bucket_col); one expr string per
+    # centroid keeps construction O(K) calls with identical fold semantics.
+    self_dot = F.expr(
+        "aggregate(zip_with(CAST(embedding AS ARRAY<DOUBLE>), "
+        "CAST(embedding AS ARRAY<DOUBLE>), (x, y) -> x * y), "
+        "0.0D, (acc, x) -> acc + x)"
+    )
     choices = []
     for r in cents:
-        c_lit = F.array(*[F.lit(float(x)) for x in r.c])
+        arr = ", ".join(f"{float(x)!r}D" for x in r.c)
+        dot_c = F.expr(
+            f"aggregate(zip_with(CAST(embedding AS ARRAY<DOUBLE>), "
+            f"array({arr}), (x, y) -> x * y), 0.0D, (acc, x) -> acc + x)"
+        )
         c2 = 0.0
         for x in r.c:  # same left-to-right double fold as both engines
             c2 += x * x
-        d2 = self_dot + F.lit(c2) - 2 * V.dot(a, c_lit)
+        d2 = self_dot + F.lit(c2) - 2 * dot_c
         choices.append(F.struct(d2.alias("d2"), F.lit(int(r.vec_id)).alias("cid")))
     best = F.array_min(F.array(*choices))
     assigned = e.select(
