@@ -56,6 +56,10 @@ def main() -> None:
         "text_chunk_sliding",
         "emb_kmeans_assign_stats",
         "dedup_cross_split_contamination",
+        "j13_local_supplier_volume",
+        "j14_unshipped_value_topk",
+        "g_triangle_support",
+        "a_sketch_rollup_regions",
     ):
         if opt in registry:
             headline.append(opt)

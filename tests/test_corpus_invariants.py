@@ -138,3 +138,37 @@ def test_redaction_conserves_documents(spark):
     for r in got:
         assert 0 <= r["docs_touched"] <= r["n_docs"]
         assert 0 < r["distinct_redacted"] <= r["n_docs"]
+
+
+def test_kmeans_assigns_to_true_nearest_centroid(spark):
+    """Driver-side argmin recomputation: per-cluster membership counts must
+    equal a brute-force nearest-centroid assignment (d2 via the same
+    three-inner-product identity, ties to the lower centroid id)."""
+    rows = (
+        table(spark, SF, "embeddings")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
+        .collect()
+    )
+    vecs = {r["vec_id"]: r["e"] for r in rows}
+    cents = {i: vecs[i] for i in range(8)}
+
+    def dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += x * y
+        return acc
+
+    from collections import Counter
+
+    want = Counter()
+    for vid, e in vecs.items():
+        best = min(
+            (dot(e, e) + dot(c, c) - 2 * dot(e, c), cid)
+            for cid, c in cents.items()
+        )
+        want[best[1]] += 1
+    got = {
+        r["cluster_id"]: r["n_members"]
+        for r in _run(spark, "emb_kmeans_assign_stats").collect()
+    }
+    assert got == dict(want)

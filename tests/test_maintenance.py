@@ -57,3 +57,24 @@ def test_compact_sorted_restores_clustering(spark, tmp_path):
         spark.read.parquet(target).count()
         == table(spark, SF, "orders").count()
     )
+
+
+def test_compact_recovers_from_interrupted_swap(spark, tmp_path):
+    """Crash between the two swap renames leaves data in '._old'; the next
+    invocation must restore it and complete a normal compaction."""
+    import os
+
+    target = str(tmp_path / "orders_crash")
+    table(spark, SF, "orders").repartition(8).write.parquet(target)
+    want = _bag(spark.read.parquet(target))
+
+    # simulate: crashed after os.rename(path, old), before tmp -> path
+    os.rename(target, target + "._old")
+    # plus a stale partial rewrite
+    os.makedirs(target + "._compacting")
+
+    after = compact_parquet(spark, target, target_file_bytes=1 << 30)
+    assert after.n_files == 1
+    assert _bag(spark.read.parquet(target)) == want
+    assert not os.path.exists(target + "._old")
+    assert not os.path.exists(target + "._compacting")

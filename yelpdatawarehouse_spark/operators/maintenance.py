@@ -58,22 +58,38 @@ def compact_parquet(
     skipping) that incremental appends destroy, at the cost of one range
     exchange instead of a cheap coalesce.
 
-    Writes to a sibling temp dir and atomically swaps via rename, so a
-    failed compaction never corrupts the live table. Returns the new
-    layout stats.
+    Writes to a sibling temp dir, then swaps via two renames. Crash
+    safety: stale ``._compacting`` / ``._old`` dirs from an interrupted
+    run are cleaned up (or recovered) on entry — a crash after the first
+    rename leaves the data intact in ``._old``, and the next invocation
+    restores it before proceeding — so data is never lost and the
+    operator is re-runnable after any interruption. (True single-rename
+    atomicity needs a manifest/table format — Delta/Iceberg — which is
+    where this operator points at production scale.)
 
     At cluster scale this runs per table-partition (e.g. per day), so the
     unit of rewrite is bounded and compactions parallelize across
     partitions; this single-directory form IS that per-partition unit.
     """
+    import shutil
+
+    tmp = path.rstrip("/") + "._compacting"
+    old = path.rstrip("/") + "._old"
+    # recover/clean up any interrupted previous run
+    if os.path.exists(old):
+        if not os.path.exists(path):
+            os.rename(old, path)  # crashed between the two renames
+        else:
+            shutil.rmtree(old)  # crashed before the final cleanup
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)  # incomplete rewrite, redo from source
+
     before = layout_stats(path)
     if before.n_files == 0:
         return before
     n_out = max(1, round(before.total_bytes / target_file_bytes))
 
     df = spark.read.parquet(path)
-    tmp = path.rstrip("/") + "._compacting"
-    old = path.rstrip("/") + "._old"
     if sort_by:
         out = df.repartitionByRange(n_out, *sort_by).sortWithinPartitions(*sort_by)
     else:
@@ -82,7 +98,5 @@ def compact_parquet(
 
     os.rename(path, old)
     os.rename(tmp, path)
-    import shutil
-
     shutil.rmtree(old)
     return layout_stats(path)

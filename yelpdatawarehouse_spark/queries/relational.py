@@ -1934,8 +1934,8 @@ def w_pandas_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(c_custkey AS BIGINT) AS c_custkey, band
     FROM (
         SELECT c_custkey,
-               CASE WHEN c_acctbal < 0 THEN NULL
-                    ELSE floor(c_acctbal / 1000) END AS band
+               CAST(CASE WHEN c_acctbal < 0 THEN NULL
+                         ELSE floor(c_acctbal / 1000) END AS BIGINT) AS band
         FROM customer
     )
     ORDER BY band ASC NULLS FIRST, c_custkey DESC
@@ -1957,8 +1957,10 @@ def o6_null_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
     ordering, not a post-sort filter).
     """
     c = table(spark, sf_dir, "customer")
-    band = F.when(F.col("c_acctbal") < 0, F.lit(None)).otherwise(
-        F.floor(F.col("c_acctbal") / 1000)
+    band = (
+        F.when(F.col("c_acctbal") < 0, F.lit(None))
+        .otherwise(F.floor(F.col("c_acctbal") / 1000))
+        .cast("long")
     )
     return (
         c.select(F.col("c_custkey").cast("long").alias("c_custkey"), band.alias("band"))

@@ -114,13 +114,13 @@ def a_approx_median_band(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "a_grouping_sets_mixed",
-    oracle="""
+    oracle=f"""
     SELECT coalesce(n_name, 'ALL') AS nation,
            coalesce(c_mktsegment, 'ALL') AS segment,
            CAST(grouping(n_name) AS INTEGER) AS g_nation,
            CAST(grouping(c_mktsegment) AS INTEGER) AS g_segment,
            CAST(count(*) AS BIGINT) AS n_customers,
-           CAST(sum(c_acctbal) AS DOUBLE) AS total_acctbal
+           {rfix_sql('sum(c_acctbal)')} AS total_acctbal
     FROM customer JOIN nation ON c_nationkey = n_nationkey
     GROUP BY GROUPING SETS ((n_name), (c_mktsegment), ())
     """,
@@ -135,8 +135,9 @@ def a_grouping_sets_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     (a_rollup_region_nation) queries: GROUPING SETS is the primitive both
     desugar to. Single shuffle; Spark expands each input row once per
     grouping set map-side and partially aggregates before the exchange.
-    c_acctbal values are exact in storage and summed identically by both
-    engines, so the sum is emitted raw (no rounding needed beyond cast).
+    The sum is rounded at the presentation edge like every float
+    aggregate: partial-sum merge ORDER differs between engines (and
+    between runs), so the raw double's last ulp is not reproducible.
     """
     c = table(spark, sf_dir, "customer")
     n = table(spark, sf_dir, "nation")
@@ -151,7 +152,7 @@ def a_grouping_sets_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.grouping("n_name").cast("int").alias("g_nation"),
             F.grouping("c_mktsegment").cast("int").alias("g_segment"),
             F.count(F.lit(1)).alias("n_customers"),
-            F.sum("c_acctbal").alias("total_acctbal"),
+            rfix(F.sum("c_acctbal")).alias("total_acctbal"),
         )
         .select(
             F.coalesce("n_name", F.lit("ALL")).alias("nation"),
@@ -159,7 +160,7 @@ def a_grouping_sets_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
             "g_nation",
             "g_segment",
             "n_customers",
-            F.col("total_acctbal").cast("double").alias("total_acctbal"),
+            "total_acctbal",
         )
     )
 
