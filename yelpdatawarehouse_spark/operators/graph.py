@@ -111,3 +111,46 @@ def connected_within(
     hops = bfs_min_hops(spark, edges, start, max_hops)
     row = hops.filter(F.col("node") == end).collect()
     return int(row[0]["hops"]) if row else None
+
+
+def min_label_components(edges: DataFrame, max_rounds: int = 15) -> DataFrame:
+    """Connected components by iterative min-label propagation.
+
+    ``edges`` must be a symmetric (both directions present) src/dst edge
+    list; returns one row per non-isolated node with its component label
+    (the minimum node id reachable from it).
+
+    Each round is one distributed join + aggregate over the cached edge
+    list — O(diameter) rounds, state O(nodes), no driver-side data beyond
+    the convergence counter. Labels are pinned per round with an eager
+    localCheckpoint so plans stay flat instead of nesting geometrically.
+    """
+    edges = edges.select("src", "dst").distinct().cache()
+    labels = edges.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    for _ in range(max_rounds):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce("nbr_label", F.col("label"))
+                ).alias("label"),
+            )
+        ).localCheckpoint()
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels

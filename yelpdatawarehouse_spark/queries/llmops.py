@@ -27,6 +27,7 @@ from ..functions import hashing
 from ..functions import text as T
 from ..functions import vectors as V
 from ..functions.presentation import rfix, rfix_sql
+from ..operators.graph import min_label_components
 from ..sources.tables import table
 from .registry import register
 
@@ -267,36 +268,10 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     pairs = dedup_minhash_verified(spark, sf_dir).select("doc_a", "doc_b")
     fwd = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-    edges = fwd.union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))).distinct().cache()
-    labels = edges.select(F.col("src").alias("node")).distinct().select(
-        "node", F.col("node").alias("label")
+    edges = fwd.union(
+        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
     )
-    for _ in range(15):  # diameter cap; tiny vs log-rounds convergence
-        neighbor_min = (
-            edges.join(labels, edges.dst == labels.node)
-            .groupBy(F.col("src").alias("node"))
-            .agg(F.min("label").alias("nbr_label"))
-        )
-        # eager localCheckpoint: truncates the per-round join lineage (plans
-        # would otherwise nest geometrically) and materializes once
-        new_labels = (
-            labels.join(neighbor_min, "node", "left")
-            .select(
-                "node",
-                F.least(F.col("label"), F.coalesce("nbr_label", F.col("label"))).alias(
-                    "label"
-                ),
-            )
-        ).localCheckpoint()
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
-            break
+    labels = min_label_components(edges)
     sizes = labels.groupBy("label").agg(F.count("*").cast("long").alias("cluster_size"))
     return (
         labels.join(sizes, "label")
@@ -1688,4 +1663,69 @@ def text_redaction_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_hits").cast("long").alias("n_redactions"),
         F.sum((F.col("n_hits") > 0).cast("long")).alias("docs_touched"),
         F.countDistinct("redacted_hash").alias("distinct_redacted"),
+    )
+
+
+def _semantic_clusters_oracle() -> str:
+    return f"""
+    WITH RECURSIVE e AS (
+        SELECT vec_id, embedding FROM embeddings WHERE vec_id < 1000
+    ),
+    cand AS (
+        SELECT a.vec_id AS va, b.vec_id AS vb
+        FROM e a JOIN e b ON a.vec_id < b.vec_id
+        WHERE {rfix_sql(V.cosine_sql('a.embedding', 'b.embedding'), 6)} >= 0.4
+    ),
+    edges AS (
+        SELECT va AS src, vb AS dst FROM cand
+        UNION SELECT vb, va FROM cand
+    ),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    reach(node, other) AS (
+        SELECT node, node FROM nodes
+        UNION
+        SELECT r.node, e2.dst FROM reach r JOIN edges e2 ON e2.src = r.other
+    ),
+    lab AS (SELECT node, min(other) AS cluster_id FROM reach GROUP BY node),
+    sizes AS (SELECT cluster_id, count(*) AS cluster_size FROM lab
+              GROUP BY cluster_id)
+    SELECT CAST(node AS BIGINT) AS vec_id,
+           CAST(lab.cluster_id AS BIGINT) AS cluster_id,
+           CAST(cluster_size AS BIGINT) AS cluster_size
+    FROM lab JOIN sizes USING (cluster_id)
+    """
+
+
+@register(
+    "dedup_semantic_clusters",
+    oracle=_semantic_clusters_oracle(),
+    tags=("DEDUP", "EMB", "ITER"),
+)
+def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC duplicate clusters: connected components over the
+    embedding-cosine near-dup graph (threshold 0.4 on the canonicalized
+    cosine) — the meaning-level counterpart of dedup_clusters' lexical
+    (MinHash-verified) clustering, sharing the same min-label-propagation
+    operator (operators/graph.min_label_components).
+
+    In a production corpus pipeline the two run side by side: lexical CC
+    collapses copies and near-copies, semantic CC collapses paraphrases
+    and translations; keeping min vec_id per component is the same
+    canonical-representative policy. Edge generation here reuses the
+    bounded cosine-pair query; at open scale the edge source swaps to the
+    LSH-bucketed candidate path (ann_lsh_bucket_topk's index) with the
+    identical downstream closure.
+    """
+    pairs = dedup_embedding_cosine_pairs(spark, sf_dir).select("vec_a", "vec_b")
+    edges = pairs.select(F.col("vec_a").alias("src"), F.col("vec_b").alias("dst")).union(
+        pairs.select(F.col("vec_b").alias("src"), F.col("vec_a").alias("dst"))
+    )
+    labels = min_label_components(edges)
+    sizes = labels.groupBy("label").agg(
+        F.count("*").cast("long").alias("cluster_size")
+    )
+    return labels.join(sizes, "label").select(
+        F.col("node").cast("long").alias("vec_id"),
+        F.col("label").cast("long").alias("cluster_id"),
+        "cluster_size",
     )
