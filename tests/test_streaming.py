@@ -312,3 +312,42 @@ def test_windowed_approx_uniques_stream_equals_batch(spark, tmp_path, event_chun
     }
     for ws, (approx, _) in got.items():
         assert abs(approx - exact[ws]) <= max(1, 0.05 * exact[ws])
+
+
+def test_stream_static_enrichment_matches_batch(spark, tmp_path, event_chunks_dir):
+    """Broadcast stream-static left join: streamed result equals the batch
+    join, and events without a dimension row survive with nulls."""
+    from yelpdatawarehouse_spark.streaming.pipeline import enriched_event_stream
+
+    # user dimension covering only even user ids — odd ids exercise the
+    # late-arriving-dimension (null) path
+    dim = (
+        table(spark, SF, "events")
+        .select("user_id")
+        .distinct()
+        .filter(F.col("user_id") % 2 == 0)
+        .withColumn("tier", F.when(F.col("user_id") % 4 == 0, "gold").otherwise("basic"))
+    )
+    stream = event_file_stream(spark, event_chunks_dir)
+    q = (
+        enriched_event_stream(stream, dim)
+        .writeStream.format("memory")
+        .queryName("enriched")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_e"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (r["event_id"], r["tier"])
+        for r in spark.sql("SELECT event_id, tier FROM enriched").collect()
+    }
+    want = {
+        (r["event_id"], r["tier"])
+        for r in enriched_event_stream(table(spark, SF, "events"), dim).collect()
+    }
+    assert got == want
+    assert any(t is None for _, t in got)  # odd ids kept with null tier
+    assert any(t == "gold" for _, t in got)
