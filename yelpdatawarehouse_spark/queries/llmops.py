@@ -1729,3 +1729,90 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("label").cast("long").alias("cluster_id"),
         "cluster_size",
     )
+
+
+@register(
+    "emb_quantize_int8_stats",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    s AS (
+        SELECT vec_id, e,
+               list_max(list_transform(e, x -> abs(x))) / 127.0 AS scale
+        FROM v
+    ),
+    q AS (
+        SELECT vec_id, e, scale,
+               list_transform(e, x -> floor(x / scale + 0.5)) AS qv
+        FROM s
+    )
+    SELECT CAST(vec_id AS BIGINT) AS vec_id,
+           {rfix_sql('scale', 6)} AS scale,
+           CAST(list_aggregate(qv, 'sum') AS BIGINT) AS q_sum,
+           {rfix_sql("sqrt(greatest(list_inner_product(e, e)"
+                     " + scale * scale * list_inner_product(qv, qv)"
+                     " - 2 * scale * list_inner_product(e, qv), 0))", 4)}
+               AS q_err
+    FROM q
+    """,
+    tags=("EMB", "UDF"),
+)
+def emb_quantize_int8_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of the embedding column through an
+    Arrow-batched ``mapInPandas`` kernel — the vector-compression pass an
+    ANN index build runs before storage (4x size cut), exercised under
+    the full oracle gate: per-vector scale (absmax/127), quantized-value
+    checksum, and the L2 reconstruction error.
+
+    Reproducibility contract: every float op is either elementwise
+    (abs, max, divide, floor half-up — bit-identical on any IEEE engine)
+    or a SEQUENTIAL left-to-right dot-product fold, with the error
+    derived from the same three-inner-product identity the k-means and
+    cosine operators use — so the Python kernel and the SQL oracle agree
+    bitwise before the presentation rounding. The kernel is a stateless
+    mapInPandas (no shuffle, no group state): at 100 TB it streams
+    batches at scan speed, and the quantized bytes would be written
+    alongside the scale as the index payload. Zero vectors would yield a
+    zero scale (divide-by-zero); the corpus has none and a production
+    kernel would clamp.
+    """
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+
+    def quantize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def dot(a, b):
+            acc = 0.0
+            for x, y in zip(a, b):
+                acc += x * y
+            return acc
+
+        import math
+
+        for pdf in batches:
+            rows = []
+            for vid, vec in zip(pdf["vec_id"], pdf["embedding"]):
+                v = [float(x) for x in vec]
+                scale = max(abs(x) for x in v) / 127.0
+                qv = [math.floor(x / scale + 0.5) for x in v]
+                err2 = (
+                    dot(v, v)
+                    + scale * scale * dot(qv, qv)
+                    - 2 * scale * dot(v, qv)
+                )
+                rows.append(
+                    (
+                        int(vid),
+                        math.floor(scale * 1e6 + 0.5) / 1e6,
+                        int(sum(qv)),
+                        math.floor(math.sqrt(max(err2, 0.0)) * 1e4 + 0.5) / 1e4,
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=["vec_id", "scale", "q_sum", "q_err"]
+            )
+
+    return e.mapInPandas(
+        quantize, "vec_id long, scale double, q_sum long, q_err double"
+    )
