@@ -29,3 +29,24 @@ def rfix(col: Column | str, ndigits: int = 2) -> Column:
 def rfix_sql(expr: str, ndigits: int = 2) -> str:
     p = 10**ndigits
     return f"(floor(({expr}) * {p} + 0.5) / {p})"
+
+
+def cavg(sum_col: Column, cnt_col: Column, ndigits: int = 2) -> Column:
+    """Canonical average: rfix the SUM first (a sum of 2-decimal money
+    values is a 0.01-quantized quantity, so its 2-digit rounding sits ~half
+    a quantum from any floor boundary — robust to cross-engine/partition
+    ulp noise), then divide by the exact integer count and round.
+
+    Emitting ``rfix(avg(x))`` directly is NOT safe: an average can land
+    bit-exactly on the rounding boundary (measured: 351473.995 at sf0.01),
+    where a 1-ulp difference in accumulation order flips the last rounded
+    digit. Deriving the emitted value from canonicalized intermediates
+    makes both engines' inputs bit-identical, so the final rounding —
+    whatever side of a boundary it falls on — agrees everywhere.
+    """
+    return rfix(rfix(sum_col, 2) / cnt_col, ndigits)
+
+
+def cavg_sql(sum_expr: str, cnt_expr: str, ndigits: int = 2) -> str:
+    """SQL twin of :func:`cavg` (same nested floor arithmetic)."""
+    return rfix_sql(f"({rfix_sql(sum_expr, 2)}) / ({cnt_expr})", ndigits)

@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.presentation import rfix, rfix_sql
+from ..functions.presentation import cavg, cavg_sql, rfix, rfix_sql
 from ..sources.tables import table
 from .registry import register
 
@@ -294,6 +294,22 @@ def j4_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sorted_pairs(arr, a_name: str, b_name: str):
+    """All ordered pairs (position i < j) from a sorted array column, as
+    structs — the shared expansion of the j5/j6 basket co-occurrence
+    queries. ``slice(arr, i + 2, size(arr))`` is the suffix strictly after
+    the 1-based position i + 1 of element x (transform's i is 0-based)."""
+    return F.flatten(
+        F.transform(
+            arr,
+            lambda x, i: F.transform(
+                F.slice(arr, i + 2, F.size(arr)),
+                lambda y: F.struct(x.alias(a_name), y.alias(b_name)),
+            ),
+        )
+    )
+
+
 @register(
     "j5_copurchase_pairs",
     oracle="""
@@ -334,15 +350,7 @@ def j5_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     baskets = li.groupBy("l_orderkey").agg(
         F.array_sort(F.collect_set("l_partkey")).alias("parts")
     ).repartition(spark.sparkContext.defaultParallelism)
-    pairs = F.flatten(
-        F.transform(
-            F.col("parts"),
-            lambda x, i: F.transform(
-                F.slice(F.col("parts"), i + 2, F.size(F.col("parts"))),
-                lambda y: F.struct(x.alias("part_a"), y.alias("part_b")),
-            ),
-        )
-    )
+    pairs = _sorted_pairs(F.col("parts"), "part_a", "part_b")
     return (
         baskets.select(F.explode(pairs).alias("p"))
         .groupBy(F.col("p.part_a").alias("part_a"), F.col("p.part_b").alias("part_b"))
@@ -389,15 +397,7 @@ def j6_two_hop_supplier_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     baskets = li.groupBy("l_partkey").agg(
         F.array_sort(F.collect_set("l_suppkey")).alias("supps")
     ).repartition(spark.sparkContext.defaultParallelism)
-    pairs = F.flatten(
-        F.transform(
-            F.col("supps"),
-            lambda x, i: F.transform(
-                F.slice(F.col("supps"), i + 2, F.size(F.col("supps"))),
-                lambda y: F.struct(x.alias("supp_a"), y.alias("supp_b")),
-            ),
-        )
-    )
+    pairs = _sorted_pairs(F.col("supps"), "supp_a", "supp_b")
     return (
         baskets.select(F.explode(pairs).alias("p"))
         .groupBy(F.col("p.supp_a").alias("supp_a"), F.col("p.supp_b").alias("supp_b"))
@@ -570,7 +570,7 @@ def a5_value_by_dayname(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
            CAST(month(o_orderdate) AS BIGINT) AS mon,
            CAST(count(*) AS BIGINT) AS order_cnt,
-           {rfix_sql('avg(o_totalprice)')} AS avg_price
+           {cavg_sql('sum(o_totalprice)', 'count(*)')} AS avg_price
     FROM orders GROUP BY 1, 2
     """,
     tags=("A6", "A2", "F1"),
@@ -586,7 +586,13 @@ def a6_avg_by_year_month(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.year("o_orderdate").cast("long").alias("yr"),
             F.month("o_orderdate").cast("long").alias("mon"),
         )
-        .agg(F.count("*").alias("order_cnt"), rfix(F.avg("o_totalprice")).alias("avg_price"))
+        .agg(
+            F.count("*").alias("order_cnt"),
+            # cavg, not rfix(avg): a group mean here lands bit-exactly on
+            # the 2-digit floor boundary (351473.995), where partial-merge
+            # order noise would flip the hashed digit
+            cavg(F.sum("o_totalprice"), F.count("*")).alias("avg_price"),
+        )
     )
 
 
@@ -909,7 +915,10 @@ def w2_rank_customers_in_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     "w3_running_avg_per_customer",
     oracle=f"""
     SELECT o_custkey, o_orderkey,
-           {rfix_sql('''avg(o_totalprice) OVER (PARTITION BY o_custkey
+           {cavg_sql('''sum(o_totalprice) OVER (PARTITION BY o_custkey
+                 ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)''',
+                     '''count(*) OVER (PARTITION BY o_custkey
                  ORDER BY o_orderdate, o_orderkey
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)''')} AS running_avg
     FROM orders
@@ -933,7 +942,12 @@ def w3_running_avg_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.select(
         "o_custkey",
         "o_orderkey",
-        rfix(F.avg("o_totalprice").over(w)).alias("running_avg"),
+        # canonical sum/count, not avg().over: frame averages land on the
+        # rounding boundary (215341.575 at sf0.01) and Spark's sequential
+        # vs DuckDB's segment-tree frame accumulation differ in the ulp
+        cavg(F.sum("o_totalprice").over(w), F.count("*").over(w)).alias(
+            "running_avg"
+        ),
     )
 
 
@@ -1508,7 +1522,8 @@ def w5_segment_spend_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(o_custkey AS BIGINT) AS custkey,
            strftime(o_orderdate, '%Y-%m-%d') AS order_date,
            CAST(epoch(o_orderdate) // 86400 AS BIGINT) AS day_no,
-           {rfix_sql("avg(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY epoch(o_orderdate) // 86400 RANGE BETWEEN 29 PRECEDING AND CURRENT ROW)")} AS avg_30d,
+           {cavg_sql("sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY epoch(o_orderdate) // 86400 RANGE BETWEEN 29 PRECEDING AND CURRENT ROW)",
+                     "count(*) OVER (PARTITION BY o_custkey ORDER BY epoch(o_orderdate) // 86400 RANGE BETWEEN 29 PRECEDING AND CURRENT ROW)")} AS avg_30d,
            CAST(count(*) OVER (PARTITION BY o_custkey ORDER BY epoch(o_orderdate) // 86400 RANGE BETWEEN 29 PRECEDING AND CURRENT ROW) AS BIGINT) AS cnt_30d
     FROM orders
     """,
@@ -1545,7 +1560,7 @@ def w6_sliding_30day_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "custkey",
         "order_date",
         "day_no",
-        rfix(F.avg("o_totalprice").over(w)).alias("avg_30d"),
+        cavg(F.sum("o_totalprice").over(w), F.count("*").over(w)).alias("avg_30d"),
         F.count("*").over(w).cast("long").alias("cnt_30d"),
     )
 
@@ -1863,16 +1878,28 @@ def j14_unshipped_value_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "w_pandas_zscore_outliers",
     oracle=f"""
-    WITH s AS (
+    WITH c AS (
+        SELECT o_orderstatus, o_orderkey, o_totalprice,
+               CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cx
+        FROM orders
+    ),
+    s AS (
         SELECT o_orderstatus,
-               {rfix_sql('avg(o_totalprice)', 6)} AS m,
-               {rfix_sql('stddev_samp(o_totalprice)', 6)} AS sd
-        FROM orders GROUP BY o_orderstatus
+               CAST(sum(cx) AS DOUBLE) AS sx,
+               CAST(sum(cx * cx) AS DOUBLE) AS sxx,
+               CAST(count(*) AS DOUBLE) AS n
+        FROM c GROUP BY o_orderstatus
+    ),
+    m AS (
+        SELECT o_orderstatus,
+               sx / n / 100 AS m,
+               sqrt(greatest((sxx - sx * sx / n) / (n - 1), 0)) / 100 AS sd
+        FROM s
     ),
     z AS (
-        SELECT o.o_orderstatus, o_orderkey,
-               (o_totalprice - m) / sd AS z
-        FROM orders o JOIN s USING (o_orderstatus)
+        SELECT c.o_orderstatus, o_orderkey,
+               (o_totalprice - m.m) / m.sd AS z
+        FROM c JOIN m USING (o_orderstatus)
     )
     SELECT o_orderstatus, CAST(o_orderkey AS BIGINT) AS o_orderkey,
            {rfix_sql('z', 4)} AS zscore
@@ -1888,22 +1915,45 @@ def w_pandas_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     |z-score| orders per status, z computed and ranked inside an
     Arrow-batched kernel.
 
-    Division of labor is deliberate: mean/stddev come from the exact JVM
-    aggregation (canonicalized to 6 digits so the kernel's inputs are
-    bit-identical on engine and oracle — pandas' pairwise summation would
-    NOT reproducibly match a SQL engine's fold, scalar arithmetic on
-    identical doubles does), broadcast-joined back; the kernel does the
-    per-row arithmetic and the per-group selection. One shuffle (the
-    applyInPandas grouping); each group crosses the Arrow boundary once.
+    Division of labor is deliberate: the group moments are EXACT
+    integer-cent sums — prices are 2-decimal, so cents are int64, and
+    sum(cx)/sum(cx²) are exact integers in any accumulation order (the
+    squared sum via 128-bit-safe aggregation; overflow bound ~9e18 cents²
+    per group, documented, with DECIMAL the production answer) — then
+    mean/stddev derive from those identical integers with identical
+    float ops on both engines, so the kernel's inputs are bit-identical
+    by construction rather than by rounding. Rounded moments are NOT
+    safe here: a money mean can land bit-exactly on the rounding
+    boundary where 1-ulp partial-merge noise flips the digit. The kernel
+    does the per-row arithmetic and the per-group selection. One shuffle
+    (the applyInPandas grouping); each group crosses the Arrow boundary
+    once.
     """
     import pandas as pd
 
     o = table(spark, sf_dir, "orders")
-    stats = o.groupBy("o_orderstatus").agg(
-        rfix(F.avg("o_totalprice"), 6).alias("m"),
-        rfix(F.stddev_samp("o_totalprice"), 6).alias("sd"),
+    cx = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    c = o.select("o_orderstatus", "o_orderkey", "o_totalprice", cx.alias("cx"))
+    s = c.groupBy("o_orderstatus").agg(
+        F.sum("cx").cast("double").alias("sx"),
+        F.sum(F.col("cx") * F.col("cx")).cast("double").alias("sxx"),
+        F.count("*").cast("double").alias("n"),
     )
-    joined = o.join(F.broadcast(stats), "o_orderstatus").select(
+    stats = s.select(
+        "o_orderstatus",
+        (F.col("sx") / F.col("n") / 100).alias("m"),
+        (
+            F.sqrt(
+                F.greatest(
+                    (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n"))
+                    / (F.col("n") - 1),
+                    F.lit(0.0),
+                )
+            )
+            / 100
+        ).alias("sd"),
+    )
+    joined = c.join(F.broadcast(stats), "o_orderstatus").select(
         "o_orderstatus", "o_orderkey", "o_totalprice", "m", "sd"
     )
 

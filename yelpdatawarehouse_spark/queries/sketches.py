@@ -76,7 +76,7 @@ def a_approx_distinct_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     "a_approx_median_band",
     oracle=f"""
     SELECT l_returnflag,
-           {rfix_sql("quantile_cont(l_extendedprice, 0.5)")} AS exact_median,
+           {rfix_sql("quantile_cont(l_extendedprice, 0.5)", 4)} AS exact_median,
            TRUE AS approx_in_band
     FROM lineitem
     GROUP BY l_returnflag
@@ -92,12 +92,20 @@ def a_approx_median_band(spark: SparkSession, sf_dir: str) -> DataFrame:
     that scales (bounded memory, map-side mergeable). The band check pins the
     approximation contract into the oracle gate: a regression in the sketch
     (or a wrong accuracy parameter) flips the boolean and fails the hash.
+
+    The median is rounded at FOUR digits, not two: an even-count money
+    median is the midpoint of two 2-decimal values — an .xx5 quantity that
+    sits bit-exactly ON the 2-digit floor boundary, but exactly half a
+    quantum from any 4-digit boundary, which is where a rounded value is
+    maximally robust to the engines' interpolation-ulp differences.
     """
     li = table(spark, sf_dir, "lineitem")
     return (
         li.groupBy("l_returnflag")
         .agg(
-            rfix(F.expr("percentile(l_extendedprice, 0.5)")).alias("exact_median"),
+            rfix(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias(
+                "exact_median"
+            ),
             F.expr("approx_percentile(l_extendedprice, 0.5, 10000)").alias("ap"),
             F.expr("percentile(l_extendedprice, 0.48)").alias("lo"),
             F.expr("percentile(l_extendedprice, 0.52)").alias("hi"),
@@ -262,14 +270,20 @@ def a_approx_topk_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded memory (then approximately, with tracked-count error bounds);
     the plan never materializes the full (key, count) table the way the
     exact TakeOrdered path (text_oov_rate's vocab) must.
+
+    The sketch is asked for MORE than k items (all 5 priorities) and the
+    final top-3 is cut AFTER an explicit (count desc, item) sort: if a
+    count tie ever straddled the cutoff, approx_top_k's own selection
+    among tied items is merge-order-dependent, while this derivation and
+    the oracle break the tie identically.
     """
     o = table(spark, sf_dir, "orders")
-    topk = o.agg(F.expr("approx_top_k(o_orderpriority, 3, 1024)").alias("tk"))
+    topk = o.agg(F.expr("approx_top_k(o_orderpriority, 5, 1024)").alias("tk"))
     ex = topk.select(F.explode("tk").alias("e")).select(
         F.col("e.item").alias("item"), F.col("e.count").cast("long").alias("cnt")
     )
-    # canonical order independent of the sketch's internal tie order
-    return ex.orderBy(F.desc("cnt"), "item")
+    # deterministic selection AND order, independent of sketch tie order
+    return ex.orderBy(F.desc("cnt"), "item").limit(3)
 
 
 @register(
