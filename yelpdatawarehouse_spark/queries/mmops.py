@@ -45,7 +45,7 @@ def mm_decode_features_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "width",
         "height",
-        F.size("features").cast("int").alias("n_features"),
+        F.size("features").cast("long").alias("n_features"),
         F.round(
             F.aggregate("features", F.lit(0.0), lambda acc, x: acc + x), 3
         ).alias("feature_sum"),

@@ -39,6 +39,20 @@ _ISO = "yyyy-MM-dd HH:mm:ss"
 _ISO_DUCK = "%Y-%m-%d %H:%M:%S"
 
 
+def _us(c) -> F.Column:
+    """Epoch microseconds of a timestamp column, NTZ-safe.
+
+    The testdata parquet stores ``ts`` as ``timestamp[us]`` with no
+    timezone, which PySpark 4.1 reads as TIMESTAMP_NTZ when
+    ``spark.sql.parquet.inferTimestampNTZ.enabled`` is on; ``unix_micros``
+    rejects NTZ input. The session is pinned to UTC (session.py), so
+    casting NTZ -> TIMESTAMP is value-preserving and ``unix_micros``
+    then matches DuckDB's ``epoch_us`` exactly.
+    """
+    col = F.col(c) if isinstance(c, str) else c
+    return F.unix_micros(col.cast("timestamp"))
+
+
 @register(
     "t8_sessionization",
     oracle=f"""
@@ -81,7 +95,7 @@ def t8_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     ev = table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
+    gap = _us("ts") - F.lag(_us("ts")).over(w)
     flagged = ev.withColumn(
         "new_sess", F.when(gap.isNull() | (gap > SESSION_GAP_SECONDS * 1_000_000), 1).otherwise(0)
     )
@@ -95,7 +109,7 @@ def t8_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.date_format(F.min("ts"), _ISO).alias("session_start"),
-            F.floor((F.max(F.unix_micros("ts")) - F.min(F.unix_micros("ts"))) / 1_000_000)
+            F.floor((F.max(_us("ts")) - F.min(_us("ts"))) / 1_000_000)
             .cast("long")
             .alias("duration_secs"),
             F.count("*").alias("n_events"),
@@ -159,7 +173,7 @@ def j11_asof_join_last_view(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("user_id").cast("long").alias("user_id"),
             F.date_format("ts", _ISO).alias("purchase_ts"),
             F.date_format("last_view", _ISO).alias("last_view_ts"),
-            F.floor((F.unix_micros("ts") - F.unix_micros("last_view")) / 1_000_000)
+            F.floor((_us("ts") - _us("last_view")) / 1_000_000)
             .cast("long")
             .alias("secs_since_view"),
         )
@@ -197,7 +211,7 @@ def j12_range_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffled hash join, and AQE's skew handling applies as usual.
     """
     ev = table(spark, sf_dir, "events")
-    bucket = lambda c: F.floor(F.unix_micros(F.col(c)) / (RANGE_WINDOW_SECONDS * 1_000_000))  # noqa: E731
+    bucket = lambda c: F.floor(_us(c) / (RANGE_WINDOW_SECONDS * 1_000_000))  # noqa: E731
     views = ev.filter(F.col("event_type") == "view").select(
         F.col("event_id").alias("view_id"),
         F.col("user_id"),
@@ -214,8 +228,8 @@ def j12_range_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     joined = views.join(purchases, ["user_id", "bucket"]).filter(
-        (F.unix_micros("p_ts") >= F.unix_micros("view_ts"))
-        & (F.unix_micros("p_ts") < F.unix_micros("view_ts") + RANGE_WINDOW_SECONDS * 1_000_000)
+        (_us("p_ts") >= _us("view_ts"))
+        & (_us("p_ts") < _us("view_ts") + RANGE_WINDOW_SECONDS * 1_000_000)
     )
     return (
         joined.groupBy(

@@ -18,6 +18,11 @@ from pyspark.sql import SparkSession
 # to facts), shuffle partitions match core count and AQE coalesces down.
 _DEFAULTS = {
     "spark.sql.session.timeZone": "UTC",
+    # testdata parquet stores timestamps as timestamp[us] with no tz; without
+    # this, PySpark 4.1 reads them as TIMESTAMP_NTZ and epoch functions
+    # (unix_micros & co.) reject the column. With the session pinned to UTC,
+    # reading as TIMESTAMP is value-identical to DuckDB's semantics.
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",

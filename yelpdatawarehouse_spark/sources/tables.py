@@ -47,6 +47,11 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # session with any JVM-default timezone. Without this, every LTZ
     # timestamp rendering (date_format/dayname/window) would shift.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # Some SF dirs store ts as timestamp[us] with no timezone; PySpark 4.1
+    # would read that as TIMESTAMP_NTZ, which epoch functions (unix_micros)
+    # reject. With the session pinned to UTC, plain TIMESTAMP is
+    # value-identical, so disable NTZ inference at the same choke point.
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     if name != "events":
         return spark.read.parquet(path)
     # events.ts is physically TIMESTAMP(NANOS), which Spark's vectorized
