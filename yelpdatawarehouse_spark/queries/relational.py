@@ -203,7 +203,7 @@ def p8_null_safe_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT r.r_name, n.n_name,
            CAST(count(*) AS BIGINT) AS order_cnt,
            {rfix_sql('sum(o.o_totalprice)')} AS revenue,
-           {rfix_sql('avg(o.o_totalprice)')} AS avg_order
+           {cavg_sql('sum(o.o_totalprice)', 'count(*)')} AS avg_order
     FROM region r
     JOIN nation n ON n.n_regionkey = r.r_regionkey
     JOIN customer c ON c.c_nationkey = n.n_nationkey
@@ -232,7 +232,7 @@ def j1_multiway_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("order_cnt"),
             rfix(F.sum("o_totalprice")).alias("revenue"),
-            rfix(F.avg("o_totalprice")).alias("avg_order"),
+            cavg(F.sum("o_totalprice"), F.count("*")).alias("avg_order"),
         )
     )
 
@@ -294,6 +294,13 @@ def j4_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Basket size at which j5's pair expansion switches from the inline
+# (single-row C(m,2)) path to the salted posexplode path. C(64,2) ≈ 2k
+# structs per row is well under a task's working set; anything bigger is
+# the hot-key regime where one row must not own the whole expansion.
+J5_LARGE_BASKET = 64
+
+
 def _sorted_pairs(arr, a_name: str, b_name: str):
     """All ordered pairs (position i < j) from a sorted array column, as
     structs — the shared expansion of the j5/j6 basket co-occurrence
@@ -345,14 +352,40 @@ def j5_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     coalesced partitions (measured 3× slower at sf0.1). Rebalance cost is
     one exchange of the already-compacted baskets — negligible against
     the expansion it parallelizes.
+
+    Hot-key hardening (the skew the reference's category co-occurrence
+    hits at scale, webapp/neo4j_routes.py:443-452): one pathological
+    parent key — a basket of m parts with m ≫ typical — makes the inline
+    expansion a single C(m,2) task no matter how baskets are spread.
+    Baskets at or above ``J5_LARGE_BASKET`` therefore take a salted path:
+    posexplode the basket so each element row carries only its O(m)
+    suffix pairs, round-robin those rows (the salt), and explode per
+    row — the quadratic work of ONE basket spreads over the whole
+    cluster. Both branches produce identical (i < j) pairs, so the union
+    is exact and the oracle is unchanged; at harness scale the large
+    branch is empty and AQE prunes it to nothing.
     """
     li = table(spark, sf_dir, "lineitem")
     baskets = li.groupBy("l_orderkey").agg(
         F.array_sort(F.collect_set("l_partkey")).alias("parts")
     ).repartition(spark.sparkContext.defaultParallelism)
-    pairs = _sorted_pairs(F.col("parts"), "part_a", "part_b")
+    small = baskets.filter(F.size("parts") < J5_LARGE_BASKET).select(
+        F.explode(_sorted_pairs(F.col("parts"), "part_a", "part_b")).alias("p")
+    )
+    large = (
+        baskets.filter(F.size("parts") >= J5_LARGE_BASKET)
+        .select(F.col("parts"), F.posexplode("parts").alias("i", "x"))
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select(
+            F.col("x"),
+            F.explode(F.slice("parts", F.col("i") + 2, F.size("parts"))).alias("y"),
+        )
+        .select(
+            F.struct(F.col("x").alias("part_a"), F.col("y").alias("part_b")).alias("p")
+        )
+    )
     return (
-        baskets.select(F.explode(pairs).alias("p"))
+        small.unionByName(large)
         .groupBy(F.col("p.part_a").alias("part_a"), F.col("p.part_b").alias("part_b"))
         .agg(F.count("*").alias("together_cnt"))
         .filter(F.col("together_cnt") >= 3)
@@ -484,7 +517,7 @@ def a2_status_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     SELECT n.n_name,
            CAST(count(DISTINCT c.c_custkey) AS BIGINT) AS customer_cnt,
-           {rfix_sql('avg(c.c_acctbal)')} AS avg_bal,
+           {cavg_sql('sum(c.c_acctbal)', 'count(c.c_acctbal)')} AS avg_bal,
            {rfix_sql('sum(c.c_acctbal)')} AS total_bal,
            CAST(count(CASE WHEN c.c_acctbal > 5000 THEN 1 END) AS BIGINT) AS rich_cnt,
            CAST(count(CASE WHEN c.c_acctbal < 0 THEN 1 END) AS BIGINT) AS debtor_cnt
@@ -506,7 +539,7 @@ def a3_nation_customer_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name")
         .agg(
             F.countDistinct("c_custkey").alias("customer_cnt"),
-            rfix(F.avg("c_acctbal")).alias("avg_bal"),
+            cavg(F.sum("c_acctbal"), F.count("c_acctbal")).alias("avg_bal"),
             rfix(F.sum("c_acctbal")).alias("total_bal"),
             F.count(F.when(F.col("c_acctbal") > 5000, 1)).alias("rich_cnt"),
             F.count(F.when(F.col("c_acctbal") < 0, 1)).alias("debtor_cnt"),
@@ -654,7 +687,7 @@ def a8_distinct_parts_per_customer(spark: SparkSession, sf_dir: str) -> DataFram
     "a9_having_filter",
     oracle=f"""
     SELECT c_nationkey, CAST(count(*) AS BIGINT) AS customer_cnt,
-           {rfix_sql('avg(c_acctbal)')} AS avg_bal
+           {cavg_sql('sum(c_acctbal)', 'count(c_acctbal)')} AS avg_bal
     FROM customer GROUP BY c_nationkey
     HAVING count(*) > 40
     """,
@@ -668,7 +701,10 @@ def a9_having_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = table(spark, sf_dir, "customer")
     return (
         c.groupBy("c_nationkey")
-        .agg(F.count("*").alias("customer_cnt"), rfix(F.avg("c_acctbal")).alias("avg_bal"))
+        .agg(
+            F.count("*").alias("customer_cnt"),
+            cavg(F.sum("c_acctbal"), F.count("c_acctbal")).alias("avg_bal"),
+        )
         .filter(F.col("customer_cnt") > 40)
     )
 
@@ -757,7 +793,7 @@ def a13_sampled_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT c.c_custkey, n.n_name AS nation,
            coalesce(s.order_cnt, 0) AS order_cnt,
            {rfix_sql('coalesce(s.total_spend, 0)')} AS total_spend,
-           {rfix_sql('coalesce(s.avg_order, 0)')} AS avg_order,
+           {cavg_sql('coalesce(s.total_spend, 0)', 'greatest(coalesce(s.order_cnt, 0), 1)')} AS avg_order,
            coalesce(s.first_order, '') AS first_order,
            coalesce(s.last_order, '') AS last_order
     FROM customer c
@@ -766,7 +802,6 @@ def a13_sampled_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT o_custkey,
                CAST(count(*) AS BIGINT) AS order_cnt,
                sum(o_totalprice) AS total_spend,
-               avg(o_totalprice) AS avg_order,
                strftime(min(o_orderdate), '%Y-%m-%d') AS first_order,
                strftime(max(o_orderdate), '%Y-%m-%d') AS last_order
         FROM orders GROUP BY o_custkey
@@ -791,7 +826,6 @@ def a14_customer_summary_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("order_cnt"),
             F.sum("o_totalprice").alias("total_spend"),
-            F.avg("o_totalprice").alias("avg_order"),
             F.date_format(F.min("o_orderdate"), "yyyy-MM-dd").alias("first_order"),
             F.date_format(F.max("o_orderdate"), "yyyy-MM-dd").alias("last_order"),
         )
@@ -804,7 +838,10 @@ def a14_customer_summary_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_name").alias("nation"),
             F.coalesce("order_cnt", F.lit(0)).alias("order_cnt"),
             rfix(F.coalesce("total_spend", F.lit(0.0))).alias("total_spend"),
-            rfix(F.coalesce("avg_order", F.lit(0.0))).alias("avg_order"),
+            cavg(
+                F.coalesce("total_spend", F.lit(0.0)),
+                F.greatest(F.coalesce("order_cnt", F.lit(0)), F.lit(1)),
+            ).alias("avg_order"),
             F.coalesce("first_order", F.lit("")).alias("first_order"),
             F.coalesce("last_order", F.lit("")).alias("last_order"),
         )
