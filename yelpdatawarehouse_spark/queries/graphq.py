@@ -135,11 +135,17 @@ def g_pagerank_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     installed, docker-compose.yml:51-58).
 
     Scale shape: the fact-scale edge DERIVATION runs once and is pinned
-    with an eager localCheckpoint, so the 5 iterations re-join only the
-    node-sized rank state — one shuffle on dst per iteration, state
-    O(nodes), lineage kept flat instead of 5x fact joins. Isolated
-    nodes keep the (1-d)/N base; the symmetric edge set has no dangling
-    mass. The oracle unrolls the same 5 iterations as chained CTEs.
+    with an eager localCheckpoint; everything after it carries only
+    node-sized state (ranks, out-degrees, per-iteration contributions
+    are all O(nodes), and nodes are dimension-bounded by construction).
+    Node-sized state is broadcast into every join — the per-iteration
+    plan is broadcast-join → map-side partial agg → ONE exchange on dst,
+    so 5 iterations cost 5 small shuffles instead of 20, and the edge
+    partitioning is never disturbed. (A graph with fact-sized nodes
+    would flip ranks back to a shuffled join; that is a different
+    operator regime — see SURVEY §2.4.) Isolated nodes keep the (1-d)/N
+    base; the symmetric edge set has no dangling mass. The oracle
+    unrolls the same 5 iterations as chained CTEs.
     """
     edges = trade_edges(spark, sf_dir).localCheckpoint(eager=True)
     nodes = table(spark, sf_dir, "nation").select(F.col("n_nationkey").alias("node"))
@@ -148,14 +154,14 @@ def g_pagerank_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranks = nodes.crossJoin(ncnt).select("node", (F.lit(1.0) / F.col("n")).alias("rank"))
     for _ in range(5):
         contrib = (
-            edges.join(ranks, edges.src == ranks.node)
-            .join(outdeg, "src")
+            edges.join(F.broadcast(ranks), edges.src == ranks.node)
+            .join(F.broadcast(outdeg), "src")
             .groupBy("dst")
             .agg(F.sum(F.col("rank") / F.col("od")).alias("contrib"))
         )
         ranks = (
             nodes.crossJoin(ncnt)
-            .join(contrib, nodes.node == contrib.dst, "left")
+            .join(F.broadcast(contrib), nodes.node == contrib.dst, "left")
             .select(
                 "node",
                 (F.lit(0.15) / F.col("n")

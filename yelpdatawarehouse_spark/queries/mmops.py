@@ -50,3 +50,62 @@ def mm_decode_features_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.aggregate("features", F.lit(0.0), lambda acc, x: acc + x), 3
         ).alias("feature_sum"),
     )
+
+
+@register(
+    "mm_frame_sample",
+    oracle="""
+    WITH frames AS (
+        SELECT doc_id, text,
+               unnest(range(0, CAST(greatest(floor(octet_length(encode(text)) / 64.0), 1) AS BIGINT))) AS i
+        FROM documents
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(i AS BIGINT) AS frame_idx,
+           hex(encode(substring(text, CAST(i * 64 + 1 AS INT), 64))) AS frame_hex
+    FROM frames
+    """,
+    tags=("MM", "T6"),
+)
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over binary payloads: one input row fans out to
+    (doc_id, frame_idx, frame_bytes) rows — the plumbing shape of video
+    frame extraction, entirely JVM-side (sequence + explode + substring
+    on BinaryType; no Python in the path).
+
+    The engine slices BYTES (`multimodal.sample_frames`); the oracle
+    slices VARCHAR then re-encodes, which is value-identical because the
+    corpus is single-byte text (asserted ASCII at every SF). Frames are
+    emitted hex-encoded so both engines hash the same canonical string
+    form. Reference analog: none (the reference stores no binary media;
+    north-star multimodal surface, SURVEY §2 extension).
+    """
+    from ..multimodal import sample_frames
+
+    docs = table(spark, sf_dir, "documents")
+    frames = sample_frames(attach_fake_media(docs), every_n_bytes=64)
+    return frames.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("frame_idx").cast("long").alias("frame_idx"),
+        F.hex("frame_bytes").alias("frame_hex"),
+    )
+
+
+@register("mm_resize_plumbing", oracle=None, tags=("MM", "UDF"))
+def mm_resize_plumbing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched mapInPandas resize pipeline (rows-only check: the
+    kernel output depends on whether a real codec is present — see
+    multimodal/columns.py resize_images). The Spark-side contract under
+    test is schema + binary round-trip + one row per input document;
+    payload content is summarized as a byte length so the result is
+    sortable either way."""
+    from ..multimodal import resize_images
+
+    docs = table(spark, sf_dir, "documents")
+    resized = resize_images(attach_fake_media(docs), width=32, height=32)
+    return resized.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        F.octet_length("payload").cast("long").alias("payload_bytes"),
+    )
