@@ -60,6 +60,7 @@ def main() -> None:
         "j14_unshipped_value_topk",
         "g_triangle_support",
         "a_sketch_rollup_regions",
+        "mm_frame_sample",
     ):
         if opt in registry:
             headline.append(opt)

@@ -150,7 +150,13 @@ def g_pagerank_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = trade_edges(spark, sf_dir).localCheckpoint(eager=True)
     nodes = table(spark, sf_dir, "nation").select(F.col("n_nationkey").alias("node"))
     ncnt = F.broadcast(nodes.agg(F.count("*").cast("double").alias("n")))
-    outdeg = edges.groupBy("src").agg(F.count("*").cast("double").alias("od"))
+    # out-degree state is node-sized and loop-invariant: pin it once so the
+    # per-iteration broadcast doesn't re-run its aggregation 5 times
+    outdeg = (
+        edges.groupBy("src")
+        .agg(F.count("*").cast("double").alias("od"))
+        .localCheckpoint(eager=True)
+    )
     ranks = nodes.crossJoin(ncnt).select("node", (F.lit(1.0) / F.col("n")).alias("rank"))
     for _ in range(5):
         contrib = (
