@@ -1816,3 +1816,138 @@ def emb_quantize_int8_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.mapInPandas(
         quantize, "vec_id long, scale double, q_sum long, q_err double"
     )
+
+
+# ---------------------------------------------------------------------------
+# Dedup action + sequence packing (round 3 additions)
+# ---------------------------------------------------------------------------
+
+def _keep_canonical_oracle() -> str:
+    """Clusters closure (same recursive CTEs as dedup_clusters) + canonical
+    representative per cluster: longest doc wins, ties to the lowest id."""
+    return f"""
+    WITH RECURSIVE cand AS ({_minhash_verified_oracle()}),
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM cand
+        UNION SELECT doc_b, doc_a FROM cand
+    ),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    reach(node, other) AS (
+        SELECT node, node FROM nodes
+        UNION
+        SELECT r.node, e.dst FROM reach r JOIN edges e ON e.src = r.other
+    ),
+    cl AS (SELECT node AS doc_id, min(other) AS cluster_id FROM reach GROUP BY node),
+    j AS (
+        SELECT cl.cluster_id, cl.doc_id, d.n_chars
+        FROM cl JOIN documents d ON d.doc_id = cl.doc_id
+    ),
+    r AS (
+        SELECT *, row_number() OVER (PARTITION BY cluster_id
+                                     ORDER BY n_chars DESC, doc_id) AS rk
+        FROM j
+    )
+    SELECT CAST(cluster_id AS BIGINT) AS cluster_id,
+           CAST(max(CASE WHEN rk = 1 THEN doc_id END) AS BIGINT) AS kept_doc_id,
+           CAST(max(CASE WHEN rk = 1 THEN n_chars END) AS BIGINT) AS kept_n_chars,
+           CAST(count(*) - 1 AS BIGINT) AS dropped_cnt
+    FROM r GROUP BY cluster_id
+    """
+
+
+@register("dedup_keep_canonical", oracle=_keep_canonical_oracle(), tags=("DEDUP", "W1"))
+def dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup ACTION: given near-dup clusters (dedup_clusters), keep one
+    canonical representative per cluster — the longest document, ties broken
+    to the lowest doc_id — and report what each cluster dropped. Singleton
+    docs never enter a cluster and survive untouched by construction.
+
+    Scale shape: clusters are node-labelled by the distributed min-label
+    propagation (no driver data); representative selection is one window
+    pass partitioned on cluster_id (the same key the labels already carry);
+    the documents join brings only (doc_id, n_chars) — two narrow shuffles
+    beyond the clustering itself, independent of document payload size.
+    Reference analog: none (the reference never deduplicates content;
+    SURVEY §2 extension for the training-data pipeline).
+    """
+    clusters = dedup_clusters(spark, sf_dir).select("doc_id", "cluster_id")
+    d = table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    j = clusters.join(d, "doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    r = j.withColumn("rk", F.row_number().over(w))
+    return (
+        r.groupBy(F.col("cluster_id").cast("long").alias("cluster_id"))
+        .agg(
+            F.max(F.when(F.col("rk") == 1, F.col("doc_id"))).cast("long").alias("kept_doc_id"),
+            F.max(F.when(F.col("rk") == 1, F.col("n_chars"))).cast("long").alias("kept_n_chars"),
+            (F.count("*") - 1).cast("long").alias("dropped_cnt"),
+        )
+    )
+
+
+# Sequence-packing bin capacity (tokens) and stream-shard count.
+PACK_BIN_TOKENS = 2048
+PACK_SLOTS = 8
+
+
+@register(
+    "text_pack_bins",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id,
+               {hashing.md5_long_sql("'pack:' || CAST(doc_id AS VARCHAR)")} % {PACK_SLOTS} AS slot,
+               len({_TOKS}) AS n_tokens
+        FROM documents
+    ), c AS (
+        SELECT slot, doc_id, n_tokens,
+               coalesce(sum(n_tokens) OVER (PARTITION BY slot ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_excl
+        FROM t
+    )
+    SELECT CAST(slot AS BIGINT) AS slot,
+           CAST(cum_excl // {PACK_BIN_TOKENS} AS BIGINT) AS bin_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS tokens_used
+    FROM c GROUP BY slot, cum_excl // {PACK_BIN_TOKENS}
+    """,
+    tags=("PACK", "W3"),
+)
+def text_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy sequence packing (concat-and-chunk): assign each document to a
+    training bin of ~{PACK_BIN_TOKENS} tokens by its running token offset —
+    the batch-construction step between a cleaned corpus and a trainer.
+
+    Documents are sharded into deterministic hash-slot streams (a pure
+    function of doc_id: reproducible on any cluster layout, like every
+    sampling op here), ordered stably within the stream, and a doc starts
+    the bin its exclusive cumulative token count falls in. One shuffle on
+    the slot key feeds both the window pass and the (slot, bin) rollup —
+    at 100 TB each stream packs independently and in parallel, and adding
+    streams (PACK_SLOTS) scales packing throughput with zero coordination.
+    Reference analog: none (SURVEY §2 extension).
+    """
+    d = table(spark, sf_dir, "documents")
+    slot = hashing.md5_long(
+        F.concat(F.lit("pack:"), F.col("doc_id").cast("string"))
+    ) % PACK_SLOTS
+    t = d.select(
+        "doc_id",
+        slot.alias("slot"),
+        F.size(T.tokens("text")).cast("long").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("slot")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    c = t.withColumn("cum_excl", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)))
+    return (
+        c.groupBy(
+            F.col("slot").cast("long").alias("slot"),
+            F.expr(f"cum_excl div {PACK_BIN_TOKENS}").cast("long").alias("bin_id"),
+        )
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("tokens_used"),
+        )
+    )
