@@ -26,6 +26,8 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.presentation import rfix, rfix_sql
+from ..functions.timeops import epoch_us as _us
+from ..operators.asof import asof_join, bucketed_range_join
 from ..sources.tables import table
 from .registry import register
 
@@ -37,20 +39,6 @@ RANGE_WINDOW_SECONDS = 24 * 3600
 
 _ISO = "yyyy-MM-dd HH:mm:ss"
 _ISO_DUCK = "%Y-%m-%d %H:%M:%S"
-
-
-def _us(c) -> F.Column:
-    """Epoch microseconds of a timestamp column, NTZ-safe.
-
-    The testdata parquet stores ``ts`` as ``timestamp[us]`` with no
-    timezone, which PySpark 4.1 reads as TIMESTAMP_NTZ when
-    ``spark.sql.parquet.inferTimestampNTZ.enabled`` is on; ``unix_micros``
-    rejects NTZ input. The session is pinned to UTC (session.py), so
-    casting NTZ -> TIMESTAMP is value-preserving and ``unix_micros``
-    then matches DuckDB's ``epoch_us`` exactly.
-    """
-    col = F.col(c) if isinstance(c, str) else c
-    return F.unix_micros(col.cast("timestamp"))
 
 
 @register(
@@ -144,36 +132,29 @@ def j11_asof_join_last_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     before it (time-to-convert attribution).
 
     Spark has no ASOF JOIN operator; the scalable encoding is the
-    union+window trick — interleave both streams on the shared (user,
-    time) axis and carry the reference side forward with last(...,
-    ignorenulls) — one shuffle on user_id, no per-probe lookup, no
-    inequality-join explosion. Views sort before purchases at equal ts
-    (sort key includes is_probe) so the join boundary is inclusive.
-    The oracle states the same semantics as a LATERAL max() subquery.
+    union+window trick — one shuffle on user_id, no per-probe lookup, no
+    inequality-join explosion — provided by the reusable
+    ``operators.asof.asof_join`` (backward direction, inclusive at equal
+    timestamps). The oracle states the same semantics as a LATERAL max()
+    subquery.
     """
     ev = table(spark, sf_dir, "events")
-    views = ev.filter(F.col("event_type") == "view").select(
-        "user_id", "ts", F.lit(0).alias("is_probe"), F.lit(None).cast("long").alias("event_id")
-    )
     purchases = ev.filter(F.col("event_type") == "purchase").select(
-        "user_id", "ts", F.lit(1).alias("is_probe"), F.col("event_id").cast("long")
+        "user_id", "ts", F.col("event_id").cast("long")
     )
-    merged = views.unionByName(purchases)
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("ts", "is_probe")
-        .rowsBetween(Window.unboundedPreceding, 0)
+    views = ev.filter(F.col("event_type") == "view").select("user_id", "ts")
+    matched = asof_join(
+        purchases, views, on="user_id", left_time="ts", right_time="ts",
+        direction="backward", asof_col="last_view",
     )
-    last_view = F.last(F.when(F.col("is_probe") == 0, F.col("ts")), ignorenulls=True).over(w)
     return (
-        merged.withColumn("last_view", last_view)
-        .filter((F.col("is_probe") == 1) & F.col("last_view").isNotNull())
+        matched.filter(F.col("last_view").isNotNull())
         .select(
             F.col("event_id").alias("purchase_id"),
             F.col("user_id").cast("long").alias("user_id"),
             F.date_format("ts", _ISO).alias("purchase_ts"),
-            F.date_format("last_view", _ISO).alias("last_view_ts"),
-            F.floor((_us("ts") - _us("last_view")) / 1_000_000)
+            F.date_format("last_view.ts", _ISO).alias("last_view_ts"),
+            F.floor((_us("ts") - _us(F.col("last_view.ts"))) / 1_000_000)
             .cast("long")
             .alias("secs_since_view"),
         )
@@ -203,33 +184,25 @@ def j12_range_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     by the same user, aggregated per view (attribution counting).
 
     A naive ``t BETWEEN`` join is an inequality join — Spark falls back
-    to broadcast-nested-loop and the plan dies at scale. Here the bucket
-    width equals the interval length, so a purchase in time-bucket b can
-    only match views in buckets b and b-1: explode each purchase to those
-    two candidate bucket keys, hash-equi-join on (user_id, bucket), then
-    apply the exact range filter. Work is O(matches), the join stays a
-    shuffled hash join, and AQE's skew handling applies as usual.
+    to broadcast-nested-loop and the plan dies at scale. The reusable
+    ``operators.asof.bucketed_range_join`` equi-joins on a coarse bucket
+    whose width equals the interval (a purchase in time-bucket b can only
+    match views in buckets b and b-1) and applies the exact predicate
+    after: work is O(matches), the join stays a shuffled hash join, and
+    AQE's skew handling applies as usual.
     """
     ev = table(spark, sf_dir, "events")
-    bucket = lambda c: F.floor(_us(c) / (RANGE_WINDOW_SECONDS * 1_000_000))  # noqa: E731
     views = ev.filter(F.col("event_type") == "view").select(
         F.col("event_id").alias("view_id"),
         F.col("user_id"),
         F.col("ts").alias("view_ts"),
-        bucket("ts").alias("bucket"),
     )
-    purchases = (
-        ev.filter(F.col("event_type") == "purchase")
-        .select(
-            "user_id",
-            F.col("ts").alias("p_ts"),
-            F.col("value").alias("p_value"),
-            F.explode(F.array(bucket("ts"), bucket("ts") - 1)).alias("bucket"),
-        )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
     )
-    joined = views.join(purchases, ["user_id", "bucket"]).filter(
-        (_us("p_ts") >= _us("view_ts"))
-        & (_us("p_ts") < _us("view_ts") + RANGE_WINDOW_SECONDS * 1_000_000)
+    joined = bucketed_range_join(
+        views, purchases, on="user_id", left_time="view_ts", right_time="ts",
+        window_seconds=RANGE_WINDOW_SECONDS, right_prefix="p_",
     )
     return (
         joined.groupBy(
