@@ -207,8 +207,10 @@ def g_triangle_support(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly once (no 6-way symmetry blowup), and the wedge join's fan-out
     is bounded by out-degree in the orientation, which the low→high rule
     caps near sqrt(E) for any skew. Edge derivation reuses the fact-scale
-    distributed pipeline of trade_edges; the joins here run on the
-    deduplicated edge list, keyed on node ids.
+    distributed pipeline of trade_edges; the deduplicated edge list is
+    dimension-bounded (nations²), so the wedge-closing sides are
+    broadcast — a web-scale edge list would flip these to shuffled joins
+    with the same orientation bound.
     """
     edges = trade_edges(spark, sf_dir)
     elt = edges.filter(F.col("src") < F.col("dst")).select(
@@ -218,8 +220,8 @@ def g_triangle_support(spark: SparkSession, sf_dir: str) -> DataFrame:
     e2 = elt.select(F.col("a").alias("b"), F.col("b").alias("c")).alias("e2")
     e3 = elt.select(F.col("a").alias("a3"), F.col("b").alias("c3")).alias("e3")
     tri = (
-        e1.join(e2, "b")
-        .join(e3, (F.col("a") == F.col("a3")) & (F.col("c") == F.col("c3")))
+        e1.join(F.broadcast(e2), "b")
+        .join(F.broadcast(e3), (F.col("a") == F.col("a3")) & (F.col("c") == F.col("c3")))
         .select("a", "b", "c")
     )
     corners = (
