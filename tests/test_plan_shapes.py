@@ -35,6 +35,8 @@ _SHAPES = {
     "g_pagerank_nations": (5, 15, 0),
     "t8_sessionization": (1, 0, 2),
     "j11_asof_join_last_view": (1, 0, 1),
+    "j15_asof_next_purchase": (1, 0, 1),
+    "g_triangle_support": (1, 2, 0),
     "j12_range_join_bucketed": (1, 1, 0),
     "dedup_minhash_lsh_candidates": (2, 1, 0),
     "ann_lsh_bucket_topk": (1, 1, 1),

@@ -277,3 +277,54 @@ def a_funnel_signup_view_purchase(spark: SparkSession, sf_dir: str) -> DataFrame
     for c in counts[1:]:
         out = out.unionByName(c)
     return out
+
+
+@register(
+    "j15_asof_next_purchase",
+    oracle=f"""
+    WITH v AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'view')
+    SELECT CAST(v.event_id AS BIGINT) AS view_id,
+           CAST(v.user_id AS BIGINT) AS user_id,
+           strftime(v.ts, '{_ISO_DUCK}') AS view_ts,
+           strftime(np.next_ts, '{_ISO_DUCK}') AS next_purchase_ts,
+           CAST((epoch_us(np.next_ts) - epoch_us(v.ts)) // 1000000 AS BIGINT) AS secs_to_purchase
+    FROM v, LATERAL (
+        SELECT min(p.ts) AS next_ts
+        FROM events p
+        WHERE p.user_id = v.user_id AND p.event_type = 'purchase' AND p.ts >= v.ts
+    ) np
+    WHERE np.next_ts IS NOT NULL
+    """,
+    tags=("J11", "ASOF"),
+)
+def j15_asof_next_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join: for every view, the EARLIEST same-user purchase
+    at or after it (time-to-convert from the view side — the mirror of
+    j11's backward attribution).
+
+    Exercises ``operators.asof.asof_join`` in the forward direction under
+    the full oracle gate: same single-shuffle union+window plan, ordering
+    descended on time so last(..., ignorenulls) carries the nearest LATER
+    purchase; inclusive at equal timestamps. Oracle: LATERAL min().
+    """
+    ev = table(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", F.col("event_id").cast("long")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select("user_id", "ts")
+    matched = asof_join(
+        views, purchases, on="user_id", left_time="ts", right_time="ts",
+        direction="forward", asof_col="next_p",
+    )
+    return (
+        matched.filter(F.col("next_p").isNotNull())
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id").cast("long").alias("user_id"),
+            F.date_format("ts", _ISO).alias("view_ts"),
+            F.date_format("next_p.ts", _ISO).alias("next_purchase_ts"),
+            F.floor((_us(F.col("next_p.ts")) - _us("ts")) / 1_000_000)
+            .cast("long")
+            .alias("secs_to_purchase"),
+        )
+    )
