@@ -76,3 +76,29 @@ def test_bucketed_range_join_matches_brute_force(spark, seed):
         if rk == k and t <= rt < t + dt.timedelta(seconds=W)
     )
     assert got == want
+
+
+def test_range_join_never_nested_loop(spark):
+    """The operator's reason to exist: a raw inequality join plans as
+    BroadcastNestedLoopJoin; the bucketed encoding must stay a hash join."""
+    ldf = spark.createDataFrame([(1, BASE, 1)], ["k", "t", "lid"])
+    rdf = spark.createDataFrame([(1, BASE, 2)], ["k", "t", "rid"])
+    out = bucketed_range_join(ldf, rdf, on="k", left_time="t", right_time="t",
+                              window_seconds=3600)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_asof_join_single_exchange(spark):
+    """asof_join's contract is ONE hash exchange on the key."""
+    ldf = spark.createDataFrame([(1, BASE, 1)], ["k", "t", "lid"])
+    rdf = spark.createDataFrame([(1, BASE, 2)], ["k", "t", "rid"])
+    prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        out = asof_join(ldf, rdf, on="k", left_time="t", right_time="t")
+        plan = out._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)
+    import re
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
