@@ -61,6 +61,8 @@ def main() -> None:
         "g_triangle_support",
         "a_sketch_rollup_regions",
         "mm_frame_sample",
+        "j15_asof_next_purchase",
+        "text_pack_bins",
     ):
         if opt in registry:
             headline.append(opt)
