@@ -351,3 +351,57 @@ def test_stream_static_enrichment_matches_batch(spark, tmp_path, event_chunks_di
     assert got == want
     assert any(t is None for _, t in got)  # odd ids kept with null tier
     assert any(t == "gold" for _, t in got)
+
+
+def test_pointintime_enrichment_stream_converges_to_batch(spark, tmp_path, event_chunks_dir):
+    """Point-in-time (versioned-dimension) enrichment: per-micro-batch
+    foreachBatch application equals the batch backfill over all events,
+    and each event gets the version in force AT ITS OWN TIMESTAMP."""
+    import datetime as dt
+
+    from yelpdatawarehouse_spark.streaming.pipeline import (
+        event_file_stream,
+        pointintime_enriched_stream,
+    )
+
+    ev = table(spark, SF, "events")
+    b = ev.agg(F.min("ts").alias("lo"), F.max("ts").alias("hi")).collect()[0]
+    mid = b.lo + (b.hi - b.lo) / 2
+    # two versions per user: v1 from the epoch start, v2 from mid-range
+    users = ev.select("user_id").distinct()
+    dim = users.select(
+        "user_id", F.lit(b.lo).cast("timestamp").alias("valid_from"), F.lit("v1").alias("ver")
+    ).unionByName(
+        users.select(
+            "user_id", F.lit(mid).cast("timestamp").alias("valid_from"), F.lit("v2").alias("ver")
+        )
+    )
+
+    out_dir = str(tmp_path / "pit_out")
+
+    def apply(batch_df, batch_id):
+        pointintime_enriched_stream(batch_df, dim).select(
+            "event_id", F.col("dim.ver").alias("ver")
+        ).write.mode("append").parquet(out_dir)
+
+    q = (
+        event_file_stream(spark, event_chunks_dir)
+        .writeStream.foreachBatch(apply)
+        .option("checkpointLocation", str(tmp_path / "ckpt_pit"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {(r.event_id, r.ver) for r in spark.read.parquet(out_dir).collect()}
+    want = {
+        (r.event_id, r.ver)
+        for r in pointintime_enriched_stream(ev, dim)
+        .select("event_id", F.col("dim.ver").alias("ver"))
+        .collect()
+    }
+    assert got == want
+    # version correctness: events strictly before mid got v1, at/after mid v2
+    sample = pointintime_enriched_stream(ev, dim).select("ts", F.col("dim.ver").alias("ver"))
+    assert sample.filter((F.col("ts") < F.lit(mid)) & (F.col("ver") != "v1")).count() == 0
+    assert sample.filter((F.col("ts") >= F.lit(mid)) & (F.col("ver") != "v2")).count() == 0

@@ -273,6 +273,41 @@ def enriched_event_stream(events: DataFrame, dim: DataFrame, key: str = "user_id
     return events.join(F.broadcast(dim), key, "left")
 
 
+def pointintime_enriched_stream(
+    events: DataFrame,
+    versioned_dim: DataFrame,
+    key: str = "user_id",
+    event_time: str = "ts",
+    valid_from: str = "valid_from",
+) -> DataFrame:
+    """Point-in-time-correct enrichment: each event gets the dimension
+    VERSION that was in effect at the event's own timestamp (as-of join on
+    ``valid_from``), not the latest snapshot — the leakage-free feature
+    join a training-data pipeline needs (a feature computed tomorrow must
+    not decorate yesterday's event).
+
+    Built on ``operators.asof.asof_join`` (backward, inclusive): one
+    shuffle on the key per micro-batch, no inequality-join explosion.
+    Streaming use is per micro-batch via foreachBatch (the version table
+    is re-read each batch, so dimension updates land between batches);
+    the identical call on a batch frame is the backfill path the
+    convergence test compares against. Events whose key has no version
+    at-or-before their time keep a null ``dim`` struct (late-arriving
+    dimension, same policy as enriched_event_stream).
+    """
+    from ..operators.asof import asof_join
+
+    return asof_join(
+        events,
+        versioned_dim,
+        on=key,
+        left_time=event_time,
+        right_time=valid_from,
+        direction="backward",
+        asof_col="dim",
+    )
+
+
 def windowed_approx_uniques(
     events: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
 ) -> DataFrame:
