@@ -1951,3 +1951,125 @@ def text_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tokens").cast("long").alias("tokens_used"),
         )
     )
+
+
+def _kmeans_update_oracle() -> str:
+    """Assignment (same CTEs as _kmeans_oracle) + dimension-wise centroid
+    recomputation and per-cluster norm/shift digests."""
+    return f"""
+    WITH cents AS (
+        SELECT vec_id AS cid, embedding::DOUBLE[] AS c
+        FROM embeddings WHERE vec_id < {_KMEANS_K}
+    ),
+    d AS (
+        SELECT e.vec_id, cents.cid,
+               list_inner_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])
+               + list_inner_product(cents.c, cents.c)
+               - 2 * list_inner_product(e.embedding::DOUBLE[], cents.c) AS d2
+        FROM embeddings e CROSS JOIN cents
+    ),
+    a AS (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+        FROM d
+    ),
+    assigned AS (SELECT vec_id, cid FROM a WHERE rn = 1),
+    dims AS (
+        SELECT ass.cid, idx.i, (e.embedding::DOUBLE[])[idx.i] AS x
+        FROM assigned ass
+        JOIN embeddings e ON e.vec_id = ass.vec_id,
+             (SELECT unnest(range(1, 4097)) AS i) idx
+        WHERE idx.i <= len(e.embedding)
+    ),
+    means AS (SELECT cid, i, avg(x) AS m FROM dims GROUP BY cid, i),
+    seedd AS (
+        SELECT cid, idx.i, c[idx.i] AS s
+        FROM cents, (SELECT unnest(range(1, 4097)) AS i) idx
+        WHERE idx.i <= len(c)
+    ),
+    stats AS (
+        SELECT m.cid,
+               sqrt(sum(m.m * m.m)) AS nrm,
+               sqrt(sum((m.m - s.s) * (m.m - s.s))) AS shift
+        FROM means m JOIN seedd s ON s.cid = m.cid AND s.i = m.i
+        GROUP BY m.cid
+    ),
+    counts AS (SELECT cid, count(*) AS n FROM assigned GROUP BY cid)
+    SELECT CAST(stats.cid AS BIGINT) AS cluster_id,
+           CAST(counts.n AS BIGINT) AS n_members,
+           {rfix_sql('nrm', 4)} AS centroid_norm,
+           {rfix_sql('shift', 4)} AS centroid_shift
+    FROM stats JOIN counts ON counts.cid = stats.cid
+    """
+
+
+@register("emb_kmeans_update_step", oracle=_kmeans_update_oracle(), tags=("EMB", "CLUSTER", "ITER"))
+def emb_kmeans_update_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A FULL Lloyd iteration: nearest-centroid assignment (same literal-
+    centroid argmin as emb_kmeans_assign_stats) followed by dimension-wise
+    centroid recomputation, digested per cluster as (n_members, new-centroid
+    L2 norm, L2 shift from the seed centroid).
+
+    The recomputation is the distributed pattern the assignment docstring
+    promises for the iteration body: posexplode the assigned vectors to
+    (cluster, dim, value) rows, average per (cluster, dim) with map-side
+    partial aggregation, then roll the K×dim means up per cluster — one
+    shuffle keyed (cluster, dim) whose cardinality is K·dim regardless of
+    corpus size, plus a broadcast of the K seed centroids for the shift.
+    Scalar digests (not array cells) keep the result canonicalizable by
+    the harness sort.
+    """
+    e = table(spark, sf_dir, "embeddings")
+    cents = sorted(
+        e.filter(F.col("vec_id") < _KMEANS_K)
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("c"))
+        .collect(),
+        key=lambda r: r.vec_id,
+    )
+    self_dot = F.expr(
+        "aggregate(zip_with(CAST(embedding AS ARRAY<DOUBLE>), "
+        "CAST(embedding AS ARRAY<DOUBLE>), (x, y) -> x * y), "
+        "0.0D, (acc, x) -> acc + x)"
+    )
+    choices = []
+    for r in cents:
+        arr = ", ".join(f"{float(x)!r}D" for x in r.c)
+        dot_c = F.expr(
+            f"aggregate(zip_with(CAST(embedding AS ARRAY<DOUBLE>), "
+            f"array({arr}), (x, y) -> x * y), 0.0D, (acc, x) -> acc + x)"
+        )
+        c2 = 0.0
+        for x in r.c:
+            c2 += x * x
+        d2 = self_dot + F.lit(c2) - 2 * dot_c
+        choices.append(F.struct(d2.alias("d2"), F.lit(int(r.vec_id)).alias("cid")))
+    best = F.array_min(F.array(*choices))
+    assigned = e.select(
+        best["cid"].cast("long").alias("cluster_id"),
+        F.col("embedding").cast("array<double>").alias("emb"),
+    )
+    dims = assigned.select("cluster_id", F.posexplode("emb").alias("i", "x"))
+    means = dims.groupBy("cluster_id", "i").agg(F.avg("x").alias("m"))
+    seed_rows = [
+        (int(r.vec_id), i, float(x)) for r in cents for i, x in enumerate(r.c)
+    ]
+    seed_df = F.broadcast(
+        spark.createDataFrame(seed_rows, "cluster_id LONG, i INT, s DOUBLE")
+    )
+    stats = (
+        means.join(seed_df, ["cluster_id", "i"])
+        .groupBy("cluster_id")
+        .agg(
+            F.sqrt(F.sum(F.col("m") * F.col("m"))).alias("nrm"),
+            F.sqrt(F.sum((F.col("m") - F.col("s")) * (F.col("m") - F.col("s")))).alias(
+                "shift"
+            ),
+        )
+    )
+    counts = assigned.groupBy("cluster_id").agg(F.count("*").alias("n_members"))
+    return stats.join(counts, "cluster_id").select(
+        "cluster_id",
+        "n_members",
+        rfix("nrm", 4).alias("centroid_norm"),
+        rfix("shift", 4).alias("centroid_shift"),
+    )
