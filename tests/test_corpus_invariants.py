@@ -172,3 +172,77 @@ def test_kmeans_assigns_to_true_nearest_centroid(spark):
         for r in _run(spark, "emb_kmeans_assign_stats").collect()
     }
     assert got == dict(want)
+
+
+def test_exact_duplicates_survive_the_minhash_pipeline(spark, tmp_path):
+    """Identical texts have identical signatures, so every exact-duplicate
+    pair MUST surface as an LSH candidate and verify at jaccard 1.0 — the
+    recall floor of the pipeline (no probability involved). The shipped
+    corpus has no exact dups, so plant them: clone 10 documents under new
+    ids into a synthetic sf dir and run the pipeline there."""
+    import shutil
+
+    d = str(tmp_path / "sf_dups")
+    os_mkdir = __import__("os").makedirs
+    os_mkdir(d, exist_ok=True)
+    docs = table(spark, SF, "documents")
+    clones = (
+        docs.filter(F.col("doc_id") < 10)
+        .select(
+            (F.col("doc_id") + 100000).alias("doc_id"),
+            "text", "lang", "source", "n_chars",
+        )
+    )
+    docs.unionByName(clones).coalesce(1).write.parquet(str(tmp_path / "docs_tmp"))
+    # single-file layout like the harness dirs
+    import glob, os
+    src = glob.glob(str(tmp_path / "docs_tmp" / "*.parquet"))[0]
+    shutil.copy(src, os.path.join(d, "documents.parquet"))
+
+    dup_pairs = {(i, i + 100000) for i in range(10)}
+    reg_cands = REG["dedup_minhash_lsh_candidates"].fn(spark, d)
+    cands = {(r.doc_a, r.doc_b) for r in reg_cands.collect()}
+    verified = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in REG["dedup_minhash_verified"].fn(spark, d).collect()
+    }
+    missing = dup_pairs - cands
+    assert not missing, f"exact dups missing from candidates: {sorted(missing)[:5]}"
+    for p in dup_pairs:
+        assert verified.get(p) == 1.0, (p, verified.get(p))
+
+
+def test_verified_pairs_have_true_jaccard_above_threshold(spark):
+    """Every verified pair's jaccard must equal the brute-force 3-gram
+    Jaccard of the two texts (independent Python model, not the oracle)."""
+    import re as _re
+
+    docs = {r.doc_id: r.text for r in table(spark, SF, "documents").collect()}
+
+    def shingles(text: str) -> set:
+        toks = _re.split(r"\s+", text)
+        return {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+
+    for r in _run(spark, "dedup_minhash_verified").collect():
+        sa, sb = shingles(docs[r.doc_a]), shingles(docs[r.doc_b])
+        true_j = len(sa & sb) / len(sa | sb)
+        assert true_j >= 0.2 - 1e-9
+        assert abs(true_j - r.jaccard) < 5e-5, (r.doc_a, r.doc_b, true_j, r.jaccard)
+
+
+def test_keep_canonical_conserves_clusters_and_picks_longest(spark):
+    """dedup_keep_canonical: every cluster keeps exactly one doc, kept +
+    dropped equals the cluster size, and the kept doc maximizes
+    (n_chars, -doc_id) within its cluster."""
+    clusters = {}
+    for r in _run(spark, "dedup_clusters").collect():
+        clusters.setdefault(r.cluster_id, []).append(r.doc_id)
+    chars = {r.doc_id: r.n_chars for r in table(spark, SF, "documents").collect()}
+
+    kept = {r.cluster_id: r for r in _run(spark, "dedup_keep_canonical").collect()}
+    assert set(kept) == set(clusters)
+    for cid, members in clusters.items():
+        k = kept[cid]
+        assert k.dropped_cnt == len(members) - 1
+        best = sorted(members, key=lambda d: (-chars[d], d))[0]
+        assert k.kept_doc_id == best and k.kept_n_chars == chars[best]
