@@ -2073,3 +2073,45 @@ def emb_kmeans_update_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         rfix("nrm", 4).alias("centroid_norm"),
         rfix("shift", 4).alias("centroid_shift"),
     )
+
+
+@register(
+    "diag_join_size_profile",
+    oracle=f"""
+    WITH a AS (SELECT o_orderkey AS k, count(*) AS ca FROM orders GROUP BY o_orderkey),
+    b AS (SELECT l_orderkey AS k, count(*) AS cb FROM lineitem GROUP BY l_orderkey),
+    j AS (SELECT a.k, a.ca * b.cb AS prod FROM a JOIN b ON b.k = a.k)
+    SELECT CAST(count(*) AS BIGINT) AS n_join_keys,
+           CAST(sum(prod) AS BIGINT) AS join_rows,
+           CAST(max(prod) AS BIGINT) AS max_key_rows,
+           {rfix_sql('sum(prod) / count(*)')} AS mean_key_rows
+    FROM j
+    """,
+    tags=("SKEW", "DIAG", "J1"),
+)
+def diag_join_size_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-size profiler: the exact output cardinality of orders⋈lineitem
+    on orderkey, plus the hottest key's contribution — computed WITHOUT
+    running the join on full rows. |A ⋈ B| = Σ_k cnt_A(k)·cnt_B(k), so two
+    key-count aggregations and a count-sized join answer "how big is this
+    join and does one key dominate it" before you commit a cluster to the
+    real thing. Companion to diag_key_skew_profile: that one sizes groups
+    on ONE side, this one sizes the joint blow-up.
+
+    At 100 TB the count tables are |distinct keys| rows (tiny next to the
+    facts), both aggregations are map-side partial, and the profile join
+    shares the facts' natural key partitioning — strictly cheaper than the
+    join it models. Reference analog: none (the reference never plans;
+    SURVEY §4 notes its engines own physical strategy).
+    """
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    a = o.groupBy(F.col("o_orderkey").alias("k")).agg(F.count("*").alias("ca"))
+    b = li.groupBy(F.col("l_orderkey").alias("k")).agg(F.count("*").alias("cb"))
+    j = a.join(b, "k").select((F.col("ca") * F.col("cb")).alias("prod"))
+    return j.agg(
+        F.count("*").alias("n_join_keys"),
+        F.sum("prod").cast("long").alias("join_rows"),
+        F.max("prod").cast("long").alias("max_key_rows"),
+        rfix(F.sum("prod") / F.count("*")).alias("mean_key_rows"),
+    )
