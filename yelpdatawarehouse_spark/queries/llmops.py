@@ -2115,3 +2115,60 @@ def diag_join_size_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("prod").cast("long").alias("max_key_rows"),
         rfix(F.sum("prod") / F.count("*")).alias("mean_key_rows"),
     )
+
+
+_WSAMPLE_K = 50
+# md5_long yields 60-bit uniforms; +1 / (2^60 + 1) maps into the OPEN
+# interval (0, 1) so ln(u) is always finite.
+_WSAMPLE_DENOM = float((1 << 60) + 1)
+
+
+@register(
+    "sample_weighted_topk",
+    oracle=f"""
+    WITH keyed AS (
+        SELECT doc_id, source, n_chars,
+               ln(({hashing.md5_long_sql("'wrs:' || CAST(doc_id AS VARCHAR)")} + 1)
+                  / {_WSAMPLE_DENOM!r}) / n_chars AS k
+        FROM documents
+        WHERE n_chars > 0
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
+           CAST(n_chars AS BIGINT) AS n_chars,
+           CAST(row_number() OVER (ORDER BY k DESC, doc_id) AS BIGINT) AS rank
+    FROM keyed
+    ORDER BY k DESC, doc_id
+    LIMIT {_WSAMPLE_K}
+    """,
+    tags=("SAMPLE", "O3"),
+)
+def sample_weighted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement (Efraimidis-Spirakis A-ES):
+    each doc gets key ln(u)/w with u a deterministic hash-uniform and
+    w = n_chars; the k largest keys are a weighted sample — longer docs
+    proportionally more likely, yet the draw is a pure function of the
+    data (reproducible on any cluster layout, same rows in the oracle).
+
+    Scale shape: the key is a stateless row expression over the scan and
+    the top-k is TakeOrderedAndProject — O(k) per partition then on the
+    driver, never a global sort. This is the weighted counterpart of
+    sample_stratified_hash's percentage slots; together they cover the
+    corpus-mixing policies a training pipeline draws with.
+    """
+    d = table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    u = (
+        hashing.md5_long(F.concat(F.lit("wrs:"), F.col("doc_id").cast("string")))
+        + 1
+    ) / F.lit(_WSAMPLE_DENOM)
+    keyed = d.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "source",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        (F.log(u) / F.col("n_chars")).alias("k"),
+    )
+    # top-k FIRST (TakeOrderedAndProject, O(k) per partition), THEN rank
+    # the k survivors — a global row_number window over the full corpus
+    # would be a single-partition scan at scale.
+    topk = keyed.orderBy(F.desc("k"), F.asc("doc_id")).limit(_WSAMPLE_K)
+    w = Window.orderBy(F.desc("k"), F.asc("doc_id"))
+    return topk.withColumn("rank", F.row_number().over(w).cast("long")).drop("k")
