@@ -328,3 +328,69 @@ def j15_asof_next_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("secs_to_purchase"),
         )
     )
+
+
+@register(
+    "a_cohort_retention",
+    oracle=f"""
+    WITH first_seen AS (
+        SELECT user_id, min(ts) AS f_ts FROM events
+        WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    cohorts AS (
+        SELECT user_id, date_trunc('week', f_ts) AS cohort_week FROM first_seen
+    ),
+    activity AS (
+        SELECT DISTINCT e.user_id,
+               c.cohort_week,
+               CAST(floor((epoch_us(date_trunc('week', e.ts))
+                           - epoch_us(c.cohort_week))
+                          / (7::BIGINT * 86400 * 1000000)) AS BIGINT) AS week_offset
+        FROM events e JOIN cohorts c ON c.user_id = e.user_id
+        WHERE e.ts >= c.cohort_week
+    )
+    SELECT strftime(cohort_week, '{_ISO_DUCK}') AS cohort_week,
+           week_offset,
+           CAST(count(*) AS BIGINT) AS active_users
+    FROM activity
+    GROUP BY cohort_week, week_offset
+    """,
+    tags=("A2", "A6", "COHORT"),
+)
+def a_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by the week of their first
+    signup, counted distinct in every subsequent activity week (offset 0 =
+    the cohort week itself) — the canonical product-analytics workload the
+    reference's one-aggregate-at-a-time dashboards cannot express.
+
+    Plan shape: first-seen is one groupBy(user_id); the activity join
+    rides the same user_id key (co-partitioned, no extra exchange of the
+    fact); DISTINCT collapses (user, cohort, offset) before the final
+    count so the last shuffle carries at most |users|·|weeks| rows. Week
+    arithmetic uses date_trunc + epoch microseconds so engine and oracle
+    bucket identically under the UTC-pinned session.
+    """
+    ev = table(spark, sf_dir, "events")
+    cohorts = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.date_trunc("week", F.min("ts")).alias("cohort_week"))
+    )
+    week_us = 7 * 86400 * 1_000_000
+    activity = (
+        ev.join(cohorts, "user_id")
+        .filter(F.col("ts") >= F.col("cohort_week"))
+        .select(
+            "user_id",
+            "cohort_week",
+            F.floor(
+                (_us(F.date_trunc("week", F.col("ts"))) - _us("cohort_week")) / week_us
+            )
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .distinct()
+    )
+    return activity.groupBy(
+        F.date_format("cohort_week", _ISO).alias("cohort_week"), "week_offset"
+    ).agg(F.count("*").alias("active_users"))
