@@ -394,3 +394,53 @@ def a_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     return activity.groupBy(
         F.date_format("cohort_week", _ISO).alias("cohort_week"), "week_offset"
     ).agg(F.count("*").alias("active_users"))
+
+
+@register(
+    "a_latest_event_per_user",
+    oracle=f"""
+    WITH ranked AS (
+        SELECT user_id, ts, event_id, event_type, value,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+    )
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           strftime(ts, '{_ISO_DUCK}') AS last_ts,
+           CAST(event_id AS BIGINT) AS last_event_id,
+           event_type AS last_type,
+           {rfix_sql('value')} AS last_value
+    FROM ranked WHERE rn = 1
+    """,
+    tags=("A7", "CDC"),
+)
+def a_latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-state-per-key (CDC latest-wins compaction): each user's most
+    recent event, total order (ts, event_id).
+
+    Implemented as a struct-MAX aggregation — max of (ts, event_id,
+    payload) structs compares lexicographically, so ONE hash aggregate
+    with map-side partial combining replaces the window+filter plan
+    (which would sort every partition). This is the primitive behind
+    snapshotting a change stream into current state at 100 TB: shuffle
+    carries one struct per (partial) key, not the event history. The
+    oracle states the same semantics as row_number() = 1.
+    """
+    ev = table(spark, sf_dir, "events")
+    latest = ev.groupBy(F.col("user_id").cast("long").alias("user_id")).agg(
+        F.max(
+            F.struct(
+                F.col("ts"),
+                F.col("event_id").cast("long").alias("event_id"),
+                F.col("event_type"),
+                F.col("value"),
+            )
+        ).alias("s")
+    )
+    return latest.select(
+        "user_id",
+        F.date_format("s.ts", _ISO).alias("last_ts"),
+        F.col("s.event_id").alias("last_event_id"),
+        F.col("s.event_type").alias("last_type"),
+        rfix(F.col("s.value")).alias("last_value"),
+    )
