@@ -102,3 +102,23 @@ def test_asof_join_single_exchange(spark):
         spark.conf.set("spark.sql.adaptive.enabled", prev)
     import re
     assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+
+
+def test_asof_join_tie_break_is_deterministic(spark):
+    """Multiple RIGHT rows at one (key, timestamp) — a versioned dim with
+    duplicate valid_from — must carry a deterministic winner: the greatest
+    payload struct by default, the greatest `tiebreak` column when given."""
+    ldf = spark.createDataFrame([(1, BASE + dt.timedelta(seconds=10))], ["k", "t"])
+    rdf = spark.createDataFrame(
+        [(1, BASE, 2, "v2"), (1, BASE, 1, "v1"), (1, BASE, 3, "v3")],
+        ["k", "t", "version", "name"],
+    )
+    for _ in range(3):  # stable across repeated runs/shuffles
+        out = asof_join(ldf, rdf, on="k", left_time="t", right_time="t").collect()
+        assert out[0].asof.version == 3 and out[0].asof.name == "v3"
+    out = asof_join(
+        ldf,
+        rdf.select("k", "t", "name", "version"),  # name first in payload struct
+        on="k", left_time="t", right_time="t", tiebreak="version",
+    ).collect()
+    assert out[0].asof.version == 3  # explicit tiebreak, not field order

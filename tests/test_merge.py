@@ -49,3 +49,15 @@ def test_merge_creates_table_and_recovers_stale_old_dir(spark, tmp_path):
     os.rename(d, d + "._old")
     merge_upsert(spark, d, spark.createDataFrame([(2, 2, "b")], ["k", "v", "tag"]), ["k"])
     assert _read(spark, d) == {(1,): (1, "a"), (2,): (2, "b")}
+
+
+def test_merge_key_only_updates(spark, tmp_path):
+    """Pure key-set upsert: updates with ONLY key columns (no payload) must
+    not fail at analysis time (regression: F.struct() of zero columns) and
+    must behave as DISTINCT-key insert."""
+    d = str(tmp_path / "t")
+    spark.createDataFrame([(1,), (2,)], ["k"]).write.parquet(d)
+    upd = spark.createDataFrame([(2,), (2,), (3,), (3,)], ["k"])
+    merge_upsert(spark, d, upd, keys=["k"])
+    assert {r.k for r in spark.read.parquet(d).collect()} == {1, 2, 3}
+    assert spark.read.parquet(d).count() == 3  # no duplicate keys inserted

@@ -65,3 +65,81 @@ def test_resize_stub_plumbing(spark):
         assert 0 < len(bytes(r.payload)) <= target
     with pytest.raises(Exception, match="NotImplementedError|resize"):
         resize_images(media, strict=True).collect()
+
+
+class _FakeImageFile:
+    """Minimal PIL.Image.Image stand-in for codec-injected branch tests."""
+
+    def __init__(self, b: bytes):
+        self._b = b
+        self.size = (7, 5)
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *a):
+        return False
+
+    def convert(self, mode):
+        return self
+
+    def histogram(self):
+        return list(range(256))
+
+    def resize(self, wh):
+        self.size = wh
+        return self
+
+    def save(self, buf, format):
+        buf.write(b"\x89PNG" + bytes([self.size[0] % 256, self.size[1] % 256]))
+
+
+class _FakeImageModule:
+    """PIL.Image stand-in: decodes payloads starting with IMG, rejects rest."""
+
+    @staticmethod
+    def open(f):
+        b = f.read()
+        if not b.startswith(b"IMG"):
+            raise ValueError("not an image")
+        return _FakeImageFile(b)
+
+
+@pytest.mark.parametrize("codec", [None, _FakeImageModule])
+def test_decode_kernel_branches_agree_on_contract(codec):
+    """The real-codec branch (exercised via an injected codec module, since
+    this container ships no PIL) and the stub branch must agree on the row
+    contract: int dims, fixed-length float features (VERDICT r3 #4)."""
+    from yelpdatawarehouse_spark.multimodal.columns import (
+        _FEATURE_DIM,
+        _decode_real,
+        _stub_decode,
+    )
+
+    payload = b"IMG" + bytes(range(64))
+    if codec is None:
+        w, h, feats = _stub_decode(payload)
+    else:
+        decoded = _decode_real(codec, payload)
+        assert decoded is not None
+        w, h, feats = decoded
+        assert (w, h) == (7, 5)  # true decoded dims, not stub arithmetic
+    assert isinstance(w, int) and isinstance(h, int) and w > 0 and h > 0
+    assert len(feats) == _FEATURE_DIM
+    assert all(isinstance(f, float) for f in feats)
+
+
+def test_decode_real_rejects_non_image_bytes():
+    """Non-image bytes under a real codec must return None (kernel then
+    falls back to the stub) — the mixed-corpus contract."""
+    from yelpdatawarehouse_spark.multimodal.columns import _decode_real, _resize_real
+
+    assert _decode_real(_FakeImageModule, b"not an image") is None
+    assert _resize_real(_FakeImageModule, b"junk", 32, 32) is None
+
+
+def test_resize_real_branch_reencodes():
+    from yelpdatawarehouse_spark.multimodal.columns import _resize_real
+
+    out = _resize_real(_FakeImageModule, b"IMGabc", 32, 32)
+    assert out is not None and out.startswith(b"\x89PNG")

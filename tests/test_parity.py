@@ -25,3 +25,28 @@ def test_query_matches_oracle(spark, name):
         return
     problems = compare(df, qd.oracle, SF_TEST_DIR)
     assert not problems, f"{name}:\n" + "\n".join(problems)
+
+
+def test_array_assembly_nested_variant(spark):
+    """The registered a_array_assembly_per_user renders its array as a
+    scalar digest for the external canonicalizer's benefit; the nested
+    ArrayType capability itself must still hash-match a list oracle under
+    the local harness (which canonicalizes list cells)."""
+    from pyspark.sql import functions as F
+
+    from yelpdatawarehouse_spark.sources.tables import table
+
+    ev = table(spark, SF_TEST_DIR, "events")
+    df = ev.groupBy(F.col("user_id").cast("long").alias("user_id")).agg(
+        F.sort_array(F.collect_set("event_type")).alias("types_seen")
+    )
+    problems = compare(
+        df,
+        """
+        SELECT CAST(user_id AS BIGINT) AS user_id,
+               list_sort(list(DISTINCT event_type)) AS types_seen
+        FROM events GROUP BY user_id
+        """,
+        SF_TEST_DIR,
+    )
+    assert not problems, "\n".join(problems)

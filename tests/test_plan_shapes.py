@@ -28,7 +28,9 @@ SF = "/root/testdata/sf0.001"
 _SHAPES = {
     "j1_multiway_revenue": (1, 3, 0),
     "j5_copurchase_pairs": (3, 0, 0),
-    "j6_two_hop_supplier_pairs": (2, 0, 0),
+    # 3rd exchange is the salted hot-hub branch's repartition — empty at
+    # runtime below J5_LARGE_BASKET, pruned by AQE (same shape as j5)
+    "j6_two_hop_supplier_pairs": (3, 0, 0),
     "a14_customer_summary_rebuild": (1, 2, 0),
     "w3_running_avg_per_customer": (1, 0, 1),
     "t7_hourly_tumbling_window": (1, 0, 0),

@@ -103,3 +103,45 @@ def test_j5_hot_basket_salted_branch_exact(spark, tmp_path):
         for a, b in itertools.combinations(sorted(parts), 2):
             exp[(a, b)] += 1
     assert got == {k: v for k, v in exp.items() if v >= 3}
+
+
+def test_j6_hot_hub_salted_branch_exact(spark, tmp_path):
+    """j6's two-hop pair expansion must stay exact when one hub part has a
+    supplier set >= J5_LARGE_BASKET routed through the salted posexplode
+    branch (the co-reviewer 2-hop hot-hub shape, reference workload
+    webapp/neo4j_routes.py:459-467), and the salted branch must actually
+    be in the plan."""
+    import itertools
+    from collections import Counter
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from yelpdatawarehouse_spark.queries import all_queries
+    from yelpdatawarehouse_spark.queries.relational import J5_LARGE_BASKET
+
+    rows = [(1, s) for s in range(J5_LARGE_BASKET * 2)]  # hot hub part
+    for p in range(2, 30):  # small hubs with overlapping supplier windows
+        rows += [(p, s) for s in range(p % 7, p % 7 + 6)]
+    tbl = pa.table(
+        {
+            "l_partkey": pa.array([r[0] for r in rows], pa.int64()),
+            "l_suppkey": pa.array([r[1] for r in rows], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "lineitem.parquet"))
+
+    qd = all_queries()["j6_two_hop_supplier_pairs"]
+    df = qd.fn(spark, str(tmp_path))
+    assert "posexplode" in df._jdf.queryExecution().optimizedPlan().toString()
+    got = {(r.supp_a, r.supp_b): r.shared_parts for r in df.collect()}
+
+    hubs: dict[int, set[int]] = {}
+    for p, s in rows:
+        hubs.setdefault(p, set()).add(s)
+    exp: Counter = Counter()
+    for supps in hubs.values():
+        for a, b in itertools.combinations(sorted(supps), 2):
+            exp[(a, b)] += 1
+    assert got == {k: v for k, v in exp.items() if v >= 5}
+    assert got  # threshold actually kept some pairs

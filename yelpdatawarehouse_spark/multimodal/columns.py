@@ -100,6 +100,43 @@ def _stub_decode(b: bytes) -> tuple[int, int, list[float]]:
     return len(b) % 640 + 1, len(b) % 480 + 1, feats
 
 
+def _decode_real(image_mod, b: bytes):
+    """Real-codec branch of the decode kernel: true dimensions + per-bin
+    grayscale-histogram features. Returns None when the bytes are not a
+    decodable image (caller falls back to the stub). Module-level so the
+    branch is unit-testable with an injected codec module even on hosts
+    without PIL (tests/test_multimodal.py)."""
+    import io  # noqa: PLC0415
+
+    try:
+        with image_mod.open(io.BytesIO(b)) as im:
+            w, h = im.size
+            hist = im.convert("L").histogram()  # 256 bins
+            binsz = max(len(hist) // _FEATURE_DIM, 1)
+            feats = [
+                float(sum(hist[i * binsz : (i + 1) * binsz]))
+                for i in range(_FEATURE_DIM)
+            ]
+            return w, h, feats
+    except Exception:
+        return None
+
+
+def _resize_real(image_mod, b: bytes, width: int, height: int):
+    """Real-codec branch of the resize kernel: decode, resize, re-encode
+    PNG. Returns None for non-image bytes (stub fallback). Module-level
+    for codec-injected unit tests."""
+    import io  # noqa: PLC0415
+
+    try:
+        with image_mod.open(io.BytesIO(b)) as im:
+            buf = io.BytesIO()
+            im.resize((width, height)).save(buf, format="PNG")
+            return buf.getvalue()
+    except Exception:
+        return None
+
+
 def decode_image_features(media_df: DataFrame, strict: bool = False) -> DataFrame:
     """Decode + feature-extract over binary payloads via mapInPandas.
 
@@ -125,24 +162,8 @@ def decode_image_features(media_df: DataFrame, strict: bool = False) -> DataFram
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 b = bytes(payload or b"")
                 out["doc_id"].append(int(doc_id))
-                w = h = None
-                feats = None
-                if image_mod is not None:
-                    import io  # noqa: PLC0415
-
-                    try:
-                        with image_mod.open(io.BytesIO(b)) as im:
-                            w, h = im.size
-                            hist = im.convert("L").histogram()  # 256 bins
-                            binsz = len(hist) // _FEATURE_DIM
-                            feats = [
-                                float(sum(hist[i * binsz : (i + 1) * binsz]))
-                                for i in range(_FEATURE_DIM)
-                            ]
-                    except Exception:
-                        w = h = feats = None  # not an image → stub fallback
-                if feats is None:
-                    w, h, feats = _stub_decode(b)
+                decoded = _decode_real(image_mod, b) if image_mod is not None else None
+                w, h, feats = decoded if decoded is not None else _stub_decode(b)
                 out["width"].append(w)
                 out["height"].append(h)
                 out["features"].append(feats)
@@ -192,17 +213,7 @@ def resize_images(
             out = {"doc_id": [], "width": [], "height": [], "payload": []}
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 b = bytes(payload or b"")
-                resized = None
-                if image_mod is not None:
-                    import io  # noqa: PLC0415
-
-                    try:
-                        with image_mod.open(io.BytesIO(b)) as im:
-                            buf = io.BytesIO()
-                            im.resize((width, height)).save(buf, format="PNG")
-                            resized = buf.getvalue()
-                    except Exception:
-                        resized = None  # not an image → stub fallback
+                resized = _resize_real(image_mod, b, width, height) if image_mod is not None else None
                 if resized is None:
                     step = max(len(b) // target, 1)
                     resized = b[::step][:target]

@@ -25,6 +25,21 @@ from pyspark.sql import functions as F
 from ..functions.timeops import epoch_us
 
 
+def _orderable(dtype) -> bool:
+    """True when Spark can sort values of this type (MapType cannot be
+    used in a window ORDER BY; structs/arrays are orderable iff their
+    element/field types are)."""
+    from pyspark.sql import types as T
+
+    if isinstance(dtype, T.MapType):
+        return False
+    if isinstance(dtype, T.ArrayType):
+        return _orderable(dtype.elementType)
+    if isinstance(dtype, T.StructType):
+        return all(_orderable(f.dataType) for f in dtype.fields)
+    return True
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,
@@ -33,6 +48,7 @@ def asof_join(
     right_time: str,
     direction: str = "backward",
     asof_col: str = "asof",
+    tiebreak: str | None = None,
 ) -> DataFrame:
     """For every left row, attach the nearest right row per key at or
     before (``backward``) / at or after (``forward``) the left row's time,
@@ -40,7 +56,12 @@ def asof_join(
 
     Tie semantics are inclusive: a right row at exactly the left row's
     time matches in both directions (the right side sorts first at equal
-    times). Left columns pass through unchanged; ``left_time`` /
+    times). When several RIGHT rows share one (key, right_time) — e.g. a
+    versioned dim with duplicate valid_from — the winner is deterministic:
+    the row with the greatest ``tiebreak`` column when given, else the
+    greatest payload struct (skipped only when the payload contains an
+    unorderable Map column, in which case the caller should supply
+    ``tiebreak``). Left columns pass through unchanged; ``left_time`` /
     ``right_time`` name timestamp columns.
     """
     keys = [on] if isinstance(on, str) else list(on)
@@ -65,10 +86,20 @@ def asof_join(
         r_payload.alias("__rrow"),
     )
     merged = ls.unionByName(rs)
+    # Deterministic tie-break among right rows sharing (key, __t): the
+    # LAST right row in window order wins, so ascending tiebreak picks the
+    # greatest value. Left rows sort after rights at equal __t via
+    # __probe, so the extra key never reorders probe rows.
+    if tiebreak is not None:
+        tie = [F.asc(F.col("__rrow")[tiebreak])]
+    elif _orderable(r_struct_type):
+        tie = [F.asc("__rrow")]
+    else:
+        tie = []
     if direction == "backward":
-        order = [F.asc("__t"), F.asc("__probe")]
+        order = [F.asc("__t"), F.asc("__probe"), *tie]
     elif direction == "forward":
-        order = [F.desc("__t"), F.asc("__probe")]
+        order = [F.desc("__t"), F.asc("__probe"), *tie]
     else:
         raise ValueError(f"direction must be backward|forward, got {direction!r}")
     w = (

@@ -56,11 +56,16 @@ def merge_upsert(
     non_keys = [c for c in updates.columns if c not in keys]
     from pyspark.sql import functions as F
 
-    dedup = (
-        updates.groupBy(*keys)
-        .agg(F.max(F.struct(*non_keys)).alias("__p"))
-        .select(*keys, *[F.col(f"__p.{c}").alias(c) for c in non_keys])
-    )
+    if non_keys:
+        dedup = (
+            updates.groupBy(*keys)
+            .agg(F.max(F.struct(*non_keys)).alias("__p"))
+            .select(*keys, *[F.col(f"__p.{c}").alias(c) for c in non_keys])
+        )
+    else:
+        # Pure key-set upsert (insert-only membership): nothing to pick
+        # among duplicates, so dedup is just DISTINCT over the keys.
+        dedup = updates.dropDuplicates(keys)
 
     dt = _probe_delta(spark, target_dir)
     if dt is not None:

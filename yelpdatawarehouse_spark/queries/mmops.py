@@ -97,8 +97,9 @@ def mm_resize_plumbing(spark: SparkSession, sf_dir: str) -> DataFrame:
     kernel output depends on whether a real codec is present — see
     multimodal/columns.py resize_images). The Spark-side contract under
     test is schema + binary round-trip + one row per input document;
-    payload content is summarized as a byte length so the result is
-    sortable either way."""
+    payload content is summarized as a codec-independent non-emptiness
+    flag (the encoded byte length varies by codec/PIL version, so it is
+    deliberately NOT part of the registered result)."""
     from ..multimodal import resize_images
 
     docs = table(spark, sf_dir, "documents")
@@ -107,5 +108,5 @@ def mm_resize_plumbing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").cast("long").alias("doc_id"),
         F.col("width").cast("long").alias("width"),
         F.col("height").cast("long").alias("height"),
-        F.octet_length("payload").cast("long").alias("payload_bytes"),
+        (F.octet_length("payload") > F.lit(0)).alias("payload_non_empty"),
     )

@@ -317,6 +317,39 @@ def _sorted_pairs(arr, a_name: str, b_name: str):
     )
 
 
+def _basket_pair_rows(
+    baskets: DataFrame, arr: str, a_name: str, b_name: str,
+    threshold: int, parallelism: int,
+) -> DataFrame:
+    """Ordered (i < j) pair rows from per-key sorted baskets, skew-hardened.
+
+    Two branches with identical pair semantics, so any aggregate over the
+    union is oracle-unchanged: baskets under ``threshold`` expand inline
+    via the HOF transform (one task per batch of baskets); baskets at or
+    above it take the salted path — posexplode so each element row carries
+    only its O(m) suffix pairs, round-robin repartition (the salt), then
+    explode per row — spreading one pathological C(m,2) basket over the
+    whole cluster instead of one task. At harness scale the large branch
+    is empty and AQE prunes it to nothing.
+    """
+    small = baskets.filter(F.size(arr) < threshold).select(
+        F.explode(_sorted_pairs(F.col(arr), a_name, b_name)).alias("p")
+    )
+    large = (
+        baskets.filter(F.size(arr) >= threshold)
+        .select(F.col(arr), F.posexplode(arr).alias("i", "x"))
+        .repartition(parallelism)
+        .select(
+            F.col("x"),
+            F.explode(F.slice(arr, F.col("i") + 2, F.size(arr))).alias("y"),
+        )
+        .select(
+            F.struct(F.col("x").alias(a_name), F.col("y").alias(b_name)).alias("p")
+        )
+    )
+    return small.unionByName(large)
+
+
 @register(
     "j5_copurchase_pairs",
     oracle="""
@@ -369,23 +402,12 @@ def j5_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     baskets = li.groupBy("l_orderkey").agg(
         F.array_sort(F.collect_set("l_partkey")).alias("parts")
     ).repartition(spark.sparkContext.defaultParallelism)
-    small = baskets.filter(F.size("parts") < J5_LARGE_BASKET).select(
-        F.explode(_sorted_pairs(F.col("parts"), "part_a", "part_b")).alias("p")
-    )
-    large = (
-        baskets.filter(F.size("parts") >= J5_LARGE_BASKET)
-        .select(F.col("parts"), F.posexplode("parts").alias("i", "x"))
-        .repartition(spark.sparkContext.defaultParallelism)
-        .select(
-            F.col("x"),
-            F.explode(F.slice("parts", F.col("i") + 2, F.size("parts"))).alias("y"),
-        )
-        .select(
-            F.struct(F.col("x").alias("part_a"), F.col("y").alias("part_b")).alias("p")
-        )
+    pairs = _basket_pair_rows(
+        baskets, "parts", "part_a", "part_b",
+        J5_LARGE_BASKET, spark.sparkContext.defaultParallelism,
     )
     return (
-        small.unionByName(large)
+        pairs
         .groupBy(F.col("p.part_a").alias("part_a"), F.col("p.part_b").alias("part_b"))
         .agg(F.count("*").alias("together_cnt"))
         .filter(F.col("together_cnt") >= 3)
@@ -425,14 +447,21 @@ def j6_two_hop_supplier_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     expansion that AQE would otherwise coalesce onto 2 partitions
     (byte-based sizing can't see the expansion factor): measured
     4.6s → 1.55s at sf0.1 versus 2.4–3.3s for the 3-exchange self-join.
+    Hot-hub hardening mirrors j5: a part supplied by ≥ J5_LARGE_BASKET
+    suppliers routes through the salted posexplode branch
+    (_basket_pair_rows), so one pathological hub can't serialize the
+    cluster; at harness scale that branch is empty.
     """
     li = table(spark, sf_dir, "lineitem")
     baskets = li.groupBy("l_partkey").agg(
         F.array_sort(F.collect_set("l_suppkey")).alias("supps")
     ).repartition(spark.sparkContext.defaultParallelism)
-    pairs = _sorted_pairs(F.col("supps"), "supp_a", "supp_b")
+    pairs = _basket_pair_rows(
+        baskets, "supps", "supp_a", "supp_b",
+        J5_LARGE_BASKET, spark.sparkContext.defaultParallelism,
+    )
     return (
-        baskets.select(F.explode(pairs).alias("p"))
+        pairs
         .groupBy(F.col("p.supp_a").alias("supp_a"), F.col("p.supp_b").alias("supp_b"))
         .agg(F.count("*").alias("shared_parts"))
         .filter(F.col("shared_parts") >= 5)
@@ -1683,7 +1712,8 @@ def a_mode_priority_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     "a_array_assembly_per_user",
     oracle="""
     SELECT CAST(user_id AS BIGINT) AS user_id,
-           list_sort(list(DISTINCT event_type)) AS types_seen,
+           array_to_string(list_sort(list(DISTINCT event_type)), '|')
+               AS types_seen,
            CAST(count(DISTINCT event_type) AS BIGINT) AS n_types
     FROM events
     GROUP BY user_id
@@ -1692,15 +1722,20 @@ def a_mode_priority_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def a_array_assembly_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nested-result assembly: per user, the SORTED distinct event types
-    as an array column — the grouping-into-example step of a training
+    assembled per key — the grouping-into-example step of a training
     pipeline (assembling chunks/labels per key into one nested row).
     collect_set order is partition-dependent, so the array is canonical-
-    ized with sort_array; with that, nested output hash-matches the
-    oracle's list(DISTINCT ... ) + list_sort exactly. One shuffle.
+    ized with sort_array. The registered result renders the array as a
+    '|'-joined string so external harnesses that canonicalize via pandas
+    (which cannot hash list cells) can sort/hash it; the nested ArrayType
+    capability itself is exercised by tests/test_parity.py's array
+    variant. One shuffle.
     """
     ev = table(spark, sf_dir, "events")
     return ev.groupBy(F.col("user_id").cast("long").alias("user_id")).agg(
-        F.sort_array(F.collect_set("event_type")).alias("types_seen"),
+        F.concat_ws("|", F.sort_array(F.collect_set("event_type"))).alias(
+            "types_seen"
+        ),
         F.countDistinct("event_type").cast("long").alias("n_types"),
     )
 
