@@ -22,28 +22,44 @@ from yelpdatawarehouse_spark.queries import all_queries  # noqa: E402
 
 SF = "/root/testdata/sf0.001"
 
-# name -> (max shuffles, min broadcasts, max windows)
-# Shuffle counts are CEILINGS (fewer is fine); broadcasts are FLOORS
-# (a lost broadcast is exactly the regression we're guarding).
+# name -> (max shuffles, min broadcasts, max windows, min pushed-filter scans)
+# Shuffle/window counts are CEILINGS (fewer is fine); broadcasts and
+# pushed-filter scans are FLOORS (a lost broadcast or a filter that stops
+# reaching the parquet reader is exactly the regression being guarded).
+# Covers the ENTIRE bench headline set (tools/plan_report.HEADLINE).
 _SHAPES = {
-    "j1_multiway_revenue": (1, 3, 0),
-    "j5_copurchase_pairs": (3, 0, 0),
-    # 3rd exchange is the salted hot-hub branch's repartition — empty at
-    # runtime below J5_LARGE_BASKET, pruned by AQE (same shape as j5)
-    "j6_two_hop_supplier_pairs": (3, 0, 0),
-    "a14_customer_summary_rebuild": (1, 2, 0),
-    "w3_running_avg_per_customer": (1, 0, 1),
-    "t7_hourly_tumbling_window": (1, 0, 0),
-    "g_pagerank_nations": (5, 15, 0),
-    "t8_sessionization": (1, 0, 2),
-    "j11_asof_join_last_view": (1, 0, 1),
-    "j15_asof_next_purchase": (1, 0, 1),
-    "g_triangle_support": (1, 2, 0),
-    "j12_range_join_bucketed": (1, 1, 0),
-    "dedup_minhash_lsh_candidates": (2, 1, 0),
-    "ann_lsh_bucket_topk": (1, 1, 1),
-    "text_pack_bins": (1, 0, 1),
-    "mm_frame_sample": (0, 0, 0),
+    "j1_multiway_revenue": (1, 3, 0, 4),
+    "j5_copurchase_pairs": (3, 0, 0, 0),
+    # j5/j6: 3rd exchange is the salted hot-hub branch's repartition —
+    # empty at runtime below J5_LARGE_BASKET, pruned by AQE
+    "j6_two_hop_supplier_pairs": (3, 0, 0, 0),
+    "a8_distinct_parts_per_customer": (2, 1, 0, 2),
+    "a14_customer_summary_rebuild": (1, 2, 0, 3),
+    "w3_running_avg_per_customer": (1, 0, 1, 0),
+    "t7_hourly_tumbling_window": (1, 0, 0, 1),
+    "j9_date_spine_join": (1, 1, 0, 0),
+    "g_pagerank_nations": (5, 15, 0, 5),
+    "a_funnel_signup_view_purchase": (4, 3, 0, 5),
+    "t8_sessionization": (1, 0, 2, 0),
+    "j11_asof_join_last_view": (1, 0, 1, 2),
+    "j12_range_join_bucketed": (1, 1, 0, 2),
+    "dedup_minhash_lsh_candidates": (2, 1, 0, 1),
+    "dedup_ngram_jaccard_pairs": (1, 3, 0, 3),
+    "ann_topk_cosine": (1, 1, 1, 2),
+    "ann_ivf_topk": (1, 1, 1, 0),
+    "ann_lsh_bucket_topk": (1, 1, 1, 0),
+    "text_quality_scores": (0, 0, 0, 0),
+    "text_tfidf_top_terms": (3, 1, 2, 0),
+    "text_chunk_sliding": (0, 0, 0, 0),
+    "emb_kmeans_assign_stats": (1, 0, 0, 0),
+    "dedup_cross_split_contamination": (3, 1, 0, 0),
+    "j13_local_supplier_volume": (1, 5, 0, 6),
+    "j14_unshipped_value_topk": (1, 1, 0, 2),
+    "g_triangle_support": (1, 2, 0, 0),
+    "a_sketch_rollup_regions": (3, 2, 0, 3),
+    "mm_frame_sample": (0, 0, 0, 0),
+    "j15_asof_next_purchase": (1, 0, 1, 2),
+    "text_pack_bins": (1, 0, 1, 0),
 }
 
 
@@ -63,9 +79,15 @@ def static_plans(spark):
         spark.conf.set("spark.sql.adaptive.enabled", prev)
 
 
+def test_shapes_cover_whole_headline_set():
+    from tools.plan_report import HEADLINE
+
+    assert set(_SHAPES) == set(HEADLINE)
+
+
 @pytest.mark.parametrize("name", sorted(_SHAPES))
 def test_plan_shape(static_plans, name):
-    max_shuffles, min_broadcasts, max_windows = _SHAPES[name]
+    max_shuffles, min_broadcasts, max_windows, min_pushed = _SHAPES[name]
     a = audit(static_plans[name])
     assert a["shuffles"] <= max_shuffles, f"{name}: {a['shuffles']} shuffles > {max_shuffles}"
     assert a["broadcasts"] >= min_broadcasts, (
@@ -73,6 +95,10 @@ def test_plan_shape(static_plans, name):
         "probably lost its broadcast"
     )
     assert a["windows"] <= max_windows, f"{name}: {a['windows']} windows > {max_windows}"
+    assert a["pushed"] >= min_pushed, (
+        f"{name}: {a['pushed']} pushed-filter scans < {min_pushed} — a predicate "
+        "stopped reaching the parquet reader"
+    )
 
 
 def test_scan_pruning_reaches_parquet(static_plans):
