@@ -2172,3 +2172,180 @@ def sample_weighted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     topk = keyed.orderBy(F.desc("k"), F.asc("doc_id")).limit(_WSAMPLE_K)
     w = Window.orderBy(F.desc("k"), F.asc("doc_id"))
     return topk.withColumn("rank", F.row_number().over(w).cast("long")).drop("k")
+
+
+# BPE-ish pre-tokenizer: letter runs, digit runs, punctuation/symbol runs —
+# the split a byte-pair tokenizer applies BEFORE merges (the engine-portable
+# core of the GPT-2 pattern, minus lookahead, which RE2 oracles lack).
+_BPE_PATTERN = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]+"
+
+
+@register(
+    "text_token_stats",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id,
+               {_TOKS} AS ws,
+               regexp_extract_all(text, '{_BPE_PATTERN}') AS bpe
+        FROM documents
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(len(ws) AS BIGINT) AS n_ws_tokens,
+           CAST(len(bpe) AS BIGINT) AS n_bpe_pretokens,
+           CAST(len(list_filter(bpe, x -> x ~ '^[0-9]+$')) AS BIGINT)
+               AS n_digit_runs,
+           {rfix_sql("list_aggregate(list_transform(bpe, x -> length(x)), 'sum')::DOUBLE / len(bpe)", 4)}
+               AS chars_per_pretoken
+    FROM t
+    WHERE len(bpe) > 0
+    """,
+    tags=("TEXT", "F6"),
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways — whitespace split and a BPE-ish pre-token
+    regex (letter/digit/symbol runs) — plus digit-run count and mean
+    pre-token length: the per-document token-budget accounting a training
+    pipeline runs before packing/pricing a corpus. Reference has no token
+    surface at all (review text only ever hits LIKE filters,
+    webapp/mysql_routes.py:619-626); this is north-star LLM-ops surface.
+
+    Scale shape: stateless per-row expressions over the scan (regexp +
+    higher-order aggregate, all JVM-side, zero shuffles) — the ideal
+    100 TB operator.
+    """
+    d = table(spark, sf_dir, "documents")
+    bpe = F.regexp_extract_all(F.col("text"), F.lit(_BPE_PATTERN), F.lit(0))
+    out = d.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.size(T.tokens("text")).cast("long").alias("n_ws_tokens"),
+        F.size(bpe).cast("long").alias("n_bpe_pretokens"),
+        F.size(F.filter(bpe, lambda x: x.rlike(r"^[0-9]+$")))
+        .cast("long")
+        .alias("n_digit_runs"),
+        rfix(
+            F.aggregate(
+                bpe, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+            ).cast("double")
+            / F.size(bpe),
+            4,
+        ).alias("chars_per_pretoken"),
+    )
+    return out.filter(F.col("n_bpe_pretokens") > 0)
+
+
+_DUP_SHINGLE_K = 8
+
+
+@register(
+    "text_dup_shingle_coverage",
+    oracle=f"""
+    WITH base AS (
+        SELECT doc_id, source, {_TOKS} AS toks FROM documents
+    ),
+    ds AS (
+        SELECT DISTINCT doc_id, source,
+               {hashing.md5_long_sql('sh')} AS h
+        FROM (
+            SELECT doc_id, source,
+                   unnest({T.shingles_sql('toks', _DUP_SHINGLE_K)}) AS sh
+            FROM base
+        )
+    ),
+    df AS (
+        SELECT h, count(DISTINCT doc_id) AS docfreq FROM ds GROUP BY h
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_shingles,
+           CAST(sum(CASE WHEN docfreq > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup_shingles,
+           {rfix_sql("sum(CASE WHEN docfreq > 1 THEN 1 ELSE 0 END)::DOUBLE / count(*)", 4)}
+               AS dup_fraction
+    FROM ds JOIN df USING (h)
+    GROUP BY source
+    """,
+    tags=("TEXT", "DEDUP"),
+)
+def text_dup_shingle_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-text coverage per source: the fraction of each source's
+    distinct (doc, 8-gram shingle) instances whose shingle also occurs in
+    ANOTHER document — the corpus-level duplication metric used to rank
+    sources for dedup priority (the within-corpus analog of the
+    cross-split contamination scan, which this reuses machinery from).
+
+    Scale shape: shingles travel as 60-bit md5 keys and are deduplicated
+    to distinct-(doc, shingle) grain BEFORE any shuffle; docfreq is a
+    flat-keyed count over collapsed keys (no skew — identical shingles
+    collapse first); the join back is on the same uniform key. Three
+    shuffles total, each over compacted data.
+    """
+    d = table(spark, sf_dir, "documents")
+    sh = F.explode(
+        T.shingles(T.tokens("text"), _DUP_SHINGLE_K)
+    ).alias("sh")
+    ds = (
+        d.select("doc_id", "source", sh)
+        .select("doc_id", "source", hashing.md5_long(F.col("sh")).alias("h"))
+        .distinct()
+    )
+    docfreq = ds.groupBy("h").agg(F.countDistinct("doc_id").alias("docfreq"))
+    dup = F.sum(F.when(F.col("docfreq") > 1, 1).otherwise(0))
+    return (
+        ds.join(docfreq, "h")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            dup.cast("long").alias("n_dup_shingles"),
+            rfix(dup.cast("double") / F.count("*"), 4).alias("dup_fraction"),
+        )
+    )
+
+
+_MIX_ALPHA = 0.7
+
+
+@register(
+    "sample_temperature_mix",
+    oracle=f"""
+    WITH counts AS (
+        SELECT source, count(*)::BIGINT AS n_docs FROM documents GROUP BY source
+    ),
+    tot AS (
+        SELECT sum(n_docs)::DOUBLE AS total,
+               sum(pow(n_docs::DOUBLE, {_MIX_ALPHA})) AS pow_total
+        FROM counts
+    )
+    SELECT source, n_docs,
+           {rfix_sql(f"pow(n_docs::DOUBLE, {_MIX_ALPHA}) / pow_total", 6)} AS mix_weight,
+           {rfix_sql(f"(pow(n_docs::DOUBLE, {_MIX_ALPHA}) / pow_total) / (n_docs::DOUBLE / total)", 4)} AS boost
+    FROM counts, tot
+    """,
+    tags=("SAMPLE",),
+)
+def sample_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source mixing weights (alpha = 0.7): each
+    source's sampling weight is proportional to n_docs^alpha, the standard
+    up-weighting of low-resource sources when composing a multi-source /
+    multilingual training mix; `boost` is the ratio to natural
+    proportion (> 1 for small sources, < 1 for large).
+
+    Scale shape: one count aggregate (source-cardinality rows), then a
+    broadcast 1-row crossJoin for the two normalizers — the same
+    "tiny aggregate joined back" pattern as tf-idf's corpus size. The
+    per-source math is stateless row expressions; nothing scales with
+    corpus size except the initial count.
+    """
+    d = table(spark, sf_dir, "documents")
+    counts = d.groupBy("source").agg(F.count("*").alias("n_docs"))
+    tot = counts.agg(
+        F.sum("n_docs").cast("double").alias("total"),
+        F.sum(F.pow(F.col("n_docs").cast("double"), F.lit(_MIX_ALPHA))).alias(
+            "pow_total"
+        ),
+    )
+    w = F.pow(F.col("n_docs").cast("double"), F.lit(_MIX_ALPHA)) / F.col("pow_total")
+    return counts.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        rfix(w, 6).alias("mix_weight"),
+        rfix(w / (F.col("n_docs").cast("double") / F.col("total")), 4).alias("boost"),
+    )

@@ -2089,3 +2089,108 @@ def o6_null_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("band").asc_nulls_first(), F.col("c_custkey").desc())
         .limit(50)
     )
+
+
+@register(
+    "q1_pricing_summary",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {rfix_sql('sum(l_quantity)')} AS sum_qty,
+           {rfix_sql('sum(l_extendedprice)')} AS sum_base_price,
+           {rfix_sql('sum(l_extendedprice * (1 - l_discount))')} AS sum_disc_price,
+           {rfix_sql('sum(l_extendedprice * (1 - l_discount) * (1 + l_tax))')} AS sum_charge,
+           {cavg_sql('sum(l_quantity)', 'count(*)')} AS avg_qty,
+           {cavg_sql('sum(l_extendedprice)', 'count(*)')} AS avg_price,
+           {cavg_sql('sum(l_discount)', 'count(*)', 4)} AS avg_disc,
+           CAST(count(*) AS BIGINT) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    tags=("A3", "A1", "P3"),
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary: the canonical wide-aggregate scan
+    (8 aggregates over a filtered fact, tiny group cardinality) — the
+    reference's summary-table rebuild workload generalized
+    (init/mysql_loader.py summary_* builds; webapp/mysql_routes.py:49-54).
+
+    Scale shape: the single most scan-bound plan in the book — filter and
+    2-column-group pushdown reach parquet, every aggregate is map-side
+    partial (sum/count), the shuffle carries ~|flags × statuses| rows per
+    partition. The canonical 100 TB smoke test: if this plan isn't
+    scan-dominated, the cluster is misconfigured. Averages derive from
+    the rounded sums (cavg) so both engines round identically.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    cnt = F.count("*")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            rfix(F.sum("l_quantity")).alias("sum_qty"),
+            rfix(F.sum("l_extendedprice")).alias("sum_base_price"),
+            rfix(F.sum(disc_price)).alias("sum_disc_price"),
+            rfix(F.sum(charge)).alias("sum_charge"),
+            cavg(F.sum("l_quantity"), cnt).alias("avg_qty"),
+            cavg(F.sum("l_extendedprice"), cnt).alias("avg_price"),
+            cavg(F.sum("l_discount"), cnt, 4).alias("avg_disc"),
+            cnt.cast("long").alias("count_order"),
+        )
+    )
+
+
+@register(
+    "w7_activity_islands",
+    oracle="""
+    WITH days AS (
+        SELECT DISTINCT user_id, ts::DATE AS d FROM events
+    ),
+    grp AS (
+        SELECT user_id, d,
+               d - CAST(row_number() OVER (PARTITION BY user_id ORDER BY d)
+                        AS INTEGER) AS island
+        FROM days
+    ),
+    streaks AS (
+        SELECT user_id, island, count(*) AS streak
+        FROM grp GROUP BY user_id, island
+    )
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           CAST(sum(streak) AS BIGINT) AS n_active_days,
+           CAST(count(*) AS BIGINT) AS n_islands,
+           CAST(max(streak) AS BIGINT) AS longest_streak
+    FROM streaks
+    GROUP BY user_id
+    """,
+    tags=("W3", "T8", "F1"),
+)
+def w7_activity_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands per user: runs of CONSECUTIVE active days found by
+    the date-minus-row_number trick (consecutive days share `day - rn`),
+    yielding streak count / longest streak — the calendar-grain
+    engagement-streak companion to t8's 30-minute sessionization
+    (reference's user-activity timeline, webapp/mongodb_routes.py user
+    stats, at day grain).
+
+    Scale shape: ONE hash exchange on user_id serves the distinct, the
+    window, and both group-bys (partitioning by a prefix of the grouping
+    keys co-locates every later stage — Catalyst reuses the exchange);
+    the window input is distinct (user, day) rows, already maximally
+    compacted.
+    """
+    ev = table(spark, sf_dir, "events")
+    days = ev.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("ts").cast("date").alias("d"),
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    grp = days.withColumn("island", F.date_sub("d", F.row_number().over(w)))
+    streaks = grp.groupBy("user_id", "island").agg(F.count("*").alias("streak"))
+    return streaks.groupBy("user_id").agg(
+        F.sum("streak").cast("long").alias("n_active_days"),
+        F.count("*").cast("long").alias("n_islands"),
+        F.max("streak").cast("long").alias("longest_streak"),
+    )
