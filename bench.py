@@ -63,6 +63,11 @@ def main() -> None:
         "mm_frame_sample",
         "j15_asof_next_purchase",
         "text_pack_bins",
+        "q1_pricing_summary",
+        "w7_activity_islands",
+        "text_token_stats",
+        "text_dup_shingle_coverage",
+        "sample_temperature_mix",
     ):
         if opt in registry:
             headline.append(opt)

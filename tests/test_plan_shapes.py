@@ -60,6 +60,11 @@ _SHAPES = {
     "mm_frame_sample": (0, 0, 0, 0),
     "j15_asof_next_purchase": (1, 0, 1, 2),
     "text_pack_bins": (1, 0, 1, 0),
+    "q1_pricing_summary": (1, 0, 0, 1),
+    "w7_activity_islands": (1, 0, 1, 0),
+    "text_token_stats": (0, 0, 0, 0),
+    "text_dup_shingle_coverage": (3, 0, 1, 0),
+    "sample_temperature_mix": (2, 1, 0, 0),
 }
 
 

@@ -2273,11 +2273,15 @@ def text_dup_shingle_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-split contamination scan, which this reuses machinery from).
 
     Scale shape: shingles travel as 60-bit md5 keys and are deduplicated
-    to distinct-(doc, shingle) grain BEFORE any shuffle; docfreq is a
-    flat-keyed count over collapsed keys (no skew — identical shingles
-    collapse first); the join back is on the same uniform key. Three
-    shuffles total, each over compacted data.
+    to distinct-(doc, shingle) grain with map-side partial aggregation;
+    docfreq is a count window over the flat uniform key h (rows are
+    unique per (doc, h) after the distinct, so count(*) = distinct docs —
+    no groupBy+join-back round trip), then one aggregate per source.
+    Three shuffles total, each over compacted data; no skew — identical
+    shingles collapse before any exchange carries them.
     """
+    from pyspark.sql import Window
+
     d = table(spark, sf_dir, "documents")
     sh = F.explode(
         T.shingles(T.tokens("text"), _DUP_SHINGLE_K)
@@ -2287,16 +2291,12 @@ def text_dup_shingle_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "source", hashing.md5_long(F.col("sh")).alias("h"))
         .distinct()
     )
-    docfreq = ds.groupBy("h").agg(F.countDistinct("doc_id").alias("docfreq"))
+    with_df = ds.withColumn("docfreq", F.count("*").over(Window.partitionBy("h")))
     dup = F.sum(F.when(F.col("docfreq") > 1, 1).otherwise(0))
-    return (
-        ds.join(docfreq, "h")
-        .groupBy("source")
-        .agg(
-            F.count("*").alias("n_shingles"),
-            dup.cast("long").alias("n_dup_shingles"),
-            rfix(dup.cast("double") / F.count("*"), 4).alias("dup_fraction"),
-        )
+    return with_df.groupBy("source").agg(
+        F.count("*").alias("n_shingles"),
+        dup.cast("long").alias("n_dup_shingles"),
+        rfix(dup.cast("double") / F.count("*"), 4).alias("dup_fraction"),
     )
 
 

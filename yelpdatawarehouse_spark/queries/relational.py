@@ -2176,16 +2176,22 @@ def w7_activity_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats, at day grain).
 
     Scale shape: ONE hash exchange on user_id serves the distinct, the
-    window, and both group-bys (partitioning by a prefix of the grouping
-    keys co-locates every later stage — Catalyst reuses the exchange);
-    the window input is distinct (user, day) rows, already maximally
-    compacted.
+    window, and both group-bys — the explicit repartition("user_id")
+    before the distinct is load-bearing: HashPartitioning(user_id)
+    satisfies the clustered-distribution requirement of every later
+    stage (user_id is a prefix of each key set), so without it the
+    distinct partitions on (user_id, d) and the window immediately
+    re-shuffles on user_id alone (measured: 2 exchanges → 1).
     """
     ev = table(spark, sf_dir, "events")
-    days = ev.select(
-        F.col("user_id").cast("long").alias("user_id"),
-        F.col("ts").cast("date").alias("d"),
-    ).distinct()
+    days = (
+        ev.select(
+            F.col("user_id").cast("long").alias("user_id"),
+            F.col("ts").cast("date").alias("d"),
+        )
+        .repartition("user_id")
+        .distinct()
+    )
     w = Window.partitionBy("user_id").orderBy("d")
     grp = days.withColumn("island", F.date_sub("d", F.row_number().over(w)))
     streaks = grp.groupBy("user_id", "island").agg(F.count("*").alias("streak"))
