@@ -68,6 +68,7 @@ def main() -> None:
         "text_token_stats",
         "text_dup_shingle_coverage",
         "sample_temperature_mix",
+        "scd2_state_intervals",
     ):
         if opt in registry:
             headline.append(opt)

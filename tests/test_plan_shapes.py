@@ -65,6 +65,7 @@ _SHAPES = {
     "text_token_stats": (0, 0, 0, 0),
     "text_dup_shingle_coverage": (3, 0, 1, 0),
     "sample_temperature_mix": (2, 1, 0, 0),
+    "scd2_state_intervals": (1, 0, 3, 0),
 }
 
 

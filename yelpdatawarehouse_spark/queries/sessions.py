@@ -444,3 +444,82 @@ def a_latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s.event_type").alias("last_type"),
         rfix(F.col("s.value")).alias("last_value"),
     )
+
+
+@register(
+    "scd2_state_intervals",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, ts, event_id, event_type,
+               CASE WHEN lag(event_type) OVER
+                         (PARTITION BY user_id ORDER BY ts, event_id)
+                    IS DISTINCT FROM event_type THEN 1 ELSE 0 END AS is_new
+        FROM events
+    ),
+    numbered AS (
+        SELECT *, sum(is_new) OVER
+                  (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING) AS run_id
+        FROM ordered
+    ),
+    runs AS (
+        SELECT user_id, run_id, min(event_type) AS state,
+               min(ts) AS vf, count(*) AS n_events
+        FROM numbered GROUP BY user_id, run_id
+    )
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           CAST(run_id AS BIGINT) AS version,
+           state,
+           epoch_us(vf) AS valid_from_us,
+           epoch_us(lead(vf) OVER
+                    (PARTITION BY user_id ORDER BY run_id)) AS valid_to_us,
+           CAST(n_events AS BIGINT) AS n_events,
+           (lead(vf) OVER (PARTITION BY user_id ORDER BY run_id) IS NULL)
+               AS is_current
+    FROM runs
+    """,
+    tags=("T2", "W3", "SCD"),
+)
+def scd2_state_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type-2 build: collapse each user's
+    event-type stream into consecutive-state intervals with
+    [valid_from, valid_to) validity and an is_current flag — the batch
+    construction of the versioned dimension that the reference's upsert
+    consumer overwrites in place (streaming/consumer.py:417-441 keeps
+    only the latest state; SCD2 keeps history, which a training pipeline
+    needs for leakage-free point-in-time features, cf. j11/
+    pointintime_enriched_stream).
+
+    Scale shape: ONE hash exchange on user_id serves both windows and
+    the run-collapse aggregate (run_id is a running sum over the same
+    sort; groupBy(user_id, run_id) is satisfied by the user_id
+    partitioning; the validity-interval lead rides the same exchange).
+    Ties on ts break on event_id, so versions are total-ordered and
+    deterministic on any cluster layout.
+    """
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changed = (
+        F.lag("event_type").over(w).isNull()
+        | (F.lag("event_type").over(w) != F.col("event_type"))
+    ).cast("int")
+    numbered = ev.select("user_id", "ts", "event_id", "event_type").withColumn(
+        "run_id",
+        F.sum(changed).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    runs = numbered.groupBy("user_id", "run_id").agg(
+        F.min("event_type").alias("state"),
+        F.min("ts").alias("vf"),
+        F.count("*").alias("n_events"),
+    )
+    w2 = Window.partitionBy("user_id").orderBy("run_id")
+    nxt = F.lead("vf").over(w2)
+    return runs.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("run_id").cast("long").alias("version"),
+        "state",
+        _us("vf").alias("valid_from_us"),
+        _us(nxt).alias("valid_to_us"),
+        F.col("n_events").cast("long").alias("n_events"),
+        nxt.isNull().alias("is_current"),
+    )
