@@ -145,3 +145,31 @@ def test_j6_hot_hub_salted_branch_exact(spark, tmp_path):
             exp[(a, b)] += 1
     assert got == {k: v for k, v in exp.items() if v >= 5}
     assert got  # threshold actually kept some pairs
+
+
+@pytest.mark.parametrize("threshold", [2, 4, 1000])
+def test_basket_pair_rows_property(spark, threshold):
+    """_basket_pair_rows must equal itertools.combinations of each sorted
+    basket regardless of which branch (inline HOF vs salted posexplode)
+    baskets route through — thresholds straddle both regimes."""
+    import itertools
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from yelpdatawarehouse_spark.queries.relational import _basket_pair_rows
+
+    baskets = [
+        [1], [2, 7], [3, 1, 9, 4], list(range(10, 22)), [5, 5],  # dup collapses? no: raw arrays
+        [8, 2, 6, 4, 0, 11, 3],
+    ]
+    df = spark.createDataFrame(
+        [(i, sorted(set(b))) for i, b in enumerate(baskets)], ["k", "arr"]
+    )
+    out = _basket_pair_rows(df, "arr", "a", "b", threshold, 4)
+    got = Counter((r.p.a, r.p.b) for r in out.collect())
+    exp = Counter()
+    for b in baskets:
+        for x, y in itertools.combinations(sorted(set(b)), 2):
+            exp[(x, y)] += 1
+    assert got == exp

@@ -405,3 +405,34 @@ def test_pointintime_enrichment_stream_converges_to_batch(spark, tmp_path, event
     sample = pointintime_enriched_stream(ev, dim).select("ts", F.col("dim.ver").alias("ver"))
     assert sample.filter((F.col("ts") < F.lit(mid)) & (F.col("ver") != "v1")).count() == 0
     assert sample.filter((F.col("ts") >= F.lit(mid)) & (F.col("ver") != "v2")).count() == 0
+
+
+def test_pointintime_duplicate_version_timestamps_deterministic(spark):
+    """A versioned dim with DUPLICATE (key, valid_from) rows — two versions
+    published at the same instant — must enrich deterministically (the
+    greatest payload struct wins via asof_join's tie-break), not return an
+    arbitrary version per run/partitioning (ADVICE r3)."""
+    import datetime as dt
+
+    from yelpdatawarehouse_spark.streaming.pipeline import pointintime_enriched_stream
+
+    base = dt.datetime(2024, 1, 1)
+    ev = spark.createDataFrame(
+        [(1, base + dt.timedelta(hours=2)), (1, base + dt.timedelta(hours=9))],
+        ["user_id", "ts"],
+    )
+    dim = spark.createDataFrame(
+        [
+            (1, base + dt.timedelta(hours=1), 1, "tier_a"),
+            (1, base + dt.timedelta(hours=1), 2, "tier_b"),  # same valid_from
+            (1, base + dt.timedelta(hours=8), 3, "tier_c"),
+        ],
+        ["user_id", "valid_from", "ver", "tier"],
+    )
+    for _ in range(3):
+        rows = {
+            r.ts: (r.dim.ver, r.dim.tier)
+            for r in pointintime_enriched_stream(ev, dim).collect()
+        }
+        assert rows[base + dt.timedelta(hours=2)] == (2, "tier_b")
+        assert rows[base + dt.timedelta(hours=9)] == (3, "tier_c")
