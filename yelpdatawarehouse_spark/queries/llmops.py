@@ -2349,3 +2349,63 @@ def sample_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         rfix(w, 6).alias("mix_weight"),
         rfix(w / (F.col("n_docs").cast("double") / F.col("total")), 4).alias("boost"),
     )
+
+
+_ZIPF_TOP = 1000
+
+
+@register(
+    "text_zipf_fit",
+    oracle=f"""
+    WITH tf AS (
+        SELECT tok, count(*)::BIGINT AS cnt
+        FROM (SELECT unnest({_TOKS}) AS tok FROM documents)
+        GROUP BY tok ORDER BY cnt DESC, tok LIMIT {_ZIPF_TOP}
+    ),
+    ranked AS (
+        SELECT cnt,
+               row_number() OVER (ORDER BY cnt DESC, tok) AS rank
+        FROM tf
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_terms,
+           {rfix_sql('regr_slope(ln(cnt), ln(rank))', 4)} AS zipf_slope,
+           {rfix_sql('regr_intercept(ln(cnt), ln(rank))', 4)} AS zipf_intercept,
+           {rfix_sql('regr_r2(ln(cnt), ln(rank))', 4)} AS fit_r2
+    FROM ranked
+    """,
+    tags=("TEXT", "STATS"),
+)
+def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit of the corpus rank-frequency curve: least-squares
+    slope/intercept/R² of ln(freq) on ln(rank) over the top terms — the
+    corpus-statistics diagnostic run before sizing a tokenizer vocabulary
+    (a natural corpus fits slope ≈ -1; this synthetic vocab-uniform corpus
+    fits a shallow slope, which is itself the diagnostic). Uses Spark's
+    built-in linear-regression aggregates (regr_slope & co., one-pass
+    mergeable moments, identical estimator in DuckDB).
+
+    Scale shape: one shuffle for term counts (map-side partial), then
+    TakeOrderedAndProject to the top-{_ZIPF_TOP} — the global rank window
+    and the regression aggregate both run over only those k rows, so the
+    single-partition window is O(k) by construction, never a full sort.
+    """
+    d = table(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    tf = (
+        d.select(F.explode(T.tokens("text")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("tok"))
+        .limit(_ZIPF_TOP)
+    )
+    ranked = tf.withColumn(
+        "rank", F.row_number().over(Window.orderBy(F.desc("cnt"), F.asc("tok")))
+    )
+    lc, lr = F.log(F.col("cnt")), F.log(F.col("rank"))
+    return ranked.agg(
+        F.count("*").cast("long").alias("n_terms"),
+        rfix(F.regr_slope(lc, lr), 4).alias("zipf_slope"),
+        rfix(F.regr_intercept(lc, lr), 4).alias("zipf_intercept"),
+        rfix(F.regr_r2(lc, lr), 4).alias("fit_r2"),
+    )
