@@ -143,3 +143,141 @@ def test_resize_real_branch_reencodes():
 
     out = _resize_real(_FakeImageModule, b"IMGabc", 32, 32)
     assert out is not None and out.startswith(b"\x89PNG")
+
+
+# ---------------------------------------------------------------------------
+# pure-stdlib PNG codec (multimodal/png.py)
+
+
+def _handcrafted_rgb_png(w: int, h: int):
+    """RGB PNG exercising ALL five scanline filter types, built chunk-by-
+    chunk so the decoder is tested against independently-constructed bytes,
+    not its own encoder."""
+    import struct
+    import zlib
+
+    pix = [[(x * 11 + y * 29 + ch * 7) % 256 for x in range(w) for ch in range(3)] for y in range(h)]
+    stride = w * 3
+
+    def paeth(a, b, c):
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        return a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+
+    raw = bytearray()
+    for y in range(h):
+        f = y % 5
+        raw.append(f)
+        cur = pix[y]
+        up = pix[y - 1] if y > 0 else [0] * stride
+        for x in range(stride):
+            left = cur[x - 3] if x >= 3 else 0
+            ul = up[x - 3] if x >= 3 else 0
+            if f == 0:
+                v = cur[x]
+            elif f == 1:
+                v = (cur[x] - left) % 256
+            elif f == 2:
+                v = (cur[x] - up[x]) % 256
+            elif f == 3:
+                v = (cur[x] - (left + up[x]) // 2) % 256
+            else:
+                v = (cur[x] - paeth(left, up[x], ul)) % 256
+            raw.append(v)
+
+    def chunk(t, b):
+        return struct.pack(">I", len(b)) + t + b + struct.pack(">I", zlib.crc32(t + b) & 0xFFFFFFFF)
+
+    data = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+    return data, [v for row in pix for v in row]
+
+
+def test_png_encode_decode_roundtrip():
+    from yelpdatawarehouse_spark.multimodal import png
+
+    w, h = 13, 7
+    px = bytes((i * 37 + 5) % 256 for i in range(w * h))
+    data = png.encode_png_gray(w, h, px)
+    W, H, C, out = png.decode_png(data)
+    assert (W, H, C) == (w, h, 1) and bytes(out) == px
+
+
+def test_png_decoder_all_filters_rgb():
+    from yelpdatawarehouse_spark.multimodal import png
+
+    data, flat = _handcrafted_rgb_png(4, 10)  # rows cycle filters 0..4 twice
+    W, H, C, out = png.decode_png(data)
+    assert (W, H, C) == (4, 10, 3) and list(out) == flat
+
+
+def test_png_shim_matches_pil_surface():
+    """The shim must satisfy exactly the PIL surface the kernels use:
+    open -> size / convert('L').histogram() / resize().save()."""
+    import io
+
+    from yelpdatawarehouse_spark.multimodal import png
+
+    data, flat = _handcrafted_rgb_png(6, 4)
+    with png.Image.open(io.BytesIO(data)) as im:
+        assert im.size == (6, 4)
+        hist = im.convert("L").histogram()
+        assert len(hist) == 256 and sum(hist) == 6 * 4
+        # luma of pixel (0,0) with PIL's truncating ITU-R 601 weights
+        exp = (flat[0] * 299 + flat[1] * 587 + flat[2] * 114) // 1000
+        assert hist[exp] >= 1
+        buf = io.BytesIO()
+        im.resize((3, 2)).save(buf, format="PNG")
+    W, H, C, _ = png.decode_png(buf.getvalue())
+    assert (W, H, C) == (3, 2, 1)  # save() writes grayscale (documented scope)
+
+
+def test_png_rejects_non_png_and_unsupported():
+    import pytest as _pytest
+
+    from yelpdatawarehouse_spark.multimodal import png
+
+    for bad in (b"", b"hello world", b"\x89PNG\r\n\x1a\nJUNK"):
+        with _pytest.raises(png.PngError):
+            png.decode_png(bad)
+
+
+def test_probe_prefers_full_codec_and_falls_back():
+    """Without PIL: default probe returns the stdlib PNG codec (real decode
+    for PNG payloads); strict probe returns None so strict mode still
+    raises — the fallback deliberately does not satisfy production mode."""
+    from yelpdatawarehouse_spark.multimodal import columns, png
+
+    try:
+        import PIL  # noqa: F401
+
+        has_pil = True
+    except ImportError:
+        has_pil = False
+    mod = columns._probe_codec()
+    if has_pil:
+        assert not getattr(mod, "IS_STDLIB_FALLBACK", False)
+    else:
+        assert mod is png.Image
+        assert columns._probe_codec(full_only=True) is None
+
+
+def test_decode_real_pixels_via_stdlib_codec(spark):
+    """End-to-end: true PNG payloads through the mapInPandas decode kernel
+    come back with REAL decoded dimensions and histogram features (not stub
+    arithmetic) even in this PIL-less container."""
+    from yelpdatawarehouse_spark.multimodal.png import encode_png_gray
+
+    rows = [(i, encode_png_gray(5 + i, 3 + i, bytes([10 * i]) * ((5 + i) * (3 + i)))) for i in range(4)]
+    media = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = {r.doc_id: r for r in decode_image_features(media).collect()}
+    for i in range(4):
+        r = out[i]
+        assert (r.width, r.height) == (5 + i, 3 + i)
+        feats = list(r.features)
+        assert sum(feats) == (5 + i) * (3 + i)  # histogram mass == pixel count
+        assert feats[(10 * i) // 32] == (5 + i) * (3 + i)  # all mass in the gray bin

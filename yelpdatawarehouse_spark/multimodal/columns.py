@@ -11,11 +11,14 @@ Design for 100 TB multimodal corpora:
   per-item payload skew.
 
 Codecs are feature-probed at runtime on the worker: when PIL is importable
-the decode/resize kernels do real image work; otherwise (this container has
-no codec) they fall back to a clearly marked deterministic stub so tests pin
-the plumbing — schema, batch shape, null handling — in both modes.
-`strict=True` raises `NotImplementedError` when no codec is present (the
-production switch where a real codec is mandatory).
+the decode/resize kernels do real image work on any format; without PIL the
+pure-stdlib PNG codec (`multimodal/png.py`, zlib+struct) still does REAL
+pixel decode for PNG payloads, and only non-image / unsupported bytes fall
+back to the clearly marked deterministic stub — so tests pin the plumbing
+(schema, batch shape, null handling) in every mode. `strict=True` raises
+`NotImplementedError` when no FULL codec (PIL) is present (the production
+switch where a real multi-format codec is mandatory; the PNG-only fallback
+deliberately does not satisfy it).
 """
 
 from __future__ import annotations
@@ -74,19 +77,28 @@ _DECODE_SCHEMA = S.StructType(
 )
 
 
-def _probe_codec():
+def _probe_codec(full_only: bool = False):
     """Runtime feature probe: real image codec when the environment has one.
 
     Executes on the WORKER (inside the kernel), not at import time, so the
     same code path works on heterogeneous clusters and the driver never
-    needs the codec installed.
+    needs the codec installed. Preference order: PIL (full multi-format
+    codec) when importable; otherwise the repo's pure-stdlib PNG codec
+    (`multimodal/png.py`) so PNG payloads still get REAL pixel decode in
+    codec-less containers. ``full_only=True`` (the ``strict`` production
+    switch) returns None unless a full codec is present — the stdlib
+    fallback is PNG-only and deliberately does not satisfy strict mode.
     """
     try:
         from PIL import Image  # noqa: PLC0415
 
         return Image
     except ImportError:
-        return None
+        if full_only:
+            return None
+        from .png import Image as PngImage  # noqa: PLC0415
+
+        return PngImage
 
 
 def _stub_decode(b: bytes) -> tuple[int, int, list[float]]:
@@ -151,7 +163,7 @@ def decode_image_features(media_df: DataFrame, strict: bool = False) -> DataFram
     """
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        image_mod = _probe_codec()
+        image_mod = _probe_codec(full_only=strict)
         if strict and image_mod is None:
             raise NotImplementedError(
                 "image decode requires a codec (PIL/ffmpeg) not present "
@@ -203,7 +215,7 @@ def resize_images(
     target = max(width * height // 64, 1)
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        image_mod = _probe_codec()
+        image_mod = _probe_codec(full_only=strict)
         if strict and image_mod is None:
             raise NotImplementedError(
                 "image resize requires a codec (PIL) not present in this "

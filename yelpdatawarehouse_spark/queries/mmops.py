@@ -91,6 +91,73 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "mm_png_decode_roundtrip",
+    oracle="""
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(4 + doc_id % 13 AS BIGINT) AS width,
+           CAST(4 + doc_id % 7 AS BIGINT) AS height,
+           CAST((doc_id % 256) // 32 AS BIGINT) AS dominant_bin,
+           CAST((4 + doc_id % 13) * (4 + doc_id % 7) AS BIGINT) AS feat_total
+    FROM documents
+    """,
+    tags=("MM", "UDF"),
+)
+def mm_png_decode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode under the full oracle gate, with zero external
+    dependencies: per document, synthesize a true PNG (dimensions and the
+    constant gray level derived arithmetically from doc_id), ship it as a
+    BinaryType column through Arrow, then run the standard
+    `decode_image_features` kernel — which, PIL or not, does real pixel
+    work here via the pure-stdlib PNG codec (`multimodal/png.py`): inflate,
+    unfilter, histogram. Because the synthetic image is deterministic, the
+    decoded dimensions, the dominant 32-wide histogram bin (= gray // 32)
+    and the feature-vector total (= width * height pixels) are all
+    arithmetic functions of doc_id that DuckDB can compute without ever
+    seeing the bytes — a true end-to-end encode→decode correctness check,
+    not a plumbing-only row count. Both stages are Arrow-batched
+    mapInPandas; per-task memory is one record batch. Reference analog:
+    none (north-star multimodal surface)."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql import types as S
+
+    from ..multimodal.png import encode_png_gray
+
+    schema = S.StructType(
+        [
+            S.StructField("doc_id", S.LongType()),
+            S.StructField("payload", S.BinaryType()),
+        ]
+    )
+
+    def make_png(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, payloads = [], []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h, gray = 4 + d % 13, 4 + d % 7, d % 256
+                ids.append(d)
+                payloads.append(encode_png_gray(w, h, bytes([gray]) * (w * h)))
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    docs = table(spark, sf_dir, "documents").select(F.col("doc_id").cast("long"))
+    media = docs.mapInPandas(make_png, schema)
+    decoded = decode_image_features(media)
+    return decoded.select(
+        "doc_id",
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        (F.array_position("features", F.array_max("features")) - 1)
+        .cast("long")
+        .alias("dominant_bin"),
+        F.round(F.aggregate("features", F.lit(0.0), lambda acc, x: acc + x))
+        .cast("long")
+        .alias("feat_total"),
+    )
+
+
 @register("mm_resize_plumbing", oracle=None, tags=("MM", "UDF"))
 def mm_resize_plumbing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched mapInPandas resize pipeline (rows-only check: the
