@@ -2200,3 +2200,54 @@ def w7_activity_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_islands"),
         F.max("streak").cast("long").alias("longest_streak"),
     )
+
+
+@register(
+    "j16_bloom_semi_filter",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum(l_quantity) AS BIGINT) AS total_qty
+    FROM lineitem
+    WHERE l_suppkey IN (
+        SELECT s.s_suppkey
+        FROM supplier s
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        WHERE r.r_name = 'ASIA'
+    )
+    GROUP BY l_returnflag
+    """,
+    tags=("J3", "S3", "bloom"),
+)
+def j16_bloom_semi_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-side semi-join through a Bloom prefilter
+    (`operators/bloom.py`): the qualifying supplier keys are compressed
+    into a ~32 KB one-row bitmap (groupBy/bit_or, exchange cardinality
+    ≤ n_bits/64 REGARDLESS of build size), broadcast, and every lineitem
+    row is membership-tested map-side inside whole-stage codegen; only
+    survivors (matches + tunable false positives) reach the exact
+    verifying semi-join, whose result equals the plain semi-join — the
+    oracle is exactly that plain semi-join, so the driver hash-check
+    proves the equivalence. At 100 TB this is the shape that keeps a
+    dimension-membership filter from shuffling the whole fact table when
+    the dimension outgrows row-broadcast range. Reference analog: the
+    load-path existence filters (init/mysql_loader.py batched membership
+    checks), re-expressed as a cluster-scale operator.
+    """
+    from ..operators.bloom import bloom_semi_join
+
+    li = table(spark, sf_dir, "lineitem")
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region")
+    asia_keys = (
+        s.join(n, s.s_nationkey == n.n_nationkey)
+        .join(r.filter(F.col("r_name") == "ASIA"), n.n_regionkey == F.col("r_regionkey"))
+        .select(F.col("s_suppkey").alias("l_suppkey"))
+    )
+    kept = bloom_semi_join(li, asia_keys, "l_suppkey")
+    return kept.groupBy("l_returnflag").agg(
+        F.count("*").cast("long").alias("n_lines"),
+        F.sum("l_quantity").cast("long").alias("total_qty"),
+    )
