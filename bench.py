@@ -69,6 +69,9 @@ def main() -> None:
         "text_dup_shingle_coverage",
         "sample_temperature_mix",
         "scd2_state_intervals",
+        "j16_bloom_semi_filter",
+        "text_unigram_logprob",
+        "mm_png_decode_roundtrip",
     ):
         if opt in registry:
             headline.append(opt)

@@ -2409,3 +2409,118 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         rfix(F.regr_intercept(lc, lr), 4).alias("zipf_intercept"),
         rfix(F.regr_r2(lc, lr), 4).alias("fit_r2"),
     )
+
+
+@register(
+    "text_unigram_logprob",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+        FROM documents
+    ),
+    tf AS (SELECT w, count(*) AS cnt FROM toks GROUP BY w),
+    tot AS (SELECT sum(cnt) AS n FROM tf)
+    SELECT CAST(t.doc_id AS BIGINT) AS doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           {rfix_sql('avg(ln(tf.cnt / tot.n))', 3)} AS avg_logprob
+    FROM toks t JOIN tf ON t.w = tf.w CROSS JOIN tot
+    GROUP BY t.doc_id
+    """,
+    tags=("LLM-quality", "A3", "J1"),
+)
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document average unigram log-probability under a language model
+    estimated from the corpus itself — the classic perplexity-proxy
+    quality signal (CCNet/KenLM-style filtering keeps documents whose
+    tokens look like the corpus; gibberish and boilerplate score low).
+
+    Plan shape at scale: explode → ONE exchange to build term frequencies
+    (map-side combinable), corpus total as a broadcast 1-row crossJoin,
+    tokens re-keyed on the term for the tf join (exchange on w, AQE
+    handles stopword skew), then ONE exchange back to doc_id for the
+    per-doc mean. No Python in the path; ln/avg stay in codegen.
+    Reference analog: none (reference only LIKE-filters review text,
+    webapp/mysql_routes.py:619-626); beyond-reference LLM-ops surface.
+    """
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.explode(F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")).alias("w"),
+    )
+    tf = toks.groupBy("w").agg(F.count("*").alias("cnt"))
+    tot = tf.agg(F.sum("cnt").cast("double").alias("n"))
+    scored = (
+        toks.join(tf, "w")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            rfix(F.avg(F.log(F.col("cnt") / F.col("n"))), 3).alias("avg_logprob"),
+        )
+    )
+    return scored
+
+
+@register(
+    "sample_token_budget_fill",
+    oracle=f"""
+    WITH sized AS (
+        SELECT source, doc_id,
+               len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_tokens,
+               {hashing.md5_long_sql("'budget:' || CAST(doc_id AS VARCHAR)")} AS pri
+        FROM documents
+    ),
+    filled AS (
+        SELECT source, n_tokens,
+               sum(n_tokens) OVER (PARTITION BY source ORDER BY pri, doc_id
+                                   ROWS UNBOUNDED PRECEDING) AS cum
+        FROM sized
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS docs_kept,
+           CAST(sum(n_tokens) AS BIGINT) AS tokens_kept
+    FROM filled
+    WHERE cum - n_tokens < 600
+    GROUP BY source
+    """,
+    tags=("LLM-sampling", "W3", "A3"),
+)
+def sample_token_budget_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget-capped corpus fill: each source contributes documents
+    (in a deterministic keyed-hash priority order) until its token budget
+    is exhausted — the greedy allocation step of building a fixed-size
+    training mixture ("take N billion tokens per source"), the budget
+    counterpart of sample_temperature_mix's proportional weighting. The
+    document that crosses the budget line is kept (standard greedy fill),
+    so every source with data contributes at least one document.
+
+    Deterministic and shuffle-minimal at scale: priority is a salted md5
+    of doc_id (no RNG, stable under repartitioning); ONE exchange on
+    source serves both the running-sum window and the final per-source
+    rollup. Reference analog: none; beyond-reference LLM-ops surface.
+    """
+    d = table(spark, sf_dir, "documents")
+    sized = d.select(
+        "source",
+        "doc_id",
+        F.size(F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")).alias(
+            "n_tokens"
+        ),
+        hashing.md5_long(
+            F.concat(F.lit("budget:"), F.col("doc_id").cast("string"))
+        ).alias("pri"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("pri", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = sized.withColumn("cum", F.sum("n_tokens").over(w))
+    return (
+        filled.filter(F.col("cum") - F.col("n_tokens") < 600)
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("docs_kept"),
+            F.sum("n_tokens").cast("long").alias("tokens_kept"),
+        )
+    )
