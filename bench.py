@@ -72,6 +72,7 @@ def main() -> None:
         "j16_bloom_semi_filter",
         "text_unigram_logprob",
         "mm_png_decode_roundtrip",
+        "sample_token_budget_fill",
     ):
         if opt in registry:
             headline.append(opt)

@@ -55,8 +55,9 @@ def test_bitmap_is_one_row_and_bounded(spark):
     rows = bloom_bitmap(build, "key", n_bits=1 << 12, k=4).collect()
     assert len(rows) == 1
     bitmap = rows[0]["__bloom"]
-    assert 0 < len(bitmap) <= (1 << 12) // 64
-    assert all(isinstance(w, int) for w in bitmap.keys())
+    assert len(bitmap) == (1 << 12) // 64  # dense fixed-length array
+    assert all(isinstance(w, int) for w in bitmap)
+    assert any(w != 0 for w in bitmap)
 
 
 def test_prefilter_plan_is_broadcast_only(spark):

@@ -66,6 +66,12 @@ _SHAPES = {
     "text_dup_shingle_coverage": (3, 0, 1, 0),
     "sample_temperature_mix": (2, 1, 0, 0),
     "scd2_state_intervals": (1, 0, 3, 0),
+    # j16: every exchange is dimension-sized (bitmap words / supplier keys);
+    # the fact scan reaches the prefilter and verify join broadcast-only
+    "j16_bloom_semi_filter": (4, 4, 0, 4),
+    "text_unigram_logprob": (3, 1, 0, 0),
+    "mm_png_decode_roundtrip": (1, 0, 0, 0),
+    "sample_token_budget_fill": (1, 0, 1, 0),
 }
 
 

@@ -13,10 +13,11 @@ internally (InjectRuntimeFilter), but it is planner-heuristic and not
 available as a composable operator; this one is explicit and reusable.
 
 Everything is DataFrame ops — the bitmap is built with a groupBy/bit_or
-aggregate (map-side combinable, result ≤ n_bits/64 rows), assembled into a
-ONE-ROW map column, and broadcast via a 1-row crossJoin; the probe-side
-membership test is `forall` over k hash positions, entirely inside
-whole-stage codegen. No Python UDFs, no driver-side bit twiddling.
+aggregate (map-side combinable, result ≤ n_bits/64 rows), densified into a
+ONE-ROW array<long> column, and broadcast via a 1-row crossJoin; the
+probe-side membership test is `forall` over k hash positions with O(1)
+array indexing, entirely inside whole-stage codegen. No Python UDFs, no
+driver-side bit twiddling.
 
 Reference analog: none directly — the reference's load path filters fact
 rows against dimension membership with per-row lookups
@@ -45,12 +46,15 @@ def _positions(key: Column, n_bits: int, k: int) -> Column:
 
 def bloom_bitmap(build: DataFrame, key: str, n_bits: int = 1 << 17, k: int = 5) -> DataFrame:
     """ONE-ROW DataFrame holding the Bloom bitmap of ``build[key]`` as a
-    map<word_index, long> (sparse: absent words are all-zero).
+    DENSE array<long> of n_bits/64 words (index = bit position div 64).
 
     Plan: project positions → explode → groupBy(pos div 64) with bit_or —
     one exchange whose cardinality is ≤ n_bits/64 regardless of build size
-    — then a 1-row map assembly. The bitmap for the default 128 Ki bits is
-    ≤ 2048 map entries (~32 KB serialized)."""
+    — then a 1-row densification (sparse map → fixed-length array, n_bits/64
+    map lookups ONCE at build time). Dense matters: Spark's element_at on a
+    map is a linear scan per call, which would put an O(words) loop inside
+    the per-probe-row filter; on an array it is O(1) indexing. The default
+    128 Ki bits is a 2048-long array (16 KB serialized)."""
     words = (
         build.select(F.explode(_positions(F.col(key), n_bits, k)).alias("pos"))
         .groupBy((F.col("pos") / 64).cast("long").alias("word"))
@@ -66,10 +70,18 @@ def bloom_bitmap(build: DataFrame, key: str, n_bits: int = 1 << 17, k: int = 5) 
             ).alias("bits")
         )
     )
-    return words.agg(
+    sparse = words.agg(
         F.map_from_arrays(F.collect_list("word"), F.collect_list("bits")).alias(
-            "__bloom"
+            "__m"
         )
+    )
+    return sparse.select(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(n_bits // 64 - 1)),
+            lambda w: F.coalesce(
+                F.element_at(F.col("__m"), w.cast("long")), F.lit(0).cast("long")
+            ),
+        ).alias("__bloom")
     )
 
 
@@ -79,12 +91,11 @@ def _might_contain(bitmap: Column, key: Column, n_bits: int, k: int) -> Column:
     positives), as a single codegen-friendly boolean expression."""
     return F.forall(
         _positions(key, n_bits, k),
+        # element_at on the DENSE array is O(1) (1-based; p < n_bits always)
         lambda p: (
             F.call_function(
                 "shiftright",
-                F.coalesce(
-                    F.element_at(bitmap, (p / 64).cast("long")), F.lit(0).cast("long")
-                ),
+                F.element_at(bitmap, ((p / 64).cast("int") + 1)),
                 (p % 64).cast("int"),
             ).bitwiseAND(F.lit(1).cast("long"))
             == 1
