@@ -73,6 +73,7 @@ def main() -> None:
         "text_unigram_logprob",
         "mm_png_decode_roundtrip",
         "sample_token_budget_fill",
+        "pipeline_corpus_curation",
     ):
         if opt in registry:
             headline.append(opt)

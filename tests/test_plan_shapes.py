@@ -72,6 +72,8 @@ _SHAPES = {
     "text_unigram_logprob": (3, 1, 0, 0),
     "mm_png_decode_roundtrip": (1, 0, 0, 0),
     "sample_token_budget_fill": (1, 0, 1, 0),
+    # single-pass funnel: fp-window + source-window exchanges only
+    "pipeline_corpus_curation": (2, 0, 2, 0),
 }
 
 

@@ -436,3 +436,35 @@ def test_pointintime_duplicate_version_timestamps_deterministic(spark):
         }
         assert rows[base + dt.timedelta(hours=2)] == (2, "tier_b")
         assert rows[base + dt.timedelta(hours=9)] == (3, "tier_c")
+
+
+def test_bloom_filtered_stream_drops_history(spark, event_chunks_dir):
+    """History-dedup via the broadcast Bloom bitmap: events whose key is in
+    the historical set are dropped across micro-batches; with the default
+    sizing the surviving set equals the exact anti-join (FP ~ 0 at this
+    cardinality), and no false negatives means nothing historical leaks
+    through regardless of sizing."""
+    from yelpdatawarehouse_spark.streaming import bloom_filtered_stream
+
+    ev = table(spark, SF, "events")
+    seen = ev.filter(F.col("event_id") % 4 == 0).select("event_id")
+
+    stream = event_file_stream(spark, event_chunks_dir)
+    q = (
+        bloom_filtered_stream(stream, seen, key="event_id")
+        .writeStream.format("memory")
+        .queryName("bloom_filtered")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r["event_id"] for r in spark.sql("SELECT event_id FROM bloom_filtered").collect()}
+
+    expect = {
+        r["event_id"]
+        for r in ev.join(seen, "event_id", "left_anti").select("event_id").collect()
+    }
+    historical = {r["event_id"] for r in seen.collect()}
+    assert got & historical == set()  # no false negatives ever
+    assert got == expect  # default sizing: exact at this scale

@@ -2524,3 +2524,126 @@ def sample_token_budget_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tokens").cast("long").alias("tokens_kept"),
         )
     )
+
+
+@register(
+    "pipeline_corpus_curation",
+    oracle=f"""
+    WITH base AS (
+        SELECT source, doc_id,
+               {_TOKS} AS toks,
+               md5(trim(regexp_replace(regexp_replace(lower(text),
+                        '[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g'))) AS fp,
+               {hashing.md5_long_sql("'curate:' || CAST(doc_id AS VARCHAR)")} AS pri
+        FROM documents
+    ),
+    q AS (
+        SELECT source, doc_id, fp, pri, len(toks) AS n_tokens
+        FROM base
+        WHERE len(toks) >= 15
+          AND len(list_distinct(toks))::DOUBLE / len(toks) >= 0.35
+          AND {T.marker_count_sql('toks', T.STOPWORDS)}::DOUBLE / len(toks) >= 0.01
+    ),
+    u AS (
+        SELECT source, doc_id, pri, n_tokens,
+               row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+        FROM q
+    ),
+    uq AS (SELECT source, doc_id, pri, n_tokens FROM u WHERE rn = 1),
+    b AS (
+        SELECT source, n_tokens,
+               sum(n_tokens) OVER (PARTITION BY source ORDER BY pri, doc_id
+                                   ROWS UNBOUNDED PRECEDING) AS cum
+        FROM uq
+    ),
+    kept AS (SELECT source, n_tokens FROM b WHERE cum - n_tokens < 400),
+    s_in AS (SELECT source, count(*) AS n_input FROM base GROUP BY source),
+    s_q AS (SELECT source, count(*) AS n_quality FROM q GROUP BY source),
+    s_u AS (SELECT source, count(*) AS n_unique FROM uq GROUP BY source),
+    s_k AS (SELECT source, count(*) AS n_kept, sum(n_tokens) AS tokens_kept
+            FROM kept GROUP BY source)
+    SELECT s_in.source,
+           CAST(n_input AS BIGINT) AS n_input,
+           CAST(coalesce(n_quality, 0) AS BIGINT) AS n_quality,
+           CAST(coalesce(n_unique, 0) AS BIGINT) AS n_unique,
+           CAST(coalesce(n_kept, 0) AS BIGINT) AS n_kept,
+           CAST(coalesce(tokens_kept, 0) AS BIGINT) AS tokens_kept
+    FROM s_in
+    LEFT JOIN s_q USING (source)
+    LEFT JOIN s_u USING (source)
+    LEFT JOIN s_k USING (source)
+    """,
+    tags=("LLM-pipeline", "FILTER", "DEDUP", "W3"),
+)
+def pipeline_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus-curation funnel — the composition that a real
+    training-data run executes as ONE job: Gopher-style quality gate
+    (length / lexical diversity / stopword presence, same thresholds as
+    text_quality_filter_stats) → exact dedup on the normalized-text
+    fingerprint keeping the lowest doc_id (same canonicalization as
+    dedup_exact_groups) → greedy per-source token-budget fill in salted-
+    hash priority order (same mechanism as sample_token_budget_fill) —
+    reported as a per-source yield funnel (input → quality → unique →
+    budget-kept, plus surviving tokens). Each stage consumes the previous
+    stage's DataFrame lazily; Catalyst fuses the row-level quality gate
+    into the scan, so a dropped document costs one predicate evaluation
+    and never reaches the dedup shuffle.
+
+    Scale shape — the whole funnel is ONE pass with survivor FLAGS, not a
+    tree of recomputed branches (a naive four-branch funnel re-ran the
+    fingerprint window once per branch: 6 exchanges, 3 windows, 4 scans;
+    this form is 2 exchanges, 2 windows, 1 scan): the quality gate is a
+    row predicate; "unique" is a row_number over the fingerprint
+    partition ORDERED QUALITY-FIRST, so rank 1 lands on the min-id
+    quality survivor without filtering first; the budget running sum
+    counts only unique-survivor tokens via a CASE inside the window; and
+    the per-source rollup reuses the budget window's source partitioning
+    (no third exchange). Reference analog: none; this is the north-star
+    use the engine exists for.
+    """
+    d = table(spark, sf_dir, "documents")
+    toks = T.tokens("text")
+    base = d.select(
+        "source",
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        (F.size(F.array_distinct(toks)).cast("double") / F.size(toks)).alias(
+            "uniq_ratio"
+        ),
+        (T.marker_count(toks, T.STOPWORDS).cast("double") / F.size(toks)).alias(
+            "stop_ratio"
+        ),
+        F.md5(T.normalize("text")).alias("fp"),
+        hashing.md5_long(
+            F.concat(F.lit("curate:"), F.col("doc_id").cast("string"))
+        ).alias("pri"),
+    )
+    q = (
+        (F.col("n_tokens") >= 15)
+        & (F.col("uniq_ratio") >= 0.35)
+        & (F.col("stop_ratio") >= 0.01)
+    )
+    # rank within each fingerprint with quality rows first: rank 1 == the
+    # min-id QUALITY survivor, computed without materializing the filter
+    w_fp = Window.partitionBy("fp").orderBy(F.col("q").desc(), "doc_id")
+    flagged = base.withColumn("q", q).withColumn(
+        "is_unique", F.col("q") & (F.row_number().over(w_fp) == 1)
+    )
+    wb = (
+        Window.partitionBy("source")
+        .orderBy("pri", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tok_if = F.when(F.col("is_unique"), F.col("n_tokens")).otherwise(F.lit(0))
+    kept = flagged.withColumn("cum", F.sum(tok_if).over(wb)).withColumn(
+        "in_budget", F.col("is_unique") & (F.col("cum") - F.col("n_tokens") < 400)
+    )
+    return kept.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_input"),
+        F.sum(F.col("q").cast("long")).cast("long").alias("n_quality"),
+        F.sum(F.col("is_unique").cast("long")).cast("long").alias("n_unique"),
+        F.sum(F.col("in_budget").cast("long")).cast("long").alias("n_kept"),
+        F.sum(F.when(F.col("in_budget"), F.col("n_tokens")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("tokens_kept"),
+    )

@@ -1,6 +1,7 @@
 from .pipeline import (  # noqa: F401
     EVENT_SCHEMA,
     batch_user_summary,
+    bloom_filtered_stream,
     deduped_event_stream,
     event_file_stream,
     kafka_event_stream,

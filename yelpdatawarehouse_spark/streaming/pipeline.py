@@ -273,6 +273,39 @@ def enriched_event_stream(events: DataFrame, dim: DataFrame, key: str = "user_id
     return events.join(F.broadcast(dim), key, "left")
 
 
+def bloom_filtered_stream(
+    events: DataFrame,
+    seen: DataFrame,
+    key: str = "event_id",
+    n_bits: int = 1 << 17,
+    k: int = 5,
+) -> DataFrame:
+    """Drop stream rows whose key is APPROXIMATELY already in a (large)
+    historical key set, using the Bloom bitmap operator
+    (`operators/bloom.py`): the history is compressed once per micro-batch
+    into a ~16 KB one-row bitmap and broadcast, so the stream side never
+    shuffles and keeps NO state — the history-dedup complement of
+    `deduped_event_stream` (which dedups within the stream's own
+    watermark but cannot hold a multi-year key history in state).
+
+    Bloom semantics on a stream: no false negatives means every truly-new
+    event survives; false positives (rate ≈ (1-e^(-k·n/n_bits))^k) drop a
+    tiny fraction of new events — acceptable for training-data ingestion,
+    where the alternative at 100 TB of history is an unboundedly growing
+    state store or a full shuffle per batch. Size n_bits to the history
+    (~10 bits/key for ~1% FP). The static side is re-read per micro-batch,
+    picking up newly-committed history between batches.
+    """
+    from ..operators.bloom import _might_contain, bloom_bitmap
+
+    bitmap = bloom_bitmap(seen, key, n_bits, k)
+    return (
+        events.join(F.broadcast(bitmap))
+        .where(~_might_contain(F.col("__bloom"), F.col(key), n_bits, k))
+        .drop("__bloom")
+    )
+
+
 def pointintime_enriched_stream(
     events: DataFrame,
     versioned_dim: DataFrame,
