@@ -1437,6 +1437,13 @@ def emb_kmeans_assign_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .collect(),
         key=lambda r: r.vec_id,
     )
+    if not cents:
+        # zero seed vectors (empty/pruned input): no clusters is the
+        # well-defined degenerate result — matches the oracle's empty set
+        # and keeps array_min(array()) (VOID) out of the analyzer
+        return spark.createDataFrame(
+            [], "cluster_id LONG, n_members BIGINT, mean_dist DOUBLE"
+        )
     # Centroid dot products as single parsed expressions: composing 8×64
     # literal Columns costs ~500 py4j round trips at plan build (the same
     # driver-side latency fixed in _srp_bucket_col); one expr string per
@@ -2026,6 +2033,13 @@ def emb_kmeans_update_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         .collect(),
         key=lambda r: r.vec_id,
     )
+    if not cents:
+        # same degenerate contract as emb_kmeans_assign_stats
+        return spark.createDataFrame(
+            [],
+            "cluster_id LONG, n_members BIGINT, centroid_norm DOUBLE, "
+            "centroid_shift DOUBLE",
+        )
     self_dot = F.expr(
         "aggregate(zip_with(CAST(embedding AS ARRAY<DOUBLE>), "
         "CAST(embedding AS ARRAY<DOUBLE>), (x, y) -> x * y), "
