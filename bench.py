@@ -74,6 +74,7 @@ def main() -> None:
         "mm_png_decode_roundtrip",
         "sample_token_budget_fill",
         "pipeline_corpus_curation",
+        "emb_power_iteration_step",
     ):
         if opt in registry:
             headline.append(opt)

@@ -74,6 +74,7 @@ _SHAPES = {
     "sample_token_budget_fill": (1, 0, 1, 0),
     # single-pass funnel: fp-window + source-window exchanges only
     "pipeline_corpus_curation": (2, 0, 2, 0),
+    "emb_power_iteration_step": (2, 1, 0, 0),
 }
 
 

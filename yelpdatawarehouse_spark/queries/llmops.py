@@ -2661,3 +2661,54 @@ def pipeline_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("tokens_kept"),
     )
+
+
+@register(
+    "emb_power_iteration_step",
+    oracle=f"""
+    WITH r AS (
+        SELECT embedding::DOUBLE[] AS e,
+               list_aggregate(embedding::DOUBLE[], 'sum')::DOUBLE AS rs
+        FROM embeddings
+    ),
+    u AS (
+        SELECT rs, unnest(e) AS val, generate_subscripts(e, 1) AS i FROM r
+    ),
+    w AS (SELECT i, sum(rs * val) AS w FROM u GROUP BY i),
+    n AS (SELECT sqrt(sum(w * w)) AS nrm FROM w)
+    SELECT CAST(i - 1 AS BIGINT) AS dim_idx,
+           {rfix_sql('w / nrm', 6)} AS v_next
+    FROM w CROSS JOIN n
+    """,
+    tags=("EMB", "ITER", "A3"),
+)
+def emb_power_iteration_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One power-iteration step toward the dominant eigenvector of the
+    (uncentered) Gram matrix of the embedding corpus — the building block
+    of distributed PCA / spectral embedding-drift monitoring: v_next ∝
+    Aᵀ(A·v₀), started from the deterministic all-ones direction (whose
+    1/√d scale cancels in the final normalization, so the plan never even
+    multiplies by it).
+
+    The distributed shape matters more than the algebra: each row
+    contributes (x·v₀)·x, so the map side computes one dot product per
+    vector and emits (dim, partial) pairs via posexplode — the ONLY
+    exchange carries d values per partition (map-side combined), never a
+    d×d matrix and never the vectors themselves. The normalizer is a
+    broadcast 1-row crossJoin. Repeating this stage IS the 100 TB PCA
+    loop (k dominant directions = k such passes with Gram-Schmidt between
+    rounds). Iterative-linear-algebra companion to emb_kmeans_update_step.
+    Reference analog: none; beyond-reference embedding-ops surface.
+    """
+    e = table(spark, sf_dir, "embeddings")
+    vecs = e.select(F.col("embedding").cast("array<double>").alias("e"))
+    rows = vecs.select(
+        F.aggregate("e", F.lit(0.0), lambda acc, x: acc + x).alias("rs"),
+        F.posexplode("e").alias("i", "val"),
+    )
+    w = rows.groupBy("i").agg(F.sum(F.col("rs") * F.col("val")).alias("w"))
+    nrm = w.agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"))
+    return w.crossJoin(F.broadcast(nrm)).select(
+        F.col("i").cast("long").alias("dim_idx"),
+        rfix(F.col("w") / F.col("nrm"), 6).alias("v_next"),
+    )
