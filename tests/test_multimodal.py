@@ -281,3 +281,25 @@ def test_decode_real_pixels_via_stdlib_codec(spark):
         feats = list(r.features)
         assert sum(feats) == (5 + i) * (3 + i)  # histogram mass == pixel count
         assert feats[(10 * i) // 32] == (5 + i) * (3 + i)  # all mass in the gray bin
+
+
+def test_png_roundtrip_property():
+    """Property: encode->decode is the identity for any 8-bit grayscale
+    image (hypothesis over dimensions and pixel content)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from yelpdatawarehouse_spark.multimodal import png
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        w=st.integers(min_value=1, max_value=40),
+        h=st.integers(min_value=1, max_value=40),
+        seed=st.integers(min_value=0, max_value=2**31),
+    )
+    def check(w, h, seed):
+        px = bytes((seed * 2654435761 + i * 40503) % 256 for i in range(w * h))
+        W, H, C, out = png.decode_png(png.encode_png_gray(w, h, px))
+        assert (W, H, C) == (w, h, 1) and bytes(out) == px
+
+    check()
