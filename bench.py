@@ -75,6 +75,7 @@ def main() -> None:
         "sample_token_budget_fill",
         "pipeline_corpus_curation",
         "emb_power_iteration_step",
+        "ann_recall_eval",
     ):
         if opt in registry:
             headline.append(opt)

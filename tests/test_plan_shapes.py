@@ -75,6 +75,9 @@ _SHAPES = {
     # single-pass funnel: fp-window + source-window exchanges only
     "pipeline_corpus_curation": (2, 0, 2, 0),
     "emb_power_iteration_step": (2, 1, 0, 0),
+    # panel-bounded eval: truth window + small hit/size rollups; the panel
+    # and bucket sides ride broadcasts
+    "ann_recall_eval": (5, 4, 1, 5),
 }
 
 

@@ -2712,3 +2712,95 @@ def emb_power_iteration_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("i").cast("long").alias("dim_idx"),
         rfix(F.col("w") / F.col("nrm"), 6).alias("v_next"),
     )
+
+
+@register(
+    "ann_recall_eval",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 5),
+    truth AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT q.query_id, e.vec_id AS neighbor_id,
+                   row_number() OVER (PARTITION BY q.query_id
+                       ORDER BY {rfix_sql(V.cosine_sql('q.qe', 'e.embedding'), 6)} DESC,
+                                e.vec_id) AS rn
+            FROM q JOIN embeddings e ON e.vec_id <> q.query_id
+        ) WHERE rn <= 10
+    ),
+    b AS (
+        SELECT vec_id, CAST({_srp_bucket_sql('embedding', 4)} AS BIGINT) AS bucket
+        FROM embeddings
+    ),
+    cand AS (
+        SELECT qb.vec_id AS query_id, nb.vec_id AS neighbor_id
+        FROM b qb JOIN b nb ON nb.bucket = qb.bucket AND nb.vec_id <> qb.vec_id
+        WHERE qb.vec_id < 5
+    )
+    SELECT CAST(t.query_id AS BIGINT) AS query_id,
+           CAST((SELECT count(*) FROM cand c2 WHERE c2.query_id = t.query_id)
+               AS BIGINT) AS n_candidates,
+           CAST(sum(CASE WHEN c.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS hits,
+           {rfix_sql('sum(CASE WHEN c.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) / 10.0', 4)}
+               AS recall_at_10
+    FROM truth t
+    LEFT JOIN cand c
+      ON c.query_id = t.query_id AND c.neighbor_id = t.neighbor_id
+    GROUP BY t.query_id
+    """,
+    tags=("ANN", "LSH", "EVAL"),
+)
+def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-quality evaluation: recall@10 of the SRP-LSH bucket index
+    (ann_lsh_bucket_topk's candidate generator) against brute-force cosine
+    ground truth (ann_topk_cosine's ranking), per query — the measurement
+    loop every production ANN deployment runs before trading recall for
+    candidate-set size (more planes → smaller buckets → lower recall).
+
+    Scale shape: ground truth is exact ONLY over the bounded query panel
+    (5 queries broadcast against the corpus — the standard eval protocol:
+    recall is estimated on a sample, never all-pairs), while the candidate
+    side is the same bucket-equality join the production query uses. The
+    overlap join keys on (query_id, neighbor_id) — both sides are
+    panel-bounded (≤ 10·|panel| truth rows, bucket-sized candidates), so
+    the whole evaluation after candidate generation is broadcast-sized.
+    Reference analog: none; beyond-reference ANN-ops surface.
+    """
+    e = table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    cos = V.cosine(F.col("qe"), F.col("embedding"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("c6"), F.asc("neighbor_id"))
+    truth = (
+        e.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            rfix(cos, 6).alias("c6"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .select("query_id", "neighbor_id")
+    )
+    b = e.select("vec_id", _srp_bucket_col().alias("bucket"))
+    qb = b.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "bucket"
+    )
+    cand = (
+        b.join(F.broadcast(qb), "bucket")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+    )
+    sizes = cand.groupBy("query_id").agg(F.count("*").alias("n_candidates"))
+    hits = (
+        truth.join(cand.withColumn("hit", F.lit(1)), ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(F.sum(F.coalesce("hit", F.lit(0))).alias("hits"))
+    )
+    return hits.join(F.broadcast(sizes), "query_id").select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("n_candidates").cast("long").alias("n_candidates"),
+        F.col("hits").cast("long").alias("hits"),
+        rfix(F.col("hits") / F.lit(10.0), 4).alias("recall_at_10"),
+    )
