@@ -90,3 +90,25 @@ def test_write_warehouse_roundtrip(spark, wh, tmp_path_factory):
         a = df.select(cols)
         b = back.select(cols)
         assert a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty(), name
+
+
+def test_read_entity_with_quarantine(spark, tmp_path):
+    """PERMISSIVE read splits one scan into typed good rows + verbatim
+    quarantined lines (the audit-trail upgrade over the reference's silent
+    line skips, init/mysql_loader.py:358-364)."""
+    from yelpdatawarehouse_spark.sources.yelp import read_entity_with_quarantine
+
+    p = tmp_path / "tip.json"
+    p.write_text(
+        '{"business_id": "b1", "user_id": "u1", "text": "ok", "date": "2020-01-01", "compliment_count": 1}\n'
+        "this is not json at all\n"
+        '{"business_id": "b2", "user_id": "u2", "text": "also ok", "date": "2020-01-02", "compliment_count": 0}\n'
+        '{"business_id": "b3", "unterminated": \n'
+    )
+    good, bad = read_entity_with_quarantine(spark, str(tmp_path), "tip")
+    rows = good.collect()
+    assert {r.business_id for r in rows} == {"b1", "b2"}
+    assert "_corrupt_record" not in good.columns
+    bad_lines = [r.raw_line for r in bad.collect()]
+    assert len(bad_lines) == 2
+    assert "this is not json at all" in bad_lines

@@ -121,3 +121,41 @@ def read_entity(
         .json(path)
     )
     return df.limit(limit) if limit else df
+
+
+def read_entity_with_quarantine(
+    spark: SparkSession, raw_dir: str, entity: str
+) -> tuple[DataFrame, DataFrame]:
+    """S1/S2 with an audit trail: (good rows, quarantined raw lines).
+
+    The reference silently skips malformed JSON lines
+    (init/mysql_loader.py:358-364 try/except around json.loads);
+    DROPMALFORMED reproduces that in `read_entity`. At production scale
+    silent drops hide upstream breakage, so this variant reads PERMISSIVE
+    with a corrupt-record column: well-formed rows come back typed, and
+    every malformed line survives VERBATIM in the quarantine frame for
+    alerting/replay. One scan feeds both frames (the split is two lazy
+    filters over the same read, not two file passes).
+    """
+    path = os.path.join(raw_dir, ENTITY_FILES[entity])
+    if not os.path.exists(path):
+        path = os.path.join(raw_dir, f"{entity}.json")
+    schema = S.StructType(
+        ENTITY_SCHEMAS[entity].fields
+        + [S.StructField("_corrupt_record", S.StringType())]
+    )
+    raw = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+    )
+    # Spark leaves _corrupt_record unqueryable without a materialization
+    # barrier when it is filtered standalone; caching the one scan is also
+    # what makes the two branches share it.
+    raw = raw.cache()
+    good = raw.filter(raw["_corrupt_record"].isNull()).drop("_corrupt_record")
+    bad = raw.filter(raw["_corrupt_record"].isNotNull()).select(
+        raw["_corrupt_record"].alias("raw_line")
+    )
+    return good, bad
