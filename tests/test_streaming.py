@@ -468,3 +468,44 @@ def test_bloom_filtered_stream_drops_history(spark, event_chunks_dir):
     historical = {r["event_id"] for r in seen.collect()}
     assert got & historical == set()  # no false negatives ever
     assert got == expect  # default sizing: exact at this scale
+
+
+def test_parse_events_with_dlq(spark, tmp_path):
+    """Malformed JSON and contract-violating events land on the DLQ
+    verbatim; well-formed events parse once and stream on — across
+    micro-batches."""
+    from yelpdatawarehouse_spark.streaming import parse_events_with_dlq
+
+    src = tmp_path / "raw"
+    src.mkdir()
+    lines = [
+        '{"event_id": 1, "user_id": 10, "event_type": "view", "value": 1.5, "ts": "2024-01-01T00:00:00.000"}',
+        "garbage not json",
+        '{"event_id": 2, "event_type": "view"}',  # violates user_id NOT NULL
+        '{"event_id": 3, "user_id": 30, "event_type": "purchase", "value": 9.0, "ts": "2024-01-01T01:00:00.000"}',
+    ]
+    (src / "a.txt").write_text("\n".join(lines[:2]) + "\n")
+    (src / "b.txt").write_text("\n".join(lines[2:]) + "\n")
+
+    raw = (
+        spark.readStream.format("text")
+        .option("maxFilesPerTrigger", 1)
+        .load(str(src))
+        .withColumnRenamed("value", "raw")
+    )
+    good, dlq = parse_events_with_dlq(raw)
+    q1 = (
+        good.writeStream.format("memory").queryName("dlq_good")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q2 = (
+        dlq.writeStream.format("memory").queryName("dlq_bad")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q1.awaitTermination(120)
+    q2.awaitTermination(120)
+
+    good_ids = {r.event_id for r in spark.sql("SELECT * FROM dlq_good").collect()}
+    bad_lines = {r.raw_line for r in spark.sql("SELECT * FROM dlq_bad").collect()}
+    assert good_ids == {1, 3}
+    assert bad_lines == {"garbage not json", lines[2]}

@@ -5,6 +5,7 @@ from .pipeline import (  # noqa: F401
     deduped_event_stream,
     event_file_stream,
     kafka_event_stream,
+    parse_events_with_dlq,
     read_summary,
     run_incremental_summary,
     stateful_user_summary,

@@ -79,6 +79,32 @@ def kafka_event_stream(spark: SparkSession, brokers: str, topics: str) -> DataFr
     ).select("topic", "e.*")
 
 
+def parse_events_with_dlq(
+    raw_lines: DataFrame, schema=None
+) -> tuple[DataFrame, DataFrame]:
+    """Split a stream of raw JSON strings into (parsed events, dead-letter
+    queue): lines that fail from_json — or parse but violate the NOT-NULL
+    event contract (event_id/user_id present) — survive VERBATIM on the
+    DLQ side for alerting and replay instead of becoming silent nulls.
+
+    The streaming twin of sources/yelp.read_entity_with_quarantine: both
+    branches are lazy filters over the SAME parse expression, so a
+    micro-batch is decoded once; each side can be routed to its own sink
+    (facts vs dead-letter topic/table) from one foreachBatch. Works
+    identically on a batch frame. ``raw_lines`` must have a string column
+    named ``raw``. Reference analog: the consumer's bare try/except that
+    drops bad payloads on the floor (streaming/consumer.py:128-139).
+    """
+    schema = schema or EVENT_SCHEMA
+    parsed = raw_lines.withColumn("e", F.from_json(F.col("raw"), schema))
+    ok = F.col("e").isNotNull() & F.col("e.event_id").isNotNull() & F.col(
+        "e.user_id"
+    ).isNotNull()
+    good = parsed.filter(ok).select("e.*")
+    dlq = parsed.filter(~ok).select(F.col("raw").alias("raw_line"))
+    return good, dlq
+
+
 # ---------------------------------------------------------------------------
 # Incremental summary maintenance (T2-T5)
 # ---------------------------------------------------------------------------
