@@ -76,6 +76,7 @@ def main() -> None:
         "pipeline_corpus_curation",
         "emb_power_iteration_step",
         "ann_recall_eval",
+        "dedup_fuzzy_name_pairs",
     ):
         if opt in registry:
             headline.append(opt)

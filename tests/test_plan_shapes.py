@@ -78,6 +78,8 @@ _SHAPES = {
     # panel-bounded eval: truth window + small hit/size rollups; the panel
     # and bucket sides ride broadcasts
     "ann_recall_eval": (5, 4, 1, 5),
+    # FastSS blocking: variant join + verified-pair distinct + rollup
+    "dedup_fuzzy_name_pairs": (3, 1, 0, 2),
 }
 
 

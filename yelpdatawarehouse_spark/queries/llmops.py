@@ -2804,3 +2804,71 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("hits").cast("long").alias("hits"),
         rfix(F.col("hits") / F.lit(10.0), 4).alias("recall_at_10"),
     )
+
+
+@register(
+    "dedup_fuzzy_name_pairs",
+    oracle="""
+    SELECT CAST(a.c_custkey AS BIGINT) AS c_custkey,
+           CAST(count(*) AS BIGINT) AS n_fuzzy_matches
+    FROM customer a
+    JOIN customer b
+      ON a.c_custkey <> b.c_custkey
+     AND levenshtein(a.c_name, b.c_name) <= 1
+    GROUP BY a.c_custkey
+    """,
+    tags=("DEDUP", "FUZZY", "J5"),
+)
+def dedup_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy-match self-join (entity resolution): per customer, how many
+    OTHER customers sit within edit distance 1 of its name — without ever
+    comparing all pairs. Candidates come from deletion-neighborhood
+    blocking (FastSS): every string is keyed by itself plus each of its
+    single-character deletions; two strings within edit distance 1
+    (substitute / insert / delete) provably share a key, so the equi-join
+    on the variant finds every true pair and levenshtein verifies the
+    survivors.
+
+    The ORACLE is the brute-force O(n²) levenshtein join — the driver's
+    hash check therefore proves the blocking join is exactly equivalent
+    to all-pairs, which is the entire point of the method: at 100 TB the
+    engine's cost is |names|·(len+1) exploded keys through ONE exchange
+    (candidate groups bounded by neighborhood collisions), while all-pairs
+    is impossible. Same scale argument as the MinHash/SimHash family, for
+    the edit-distance metric. Reference analog: none (reference matches
+    names only with LIKE); beyond-reference entity-resolution surface.
+    """
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    variants = F.expr(
+        "transform(sequence(0, length(c_name)), i -> "
+        "IF(i = 0, c_name, "
+        "concat(substr(c_name, 1, i - 1), substr(c_name, i + 1, length(c_name)))))"
+    )
+    keyed = c.select(
+        "c_custkey", "c_name", F.explode(F.array_distinct(variants)).alias("v")
+    )
+    a = keyed.alias("a")
+    b = keyed.select(
+        F.col("c_custkey").alias("b_key"),
+        F.col("c_name").alias("b_name"),
+        F.col("v").alias("v"),
+    ).alias("b")
+    # verify BEFORE deduplicating: levenshtein is a cheap per-candidate
+    # map-side predicate, and zero-run-heavy names share several variants
+    # per true pair, so filtering first shrinks the distinct's exchange to
+    # verified (x, y) long pairs only (measured 11.5s → ~2s at sf0.1)
+    pairs = (
+        a.join(b, "v")
+        .filter(
+            (F.col("a.c_custkey") < F.col("b_key"))
+            & (F.levenshtein(F.col("a.c_name"), F.col("b_name")) <= 1)
+        )
+        .select(F.col("a.c_custkey").alias("x"), F.col("b_key").alias("y"))
+        .distinct()
+    )
+    both = pairs.select(F.col("x").alias("c_custkey")).unionAll(
+        pairs.select(F.col("y").alias("c_custkey"))
+    )
+    return both.groupBy(F.col("c_custkey").cast("long").alias("c_custkey")).agg(
+        F.count("*").cast("long").alias("n_fuzzy_matches")
+    )
