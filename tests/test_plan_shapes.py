@@ -49,7 +49,7 @@ _SHAPES = {
     "ann_ivf_topk": (1, 1, 1, 0),
     "ann_lsh_bucket_topk": (1, 1, 1, 0),
     "text_quality_scores": (0, 0, 0, 0),
-    "text_tfidf_top_terms": (3, 1, 2, 0),
+    "text_tfidf_top_terms": (4, 1, 2, 0),  # +1: spread()
     "text_chunk_sliding": (0, 0, 0, 0),
     "emb_kmeans_assign_stats": (1, 0, 0, 0),
     "dedup_cross_split_contamination": (3, 1, 0, 0),
@@ -62,15 +62,15 @@ _SHAPES = {
     "text_pack_bins": (1, 0, 1, 0),
     "q1_pricing_summary": (1, 0, 0, 1),
     "w7_activity_islands": (1, 0, 1, 0),
-    "text_token_stats": (0, 0, 0, 0),
-    "text_dup_shingle_coverage": (3, 0, 1, 0),
+    "text_token_stats": (1, 0, 0, 0),  # +1: spread() rebalance of the 1-row-group scan
+    "text_dup_shingle_coverage": (4, 0, 1, 0),  # +1: spread()
     "sample_temperature_mix": (2, 1, 0, 0),
     "scd2_state_intervals": (1, 0, 3, 0),
     # j16: every exchange is dimension-sized (bitmap words / supplier keys);
     # the fact scan reaches the prefilter and verify join broadcast-only
     "j16_bloom_semi_filter": (4, 4, 0, 4),
     "text_unigram_logprob": (3, 1, 0, 0),
-    "mm_png_decode_roundtrip": (1, 0, 0, 0),
+    "mm_png_decode_roundtrip": (2, 0, 0, 0),  # +1: spread() before the encode kernel
     "sample_token_budget_fill": (1, 0, 1, 0),
     # single-pass funnel: fp-window + source-window exchanges only
     "pipeline_corpus_curation": (2, 0, 2, 0),

@@ -28,7 +28,7 @@ from ..functions import text as T
 from ..functions import vectors as V
 from ..functions.presentation import rfix, rfix_sql
 from ..operators.graph import min_label_components
-from ..sources.tables import table
+from ..sources.tables import spread, table
 from .registry import register
 
 # DuckDB-side token expression (oracle counterpart of T.tokens)
@@ -961,7 +961,7 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     6-digit-rounded score then term, keeping engine and oracle
     row-identical.
     """
-    d = table(spark, sf_dir, "documents")
+    d = spread(table(spark, sf_dir, "documents"))
     words = F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")
     tf = (
         d.select("doc_id", F.explode(words).alias("term"))
@@ -2227,7 +2227,7 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     higher-order aggregate, all JVM-side, zero shuffles) — the ideal
     100 TB operator.
     """
-    d = table(spark, sf_dir, "documents")
+    d = spread(table(spark, sf_dir, "documents"))
     bpe = F.regexp_extract_all(F.col("text"), F.lit(_BPE_PATTERN), F.lit(0))
     out = d.select(
         F.col("doc_id").cast("long").alias("doc_id"),
@@ -2296,7 +2296,7 @@ def text_dup_shingle_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql import Window
 
-    d = table(spark, sf_dir, "documents")
+    d = spread(table(spark, sf_dir, "documents"))
     sh = F.explode(
         T.shingles(T.tokens("text"), _DUP_SHINGLE_K)
     ).alias("sh")

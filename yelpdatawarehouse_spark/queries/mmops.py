@@ -7,7 +7,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..multimodal import attach_fake_media, decode_image_features, media_metadata
-from ..sources.tables import table
+from ..sources.tables import spread, table
 from .registry import register
 
 
@@ -142,7 +142,7 @@ def mm_png_decode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                 payloads.append(encode_png_gray(w, h, bytes([gray]) * (w * h)))
             yield pd.DataFrame({"doc_id": ids, "payload": payloads})
 
-    docs = table(spark, sf_dir, "documents").select(F.col("doc_id").cast("long"))
+    docs = spread(table(spark, sf_dir, "documents").select(F.col("doc_id").cast("long")))
     media = docs.mapInPandas(make_png, schema)
     decoded = decode_image_features(media)
     return decoded.select(

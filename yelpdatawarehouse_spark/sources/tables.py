@@ -75,3 +75,23 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every table as a temp view for the spark.sql path."""
     for t in TABLES:
         table(spark, sf_dir, t).createOrReplaceTempView(t)
+
+
+def spread(df: DataFrame) -> DataFrame:
+    """Round-robin rebalance a CPU-heavy NARROW stage whose source layout
+    under-parallelizes it.
+
+    Same argument as j5's documented pre-expansion rebalance: the scan
+    sizes its tasks by input BYTES, so a small-but-CPU-dense input (one
+    parquet row group of documents feeding heavy regex / codec kernels)
+    runs the whole stage on one core — neither AQE nor
+    files.maxPartitionBytes can split below a row-group boundary. One
+    exchange of the compact source rows buys full-cluster parallelism for
+    the expensive expressions downstream. No-op when the source already
+    has enough splits (the 100 TB case — thousands of row groups), so the
+    rebalance never costs an exchange where the layout is healthy.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
