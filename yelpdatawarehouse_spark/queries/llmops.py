@@ -105,7 +105,7 @@ def _minhash_sigs(spark: SparkSession, sf_dir: str, n_perm: int) -> DataFrame:
     One md5 per shingle, then n_perm Carter-Wegman affine permutations
     (``hashing.perm``) — not n_perm string hashes per shingle.
     """
-    d = table(spark, sf_dir, "documents")
+    d = spread(table(spark, sf_dir, "documents"))
     sh = d.select(
         "doc_id", F.explode(F.array_distinct(T.shingles(T.tokens("text"), 3))).alias("s")
     )
