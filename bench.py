@@ -77,6 +77,11 @@ def main() -> None:
         "emb_power_iteration_step",
         "ann_recall_eval",
         "dedup_fuzzy_name_pairs",
+        "text_bpe_pair_counts",
+        "sample_domain_cap",
+        "dedup_span_first_occurrence",
+        "emb_matryoshka_fidelity",
+        "ml_logreg_grad_step",
     ):
         if opt in registry:
             headline.append(opt)

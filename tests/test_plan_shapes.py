@@ -80,6 +80,15 @@ _SHAPES = {
     "ann_recall_eval": (5, 4, 1, 5),
     # FastSS blocking: variant join + verified-pair distinct + rollup
     "dedup_fuzzy_name_pairs": (3, 1, 0, 2),
+    # +1 each: spread() rebalance of the 1-row-group documents scan
+    "text_bpe_pair_counts": (2, 0, 0, 0),
+    "dedup_span_first_occurrence": (3, 0, 1, 0),
+    "sample_domain_cap": (1, 0, 1, 0),
+    # bounded eval slice rides a broadcast; vec_id bound reaches both scans
+    "emb_matryoshka_fidelity": (1, 1, 0, 2),
+    # one map-side-combinable aggregate; only round-robin/single-partition
+    # exchanges (not counted), features stay in codegen
+    "ml_logreg_grad_step": (0, 0, 0, 0),
 }
 
 

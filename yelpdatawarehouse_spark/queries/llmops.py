@@ -2872,3 +2872,364 @@ def dedup_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return both.groupBy(F.col("c_custkey").cast("long").alias("c_custkey")).agg(
         F.count("*").cast("long").alias("n_fuzzy_matches")
     )
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer training / corpus-curation actions (round 4)
+# ---------------------------------------------------------------------------
+
+_BPE_TOP = 50
+
+
+@register(
+    "text_bpe_pair_counts",
+    oracle=f"""
+    WITH tf AS (
+        SELECT tok AS w, count(*)::BIGINT AS cnt
+        FROM (SELECT unnest({_TOKS}) AS tok FROM documents)
+        GROUP BY tok
+    )
+    SELECT pair,
+           CAST(sum(cnt) AS BIGINT) AS pair_count,
+           CAST(count(DISTINCT w) AS BIGINT) AS n_words
+    FROM (
+        SELECT substring(w, CAST(i AS INT), 2) AS pair, w, cnt
+        FROM (
+            SELECT w, cnt, unnest(range(1, length(w))) AS i
+            FROM tf WHERE length(w) >= 2
+        )
+    )
+    GROUP BY pair
+    ORDER BY pair_count DESC, pair
+    LIMIT {_BPE_TOP}
+    """,
+    tags=("TEXT", "TOKENIZER", "A10"),
+)
+def text_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The inner step of BPE tokenizer training: count adjacent symbol
+    pairs across the corpus, weighted by word frequency, and surface the
+    top-{_BPE_TOP} merge candidates (at initialization the symbols are
+    single characters, so pairs are 2-char substrings). A full BPE
+    trainer repeats this count-and-merge step per vocab entry; this is
+    the distributed primitive it iterates.
+
+    Scale shape: word frequencies first (ONE map-side-combinable
+    exchange over words — the corpus collapses to its vocabulary before
+    any per-character work), then pair explosion runs over DISTINCT
+    words only, so the second exchange carries O(vocab · word_len) rows
+    regardless of corpus size. Top-k is TakeOrderedAndProject, no global
+    sort. Reference analog: none (reference never tokenizes,
+    webapp/mysql_routes.py:619-626); beyond-reference tokenizer surface.
+    """
+    d = spread(table(spark, sf_dir, "documents"))
+    tf = (
+        d.select(F.explode(T.tokens("text")).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("cnt"))
+    )
+    pair_rows = tf.filter(F.length("w") >= 2).select(
+        "w",
+        "cnt",
+        F.explode(
+            F.expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")
+        ).alias("pair"),
+    )
+    return (
+        pair_rows.groupBy("pair")
+        .agg(
+            F.sum("cnt").cast("long").alias("pair_count"),
+            F.countDistinct("w").cast("long").alias("n_words"),
+        )
+        .orderBy(F.desc("pair_count"), F.asc("pair"))
+        .limit(_BPE_TOP)
+    )
+
+
+_DOMAIN_CAP = 15
+
+
+@register(
+    "sample_domain_cap",
+    oracle=f"""
+    WITH ranked AS (
+        SELECT source, n_chars,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY n_chars DESC, doc_id) AS rn
+        FROM documents
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN rn <= {_DOMAIN_CAP} THEN 1 ELSE 0 END) AS BIGINT)
+               AS docs_kept,
+           CAST(sum(CASE WHEN rn <= {_DOMAIN_CAP} THEN n_chars ELSE 0 END) AS BIGINT)
+               AS chars_kept
+    FROM ranked
+    GROUP BY source
+    """,
+    tags=("SAMPLE", "W1"),
+)
+def sample_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain document caps: keep at most {_DOMAIN_CAP} documents per
+    source, preferring the longest (ties broken by doc_id) — the standard
+    anti-over-representation guard when a few domains dominate a web
+    crawl (per-domain caps in C4/RefinedWeb-style curation). Reports per
+    source how much the cap bites.
+
+    Scale shape: ONE exchange on source + per-key sort for the rank
+    window, then the aggregate reuses the same partitioning (no second
+    exchange). A pathologically hot domain makes one partition sort-heavy;
+    the mitigation at 100 TB is the same two-phase trick as o1's top-k —
+    pre-prune per input partition to its local top-{_DOMAIN_CAP} before
+    the exchange, which AQE cannot do automatically but
+    diag_key_skew_profile flags when it is needed.
+    """
+    d = table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    ranked = d.select("source", "n_chars", "doc_id").withColumn(
+        "rn", F.row_number().over(w)
+    )
+    kept = F.when(F.col("rn") <= _DOMAIN_CAP, 1).otherwise(0)
+    return ranked.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(kept).cast("long").alias("docs_kept"),
+        F.sum(F.col("n_chars") * kept).cast("long").alias("chars_kept"),
+    )
+
+
+_SPAN_K = 16
+
+
+@register(
+    "dedup_span_first_occurrence",
+    oracle=f"""
+    WITH base AS (
+        SELECT doc_id, source, {_TOKS} AS toks
+        FROM documents WHERE len({_TOKS}) >= 1
+    ),
+    spans AS (
+        SELECT DISTINCT doc_id, source,
+               {hashing.md5_long_sql(f"array_to_string(toks[(g*{_SPAN_K}+1):(g*{_SPAN_K}+{_SPAN_K})], ' ')")} AS h
+        FROM (
+            SELECT doc_id, source, toks,
+                   unnest(range(0, (len(toks) + {_SPAN_K - 1}) // {_SPAN_K})) AS g
+            FROM base
+        )
+    ),
+    fo AS (
+        SELECT source, doc_id,
+               min(doc_id) OVER (PARTITION BY h) AS first_doc
+        FROM spans
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_spans,
+           CAST(sum(CASE WHEN doc_id = first_doc THEN 1 ELSE 0 END) AS BIGINT)
+               AS spans_kept,
+           {rfix_sql("sum(CASE WHEN doc_id = first_doc THEN 1 ELSE 0 END)::DOUBLE / count(*)", 4)}
+               AS retention
+    FROM fo
+    GROUP BY source
+    """,
+    tags=("DEDUP", "TEXT"),
+)
+def dedup_span_first_occurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style span-level keep-first dedup ACTION: split every document
+    into non-overlapping {_SPAN_K}-token spans, keep each distinct span
+    only in the lowest-doc_id document that contains it, and report per
+    source how much text survives. This is the retention decision itself
+    (which spans each document keeps), where text_dup_shingle_coverage
+    only measures overlap — the two share the hash-span machinery.
+
+    Scale shape: spans travel as 60-bit md5 keys; distinct-(doc, span)
+    grain collapses map-side, the first-occurrence winner is a min window
+    over the flat span-hash key (uniform — identical spans collapse
+    before the exchange), then one aggregate per source. Three exchanges
+    total, none carrying raw text. Reference analog: none;
+    beyond-reference curation surface.
+    """
+    d = spread(table(spark, sf_dir, "documents"))
+    base = d.select(
+        "doc_id", "source", T.tokens("text").alias("toks")
+    ).filter(F.size("toks") >= 1)
+    spans = F.expr(
+        f"transform(sequence(0, (size(toks) + {_SPAN_K - 1}) div {_SPAN_K} - 1), "
+        f"g -> concat_ws(' ', slice(toks, g * {_SPAN_K} + 1, {_SPAN_K})))"
+    )
+    ds = (
+        base.select("doc_id", "source", F.explode(spans).alias("span"))
+        .select("doc_id", "source", hashing.md5_long(F.col("span")).alias("h"))
+        .distinct()
+    )
+    fo = ds.withColumn("first_doc", F.min("doc_id").over(Window.partitionBy("h")))
+    kept = F.sum(F.when(F.col("doc_id") == F.col("first_doc"), 1).otherwise(0))
+    return fo.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_spans"),
+        kept.cast("long").alias("spans_kept"),
+        rfix(kept.cast("double") / F.count("*"), 4).alias("retention"),
+    )
+
+
+_MRL_DIMS = (8, 16, 32)
+_MRL_BOUND = 200
+_MRL_CLOSE = 0.05
+
+
+@register(
+    "emb_matryoshka_fidelity",
+    oracle=f"""
+    WITH e AS (
+        SELECT vec_id, embedding FROM embeddings WHERE vec_id < {_MRL_BOUND}
+    ),
+    p AS (
+        SELECT a.embedding AS ea, b.embedding AS eb
+        FROM e a JOIN e b ON a.vec_id < b.vec_id
+    ),
+    d AS (
+        SELECT k,
+               abs({rfix_sql(V.cosine_sql('ea', 'eb'), 6)}
+                   - {rfix_sql(V.cosine_sql('ea[1:CAST(k AS INT)]', 'eb[1:CAST(k AS INT)]'), 6)}) AS diff
+        FROM p CROSS JOIN (SELECT unnest([{', '.join(str(k) for k in _MRL_DIMS)}]) AS k)
+    )
+    SELECT CAST(k AS BIGINT) AS k,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           {rfix_sql('avg(diff)', 3)} AS avg_abs_err,
+           {rfix_sql(f'avg(CASE WHEN diff <= {_MRL_CLOSE} THEN 1.0 ELSE 0.0 END)', 4)}
+               AS frac_close
+    FROM d
+    GROUP BY k
+    """,
+    tags=("EMB", "ANN", "EVAL"),
+)
+def emb_matryoshka_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style truncation fidelity eval: how well cosine
+    similarity under a PREFIX of the embedding (first k dims, k in
+    {_MRL_DIMS}) agrees with full-dimension cosine — the measurement that
+    decides whether a cheap truncated index (IVF/LSH over k dims, rerank
+    with full vectors) is safe. Reports mean |cos_full − cos_k| and the
+    fraction of pairs within {_MRL_CLOSE}.
+
+    Like dedup_embedding_cosine_pairs, the all-pairs sweep is explicitly
+    bounded (vec_id < {_MRL_BOUND}, a fixed evaluation slice mirrored in
+    the oracle) — fidelity is estimated on a sample by construction, not
+    computed corpus-wide; the production path applies the chosen k inside
+    ann_ivf_topk/ann_lsh_bucket_topk. Per-pair math is zip_with/aggregate
+    folds in codegen; the k fan-out is a 3-row explode.
+    """
+    e = (
+        table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < _MRL_BOUND)
+        .select("vec_id", "embedding")
+    )
+    b = e.select(
+        F.col("vec_id").alias("b_id"), F.col("embedding").alias("b_emb")
+    )
+    pairs = e.join(b, F.col("vec_id") < F.col("b_id"))
+    with_k = pairs.select(
+        "embedding",
+        "b_emb",
+        F.explode(F.array(*[F.lit(k) for k in _MRL_DIMS])).alias("k"),
+    )
+    cf = rfix(V.cosine(F.col("embedding"), F.col("b_emb")), 6)
+    ck = rfix(
+        V.cosine(F.expr("slice(embedding, 1, k)"), F.expr("slice(b_emb, 1, k)")), 6
+    )
+    diff = F.abs(cf - ck)
+    return (
+        with_k.select(F.col("k").cast("long").alias("k"), diff.alias("diff"))
+        .groupBy("k")
+        .agg(
+            F.count("*").cast("long").alias("n_pairs"),
+            rfix(F.avg("diff"), 3).alias("avg_abs_err"),
+            rfix(
+                F.avg(F.when(F.col("diff") <= _MRL_CLOSE, 1.0).otherwise(0.0)), 4
+            ).alias("frac_close"),
+        )
+    )
+
+
+# Fixed evaluation point for the gradient step (a mid-training iterate, not
+# zeros — at w = 0 the sigmoid is constant 0.5 and the step degenerates).
+_LR_W = (0.1, -0.2, 0.3, 0.5)  # bias, ln(1+chars), tokens/100, stopword_rate
+_LR_MARKERS = ("the", "a", "value")
+
+
+@register(
+    "ml_logreg_grad_step",
+    oracle=f"""
+    WITH feat AS (
+        SELECT CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+               1.0 AS x0,
+               ln(1 + n_chars) AS x1,
+               len({_TOKS}) / 100.0 AS x2,
+               {T.marker_count_sql(_TOKS, _LR_MARKERS)}::DOUBLE
+                   / greatest(len({_TOKS}), 1) AS x3
+        FROM documents
+    ),
+    p AS (
+        SELECT y, x0, x1, x2, x3,
+               1.0 / (1.0 + exp(-({_LR_W[0]} * x0 + {_LR_W[1]} * x1
+                                  + {_LR_W[2]} * x2 + {_LR_W[3]} * x3))) AS p
+        FROM feat
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           {rfix_sql('sum(-(y * ln(p) + (1 - y) * ln(1 - p)))', 3)} AS loss,
+           {rfix_sql('sum((p - y) * x0)', 4)} AS g_bias,
+           {rfix_sql('sum((p - y) * x1)', 4)} AS g_logchars,
+           {rfix_sql('sum((p - y) * x2)', 4)} AS g_tokens,
+           {rfix_sql('sum((p - y) * x3)', 4)} AS g_stoprate
+    FROM p
+    """,
+    tags=("ML", "A3", "EMB"),
+)
+def ml_logreg_grad_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One full-batch gradient step of a logistic-regression quality
+    classifier (label: lang = 'en'; features: bias, ln(1+chars),
+    token count, stopword rate) evaluated at a fixed mid-training iterate
+    {_LR_W} — the distributed primitive a trained data-quality filter
+    (fastText/DSIR-style classifier) iterates: p = sigma(w.x), gradient
+    sum((p - y) * x), log loss. Companion to emb_kmeans_update_step and
+    emb_power_iteration_step in the "training loops as mergeable
+    aggregates" family.
+
+    Scale shape: features and sigmoid are stateless row expressions in
+    codegen; the whole step is ONE map-side-combinable aggregate whose
+    exchange carries a single partial row per task regardless of corpus
+    size. The driver-side loop (update w, re-broadcast) moves O(d) bytes
+    per iteration. Reference analog: none; beyond-reference ML surface.
+    """
+    d = spread(table(spark, sf_dir, "documents"))
+    toks = T.tokens("text")
+    feat = d.select(
+        F.when(F.col("lang") == "en", 1.0).otherwise(0.0).alias("y"),
+        F.lit(1.0).alias("x0"),
+        F.log(F.lit(1) + F.col("n_chars")).alias("x1"),
+        (F.size(toks) / F.lit(100.0)).alias("x2"),
+        (
+            T.marker_count(toks, _LR_MARKERS).cast("double")
+            / F.greatest(F.size(toks), F.lit(1))
+        ).alias("x3"),
+    )
+    z = (
+        F.lit(_LR_W[0]) * F.col("x0")
+        + F.lit(_LR_W[1]) * F.col("x1")
+        + F.lit(_LR_W[2]) * F.col("x2")
+        + F.lit(_LR_W[3]) * F.col("x3")
+    )
+    p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+    withp = feat.withColumn("p", p)
+    r = F.col("p") - F.col("y")
+    return withp.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        rfix(
+            F.sum(
+                -(
+                    F.col("y") * F.log(F.col("p"))
+                    + (F.lit(1.0) - F.col("y")) * F.log(F.lit(1.0) - F.col("p"))
+                )
+            ),
+            3,
+        ).alias("loss"),
+        rfix(F.sum(r * F.col("x0")), 4).alias("g_bias"),
+        rfix(F.sum(r * F.col("x1")), 4).alias("g_logchars"),
+        rfix(F.sum(r * F.col("x2")), 4).alias("g_tokens"),
+        rfix(F.sum(r * F.col("x3")), 4).alias("g_stoprate"),
+    )
