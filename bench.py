@@ -90,6 +90,7 @@ def main() -> None:
         "dedup_span_first_occurrence",
         "emb_matryoshka_fidelity",
         "ml_logreg_grad_step",
+        "text_bpe_one_merge_compression",
     ):
         if opt in registry:
             headline.append(opt)

@@ -89,6 +89,9 @@ _SHAPES = {
     # one map-side-combinable aggregate; only round-robin/single-partition
     # exchanges (not counted), features stay in codegen
     "ml_logreg_grad_step": (0, 0, 0, 0),
+    # (source, word) collapse + per-source rollup; trainer collect is the
+    # bounded vocab pull, segmenter UDF input is vocab-sized
+    "text_bpe_one_merge_compression": (2, 0, 0, 0),
 }
 
 

@@ -3233,3 +3233,113 @@ def ml_logreg_grad_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         rfix(F.sum(r * F.col("x2")), 4).alias("g_tokens"),
         rfix(F.sum(r * F.col("x3")), 4).alias("g_stoprate"),
     )
+
+
+@register(
+    "text_bpe_one_merge_compression",
+    oracle=f"""
+    WITH tf AS (
+        SELECT tok AS w, count(*)::BIGINT AS cnt
+        FROM (SELECT unnest({_TOKS}) AS tok FROM documents)
+        GROUP BY tok
+    ),
+    best AS (
+        SELECT substring(w, CAST(i AS INT), 2) AS pair
+        FROM (
+            SELECT w, cnt, unnest(range(1, length(w))) AS i
+            FROM tf WHERE length(w) >= 2
+        )
+        GROUP BY pair
+        ORDER BY sum(cnt) DESC, pair
+        LIMIT 1
+    ),
+    sfw AS (
+        SELECT source, tok AS w, count(*)::BIGINT AS cnt
+        FROM (SELECT source, unnest({_TOKS}) AS tok FROM documents)
+        GROUP BY source, tok
+    )
+    SELECT source,
+           CAST(sum(cnt * length(w)) AS BIGINT) AS chars_total,
+           CAST(sum(cnt * (length(w) - (len(string_split(w, (SELECT pair FROM best))) - 1)))
+               AS BIGINT) AS symbols_after,
+           {rfix_sql("sum(cnt * (length(w) - (len(string_split(w, (SELECT pair FROM best))) - 1)))::DOUBLE / sum(cnt * length(w))", 4)}
+               AS compression
+    FROM sfw
+    GROUP BY source
+    """,
+    tags=("TEXT", "TOKENIZER", "UDF"),
+)
+def text_bpe_one_merge_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL BPE trainer + encoder under the full oracle gate: train ONE
+    merge rule with operators/bpe.train_bpe (distributed word-count
+    collapse, driver merge loop on the bounded vocabulary), then encode the
+    corpus with the Arrow-batched segmenter UDF and report per-source
+    symbol compression. One merge is exactly SQL-expressible — greedy
+    leftmost-first application of a single rule removes one symbol per
+    NON-OVERLAPPING occurrence of the pair, which the oracle counts via
+    string_split — so the trainer's tie-break (count DESC, pair ASC) and
+    the encoder's greedy loop are both hash-checked, and the multi-merge
+    path (text_bpe_subword_stats) reuses the exact same code.
+
+    Scale shape: the UDF runs on DISTINCT (source, word) rows — vocabulary-
+    sized input, never per token instance — after one map-side-combinable
+    exchange; the trainer's collect is the bounded vocab pull documented in
+    operators/bpe.py.
+    """
+    from ..operators.bpe import bpe_symbol_counter, train_bpe
+
+    d = spread(table(spark, sf_dir, "documents"))
+    merges = train_bpe(spark, d, n_merges=1)
+    nsyms = bpe_symbol_counter(merges)
+    sfw = (
+        d.select("source", F.explode(T.tokens("text")).alias("w"))
+        .groupBy("source", "w")
+        .agg(F.count("*").alias("cnt"))
+    )
+    sized = sfw.withColumn("nsym", nsyms(F.col("w")))
+    chars = F.sum(F.col("cnt") * F.length("w"))
+    syms = F.sum(F.col("cnt") * F.col("nsym"))
+    return sized.groupBy("source").agg(
+        chars.cast("long").alias("chars_total"),
+        syms.cast("long").alias("symbols_after"),
+        rfix(syms.cast("double") / chars, 4).alias("compression"),
+    )
+
+
+_BPE_MERGES = 16
+
+
+@register(
+    "text_bpe_subword_stats",
+    oracle=None,  # iterative trainer (16 merge rounds) — not SQL-expressible;
+    # the one-merge slice of the same code path is fully oracled above
+    tags=("TEXT", "TOKENIZER", "UDF", "ITER"),
+)
+def text_bpe_subword_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-merge BPE encode: train {_BPE_MERGES} merge rules, encode the
+    corpus, report per-source subword statistics (symbols per word, symbol
+    compression vs characters). Rows-only registry check (the 16-round
+    trainer is iterative); determinism, reconstruction (concat(symbols) ==
+    word), and monotonicity (more merges never increase symbol count) are
+    pinned by tests/test_bpe.py, and the single-merge slice of this exact
+    trainer+encoder path is hash-checked by text_bpe_one_merge_compression.
+    """
+    from ..operators.bpe import bpe_symbol_counter, train_bpe
+
+    d = spread(table(spark, sf_dir, "documents"))
+    merges = train_bpe(spark, d, n_merges=_BPE_MERGES)
+    nsyms = bpe_symbol_counter(merges)
+    sfw = (
+        d.select("source", F.explode(T.tokens("text")).alias("w"))
+        .groupBy("source", "w")
+        .agg(F.count("*").alias("cnt"))
+    )
+    sized = sfw.withColumn("nsym", nsyms(F.col("w")))
+    chars = F.sum(F.col("cnt") * F.length("w"))
+    syms = F.sum(F.col("cnt") * F.col("nsym"))
+    return sized.groupBy("source").agg(
+        F.count("*").cast("long").alias("vocab_words"),
+        syms.cast("long").alias("symbols_total"),
+        rfix(syms.cast("double") / F.sum("cnt"), 4).alias("avg_symbols_per_word"),
+        rfix(syms.cast("double") / chars, 4).alias("compression"),
+    )
