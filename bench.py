@@ -91,6 +91,7 @@ def main() -> None:
         "emb_matryoshka_fidelity",
         "ml_logreg_grad_step",
         "text_bpe_one_merge_compression",
+        "mm_wav_decode_features",
     ):
         if opt in registry:
             headline.append(opt)

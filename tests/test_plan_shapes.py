@@ -92,6 +92,8 @@ _SHAPES = {
     # (source, word) collapse + per-source rollup; trainer collect is the
     # bounded vocab pull, segmenter UDF input is vocab-sized
     "text_bpe_one_merge_compression": (2, 0, 0, 0),
+    # per-row codec kernels, no shuffle at all; scan prunes to doc_id
+    "mm_wav_decode_features": (0, 0, 0, 0),
 }
 
 

@@ -1,0 +1,92 @@
+"""Pure-stdlib WAV (RIFF / PCM16 mono) codec + audio feature kernel.
+
+The audio twin of multimodal/png.py: real bytes-level encode/decode with no
+external dependency (the stdlib ``wave`` module reads/writes RIFF through
+file-like objects, so BinaryType payloads round-trip through io.BytesIO),
+letting the decode path run real codec work in containers without
+soundfile/librosa. Features (RMS, peak, zero crossings) are computed from
+the DECODED samples, so a corrupted encoder, decoder, or byte transport
+breaks the oracle check — this is an end-to-end codec gate, not plumbing.
+
+Reference analog: none (north-star multimodal surface; the reference stores
+no binary media at all).
+"""
+
+from __future__ import annotations
+
+import io
+import struct
+import wave
+from collections.abc import Iterator, Sequence
+
+from pyspark.sql import DataFrame
+
+
+def encode_wav_pcm16(samples: Sequence[int], sample_rate: int = 8000) -> bytes:
+    """PCM16 mono samples → WAV bytes (RIFF container via stdlib wave)."""
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        w.writeframes(struct.pack(f"<{len(samples)}h", *samples))
+    return buf.getvalue()
+
+
+def decode_wav_pcm16(data: bytes) -> tuple[int, list[int]]:
+    """WAV bytes → (sample_rate, samples). PCM16 mono only — the contract
+    the encoder writes; anything else raises ValueError."""
+    with wave.open(io.BytesIO(data), "rb") as w:
+        if w.getnchannels() != 1 or w.getsampwidth() != 2:
+            raise ValueError(
+                f"expected PCM16 mono, got {w.getnchannels()}ch "
+                f"{8 * w.getsampwidth()}-bit"
+            )
+        rate = w.getframerate()
+        n = w.getnframes()
+        raw = w.readframes(n)
+    return rate, list(struct.unpack(f"<{n}h", raw))
+
+
+def decode_audio_features(media_df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Arrow-batched mapInPandas audio feature extraction: decode each WAV
+    payload and emit (doc_id, sample_rate, n_samples, rms, peak,
+    zero_crossings). Per-task memory is one record batch; payload bytes
+    never leave the executor."""
+    import math
+
+    import pandas as pd
+    from pyspark.sql import types as S
+
+    schema = S.StructType(
+        [
+            S.StructField("doc_id", S.LongType()),
+            S.StructField("sample_rate", S.LongType()),
+            S.StructField("n_samples", S.LongType()),
+            S.StructField("rms", S.DoubleType()),
+            S.StructField("peak", S.LongType()),
+            S.StructField("zero_crossings", S.LongType()),
+        ]
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("doc_id", "sample_rate", "n_samples", "rms",
+                                   "peak", "zero_crossings")}
+            for doc_id, payload in zip(pdf["doc_id"], pdf[payload_col]):
+                rate, samples = decode_wav_pcm16(bytes(payload))
+                n = len(samples)
+                zc = sum(
+                    1 for a, b in zip(samples, samples[1:]) if a * b < 0
+                )
+                out["doc_id"].append(int(doc_id))
+                out["sample_rate"].append(rate)
+                out["n_samples"].append(n)
+                out["rms"].append(
+                    math.sqrt(sum(v * v for v in samples) / n) if n else 0.0
+                )
+                out["peak"].append(max((abs(v) for v in samples), default=0))
+                out["zero_crossings"].append(zc)
+            yield pd.DataFrame(out)
+
+    return media_df.mapInPandas(kernel, schema)

@@ -6,6 +6,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.presentation import rfix, rfix_sql
 from ..multimodal import attach_fake_media, decode_image_features, media_metadata
 from ..sources.tables import spread, table
 from .registry import register
@@ -176,4 +177,85 @@ def mm_resize_plumbing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("width").cast("long").alias("width"),
         F.col("height").cast("long").alias("height"),
         (F.octet_length("payload") > F.lit(0)).alias("payload_non_empty"),
+    )
+
+
+@register(
+    "mm_wav_decode_features",
+    oracle=f"""
+    WITH s AS (
+        SELECT doc_id, i,
+               ((doc_id * 37 + i * 25) % 256 - 128) * 64 AS v,
+               CASE WHEN i > 0
+                    THEN ((doc_id * 37 + (i - 1) * 25) % 256 - 128) * 64
+               END AS pv
+        FROM (
+            SELECT doc_id, unnest(range(0, 32 + doc_id % 97)) AS i
+            FROM documents
+        )
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(8000 AS BIGINT) AS sample_rate,
+           CAST(count(*) AS BIGINT) AS n_samples,
+           {rfix_sql('sqrt(avg((v * v)::DOUBLE))', 3)} AS rms,
+           CAST(max(abs(v)) AS BIGINT) AS peak,
+           CAST(sum(CASE WHEN pv IS NOT NULL AND v * pv < 0 THEN 1 ELSE 0 END)
+               AS BIGINT) AS zero_crossings
+    FROM s
+    GROUP BY doc_id
+    """,
+    tags=("MM", "UDF", "AUDIO"),
+)
+def mm_wav_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode under the full oracle gate, zero external deps —
+    the audio twin of mm_png_decode_roundtrip: per document, synthesize a
+    deterministic PCM16 waveform (a closed-form function of doc_id and the
+    sample index), encode it to true RIFF/WAV bytes, ship the BinaryType
+    payload through Arrow, then decode with the stdlib wave codec and
+    compute RMS / peak / zero-crossings from the DECODED samples
+    (multimodal/wav.py). Because the waveform is a closed form, DuckDB
+    reproduces every feature arithmetically without seeing a byte — any
+    corruption in encode, transport, or decode breaks the hash.
+
+    Both stages are Arrow-batched mapInPandas over (doc_id, payload);
+    spread() rebalances the 1-row-group documents scan so the codec work
+    parallelizes. At 100 TB the same kernel shape holds: payloads stay in
+    executor-local record batches, features are the only thing that
+    shuffles (here: nothing — the result is per-row).
+    """
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql import types as S
+
+    from ..multimodal.wav import decode_audio_features, encode_wav_pcm16
+
+    schema = S.StructType(
+        [
+            S.StructField("doc_id", S.LongType()),
+            S.StructField("payload", S.BinaryType()),
+        ]
+    )
+
+    def make_wav(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, payloads = [], []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                n = 32 + d % 97
+                samples = [((d * 37 + i * 25) % 256 - 128) * 64 for i in range(n)]
+                ids.append(d)
+                payloads.append(encode_wav_pcm16(samples, sample_rate=8000))
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    docs = spread(table(spark, sf_dir, "documents").select(F.col("doc_id").cast("long")))
+    media = docs.mapInPandas(make_wav, schema)
+    decoded = decode_audio_features(media)
+    return decoded.select(
+        "doc_id",
+        "sample_rate",
+        "n_samples",
+        rfix(F.col("rms"), 3).alias("rms"),
+        "peak",
+        "zero_crossings",
     )
