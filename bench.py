@@ -92,6 +92,7 @@ def main() -> None:
         "ml_logreg_grad_step",
         "text_bpe_one_merge_compression",
         "mm_wav_decode_features",
+        "a_sketch_vocab_overlap",
     ):
         if opt in registry:
             headline.append(opt)

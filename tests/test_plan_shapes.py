@@ -94,6 +94,9 @@ _SHAPES = {
     "text_bpe_one_merge_compression": (2, 0, 0, 0),
     # per-row codec kernels, no shuffle at all; scan prunes to doc_id
     "mm_wav_decode_features": (0, 0, 0, 0),
+    # sketch path is 2 exchanges; the rest is the exact-audit join (distinct
+    # subtree appears in three branches), all small sides broadcast
+    "a_sketch_vocab_overlap": (6, 3, 0, 1),
 }
 
 

@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.presentation import rfix, rfix_sql
-from ..sources.tables import table
+from ..sources.tables import spread, table
 from .registry import register
 
 
@@ -322,4 +322,95 @@ def a_stats_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
             "price_per_qty"
         ),
         rfix(F.stddev_samp("l_extendedprice"), 2).alias("price_stddev"),
+    )
+
+
+@register(
+    "a_sketch_vocab_overlap",
+    oracle=f"""
+    WITH st AS (
+        SELECT DISTINCT source, tok
+        FROM (SELECT source, unnest(string_split_regex(text, '\\s+')) AS tok
+              FROM documents)
+    ),
+    cnt AS (SELECT source, count(*)::BIGINT AS n FROM st GROUP BY source),
+    inter AS (
+        SELECT a.source AS sa, b.source AS sb, count(*)::BIGINT AS ix
+        FROM st a JOIN st b ON a.tok = b.tok AND a.source < b.source
+        GROUP BY 1, 2
+    )
+    SELECT ca.source AS src_a, cb.source AS src_b,
+           CAST(coalesce(ix, 0) AS BIGINT) AS exact_inter,
+           CAST(ca.n + cb.n - coalesce(ix, 0) AS BIGINT) AS exact_union,
+           TRUE AS inter_in_envelope
+    FROM cnt ca
+    JOIN cnt cb ON ca.source < cb.source
+    LEFT JOIN inter ON sa = ca.source AND sb = cb.source
+    """,
+    tags=("SKETCH", "A8", "SET"),
+)
+def a_sketch_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise vocabulary OVERLAP between sources estimated purely from
+    sketches: |A∩B| ≈ est(A) + est(B) − est(A∪B) by inclusion-exclusion,
+    where est(A∪B) is hll_union of the two per-source sketches — the
+    corpus-similarity triage that decides which source pairs deserve a
+    real (expensive) dedup pass. Per the module's approximation contract,
+    the registered result carries the independently computed EXACT
+    intersection/union plus a boolean asserting the sketch estimate landed
+    within its envelope (±5% of the union size: three lgK=12 estimates at
+    ~1.6% standard error each compound to well under that).
+
+    Scale shape: one distinct over (source, token) — the only exchange
+    that sees corpus-sized data — then sketches collapse each source to a
+    few KB and the pair join runs over |sources|² sketch rows, never
+    tokens. The exact-verification join is the audit path, not the scale
+    path; at 100 TB one ships ONLY the sketches.
+    """
+    d = spread(table(spark, sf_dir, "documents"))
+    st = d.select(
+        "source", F.explode(F.split(F.col("text"), r"\s+")).alias("tok")
+    ).distinct()
+    sk = st.groupBy("source").agg(
+        F.hll_sketch_agg("tok", 12).alias("sk"),
+        F.count("*").alias("n_exact"),
+    )
+    a = sk.select(
+        F.col("source").alias("src_a"),
+        F.col("sk").alias("sk_a"),
+        F.col("n_exact").alias("n_a"),
+    )
+    b = sk.select(
+        F.col("source").alias("src_b"),
+        F.col("sk").alias("sk_b"),
+        F.col("n_exact").alias("n_b"),
+    )
+    pairs = a.join(F.broadcast(b), F.col("src_a") < F.col("src_b"))
+    est_a = F.hll_sketch_estimate("sk_a")
+    est_b = F.hll_sketch_estimate("sk_b")
+    est_union = F.hll_sketch_estimate(F.hll_union("sk_a", "sk_b"))
+    est_inter = est_a + est_b - est_union
+    inter = (
+        st.alias("x")
+        .join(
+            st.select(
+                F.col("source").alias("source_b"), F.col("tok").alias("tok")
+            ).alias("y"),
+            (F.col("x.tok") == F.col("y.tok"))
+            & (F.col("x.source") < F.col("source_b")),
+        )
+        .groupBy(F.col("x.source").alias("src_a"), F.col("source_b").alias("src_b"))
+        .agg(F.count("*").alias("exact_inter"))
+    )
+    joined = pairs.join(F.broadcast(inter), ["src_a", "src_b"], "left").na.fill(
+        {"exact_inter": 0}
+    )
+    exact_union = F.col("n_a") + F.col("n_b") - F.col("exact_inter")
+    return joined.select(
+        "src_a",
+        "src_b",
+        F.col("exact_inter").cast("long").alias("exact_inter"),
+        exact_union.cast("long").alias("exact_union"),
+        (
+            F.abs(est_inter - F.col("exact_inter")) <= 0.05 * exact_union
+        ).alias("inter_in_envelope"),
     )
