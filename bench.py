@@ -93,6 +93,8 @@ def main() -> None:
         "text_bpe_one_merge_compression",
         "mm_wav_decode_features",
         "a_sketch_vocab_overlap",
+        "j17_small_quantity_revenue",
+        "emb_kmeans_train_stats",
     ):
         if opt in registry:
             headline.append(opt)

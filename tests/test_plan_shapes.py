@@ -97,6 +97,12 @@ _SHAPES = {
     # sketch path is 2 exchanges; the rest is the exact-audit join (distinct
     # subtree appears in three branches), all small sides broadcast
     "a_sketch_vocab_overlap": (6, 3, 0, 1),
+    # decorrelated Q17: per-part agg + same-key join back (one lineitem
+    # exchange reused), part dim broadcast
+    "j17_small_quantity_revenue": (2, 1, 0, 3),
+    # final assignment pass of the trained model (iterations run inside
+    # kmeans_train; each is the same 1-exchange shape)
+    "emb_kmeans_train_stats": (1, 0, 0, 0),
 }
 
 

@@ -1,0 +1,113 @@
+"""Full Lloyd k-means training loop over an embedding column.
+
+Single-step building blocks live in the query registry
+(emb_kmeans_assign_stats / emb_kmeans_update_step, both hash-checked
+against SQL oracles); this operator is the ITERATIVE composition they
+promise — the part SQL cannot express. The distributed/driver split is the
+standard one for K·dim ≪ corpus state: centroids are a K×dim literal
+broadcast into the assignment expression (argmin over per-centroid squared
+distances, all inside whole-stage codegen), the update is a (cluster, dim)-
+keyed mean whose exchange cardinality is K·dim regardless of corpus size,
+and only the K×dim means plus one inertia double cross the driver boundary
+per iteration.
+
+Determinism: initialization is the first K vectors by vec_id, distance ties
+break toward the lower cluster id (array_min on (d2, cid) structs), and
+empty clusters keep their previous centroid — same corpus in, same model
+out, which tests/test_kmeans.py pins along with the Lloyd monotonicity
+guarantee (inertia never increases).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def argmin_centroid(emb_col: str, centroids: dict[int, list[float]]) -> Column:
+    """(d2, cid) struct of the nearest centroid, ties to the lower cid.
+    ‖x−c‖² = x·x + c·c − 2·x·c; x·x is computed once and shared across the
+    K candidate expressions, c·c is folded at plan-build time."""
+    e = f"CAST({emb_col} AS ARRAY<DOUBLE>)"
+    self_dot = F.expr(
+        f"aggregate(zip_with({e}, {e}, (x, y) -> x * y), 0.0D, (acc, x) -> acc + x)"
+    )
+    choices = []
+    for cid in sorted(centroids):
+        c = centroids[cid]
+        arr = ", ".join(f"{float(x)!r}D" for x in c)
+        dot_c = F.expr(
+            f"aggregate(zip_with({e}, array({arr}), (x, y) -> x * y), "
+            f"0.0D, (acc, x) -> acc + x)"
+        )
+        c2 = sum(x * x for x in c)
+        d2 = self_dot + F.lit(c2) - 2 * dot_c
+        choices.append(F.struct(d2.alias("d2"), F.lit(int(cid)).alias("cid")))
+    return F.array_min(F.array(*choices))
+
+
+@dataclass
+class KMeansModel:
+    centroids: dict[int, list[float]]
+    inertia_history: list[float] = field(default_factory=list)
+    n_iters: int = 0
+
+    def assign(self, emb: DataFrame, emb_col: str = "embedding") -> DataFrame:
+        best = argmin_centroid(emb_col, self.centroids)
+        return emb.withColumn("cluster_id", best["cid"].cast("long"))
+
+
+def kmeans_train(
+    emb: DataFrame,
+    k: int = 8,
+    max_iters: int = 10,
+    tol: float = 1e-3,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> KMeansModel:
+    """Lloyd's algorithm until the max centroid shift drops below ``tol``
+    (L2) or ``max_iters`` is reached. Two actions per iteration (the
+    (cluster, dim) mean collect and the inertia sum) — the documented
+    driver-loop regime; everything corpus-sized stays on the executors."""
+    seed_rows = sorted(
+        emb.orderBy(id_col).limit(k).select(id_col, F.col(emb_col).cast("array<double>").alias("c")).collect(),
+        key=lambda r: r[id_col],
+    )
+    if not seed_rows:
+        return KMeansModel(centroids={})
+    centroids = {i: list(r["c"]) for i, r in enumerate(seed_rows)}
+    model = KMeansModel(centroids=centroids)
+    for _ in range(max_iters):
+        best = argmin_centroid(emb_col, model.centroids)
+        assigned = emb.select(
+            best["cid"].alias("cid"),
+            best["d2"].alias("d2"),
+            F.col(emb_col).cast("array<double>").alias("e"),
+        )
+        inertia = assigned.agg(F.sum("d2")).collect()[0][0] or 0.0
+        model.inertia_history.append(float(inertia))
+        means = (
+            assigned.select("cid", F.posexplode("e").alias("i", "x"))
+            .groupBy("cid", "i")
+            .agg(F.avg("x").alias("m"))
+            .collect()
+        )
+        new_centroids = {cid: list(c) for cid, c in model.centroids.items()}
+        per_cluster: dict[int, dict[int, float]] = {}
+        for r in means:
+            per_cluster.setdefault(int(r["cid"]), {})[int(r["i"])] = float(r["m"])
+        shift = 0.0
+        for cid, dims in per_cluster.items():
+            vec = [dims[i] for i in range(len(dims))]
+            old = model.centroids[cid]
+            shift = max(
+                shift, sum((a - b) ** 2 for a, b in zip(vec, old)) ** 0.5
+            )
+            new_centroids[cid] = vec
+        model.centroids = new_centroids
+        model.n_iters += 1
+        if shift < tol:
+            break
+    return model

@@ -3361,3 +3361,45 @@ def text_bpe_subword_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         rfix(syms.cast("double") / F.sum("cnt"), 4).alias("avg_symbols_per_word"),
         rfix(syms.cast("double") / chars, 4).alias("compression"),
     )
+
+
+@register(
+    "emb_kmeans_train_stats",
+    oracle=None,  # iterative Lloyd loop — not SQL-expressible; both of its
+    # building blocks (assign, update) are hash-checked above, and
+    # tests/test_kmeans.py pins determinism + inertia monotonicity
+    tags=("EMB", "CLUSTER", "ITER"),
+)
+def emb_kmeans_train_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full k-means TRAINING (operators/kmeans.kmeans_train): Lloyd
+    iterations to convergence (k=8, ≤5 iters, tol 1e-3), then one
+    assignment pass with the trained model. Output is per-cluster
+    membership plus the run's iteration count and final inertia — scalar
+    digests, deterministic for a given corpus (seeded init, tie-broken
+    argmin, empty clusters hold position).
+
+    Scale shape per iteration: broadcast K×dim literal centroids into a
+    codegen argmin (no join), ONE (cluster, dim)-keyed exchange of
+    K·dim·tasks partial sums, K·dim means + one double back to the
+    driver. The corpus is scanned once per iteration and nothing
+    corpus-sized ever shuffles — the 100 TB regime documented in the
+    operator module.
+    """
+    from ..operators.kmeans import kmeans_train
+
+    e = table(spark, sf_dir, "embeddings")
+    model = kmeans_train(e, k=8, max_iters=5, tol=1e-3)
+    if not model.centroids:
+        return spark.createDataFrame(
+            [],
+            "cluster_id long, n_members long, n_iters long, final_inertia double",
+        )
+    assigned = model.assign(e)
+    final_inertia = (
+        round(model.inertia_history[-1], 2) if model.inertia_history else 0.0
+    )
+    return assigned.groupBy("cluster_id").agg(
+        F.count("*").cast("long").alias("n_members"),
+        F.lit(model.n_iters).cast("long").alias("n_iters"),
+        F.lit(final_inertia).alias("final_inertia"),
+    )

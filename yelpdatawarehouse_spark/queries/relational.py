@@ -2251,3 +2251,56 @@ def j16_bloom_semi_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_lines"),
         F.sum("l_quantity").cast("long").alias("total_qty"),
     )
+
+
+@register(
+    "j17_small_quantity_revenue",
+    oracle=f"""
+    WITH pa AS (
+        SELECT l_partkey, 0.2 * avg(l_quantity) AS qlim
+        FROM lineitem GROUP BY l_partkey
+    )
+    SELECT p.p_brand,
+           CAST(count(*) AS BIGINT) AS n_small_lines,
+           {rfix_sql('sum(l.l_extendedprice)')} AS small_revenue,
+           {cavg_sql('sum(l.l_quantity)', 'count(*)')} AS avg_small_qty
+    FROM lineitem l
+    JOIN pa ON pa.l_partkey = l.l_partkey
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE l.l_quantity < pa.qlim
+    GROUP BY p.p_brand
+    """,
+    tags=("J7", "A3", "P3"),
+)
+def j17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape — revenue locked in unusually small orders: line
+    items whose quantity is below 20% of their part's average quantity,
+    rolled up by brand. The classic correlated scalar subquery
+    (`l_quantity < 0.2 * (SELECT avg ... WHERE same part)`), decorrelated
+    the way a 100 TB plan wants it: ONE per-part aggregate, then an
+    equi-join back to lineitem on the SAME key, so the aggregate's
+    exchange partitioning is reused by the join (lineitem shuffles once,
+    the agg side not at all), and the tiny part dimension rides a
+    broadcast for the brand rollup. The boundary comparison is identical
+    IEEE arithmetic on both engines (integer sums are exact in double,
+    same division, same 0.2 multiplier), so no row can flip sides.
+
+    Reference analog: the correlated-subquery family of SURVEY §2 J7
+    (webapp/mysql_routes.py top-N per group), here in its scalar-agg form.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    pa = li.groupBy("l_partkey").agg(
+        (F.lit(0.2) * F.avg("l_quantity")).alias("qlim")
+    )
+    p = table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    small = (
+        li.select("l_partkey", "l_quantity", "l_extendedprice")
+        .join(pa, "l_partkey")
+        .filter(F.col("l_quantity") < F.col("qlim"))
+        .join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+    )
+    return small.groupBy("p_brand").agg(
+        F.count("*").cast("long").alias("n_small_lines"),
+        rfix(F.sum("l_extendedprice")).alias("small_revenue"),
+        cavg(F.sum("l_quantity"), F.count("*")).alias("avg_small_qty"),
+    )
