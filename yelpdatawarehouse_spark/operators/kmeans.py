@@ -86,14 +86,19 @@ def kmeans_train(
             best["d2"].alias("d2"),
             F.col(emb_col).cast("array<double>").alias("e"),
         )
-        inertia = assigned.agg(F.sum("d2")).collect()[0][0] or 0.0
-        model.inertia_history.append(float(inertia))
+        # ONE action per iteration: the (cluster, dim) mean exchange also
+        # carries each member's d2, so cluster inertia falls out of the
+        # i=0 rows — no second corpus scan for the convergence metric.
         means = (
-            assigned.select("cid", F.posexplode("e").alias("i", "x"))
+            assigned.select("cid", "d2", F.posexplode("e").alias("i", "x"))
             .groupBy("cid", "i")
-            .agg(F.avg("x").alias("m"))
+            .agg(F.avg("x").alias("m"), F.sum("d2").alias("sd2"))
             .collect()
         )
+        inertia = sum(float(r["sd2"]) for r in sorted(
+            (r for r in means if r["i"] == 0), key=lambda r: r["cid"]
+        ))
+        model.inertia_history.append(inertia)
         new_centroids = {cid: list(c) for cid, c in model.centroids.items()}
         per_cluster: dict[int, dict[int, float]] = {}
         for r in means:
