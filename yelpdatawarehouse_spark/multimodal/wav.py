@@ -55,6 +55,7 @@ def decode_audio_features(media_df: DataFrame, payload_col: str = "payload") -> 
     never leave the executor."""
     import math
 
+    import numpy as np
     import pandas as pd
     from pyspark.sql import types as S
 
@@ -75,18 +76,19 @@ def decode_audio_features(media_df: DataFrame, payload_col: str = "payload") -> 
                                    "peak", "zero_crossings")}
             for doc_id, payload in zip(pdf["doc_id"], pdf[payload_col]):
                 rate, samples = decode_wav_pcm16(bytes(payload))
-                n = len(samples)
-                zc = sum(
-                    1 for a, b in zip(samples, samples[1:]) if a * b < 0
-                )
+                # vectorized feature math (int64 so the squared sum is exact)
+                a = np.asarray(samples, dtype=np.int64)
+                n = a.size
                 out["doc_id"].append(int(doc_id))
                 out["sample_rate"].append(rate)
                 out["n_samples"].append(n)
                 out["rms"].append(
-                    math.sqrt(sum(v * v for v in samples) / n) if n else 0.0
+                    math.sqrt(int((a * a).sum()) / n) if n else 0.0
                 )
-                out["peak"].append(max((abs(v) for v in samples), default=0))
-                out["zero_crossings"].append(zc)
+                out["peak"].append(int(np.abs(a).max()) if n else 0)
+                out["zero_crossings"].append(
+                    int((a[:-1] * a[1:] < 0).sum()) if n > 1 else 0
+                )
             yield pd.DataFrame(out)
 
     return media_df.mapInPandas(kernel, schema)
