@@ -112,3 +112,29 @@ def test_segmenter_udf_matches_driver_path(spark):
 def test_empty_corpus_trains_nothing(spark):
     empty = _docs(spark).filter("doc_id < 0")
     assert train_bpe(spark, empty, n_merges=5) == []
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_words = st.text(alphabet="abcxyz", min_size=1, max_size=12)
+_pairs = st.lists(
+    st.tuples(st.text("abcxyz", min_size=1, max_size=2),
+              st.text("abcxyz", min_size=1, max_size=2)),
+    max_size=6,
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(_words, _pairs)
+def test_segment_properties_random(word, merges):
+    """For ANY merge table: segmentation is lossless, never grows beyond
+    character count, and re-applying to the already-segmented symbols is a
+    fixed point (greedy encoder is idempotent)."""
+    ranks = {p: i for i, p in enumerate(merges)}
+    syms = segment_word(word, ranks)
+    assert "".join(syms) == word
+    assert 1 <= len(syms) <= len(word)
+    # idempotence: no adjacent pair in the output is still mergeable
+    for a, b in zip(syms, syms[1:]):
+        assert (a, b) not in ranks
