@@ -95,6 +95,7 @@ def main() -> None:
         "a_sketch_vocab_overlap",
         "j17_small_quantity_revenue",
         "emb_kmeans_train_stats",
+        "t9_session_window_native",
     ):
         if opt in registry:
             headline.append(opt)

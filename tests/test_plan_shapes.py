@@ -103,6 +103,8 @@ _SHAPES = {
     # final assignment pass of the trained model (iterations run inside
     # kmeans_train; each is the same 1-exchange shape)
     "emb_kmeans_train_stats": (1, 0, 0, 0),
+    # native session_window: one user_id exchange + in-aggregate gap merge
+    "t9_session_window_native": (1, 0, 0, 1),
 }
 
 

@@ -523,3 +523,62 @@ def scd2_state_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_events").cast("long").alias("n_events"),
         nxt.isNull().alias("is_current"),
     )
+
+
+@register(
+    "t9_session_window_native",
+    oracle=f"""
+    WITH flagged AS (
+        SELECT user_id, ts, value,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > {SESSION_GAP_SECONDS}::BIGINT * 1000000
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), numbered AS (
+        SELECT *, sum(new_sess) OVER (PARTITION BY user_id
+                                      ORDER BY ts
+                                      ROWS UNBOUNDED PRECEDING) AS sess_no
+        FROM flagged
+    )
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           strftime(min(ts), '{_ISO_DUCK}') AS session_start,
+           strftime(max(ts) + INTERVAL {SESSION_GAP_SECONDS} SECONDS, '{_ISO_DUCK}')
+               AS session_end,
+           CAST(count(*) AS BIGINT) AS n_events,
+           {rfix_sql('sum(value)')} AS total_value
+    FROM numbered
+    GROUP BY user_id, sess_no
+    """,
+    tags=("T8", "SESSION", "T7"),
+)
+def t9_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization via Spark's NATIVE ``session_window`` operator — the
+    same 6 h-gap semantics as t8's lag/running-sum formulation, expressed
+    as a single dynamic-gap grouping aggregate instead of two window
+    passes. The oracle derives session boundaries independently with the
+    lag construction, so the hash check proves the two formulations agree
+    (session_window's `end` is last event + gap, mirrored in the oracle).
+
+    Plan shape: ONE exchange on user_id, then Spark's session-merging
+    aggregate (the same operator Structured Streaming uses for streaming
+    session windows, streaming/pipeline.py::sessionized_stats) — no rank
+    windows at all, and at scale the gap-merge happens inside the
+    aggregation buffer rather than via two sorted window passes.
+    """
+    ev = table(spark, sf_dir, "events")
+    sw = F.session_window("ts", f"{SESSION_GAP_SECONDS} seconds")
+    return (
+        ev.groupBy(F.col("user_id").cast("long").alias("user_id"), sw)
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            rfix(F.sum("value")).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.date_format("session_window.start", _ISO).alias("session_start"),
+            F.date_format("session_window.end", _ISO).alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
