@@ -96,6 +96,7 @@ def main() -> None:
         "j17_small_quantity_revenue",
         "emb_kmeans_train_stats",
         "t9_session_window_native",
+        "j18_sole_blame_supplier",
     ):
         if opt in registry:
             headline.append(opt)

@@ -105,6 +105,9 @@ _SHAPES = {
     "emb_kmeans_train_stats": (1, 0, 0, 0),
     # native session_window: one user_id exchange + in-aggregate gap merge
     "t9_session_window_native": (1, 0, 0, 1),
+    # Q21 shape: semi+anti decorrelated to joins (broadcast at guard scale,
+    # orderkey hash joins at size); returnflag filters reach all scans
+    "j18_sole_blame_supplier": (1, 1, 0, 4),
 }
 
 

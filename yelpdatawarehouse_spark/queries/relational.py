@@ -2304,3 +2304,76 @@ def j17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         rfix(F.sum("l_extendedprice")).alias("small_revenue"),
         cavg(F.sum("l_quantity"), F.count("*")).alias("avg_small_qty"),
     )
+
+
+@register(
+    "j18_sole_blame_supplier",
+    oracle="""
+    SELECT s.s_name,
+           CAST(count(*) AS BIGINT) AS n_blamed_lines
+    FROM lineitem l1
+    JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+    WHERE l1.l_returnflag = 'R'
+      AND EXISTS (
+          SELECT 1 FROM lineitem l2
+          WHERE l2.l_orderkey = l1.l_orderkey
+            AND l2.l_suppkey <> l1.l_suppkey
+      )
+      AND NOT EXISTS (
+          SELECT 1 FROM lineitem l3
+          WHERE l3.l_orderkey = l1.l_orderkey
+            AND l3.l_suppkey <> l1.l_suppkey
+            AND l3.l_returnflag = 'R'
+      )
+    GROUP BY s.s_name
+    """,
+    tags=("J3", "J4", "A2"),
+)
+def j18_sole_blame_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape — composed EXISTS / NOT EXISTS on the same fact with
+    different correlated predicates: returned lines whose order involves
+    ANOTHER supplier (semi join) but where NO other supplier's line on
+    that order was returned (anti join) — "the sole supplier to blame on
+    a multi-supplier order", rolled up per supplier.
+
+    The 100 TB plan: both the semi and the anti join are hash joins on
+    l_orderkey with the supplier-inequality as a residual condition —
+    lineitem shuffles on orderkey ONCE and the exchange is reused across
+    the l1/l2/l3 branches (same key); the supplier dimension rides a
+    broadcast. No row-per-row subquery execution survives: Catalyst
+    decorrelates both EXISTS into joins.
+
+    Reference analog: composition of S3/J3 (semi) and J4 (anti), which the
+    reference only ever runs singly (webapp/mysql_routes.py filtered
+    loads); the composed form is the classic data-quality blame query.
+    """
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_returnflag"
+    )
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    l1 = li.filter(F.col("l_returnflag") == "R").alias("l1")
+    l2 = li.select(
+        F.col("l_orderkey").alias("o2"), F.col("l_suppkey").alias("k2")
+    ).alias("l2")
+    l3 = (
+        li.filter(F.col("l_returnflag") == "R")
+        .select(F.col("l_orderkey").alias("o3"), F.col("l_suppkey").alias("k3"))
+        .alias("l3")
+    )
+    with_other = l1.join(
+        l2,
+        (F.col("l1.l_orderkey") == F.col("o2"))
+        & (F.col("l1.l_suppkey") != F.col("k2")),
+        "left_semi",
+    )
+    sole = with_other.join(
+        l3,
+        (F.col("l1.l_orderkey") == F.col("o3"))
+        & (F.col("l1.l_suppkey") != F.col("k3")),
+        "left_anti",
+    )
+    return (
+        sole.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count("*").cast("long").alias("n_blamed_lines"))
+    )
