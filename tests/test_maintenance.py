@@ -78,3 +78,34 @@ def test_compact_recovers_from_interrupted_swap(spark, tmp_path):
     assert _bag(spark.read.parquet(target)) == want
     assert not os.path.exists(target + "._old")
     assert not os.path.exists(target + "._compacting")
+
+
+def test_partitioned_write_prunes_partitions(spark, tmp_path):
+    """The partition-key predicate must become a PartitionFilter (pruned
+    before any file opens), not merely a pushed data filter."""
+    from pyspark.sql import functions as F
+
+    from yelpdatawarehouse_spark.operators.maintenance import (
+        partition_pruned_scan,
+        write_partitioned,
+    )
+    from yelpdatawarehouse_spark.sources.tables import table
+
+    ev = table(spark, "/root/testdata/sf0.001", "events")
+    out = str(tmp_path / "events_by_type")
+    write_partitioned(ev, out, ["event_type"])
+
+    import os
+
+    subdirs = [d for d in os.listdir(out) if d.startswith("event_type=")]
+    assert len(subdirs) >= 2  # actually hive-partitioned on disk
+
+    pruned = partition_pruned_scan(spark, out, event_type="purchase")
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    # the equality must appear in the partition filters, not only pushed
+    pf = plan.split("PartitionFilters: [")[1].split("]")[0]
+    assert "purchase" in pf or "event_type" in pf
+    # values survive the round trip
+    expected = ev.filter(F.col("event_type") == "purchase").count()
+    assert pruned.count() == expected

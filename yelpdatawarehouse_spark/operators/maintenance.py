@@ -100,3 +100,39 @@ def compact_parquet(
     os.rename(tmp, path)
     shutil.rmtree(old)
     return layout_stats(path)
+
+
+def write_partitioned(
+    df,
+    path: str,
+    partition_cols: list[str],
+    mode: str = "overwrite",
+) -> None:
+    """Hive-style partitioned parquet write (`path/col=value/...`) — the
+    layout that turns a 100 TB fact scan with a partition-key predicate
+    into a directory-listing problem: the reader prunes whole partitions
+    BEFORE opening a single file (PartitionFilters in the scan node, as
+    opposed to PushedFilters which still reads footers). Partition columns
+    should be low-cardinality (date, region, event type); high-cardinality
+    keys belong in bucketing (operators/bucketing.py) or range layout
+    (compact_parquet sort_by) instead, or the write itself recreates the
+    small-file problem this module's compactor exists to fix.
+    """
+    df.write.partitionBy(*partition_cols).mode(mode).parquet(path)
+
+
+def partition_pruned_scan(spark: SparkSession, path: str, **equals):
+    """Read a partitioned table with partition-key equality predicates
+    applied immediately, so Catalyst turns them into PartitionFilters
+    (verified by tests/test_maintenance.py against the executed plan)."""
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(path)
+    if equals:
+        cond = reduce(
+            lambda a, b: a & b, (F.col(k) == v for k, v in equals.items())
+        )
+        df = df.filter(cond)
+    return df
