@@ -24,8 +24,8 @@ def _docs(spark):
 
 
 def test_train_deterministic(spark):
-    m1 = train_bpe(spark, _docs(spark), n_merges=8)
-    m2 = train_bpe(spark, _docs(spark), n_merges=8)
+    m1 = train_bpe(_docs(spark), n_merges=8)
+    m2 = train_bpe(_docs(spark), n_merges=8)
     assert m1 == m2
     assert len(m1) == 8
     assert all(isinstance(a, str) and isinstance(b, str) for a, b in m1)
@@ -44,7 +44,7 @@ def test_first_merge_is_top_pair(spark):
     )
     best_cnt = top[0]["pair_count"]
     best_pairs = {r["pair"] for r in top if r["pair_count"] == best_cnt}
-    (a, b) = train_bpe(spark, _docs(spark), n_merges=1)[0]
+    (a, b) = train_bpe(_docs(spark), n_merges=1)[0]
     assert a + b in best_pairs
     # tie-break: trainer picks the lexicographically smallest of the tied
     assert a + b == min(best_pairs)
@@ -52,7 +52,7 @@ def test_first_merge_is_top_pair(spark):
 
 def test_segment_reconstructs_and_is_monotone(spark):
     vocab = [r["w"] for r in word_counts(_docs(spark)).collect() if r["w"]]
-    merges = train_bpe(spark, _docs(spark), n_merges=12)
+    merges = train_bpe(_docs(spark), n_merges=12)
     prev_total = None
     for k in (0, 3, 6, 12):
         ranks = {p: i for i, p in enumerate(merges[:k])}
@@ -92,7 +92,7 @@ def test_merge_word_leftmost_first():
 
 
 def test_segmenter_udf_matches_driver_path(spark):
-    merges = train_bpe(spark, _docs(spark), n_merges=6)
+    merges = train_bpe(_docs(spark), n_merges=6)
     ranks = {p: i for i, p in enumerate(merges)}
     from pyspark.sql import functions as F
 
@@ -111,7 +111,7 @@ def test_segmenter_udf_matches_driver_path(spark):
 
 def test_empty_corpus_trains_nothing(spark):
     empty = _docs(spark).filter("doc_id < 0")
-    assert train_bpe(spark, empty, n_merges=5) == []
+    assert train_bpe(empty, n_merges=5) == []
 
 
 from hypothesis import given, settings

@@ -17,7 +17,7 @@ of the beyond-reference LLM-training-data surface.
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
@@ -60,7 +60,6 @@ def _merge_word(syms: tuple[str, ...], pair: Merge) -> tuple[str, ...]:
 
 
 def train_bpe(
-    spark: SparkSession,
     docs: DataFrame,
     n_merges: int,
     text_col: str = "text",

@@ -68,9 +68,10 @@ def kmeans_train(
     id_col: str = "vec_id",
 ) -> KMeansModel:
     """Lloyd's algorithm until the max centroid shift drops below ``tol``
-    (L2) or ``max_iters`` is reached. Two actions per iteration (the
-    (cluster, dim) mean collect and the inertia sum) — the documented
-    driver-loop regime; everything corpus-sized stays on the executors."""
+    (L2) or ``max_iters`` is reached. ONE action per iteration (the
+    (cluster, dim) mean collect, which also carries the inertia) — the
+    documented driver-loop regime; everything corpus-sized stays on the
+    executors."""
     seed_rows = sorted(
         emb.orderBy(id_col).limit(k).select(id_col, F.col(emb_col).cast("array<double>").alias("c")).collect(),
         key=lambda r: r[id_col],

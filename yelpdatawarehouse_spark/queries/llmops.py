@@ -3310,7 +3310,7 @@ def text_bpe_one_merge_compression(spark: SparkSession, sf_dir: str) -> DataFram
     from ..operators.bpe import bpe_symbol_counter, train_bpe
 
     d = spread(table(spark, sf_dir, "documents"))
-    merges = train_bpe(spark, d, n_merges=1)
+    merges = train_bpe(d, n_merges=1)
     nsyms = bpe_symbol_counter(merges)
     sfw = (
         d.select("source", F.explode(T.tokens("text")).alias("w"))
@@ -3348,7 +3348,7 @@ def text_bpe_subword_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.bpe import bpe_symbol_counter, train_bpe
 
     d = spread(table(spark, sf_dir, "documents"))
-    merges = train_bpe(spark, d, n_merges=_BPE_MERGES)
+    merges = train_bpe(d, n_merges=_BPE_MERGES)
     nsyms = bpe_symbol_counter(merges)
     sfw = (
         d.select("source", F.explode(T.tokens("text")).alias("w"))
