@@ -1,0 +1,43 @@
+"""Print the external verifier's 50-query window composition.
+
+The driver hash-checks only the FIRST 50 registry entries each round;
+queries/__init__._prioritize() orders never-driver-verified queries first
+(registry order), then verified ones stalest-evidence-first, derived from
+the CORRECTNESS_r*.json files. Run this before adding queries to see how
+much window headroom remains:
+
+    python tools/verify_window.py
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+WINDOW = 50
+
+
+def main() -> None:
+    from yelpdatawarehouse_spark.queries import _last_green_rounds, all_queries
+
+    reg = all_queries()
+    last = _last_green_rounds() or {}
+    names = list(reg)
+    never = [n for n in names if n not in last]
+    print(f"registry: {len(names)} queries; never driver-verified: {len(never)}")
+    print(f"window headroom for new queries: {WINDOW - len(never)}")
+    print("\n-- window (first 50) --")
+    for i, n in enumerate(names[:WINDOW]):
+        tag = "NEW" if n not in last else f"r{last[n]}"
+        print(f"{i:3d} [{tag:>3}] {n}")
+    outside = [n for n in never if n not in names[:WINDOW]]
+    if outside:
+        print(f"\nWARNING: {len(outside)} never-verified queries FELL OUT of the window:")
+        for n in outside:
+            print(f"  {n}")
+
+
+if __name__ == "__main__":
+    main()
