@@ -97,6 +97,8 @@ def main() -> None:
         "emb_kmeans_train_stats",
         "t9_session_window_native",
         "j18_sole_blame_supplier",
+        "text_entropy_by_source",
+        "a_conversion_lag_quantiles",
     ):
         if opt in registry:
             headline.append(opt)

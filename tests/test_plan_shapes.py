@@ -108,6 +108,11 @@ _SHAPES = {
     # Q21 shape: semi+anti decorrelated to joins (broadcast at guard scale,
     # orderkey hash joins at size); returnflag filters reach all scans
     "j18_sole_blame_supplier": (1, 1, 0, 4),
+    # (source, token) collapse, totals join back on source, entropy rollup
+    "text_entropy_by_source": (4, 1, 0, 1),
+    # asof union+window on user_id, then a single-group percentile over
+    # conversion-sized input; event_type filters reach both scans
+    "a_conversion_lag_quantiles": (1, 0, 1, 2),
 }
 
 

@@ -3406,3 +3406,57 @@ def emb_kmeans_train_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(model.n_iters).cast("long").alias("n_iters"),
         F.lit(final_inertia).alias("final_inertia"),
     )
+
+
+@register(
+    "text_entropy_by_source",
+    oracle=f"""
+    WITH tf AS (
+        SELECT source, tok, count(*)::DOUBLE AS cnt
+        FROM (SELECT source, unnest({_TOKS}) AS tok FROM documents)
+        GROUP BY source, tok
+    ),
+    tot AS (SELECT source, sum(cnt) AS n FROM tf GROUP BY source)
+    SELECT tf.source,
+           CAST(count(*) AS BIGINT) AS vocab_size,
+           CAST(sum(cnt) AS BIGINT) AS n_tokens,
+           {rfix_sql('-sum((cnt / n) * ln(cnt / n))', 4)} AS token_entropy,
+           {rfix_sql('-sum((cnt / n) * ln(cnt / n)) / ln(count(*))', 4)}
+               AS normalized_entropy
+    FROM tf JOIN tot ON tot.source = tf.source
+    GROUP BY tf.source
+    """,
+    tags=("TEXT", "STATS", "A3"),
+)
+def text_entropy_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of each source's token distribution — the lexical-
+    diversity signal used to rank corpus sources (low entropy = templated/
+    boilerplate text, high = diverse vocabulary usage); normalized by
+    ln(vocab) so sources of different vocabulary sizes compare on [0, 1].
+
+    Scale shape: one map-side-combinable exchange to (source, token)
+    counts — the only stage that sees corpus-sized data — then the
+    per-source totals join back on the source key (count-table-sized) and
+    the entropy sum is a second small exchange. The -Σ p·ln p fold stays
+    in codegen; summation order is absorbed by the rounding edge like
+    every float aggregate in the registry.
+    """
+    d = spread(table(spark, sf_dir, "documents"))
+    tf = (
+        d.select("source", F.explode(T.tokens("text")).alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count("*").cast("double").alias("cnt"))
+    )
+    tot = tf.groupBy("source").agg(F.sum("cnt").alias("n"))
+    p = F.col("cnt") / F.col("n")
+    ent = -F.sum(p * F.log(p))
+    return (
+        tf.join(tot, "source")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("vocab_size"),
+            F.sum("cnt").cast("long").alias("n_tokens"),
+            rfix(ent, 4).alias("token_entropy"),
+            rfix(ent / F.log(F.count("*")), 4).alias("normalized_entropy"),
+        )
+    )

@@ -582,3 +582,58 @@ def t9_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
+
+
+@register(
+    "a_conversion_lag_quantiles",
+    oracle=f"""
+    WITH p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
+    lags AS (
+        SELECT (epoch_us(p.ts) - epoch_us(lv.last_view_ts)) // 1000000 AS lag_secs
+        FROM p, LATERAL (
+            SELECT max(v.ts) AS last_view_ts
+            FROM events v
+            WHERE v.user_id = p.user_id AND v.event_type = 'view' AND v.ts <= p.ts
+        ) lv
+        WHERE lv.last_view_ts IS NOT NULL
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_conversions,
+           {rfix_sql('quantile_cont(lag_secs, 0.5)', 4)} AS median_lag_secs,
+           {rfix_sql('quantile_cont(lag_secs, 0.9)', 4)} AS p90_lag_secs,
+           {rfix_sql('quantile_cont(lag_secs, 0.99)', 4)} AS p99_lag_secs
+    FROM lags
+    """,
+    tags=("ASOF", "PCTL", "A6"),
+)
+def a_conversion_lag_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composition of two operators the registry proves separately: the
+    as-of join (j11's purchase → last prior view attribution) feeding
+    exact interpolated percentiles (a_percentiles_by_segment's machinery)
+    — the time-to-convert distribution, the funnel-latency report every
+    behavioral pipeline ships.
+
+    Plan shape: ONE user_id exchange for the union+window as-of encoding,
+    then a single-group percentile over the (small) per-conversion lag
+    column. At 100 TB the percentile input is conversion-sized, not
+    event-sized, because the as-of join reduces before aggregating; for
+    heavy funnels swap in approx_percentile (t-digest) with the same call
+    shape.
+    """
+    ev = table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select("user_id", "ts")
+    views = ev.filter(F.col("event_type") == "view").select("user_id", "ts")
+    matched = asof_join(
+        purchases, views, on="user_id", left_time="ts", right_time="ts",
+        direction="backward", asof_col="last_view",
+    )
+    lags = matched.filter(F.col("last_view").isNotNull()).select(
+        F.floor((_us("ts") - _us(F.col("last_view.ts"))) / 1_000_000)
+        .cast("long")
+        .alias("lag_secs")
+    )
+    return lags.agg(
+        F.count("*").cast("long").alias("n_conversions"),
+        rfix(F.expr("percentile(lag_secs, 0.5)"), 4).alias("median_lag_secs"),
+        rfix(F.expr("percentile(lag_secs, 0.9)"), 4).alias("p90_lag_secs"),
+        rfix(F.expr("percentile(lag_secs, 0.99)"), 4).alias("p99_lag_secs"),
+    )
