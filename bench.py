@@ -99,6 +99,7 @@ def main() -> None:
         "j18_sole_blame_supplier",
         "text_entropy_by_source",
         "a_conversion_lag_quantiles",
+        "ann_ivf_recall_eval",
     ):
         if opt in registry:
             headline.append(opt)

@@ -113,6 +113,9 @@ _SHAPES = {
     # asof union+window on user_id, then a single-group percentile over
     # conversion-sized input; event_type filters reach both scans
     "a_conversion_lag_quantiles": (1, 0, 1, 2),
+    # panel-bounded eval mirroring ann_recall_eval for the IVF index:
+    # centroids/panel/rollups ride broadcasts, truth window + small aggs
+    "ann_ivf_recall_eval": (5, 4, 1, 2),
 }
 
 

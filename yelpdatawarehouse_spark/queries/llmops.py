@@ -3460,3 +3460,116 @@ def text_entropy_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             rfix(ent / F.log(F.count("*")), 4).alias("normalized_entropy"),
         )
     )
+
+
+@register(
+    "ann_ivf_recall_eval",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 5),
+    truth AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT q.query_id, e.vec_id AS neighbor_id,
+                   row_number() OVER (PARTITION BY q.query_id
+                       ORDER BY {rfix_sql(V.cosine_sql('q.qe', 'e.embedding'), 6)} DESC,
+                                e.vec_id) AS rn
+            FROM q JOIN embeddings e ON e.vec_id <> q.query_id
+        ) WHERE rn <= 10
+    ),
+    cents AS (
+        SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < {_IVF_K}
+    ),
+    assign AS (
+        SELECT vec_id, cid FROM (
+            SELECT e.vec_id, c.cid,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY {rfix_sql(V.cosine_sql('e.embedding', 'c.cv'), 6)} DESC, c.cid
+                   ) AS rn
+            FROM embeddings e CROSS JOIN cents c
+        ) WHERE rn = 1
+    ),
+    cand AS (
+        SELECT qa.vec_id AS query_id, na.vec_id AS neighbor_id
+        FROM assign qa JOIN assign na ON na.cid = qa.cid AND na.vec_id <> qa.vec_id
+        WHERE qa.vec_id < 5
+    )
+    SELECT CAST(t.query_id AS BIGINT) AS query_id,
+           CAST((SELECT count(*) FROM cand c2 WHERE c2.query_id = t.query_id)
+               AS BIGINT) AS n_candidates,
+           CAST(sum(CASE WHEN c.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS hits,
+           {rfix_sql('sum(CASE WHEN c.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) / 10.0', 4)}
+               AS recall_at_10
+    FROM truth t
+    LEFT JOIN cand c
+      ON c.query_id = t.query_id AND c.neighbor_id = t.neighbor_id
+    GROUP BY t.query_id
+    """,
+    tags=("ANN", "IVF", "EVAL"),
+)
+def ann_ivf_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the single-probe IVF index (ann_ivf_topk's candidate
+    generator: only the query's own coarse cell is searched) against
+    brute-force cosine ground truth — the companion measurement to
+    ann_recall_eval's SRP-LSH number. Together they quantify the recall /
+    candidate-set-size trade both index families make, over the same
+    bounded query panel; raising nprobe (searching neighboring cells)
+    buys recall back at proportional cost.
+
+    Scale shape mirrors the production query: centroids broadcast, the
+    index assignment pinned once with localCheckpoint (it feeds both
+    sides of the candidate join), truth exact only over the 5-query
+    broadcast panel; everything after candidate generation is
+    panel-bounded.
+    """
+    e = table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("c6"), F.asc("neighbor_id"))
+    truth = (
+        e.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            rfix(V.cosine(F.col("qe"), F.col("embedding")), 6).alias("c6"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .select("query_id", "neighbor_id")
+    )
+    cents = e.filter(F.col("vec_id") < _IVF_K).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
+    )
+    aw = Window.partitionBy("vec_id").orderBy(F.desc("ac6"), F.asc("cid"))
+    assign = (
+        e.join(F.broadcast(cents))
+        .select(
+            "vec_id",
+            "cid",
+            rfix(V.cosine(F.col("embedding"), F.col("cv")), 6).alias("ac6"),
+        )
+        .withColumn("rn", F.row_number().over(aw))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cid")
+    ).localCheckpoint()
+    qa = assign.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "cid"
+    )
+    cand = (
+        assign.join(F.broadcast(qa), "cid")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+    )
+    sizes = cand.groupBy("query_id").agg(F.count("*").alias("n_candidates"))
+    hits = (
+        truth.join(cand.withColumn("hit", F.lit(1)), ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(F.sum(F.coalesce("hit", F.lit(0))).alias("hits"))
+    )
+    return hits.join(F.broadcast(sizes), "query_id").select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("n_candidates").cast("long").alias("n_candidates"),
+        F.col("hits").cast("long").alias("hits"),
+        rfix(F.col("hits") / F.lit(10.0), 4).alias("recall_at_10"),
+    )
