@@ -8,7 +8,7 @@ from pyspark.sql import functions as F
 
 from ..functions.presentation import rfix, rfix_sql
 from ..multimodal import attach_fake_media, decode_image_features, media_metadata
-from ..sources.tables import spread, table
+from ..sources.tables import inherit_scan_key, spread, table
 from .registry import register
 
 
@@ -143,7 +143,8 @@ def mm_png_decode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                 payloads.append(encode_png_gray(w, h, bytes([gray]) * (w * h)))
             yield pd.DataFrame({"doc_id": ids, "payload": payloads})
 
-    docs = spread(table(spark, sf_dir, "documents").select(F.col("doc_id").cast("long")))
+    base = table(spark, sf_dir, "documents")
+    docs = spread(inherit_scan_key(base.select(F.col("doc_id").cast("long")), base))
     media = docs.mapInPandas(make_png, schema)
     decoded = decode_image_features(media)
     return decoded.select(
@@ -248,7 +249,8 @@ def mm_wav_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                 payloads.append(encode_wav_pcm16(samples, sample_rate=8000))
             yield pd.DataFrame({"doc_id": ids, "payload": payloads})
 
-    docs = spread(table(spark, sf_dir, "documents").select(F.col("doc_id").cast("long")))
+    base = table(spark, sf_dir, "documents")
+    docs = spread(inherit_scan_key(base.select(F.col("doc_id").cast("long")), base))
     media = docs.mapInPandas(make_wav, schema)
     decoded = decode_audio_features(media)
     return decoded.select(
