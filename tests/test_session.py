@@ -39,3 +39,22 @@ def test_tune_existing_idempotent(spark):
     tune_existing(tune_existing(spark))
     for k, v in _TRIO.items():
         assert spark.conf.get(k) == v
+
+
+def test_table_cache_reuses_base_frame(spark):
+    """table() memoizes the base frame per (applicationId, path) — the
+    ~90ms parquet plan construction must happen once — while different
+    paths stay distinct and confs are still re-pinned every call."""
+    from yelpdatawarehouse_spark.sources.tables import spread, table
+
+    a = table(spark, "/root/testdata/sf0.001", "documents")
+    b = table(spark, "/root/testdata/sf0.001", "documents")
+    assert a is b
+    c = table(spark, "/root/testdata/sf0.01", "documents")
+    assert c is not a
+    # conf armor still applies on cached calls
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    table(spark, "/root/testdata/sf0.001", "documents")
+    assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
+    # spread() probe is memoized too, and still rebalances the 1-row-group scan
+    assert spread(a).rdd.getNumPartitions() >= a.rdd.getNumPartitions()
