@@ -109,3 +109,28 @@ def test_partitioned_write_prunes_partitions(spark, tmp_path):
     # values survive the round trip
     expected = ev.filter(F.col("event_type") == "purchase").count()
     assert pruned.count() == expected
+
+
+def test_schema_evolution_read(spark, tmp_path):
+    """Files written before a column existed read as NULL for it; the
+    merged schema is the union, and old rows keep their values."""
+    from pyspark.sql import functions as F
+
+    from yelpdatawarehouse_spark.sources.tables import read_evolved, table
+
+    old = table(spark, "/root/testdata/sf0.001", "nation").select(
+        "n_nationkey", "n_name"
+    )
+    new = table(spark, "/root/testdata/sf0.001", "nation").select(
+        "n_nationkey", "n_name", F.lit("extra").alias("n_comment2")
+    )
+    p_old, p_new = str(tmp_path / "v1"), str(tmp_path / "v2")
+    old.write.parquet(p_old)
+    new.write.parquet(p_new)
+
+    merged = read_evolved(spark, p_old, p_new)
+    assert set(merged.columns) == {"n_nationkey", "n_name", "n_comment2"}
+    assert merged.count() == old.count() + new.count()
+    # pre-evolution rows surface the new column as NULL, new rows keep it
+    assert merged.filter(F.col("n_comment2").isNull()).count() == old.count()
+    assert merged.filter(F.col("n_comment2") == "extra").count() == new.count()

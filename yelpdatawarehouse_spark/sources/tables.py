@@ -143,3 +143,16 @@ def spread(df: DataFrame) -> DataFrame:
     if n >= target:
         return df
     return df.repartition(target)
+
+
+def read_evolved(spark: SparkSession, *paths: str) -> DataFrame:
+    """Read parquet written under an EVOLVED schema (columns added over
+    time) into one unified frame: ``mergeSchema`` unions the per-file
+    schemas and rows from files that predate a column read it as NULL —
+    the append-only schema-evolution contract every long-lived lake table
+    relies on (adding a column never rewrites history). Renames/drops/type
+    changes are NOT handled by parquet merging and need a real table
+    format (Delta/Iceberg) — callers should treat this as the additive
+    path only.
+    """
+    return spark.read.option("mergeSchema", "true").parquet(*paths)
