@@ -23,7 +23,18 @@ def main() -> None:
     from yelpdatawarehouse_spark.queries import _last_green_rounds, all_queries
 
     reg = all_queries()
-    last = _last_green_rounds() or {}
+    greens = _last_green_rounds()
+    if greens is None:
+        last = {}
+    else:
+        hash_green, any_green = greens
+        # strongest-evidence view, mirroring _prioritize: oracled queries
+        # count only hash-green rounds, oracle-less ones their rows-only
+        last = {
+            n: (hash_green if reg[n].oracle is not None else any_green)[n]
+            for n in reg
+            if n in (hash_green if reg[n].oracle is not None else any_green)
+        }
     names = list(reg)
     never = [n for n in names if n not in last]
     print(f"registry: {len(names)} queries; never driver-verified: {len(never)}")

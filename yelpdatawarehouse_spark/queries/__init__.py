@@ -54,14 +54,16 @@ _VERIFIED_EARLIER = frozenset({
 })
 
 
-def _last_green_rounds() -> dict[str, int] | None:
-    """name -> latest round with a green driver CORRECTNESS row.
+def _last_green_rounds() -> tuple[dict[str, int], dict[str, int]] | None:
+    """(hash_green, any_green): name -> latest round with that evidence.
 
-    Green = hash-matched against the DuckDB oracle, or (for oracle-less
-    queries) a completed rows-only check. Reads CORRECTNESS_r*.json from
-    the repo root so the verified set is generated from the evidence of
-    record instead of hand-maintained. Returns None when no files are
-    readable (package used outside the repo checkout).
+    ``hash_green`` counts only hash-matched rows against the DuckDB
+    oracle; ``any_green`` additionally counts completed rows-only checks
+    (the weaker gate for oracle-less registrations). Reads
+    CORRECTNESS_r*.json from the repo root so the verified set is
+    generated from the evidence of record instead of hand-maintained.
+    Returns None when no files are readable (package used outside the
+    repo checkout).
     """
     import json
     import re
@@ -69,7 +71,8 @@ def _last_green_rounds() -> dict[str, int] | None:
 
     root = Path(__file__).resolve().parents[2]
     found = False
-    last: dict[str, int] = {}
+    hash_green: dict[str, int] = {}
+    any_green: dict[str, int] = {}
     for path in sorted(root.glob("CORRECTNESS_r*.json")):
         m = re.search(r"r(\d+)", path.name)
         if not m:
@@ -83,13 +86,15 @@ def _last_green_rounds() -> dict[str, int] | None:
         for name, row in rows.items():
             if not isinstance(row, dict):
                 continue
-            green = bool(row.get("hash_match")) or (
+            if bool(row.get("hash_match")):
+                hash_green[name] = max(hash_green.get(name, 0), rnd)
+                any_green[name] = max(any_green.get(name, 0), rnd)
+            elif (
                 row.get("err") == "no_oracle"
                 and row.get("spark_rows") is not None
-            )
-            if green:
-                last[name] = max(last.get(name, 0), rnd)
-    return last if found else None
+            ):
+                any_green[name] = max(any_green.get(name, 0), rnd)
+    return (hash_green, any_green) if found else None
 
 
 def _prioritize() -> None:
@@ -99,12 +104,26 @@ def _prioritize() -> None:
     first), so once everything has one green row the stalest evidence is
     round-robined back into the window and regressions in already-
     verified queries still get re-checked externally.
+
+    Staleness is measured against the STRONGEST evidence the query can
+    produce: an oracled query counts only hash-green rounds (so a query
+    upgraded from rows-only to oracled re-enters the window immediately —
+    its prior rows-only rows are not hash evidence), while an oracle-less
+    registration counts its rows-only completions (all the driver can
+    record for it; otherwise it would hog the front of the window forever).
     """
     last = _last_green_rounds()
     if last is None:
-        last = {n: 1 for n in _VERIFIED_EARLIER}
+        hash_green = any_green = {n: 1 for n in _VERIFIED_EARLIER}
+    else:
+        hash_green, any_green = last
     index = {n: i for i, n in enumerate(REGISTRY)}
-    ordered = sorted(REGISTRY, key=lambda n: (last.get(n, 0), index[n]))
+
+    def key(n: str) -> tuple[int, int]:
+        evidence = hash_green if REGISTRY[n].oracle is not None else any_green
+        return (evidence.get(n, 0), index[n])
+
+    ordered = sorted(REGISTRY, key=key)
     snapshot = dict(REGISTRY)
     REGISTRY.clear()
     for n in ordered:

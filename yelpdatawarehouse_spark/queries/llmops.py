@@ -2798,9 +2798,12 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("query_id")
         .agg(F.sum(F.coalesce("hit", F.lit(0))).alias("hits"))
     )
-    return hits.join(F.broadcast(sizes), "query_id").select(
+    # Left join + coalesce: a query whose bucket/cell holds no other
+    # vector has no sizes row, but must still report n_candidates = 0
+    # (the oracle's correlated COUNT keeps it).
+    return hits.join(F.broadcast(sizes), "query_id", "left").select(
         F.col("query_id").cast("long").alias("query_id"),
-        F.col("n_candidates").cast("long").alias("n_candidates"),
+        F.coalesce(F.col("n_candidates"), F.lit(0)).cast("long").alias("n_candidates"),
         F.col("hits").cast("long").alias("hits"),
         rfix(F.col("hits") / F.lit(10.0), 4).alias("recall_at_10"),
     )
@@ -3327,23 +3330,107 @@ def text_bpe_one_merge_compression(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
-_BPE_MERGES = 16
+# Registered merge depth. 2 is the smallest count that exercises the
+# genuinely ITERATIVE part of training (round 2's pair statistics are
+# computed over round 1's merged segmentation, and the encoder must apply a
+# rule whose operands are themselves merged symbols — none of which the
+# one-merge slice covers) while still being unrollable into a hash-grade
+# DuckDB oracle below. Deeper models (8-16 merges: determinism,
+# reconstruction, monotonicity) are pinned by tests/test_bpe.py.
+_BPE_MERGES = 2
 
 
 @register(
     "text_bpe_subword_stats",
-    oracle=None,  # iterative trainer (16 merge rounds) — not SQL-expressible;
-    # the one-merge slice of the same code path is fully oracled above
+    # Full unrolled-iteration oracle (the PageRank-CTE trick applied to BPE):
+    # round 1 picks the best adjacent-char pair exactly like the one-merge
+    # oracle; a recursive CTE then re-derives each word's greedy leftmost
+    # segmentation (chr(31)-joined — segment boundaries can't be expressed
+    # by substring counting once symbols are multi-char, a mid-symbol match
+    # of the pair string would corrupt counts); round 2's pair is chosen
+    # over that segmentation with the trainer's (count DESC, pair ASC)
+    # tie-break comparing the symbol TUPLE (l, r) — concatenated-string
+    # order is wrong once symbols are multi-char; a second recursion
+    # applies it greedily to count final symbols per word. Rank order ≡
+    # sequential full application because applying merge k can never
+    # re-create a pair of rank < k (merges only grow symbols).
+    oracle=f"""
+    WITH RECURSIVE tf AS (
+        SELECT tok AS w, count(*)::BIGINT AS cnt
+        FROM (SELECT unnest({_TOKS}) AS tok FROM documents)
+        GROUP BY tok
+    ),
+    p1 AS (
+        SELECT substring(w, CAST(i AS INT), 2) AS pair
+        FROM (SELECT w, cnt, unnest(range(1, length(w))) AS i
+              FROM tf WHERE length(w) >= 2)
+        GROUP BY pair
+        ORDER BY sum(cnt) DESC, pair
+        LIMIT 1
+    ),
+    seg AS (
+        SELECT w, cnt, 1 AS pos, ''::VARCHAR AS s FROM tf WHERE w <> ''
+        UNION ALL
+        SELECT w, cnt,
+               pos + CASE WHEN substring(w, pos, 2) = (SELECT pair FROM p1)
+                          THEN 2 ELSE 1 END,
+               s || CASE WHEN pos > 1 THEN chr(31) ELSE '' END ||
+                 CASE WHEN substring(w, pos, 2) = (SELECT pair FROM p1)
+                      THEN substring(w, pos, 2) ELSE substring(w, pos, 1) END
+        FROM seg WHERE pos <= length(w)
+    ),
+    seg1 AS (
+        SELECT w, cnt, string_split(s, chr(31)) AS syms
+        FROM seg WHERE pos > length(w)
+    ),
+    p2 AS (
+        SELECT syms[CAST(i AS INT)] AS l, syms[CAST(i AS INT) + 1] AS r
+        FROM (SELECT syms, cnt, unnest(range(1, len(syms))) AS i
+              FROM seg1 WHERE len(syms) >= 2)
+        GROUP BY l, r
+        ORDER BY sum(cnt) DESC, l, r
+        LIMIT 1
+    ),
+    enc AS (
+        SELECT w, syms, 1 AS idx, 0 AS nsym FROM seg1
+        UNION ALL
+        SELECT w, syms,
+               idx + CASE WHEN idx < len(syms)
+                           AND syms[CAST(idx AS INT)] = (SELECT l FROM p2)
+                           AND syms[CAST(idx AS INT) + 1] = (SELECT r FROM p2)
+                     THEN 2 ELSE 1 END,
+               nsym + 1
+        FROM enc WHERE idx <= len(syms)
+    ),
+    nsyms AS (SELECT w, nsym FROM enc WHERE idx > len(syms)),
+    sfw AS (
+        SELECT source, tok AS w, count(*)::BIGINT AS cnt
+        FROM (SELECT source, unnest({_TOKS}) AS tok FROM documents)
+        GROUP BY source, tok
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS vocab_words,
+           CAST(sum(sfw.cnt * coalesce(nsym, 0)) AS BIGINT) AS symbols_total,
+           {rfix_sql("sum(sfw.cnt * coalesce(nsym, 0))::DOUBLE / sum(sfw.cnt)", 4)}
+               AS avg_symbols_per_word,
+           {rfix_sql("sum(sfw.cnt * coalesce(nsym, 0))::DOUBLE / sum(sfw.cnt * length(w))", 4)}
+               AS compression
+    FROM sfw LEFT JOIN nsyms USING (w)
+    GROUP BY source
+    """,
     tags=("TEXT", "TOKENIZER", "UDF", "ITER"),
 )
 def text_bpe_subword_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multi-merge BPE encode: train {_BPE_MERGES} merge rules, encode the
-    corpus, report per-source subword statistics (symbols per word, symbol
-    compression vs characters). Rows-only registry check (the 16-round
-    trainer is iterative); determinism, reconstruction (concat(symbols) ==
-    word), and monotonicity (more merges never increase symbol count) are
-    pinned by tests/test_bpe.py, and the single-merge slice of this exact
-    trainer+encoder path is hash-checked by text_bpe_one_merge_compression.
+    """Multi-merge BPE encode under the FULL hash gate: train {_BPE_MERGES}
+    merge rules with the real iterative trainer (operators/bpe.train_bpe —
+    round 2 trains on round 1's merged segmentation), encode the corpus
+    with the greedy rank-ordered segmenter UDF, report per-source subword
+    statistics (symbols per word, symbol compression vs characters). The
+    oracle unrolls both training rounds and the encoder into recursive
+    CTEs, so trainer tie-breaks, merged-symbol pair statistics, and the
+    encoder's leftmost-greedy application are all hash-checked; deeper
+    models (8-16 merges) keep their determinism / reconstruction /
+    monotonicity pins in tests/test_bpe.py.
     """
     from ..operators.bpe import bpe_symbol_counter, train_bpe
 
@@ -3366,20 +3453,91 @@ def text_bpe_subword_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# One Lloyd round of the unrolled training oracle, parameterized on the
+# previous round's centroid-dims CTE: assignment (same three-inner-product
+# d2 as _kmeans_oracle) against the list-form centroids, then dimension-wise
+# means with empty clusters holding the PREVIOUS round's value (the
+# trainer's hold-position rule — coalesce against the prior dims, not the
+# seeds).
+def _kmeans_round_sql(prev_dims: str, out_assign: str, out_dims: str) -> str:
+    return f"""
+    {out_assign}l AS (
+        SELECT cid, list(x ORDER BY i) AS c FROM {prev_dims} GROUP BY cid
+    ),
+    {out_assign} AS (
+        SELECT vec_id, cid, d2,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+        FROM (
+            SELECT e.vec_id, c.cid,
+                   list_inner_product(e.v, e.v) + list_inner_product(c.c, c.c)
+                   - 2 * list_inner_product(e.v, c.c) AS d2
+            FROM e CROSS JOIN {out_assign}l c
+        )
+    ),
+    {out_dims}m AS (
+        SELECT a.cid, idx.i, avg((e.v)[idx.i]) AS m
+        FROM (SELECT vec_id, cid FROM {out_assign} WHERE rn = 1) a
+        JOIN e USING (vec_id), (SELECT unnest(range(1, 4097)) AS i) idx
+        WHERE idx.i <= len(e.v)
+        GROUP BY a.cid, idx.i
+    ),
+    {out_dims} AS (
+        SELECT p.cid, p.i, coalesce(m.m, p.x) AS x
+        FROM {prev_dims} p
+        LEFT JOIN {out_dims}m m ON m.cid = p.cid AND m.i = p.i
+    )"""
+
+
 @register(
     "emb_kmeans_train_stats",
-    oracle=None,  # iterative Lloyd loop — not SQL-expressible; both of its
-    # building blocks (assign, update) are hash-checked above, and
-    # tests/test_kmeans.py pins determinism + inertia monotonicity
+    # Unrolled-iteration oracle (the PageRank-CTE trick applied to Lloyd):
+    # two full training rounds composed from the same assignment/update SQL
+    # emb_kmeans_assign_stats / emb_kmeans_update_step are hash-checked on,
+    # then the final assignment pass with the trained centroids. The
+    # recorded inertia is round 2's assignment d2 sum (inertia_history[-1]
+    # in the trainer), rounded like every float digest.
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    c0 AS (
+        SELECT cid, idx.i, c[idx.i] AS x
+        FROM (SELECT vec_id AS cid, v AS c FROM e WHERE vec_id < {_KMEANS_K}),
+             (SELECT unnest(range(1, 4097)) AS i) idx
+        WHERE idx.i <= len(c)
+    ),
+    {_kmeans_round_sql("c0", "a0", "c1")},
+    {_kmeans_round_sql("c1", "a1", "c2")},
+    inert AS (SELECT round(sum(d2), 2) AS fi FROM a1 WHERE rn = 1),
+    a2l AS (SELECT cid, list(x ORDER BY i) AS c FROM c2 GROUP BY cid),
+    a2 AS (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+        FROM (
+            SELECT e.vec_id, c.cid,
+                   list_inner_product(e.v, e.v) + list_inner_product(c.c, c.c)
+                   - 2 * list_inner_product(e.v, c.c) AS d2
+            FROM e CROSS JOIN a2l c
+        )
+    )
+    SELECT CAST(cid AS BIGINT) AS cluster_id,
+           CAST(count(*) AS BIGINT) AS n_members,
+           CAST(2 AS BIGINT) AS n_iters,
+           (SELECT fi FROM inert) AS final_inertia
+    FROM a2 WHERE rn = 1
+    GROUP BY cid
+    """,
     tags=("EMB", "CLUSTER", "ITER"),
 )
 def emb_kmeans_train_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full k-means TRAINING (operators/kmeans.kmeans_train): Lloyd
-    iterations to convergence (k=8, ≤5 iters, tol 1e-3), then one
+    """k-means TRAINING (operators/kmeans.kmeans_train) under the FULL hash
+    gate: exactly two Lloyd iterations (k=8, tol=0 so neither round
+    early-stops — the oracle above unrolls precisely two), then one
     assignment pass with the trained model. Output is per-cluster
     membership plus the run's iteration count and final inertia — scalar
     digests, deterministic for a given corpus (seeded init, tie-broken
-    argmin, empty clusters hold position).
+    argmin, empty clusters hold position). The convergence-stopped variant
+    of the same loop (≤5 iters, tol 1e-3) keeps its determinism and
+    inertia-monotonicity pins in tests/test_kmeans.py — the tol test is
+    the one part an unrolled oracle cannot express.
 
     Scale shape per iteration: broadcast K×dim literal centroids into a
     codegen argmin (no join), ONE (cluster, dim)-keyed exchange of
@@ -3391,7 +3549,7 @@ def emb_kmeans_train_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.kmeans import kmeans_train
 
     e = table(spark, sf_dir, "embeddings")
-    model = kmeans_train(e, k=8, max_iters=5, tol=1e-3)
+    model = kmeans_train(e, k=8, max_iters=2, tol=0.0)
     if not model.centroids:
         return spark.createDataFrame(
             [],
@@ -3567,9 +3725,12 @@ def ann_ivf_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("query_id")
         .agg(F.sum(F.coalesce("hit", F.lit(0))).alias("hits"))
     )
-    return hits.join(F.broadcast(sizes), "query_id").select(
+    # Left join + coalesce: a query whose bucket/cell holds no other
+    # vector has no sizes row, but must still report n_candidates = 0
+    # (the oracle's correlated COUNT keeps it).
+    return hits.join(F.broadcast(sizes), "query_id", "left").select(
         F.col("query_id").cast("long").alias("query_id"),
-        F.col("n_candidates").cast("long").alias("n_candidates"),
+        F.coalesce(F.col("n_candidates"), F.lit(0)).cast("long").alias("n_candidates"),
         F.col("hits").cast("long").alias("hits"),
         rfix(F.col("hits") / F.lit(10.0), 4).alias("recall_at_10"),
     )

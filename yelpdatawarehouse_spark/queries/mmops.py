@@ -30,10 +30,47 @@ def mm_binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media_metadata(attach_fake_media(docs))
 
 
-@register("mm_decode_features_stub", oracle=None, tags=("MM", "UDF"))
+@register(
+    "mm_decode_features_stub",
+    # The payloads attach_fake_media synthesizes are UTF-8 text bytes —
+    # never a decodable image — so the kernel's output is the deterministic
+    # stub branch REGARDLESS of whether a real codec (PIL) is installed:
+    # width/height/features are closed forms of the byte length and byte
+    # values, which DuckDB reproduces arithmetically (corpus is asserted
+    # ASCII at every SF, so ord(char) == byte — same contract
+    # mm_frame_sample relies on). feature_sum covers the first
+    # 8*(len//8) bytes (the stub's 8 equal chunks; all bytes when len < 8).
+    oracle="""
+    WITH d AS (
+        SELECT doc_id, text, length(text) AS L,
+               CASE WHEN length(text) >= 8 THEN 8 * (length(text) // 8)
+                    ELSE length(text) END AS ncov
+        FROM documents
+    ),
+    s AS (
+        SELECT d.doc_id,
+               sum(ord(substring(d.text, CAST(idx.i AS INT), 1))) AS fsum
+        FROM d, (SELECT unnest(range(1, 4097)) AS i) idx
+        WHERE idx.i <= d.ncov
+        GROUP BY d.doc_id
+    )
+    SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+           CAST(d.L % 640 + 1 AS BIGINT) AS width,
+           CAST(d.L % 480 + 1 AS BIGINT) AS height,
+           CAST(least(d.L, 8) AS BIGINT) AS n_features,
+           round(coalesce(s.fsum, 0)::DOUBLE, 3) AS feature_sum
+    FROM d LEFT JOIN s ON s.doc_id = d.doc_id
+    """,
+    tags=("MM", "UDF"),
+)
 def mm_decode_features_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Arrow-batched mapInPandas decode pipeline (stub kernel — rows-only
-    check; the real codec isn't in this container, see multimodal/columns.py).
+    """Arrow-batched mapInPandas decode pipeline exercising the STUB branch
+    of the runtime codec probe (multimodal/columns.py): the synthesized
+    payloads are text bytes, not decodable images, so every row takes the
+    deterministic stub path whether or not PIL is present — which makes the
+    stub's closed-form output fully oracle-able (see the registration
+    comment). The real-decode branch of the same kernel is hash-checked by
+    mm_png_decode_roundtrip.
 
     The feature vector is reduced to scalar digests here (count + rounded sum)
     because the harness canonicalizes results via pandas sort, which cannot
@@ -43,9 +80,9 @@ def mm_decode_features_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     decoded = decode_image_features(attach_fake_media(docs))
     return decoded.select(
-        "doc_id",
-        "width",
-        "height",
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
         F.size("features").cast("long").alias("n_features"),
         F.round(
             F.aggregate("features", F.lit(0.0), lambda acc, x: acc + x), 3
@@ -160,15 +197,30 @@ def mm_png_decode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("mm_resize_plumbing", oracle=None, tags=("MM", "UDF"))
+@register(
+    "mm_resize_plumbing",
+    # Contract oracle (the mm_wav_decode_features move): the registered
+    # output is deliberately codec-independent — fixed target dims, one row
+    # per document, non-empty payload — and since the synthesized payloads
+    # are text bytes (never a decodable image), the stub resample runs on
+    # every row in every environment, so non-emptiness ⇔ the source text is
+    # non-empty. DuckDB states the same contract arithmetically.
+    oracle="""
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(32 AS BIGINT) AS width,
+           CAST(32 AS BIGINT) AS height,
+           octet_length(encode(text)) > 0 AS payload_non_empty
+    FROM documents
+    """,
+    tags=("MM", "UDF"),
+)
 def mm_resize_plumbing(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Arrow-batched mapInPandas resize pipeline (rows-only check: the
-    kernel output depends on whether a real codec is present — see
-    multimodal/columns.py resize_images). The Spark-side contract under
-    test is schema + binary round-trip + one row per input document;
-    payload content is summarized as a codec-independent non-emptiness
-    flag (the encoded byte length varies by codec/PIL version, so it is
-    deliberately NOT part of the registered result)."""
+    """Arrow-batched mapInPandas resize pipeline under a contract oracle:
+    the Spark-side surface being verified is schema + binary round-trip +
+    one row per input document with the requested target dims; payload
+    content is summarized as a codec-independent non-emptiness flag (the
+    encoded byte length varies by codec/PIL version, so it is deliberately
+    NOT part of the registered result — see the registration comment)."""
     from ..multimodal import resize_images
 
     docs = table(spark, sf_dir, "documents")

@@ -365,7 +365,27 @@ def a_sketch_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     few KB and the pair join runs over |sources|² sketch rows, never
     tokens. The exact-verification join is the audit path, not the scale
     path; at 100 TB one ships ONLY the sketches.
+
+    The envelope boolean converts a statistical tolerance into a hash
+    gate, so if this query ever hash-mismatches, run
+    :func:`sketch_vocab_overlap_diag` — it returns the signed estimate
+    error per pair, distinguishing benign HLL estimator drift (envelope
+    breach) from a genuine exact-path regression.
     """
+    return _vocab_overlap_frame(spark, sf_dir).drop("est_signed_err")
+
+
+def sketch_vocab_overlap_diag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unregistered diagnostic twin of :func:`a_sketch_vocab_overlap`:
+    same result plus ``est_signed_err`` (sketch estimate − exact
+    intersection, rounded) so an envelope breach is identifiable as such
+    rather than an opaque hash mismatch. Not oracled — the estimate is
+    engine-specific by nature.
+    """
+    return _vocab_overlap_frame(spark, sf_dir)
+
+
+def _vocab_overlap_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = spread(table(spark, sf_dir, "documents"))
     st = d.select(
         "source", F.explode(F.split(F.col("text"), r"\s+")).alias("tok")
@@ -413,4 +433,5 @@ def a_sketch_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         (
             F.abs(est_inter - F.col("exact_inter")) <= 0.05 * exact_union
         ).alias("inter_in_envelope"),
+        rfix(est_inter - F.col("exact_inter"), 2).alias("est_signed_err"),
     )

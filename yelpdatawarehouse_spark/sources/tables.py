@@ -43,7 +43,9 @@ def default_sf_dir() -> str:
 # time (file listing + footer schema read), which multiplied across a
 # many-query session is pure overhead. Session confs are still (re)pinned on
 # every call — they are the correctness contract, the cache only skips the
-# plan construction.
+# plan construction. ASSUMPTION: each sf dir is immutable for the
+# application lifetime; tools that regenerate/compact a table path
+# in-session must call invalidate_table_cache() first.
 _TABLE_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
@@ -85,8 +87,21 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
     if isinstance(df.schema["ts"].dataType, LongType):
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    df._ydw_scan_key = key
     _TABLE_CACHE[key] = df
     return df
+
+
+def invalidate_table_cache(path_prefix: str | None = None) -> None:
+    """Drop memoized frames/partition probes whose path starts with
+    ``path_prefix`` (all entries when None). The caches assume each sf dir
+    is immutable for the application lifetime; any tool that rewrites or
+    compacts a table path in-session must call this first, or the stale
+    file index surfaces as FileNotFoundException / stale rows.
+    """
+    for cache in (_TABLE_CACHE, _SCAN_PARTS):
+        for key in [k for k in cache if path_prefix is None or k[1].startswith(path_prefix)]:
+            del cache[key]
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
