@@ -5,6 +5,14 @@ import json
 import pytest
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "slow: long-running guard (scale-regression probe); runs in the "
+        "default suite, deselectable with -m 'not slow'",
+    )
+
+
 @pytest.fixture(scope="session")
 def spark():
     from yelpdatawarehouse_spark.session import get_spark

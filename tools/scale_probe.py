@@ -61,7 +61,8 @@ PROBE_QUERIES = [
 ]
 
 
-def build_scaled(spark, out_dir: str) -> None:
+def build_scaled(spark, out_dir: str, base_dir: str = BASE,
+                 factor: int = FACTOR) -> None:
     from functools import reduce
 
     from pyspark.sql import functions as F
@@ -69,10 +70,10 @@ def build_scaled(spark, out_dir: str) -> None:
     from yelpdatawarehouse_spark.sources.tables import TABLES, table
 
     for name in TABLES:
-        df = table(spark, BASE, name)
+        df = table(spark, base_dir, name)
         if name in SHIFT:
             replicas = []
-            for i in range(FACTOR):
+            for i in range(factor):
                 r = df
                 for col in SHIFT[name]:
                     r = r.withColumn(col, F.col(col) + F.lit(i * OFF))
@@ -90,26 +91,60 @@ def time_query(fn, spark, sf_dir: str, reps: int = 2) -> float:
     return best
 
 
-def main() -> None:
+def run_probe(spark, names, base_dir: str = BASE, factor: int = FACTOR,
+              reps: int = 2):
+    """Build a ``factor``-scaled copy of ``base_dir`` in a temp dir, time
+    each query at both scales, and return ``(rows, build_seconds)`` where
+    rows are ``(name, base_s, big_s, ratio)``. Importable core shared by
+    the CLI below and the guarded scale-regression test
+    (tests/test_scale_regression.py)."""
     from yelpdatawarehouse_spark.queries import all_queries
-    from yelpdatawarehouse_spark.session import get_spark
 
     reg = all_queries()
-    spark = get_spark(app_name="ydw-scale-probe")
-    spark.sparkContext.setLogLevel("ERROR")
-
     out_dir = tempfile.mkdtemp(prefix="ydw_scaled_")
     try:
         t0 = time.perf_counter()
-        build_scaled(spark, out_dir)
+        build_scaled(spark, out_dir, base_dir=base_dir, factor=factor)
         build_s = time.perf_counter() - t0
-
         rows = []
-        for name in PROBE_QUERIES:
-            base_s = time_query(reg[name].fn, spark, BASE)
-            big_s = time_query(reg[name].fn, spark, out_dir)
+        for name in names:
+            base_s = time_query(reg[name].fn, spark, base_dir, reps=reps)
+            big_s = time_query(reg[name].fn, spark, out_dir, reps=reps)
             rows.append((name, base_s, big_s, big_s / base_s if base_s else 0.0))
             print(f"{name}: {base_s:.2f}s -> {big_s:.2f}s  (x{big_s/base_s:.2f})")
+        return rows, build_s
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+
+
+def main() -> None:
+    from yelpdatawarehouse_spark.session import get_spark
+
+    names = [n for n in os.environ.get("SCALE_QUERIES", "").split(",") if n]
+    focused = bool(names)
+    spark = get_spark(app_name="ydw-scale-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    try:
+        rows, build_s = run_probe(spark, names or PROBE_QUERIES)
+        root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        md = os.path.join(root, "SCALING.md")
+        if focused:
+            # targeted re-probe (e.g. SCALE_FACTOR=10 SCALE_QUERIES=...):
+            # append a section, preserving the full-table baseline above
+            lines = [
+                "",
+                f"## Focused probe at {FACTOR}x",
+                "",
+                f"| query | sf0.1 | {FACTOR}x | time ratio (data x{FACTOR}) |",
+                "|---|---|---|---|",
+            ]
+            for name, a, b, r in rows:
+                lines.append(f"| {name} | {a:.2f}s | {b:.2f}s | x{r:.2f} |")
+            lines.append("")
+            with open(md, "a") as f:
+                f.write("\n".join(lines))
+            print(f"appended {len(rows)}-query {FACTOR}x section to SCALING.md")
+            return
 
         lines = [
             "# SCALING — measured scale-up probe (auto-generated)",

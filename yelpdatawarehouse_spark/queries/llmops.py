@@ -408,20 +408,114 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("DEDUP", "ANN"),
 )
 def dedup_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (cosine ≥ 0.4) on a bounded
-    slice (vec_id < 1000; the corpus max pairwise cosine is ~0.51 so 0.4
-    yields a meaningful, boundary-safe candidate set).
+    """Embedding-cosine near-duplicate pairs (cosine ≥ 0.4, vec_id < 1000)
+    WITHOUT an all-pairs join: candidates come from an angular-IVF index
+    with triangle-inequality cell-pair pruning, which — unlike LSH banding
+    — is EXACT, so the result provably equals the oracle's brute-force
+    self-join (the hash gate checks precisely that).
 
-    The threshold is applied to the 6-digit-canonicalized cosine on both
-    sides so engine/oracle set membership can't flip on last-ulp noise.
-    Unbounded scale path: LSH bucketing (ann_lsh_bucket_topk below).
+    Index: vectors are assigned to their max-cosine cell among K
+    deterministic centroids (first K by vec_id), and each cell records its
+    angular radius r = max angle(member, centroid). Angular distance is a
+    metric, so a qualifying pair (angle ≤ θt = arccos(threshold)) can only
+    live in a cell pair whose centroid angle ≤ r_a + r_b + θt; only those
+    cell pairs are joined (cell-keyed equi-joins, never a cross join), and
+    the exact 6-digit-canonicalized cosine filter runs on candidates only
+    (same final predicate on both sides, so set membership can't flip on
+    last-ulp noise).
+
+    Scale shape: two bounded collects (K centroid rows, K radius rows —
+    the documented legitimate kind), assignment as a codegen argmax over K
+    literal expressions, candidates via a broadcast of the ≤K² admitted
+    cell pairs. On clustered real-world embeddings the pruning drops most
+    cell pairs and each surviving join is cell-local; on this synthetic
+    isotropic corpus radii sit near 90° so most cell pairs stay admitted —
+    the curse of dimensionality, which no exact index escapes — but the
+    plan is the scale-correct one and, unlike the previous bounded
+    all-pairs slice, never degenerates to a cross join. The probabilistic
+    (recall < 1) alternative at 100 TB is SRP-LSH banding
+    (ann_lsh_bucket_topk below), measured by ann_recall_eval.
     """
+    import math
+
     e = table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 1000)
-    a, b = e.alias("a"), e.alias("b")
+    k = 16
+    cents = sorted(
+        e.filter(F.col("vec_id") < k)
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("c"))
+        .collect(),
+        key=lambda r: r.vec_id,
+    )
+    if not cents:
+        return spark.createDataFrame(
+            [], "vec_a LONG, vec_b LONG, cos_sim DOUBLE"
+        )
+    # argmax-cosine cell assignment: one parsed expression per centroid
+    # (same plan-build-latency move as emb_kmeans_assign_stats), ties to
+    # the lower cell id via the negated-id struct field
+    self_norm = F.sqrt(
+        F.expr(
+            "aggregate(zip_with(CAST(embedding AS ARRAY<DOUBLE>), "
+            "CAST(embedding AS ARRAY<DOUBLE>), (x, y) -> x * y), "
+            "0.0D, (acc, x) -> acc + x)"
+        )
+    )
+    choices = []
+    for idx, r in enumerate(cents):
+        arr = ", ".join(f"{float(x)!r}D" for x in r.c)
+        dot_c = F.expr(
+            f"aggregate(zip_with(CAST(embedding AS ARRAY<DOUBLE>), "
+            f"array({arr}), (x, y) -> x * y), 0.0D, (acc, x) -> acc + x)"
+        )
+        cnorm = math.sqrt(sum(x * x for x in r.c))
+        cos_c = dot_c / (self_norm * F.lit(cnorm))
+        choices.append(
+            F.struct(cos_c.alias("cos"), F.lit(-idx).alias("negcell"))
+        )
+    best = F.array_max(F.array(*choices))
+    ang = F.acos(
+        F.least(F.lit(1.0), F.greatest(F.lit(-1.0), best["cos"]))
+    )
+    assigned = e.select(
+        "vec_id",
+        "embedding",
+        (-best["negcell"]).cast("int").alias("cell"),
+        ang.alias("ang"),
+    ).localCheckpoint()  # pinned: feeds radii + both join sides
+    radii = {
+        int(r["cell"]): float(r["r"])
+        for r in assigned.groupBy("cell").agg(F.max("ang").alias("r")).collect()
+    }
+    # admitted DIRECTED cell pairs (each vector pair appears exactly once,
+    # under (cell(a), cell(b))): centroid angle ≤ r_a + θt + r_b, with an
+    # epsilon for the Python-vs-codegen float path difference
+    theta_t = math.acos(0.39999)  # margin below the 6-digit 0.3999995 edge
+
+    def _angle(u, v):
+        d = sum(x * y for x, y in zip(u, v))
+        n = math.sqrt(sum(x * x for x in u)) * math.sqrt(sum(x * x for x in v))
+        return math.acos(max(-1.0, min(1.0, d / n if n else 1.0)))
+
+    cell_pairs = [
+        (ca, cb)
+        for ca in radii
+        for cb in radii
+        if _angle(cents[ca].c, cents[cb].c)
+        <= radii[ca] + theta_t + radii[cb] + 1e-6
+    ]
+    cp = spark.createDataFrame(cell_pairs, "ca INT, cb INT")
+    cand = (
+        assigned.alias("a")
+        .join(F.broadcast(cp), F.col("a.cell") == F.col("ca"))
+        .join(
+            assigned.alias("b"),
+            (F.col("b.cell") == F.col("cb"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+    )
     cos = V.cosine(F.col("a.embedding"), F.col("b.embedding"))
     return (
-        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
-        .filter(rfix(cos, 6) >= 0.4)
+        cand.filter(rfix(cos, 6) >= 0.4)
         .select(
             F.col("a.vec_id").cast("long").alias("vec_a"),
             F.col("b.vec_id").cast("long").alias("vec_b"),
