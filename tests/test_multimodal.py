@@ -303,3 +303,42 @@ def test_png_roundtrip_property():
         assert (W, H, C) == (w, h, 1) and bytes(out) == px
 
     check()
+
+
+# ---------------------------------------------------------------------------
+# optional real-PIL leg (VERDICT r4 #5): executes only where pillow exists,
+# so PIL-API drift in _decode_real/_resize_real is caught on hosts that have
+# it; this container skips (no PIL, and installs are disallowed here).
+
+
+def test_real_pil_decode_agrees_with_stdlib_codec():
+    PIL_Image = pytest.importorskip("PIL.Image")
+
+    from yelpdatawarehouse_spark.multimodal import png
+    from yelpdatawarehouse_spark.multimodal.columns import _decode_real
+
+    w, h = 13, 7
+    px = bytes((i * 37 + 5) % 256 for i in range(w * h))
+    payload = png.encode_png_gray(w, h, px)
+    decoded = _decode_real(PIL_Image, payload)
+    assert decoded is not None
+    W, H, feats = decoded
+    assert (W, H) == (w, h)
+    # same payload through the stdlib shim: identical dims and histogram
+    # features (both are exact 256-bin grayscale histograms, binned 8-wide)
+    sdec = _decode_real(png.Image, payload)
+    assert sdec is not None and (sdec[0], sdec[1]) == (w, h)
+    assert feats == sdec[2]
+
+
+def test_real_pil_resize_roundtrip():
+    PIL_Image = pytest.importorskip("PIL.Image")
+
+    from yelpdatawarehouse_spark.multimodal import png
+    from yelpdatawarehouse_spark.multimodal.columns import _resize_real
+
+    payload = png.encode_png_gray(8, 8, bytes(range(64)))
+    out = _resize_real(PIL_Image, payload, 4, 4)
+    assert out is not None
+    with PIL_Image.open(__import__("io").BytesIO(out)) as im:
+        assert im.size == (4, 4)

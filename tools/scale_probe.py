@@ -172,7 +172,7 @@ def main() -> None:
             f.write("\n".join(lines))
         print(f"wrote SCALING.md ({len(rows)} queries)")
     finally:
-        shutil.rmtree(out_dir, ignore_errors=True)
+        # run_probe cleans up its own temp dir
         spark.stop()
 
 
