@@ -1,10 +1,12 @@
 """merge_upsert (operators/merge.py): fallback-path semantics — replace vs
-insert-only, in-batch duplicate resolution, crash-remnant recovery."""
+insert-only, in-batch duplicate resolution, crash-remnant recovery — plus
+an optional delta-spark leg for the true MERGE branch."""
 
 from __future__ import annotations
 
 import os
 
+import pytest
 from pyspark.sql import functions as F
 
 from yelpdatawarehouse_spark.operators.merge import merge_upsert
@@ -61,3 +63,49 @@ def test_merge_key_only_updates(spark, tmp_path):
     merge_upsert(spark, d, upd, keys=["k"])
     assert {r.k for r in spark.read.parquet(d).collect()} == {1, 2, 3}
     assert spark.read.parquet(d).count() == 3  # no duplicate keys inserted
+
+
+# ---------------------------------------------------------------------------
+# optional delta-spark leg (VERDICT r4 #7): executes only where delta-spark
+# is importable (this container skips — installs are disallowed), giving the
+# true DeltaTable.merge branch executed coverage alongside the parquet
+# fallback exercised above.
+
+
+def test_merge_delta_branch(tmp_path):
+    pytest.importorskip("delta")
+    from delta import configure_spark_with_delta_pip
+    from pyspark.sql import SparkSession
+
+    builder = (
+        SparkSession.builder.master("local[2]")
+        .appName("ydw-merge-delta-leg")
+        .config("spark.sql.extensions", "io.delta.sql.DeltaSparkSessionExtension")
+        .config(
+            "spark.sql.catalog.spark_catalog",
+            "org.apache.spark.sql.delta.catalog.DeltaCatalog",
+        )
+    )
+    s = configure_spark_with_delta_pip(builder).getOrCreate()
+    try:
+        d = str(tmp_path / "t")
+        s.createDataFrame([(1, 10, "a"), (2, 20, "b")], ["k", "v", "tag"]).write.format(
+            "delta"
+        ).save(d)
+        upd = s.createDataFrame([(2, 99, "B"), (3, 30, "c")], ["k", "v", "tag"])
+        merge_upsert(s, d, upd, keys=["k"])
+        from delta.tables import DeltaTable
+
+        assert DeltaTable.isDeltaTable(s, d)  # merged IN PLACE, no swap
+        got = {r.k: (r.v, r.tag) for r in s.read.format("delta").load(d).collect()}
+        assert got == {1: (10, "a"), 2: (99, "B"), 3: (30, "c")}
+
+        # insert-only leaves matched rows untouched
+        merge_upsert(
+            s, d, s.createDataFrame([(3, 0, "X"), (4, 40, "d")], ["k", "v", "tag"]),
+            keys=["k"], insert_only=True,
+        )
+        got = {r.k: (r.v, r.tag) for r in s.read.format("delta").load(d).collect()}
+        assert got[3] == (30, "c") and got[4] == (40, "d")
+    finally:
+        s.stop()
