@@ -78,8 +78,11 @@ _SHAPES = {
     # panel-bounded eval: truth window + small hit/size rollups; the panel
     # and bucket sides ride broadcasts
     "ann_recall_eval": (5, 4, 1, 5),
-    # FastSS blocking: variant join + verified-pair distinct + rollup
-    "dedup_fuzzy_name_pairs": (3, 1, 0, 2),
+    # FastSS blocking, basket-shaped: ONE variant-key exchange into member
+    # baskets (reused by both expansion branches), verified-pair distinct
+    # (reused by both union arms), rollup — no join, so no broadcast and
+    # no join-induced pushed filters
+    "dedup_fuzzy_name_pairs": (3, 0, 0, 0),
     # +1 each: spread() rebalance of the 1-row-group documents scan
     "text_bpe_pair_counts": (2, 0, 0, 0),
     "dedup_span_first_occurrence": (3, 0, 1, 0),

@@ -2927,47 +2927,49 @@ def dedup_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     survivors.
 
     The ORACLE is the brute-force O(n²) levenshtein join — the driver's
-    hash check therefore proves the blocking join is exactly equivalent
-    to all-pairs, which is the entire point of the method: at 100 TB the
+    hash check therefore proves the blocking is exactly equivalent to
+    all-pairs, which is the entire point of the method: at 100 TB the
     engine's cost is |names|·(len+1) exploded keys through ONE exchange
     (candidate groups bounded by neighborhood collisions), while all-pairs
     is impossible. Same scale argument as the MinHash/SimHash family, for
     the edit-distance metric. Reference analog: none (reference matches
     names only with LIKE); beyond-reference entity-resolution surface.
+
+    Candidates come from the j5/j6 basket shape rather than a self-join:
+    one exchange of the variant rows keyed by the 8-byte xxhash64 of the
+    deletion variant (a collision can only ADD a candidate, and every
+    candidate is levenshtein-verified, so the result is unchanged while
+    the shuffle carries fixed-width longs), per-key member baskets, then
+    in-task ordered-pair expansion with the hot-key salted branch —
+    replacing the join's second exchange + probe (measured 2.96s → 2.18s
+    at sf0.1 on top of round 4's 11.5s → ~3s verify-before-distinct win).
+    Verification stays BEFORE the distinct so the distinct's exchange
+    sees only verified (x, y) long pairs; the threshold levenshtein form
+    short-circuits the DP (returns -1 past the bound).
     """
+    from .relational import _basket_pair_rows
+
     c = table(spark, sf_dir, "customer").select("c_custkey", "c_name")
     variants = F.expr(
         "transform(sequence(0, length(c_name)), i -> "
         "IF(i = 0, c_name, "
         "concat(substr(c_name, 1, i - 1), substr(c_name, i + 1, length(c_name)))))"
     )
-    # Variants travel (and shuffle) as 8-byte xxhash64 keys, not strings —
-    # a hash collision can only ADD a candidate pair, and every candidate
-    # is levenshtein-verified below, so the result is unchanged while the
-    # blocking join's exchange carries fixed-width longs.
     keyed = c.select(
         "c_custkey", "c_name", F.explode(F.array_distinct(variants)).alias("v")
     ).select("c_custkey", "c_name", F.xxhash64("v").alias("h"))
-    a = keyed.alias("a")
-    b = keyed.select(
-        F.col("c_custkey").alias("b_key"),
-        F.col("c_name").alias("b_name"),
-        F.col("h").alias("h"),
-    ).alias("b")
-    # verify BEFORE deduplicating: levenshtein is a cheap per-candidate
-    # map-side predicate, and zero-run-heavy names share several variants
-    # per true pair, so filtering first shrinks the distinct's exchange to
-    # verified (x, y) long pairs only (measured 11.5s → ~2s at sf0.1)
+    baskets = keyed.groupBy("h").agg(
+        F.array_sort(F.collect_set(F.struct("c_custkey", "c_name"))).alias("members")
+    )
+    # struct sort is (c_custkey, c_name)-lexicographic and custkeys are
+    # unique, so pair order (i < j) ≡ the oracle's a.c_custkey < b.c_custkey
     pairs = (
-        a.join(b, "h")
-        .filter(
-            (F.col("a.c_custkey") < F.col("b_key"))
-            # threshold form short-circuits the DP to O(threshold·n) — 2×
-            # faster than unbounded levenshtein(...) <= 1, same predicate
-            # (returns -1 when the distance exceeds the threshold)
-            & (F.levenshtein(F.col("a.c_name"), F.col("b_name"), 1) >= 0)
+        _basket_pair_rows(
+            baskets, "members", "a", "b",
+            256, spark.sparkContext.defaultParallelism,
         )
-        .select(F.col("a.c_custkey").alias("x"), F.col("b_key").alias("y"))
+        .filter(F.levenshtein(F.col("p.a.c_name"), F.col("p.b.c_name"), 1) >= 0)
+        .select(F.col("p.a.c_custkey").alias("x"), F.col("p.b.c_custkey").alias("y"))
         .distinct()
     )
     both = pairs.select(F.col("x").alias("c_custkey")).unionAll(
