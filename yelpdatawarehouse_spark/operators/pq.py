@@ -1,0 +1,127 @@
+"""Product quantization (PQ) over an embedding column.
+
+The standard ANN memory-compression scheme (Jégou et al., "Product
+Quantization for Nearest Neighbor Search"): split each d-dim vector into
+``m`` contiguous subspaces, train an independent k-means codebook per
+subspace, and represent every vector by its m nearest-centroid codes —
+d·4 bytes shrink to m·log2(k) bits, and asymmetric distance computation
+against the codebooks approximates full-precision search. Extends the
+repo's quantization family (emb_quantize_int8_stats is the scalar
+variant; operators/kmeans.py supplies the trainer).
+
+Scale shape: training runs the documented kmeans regime per subspace
+(broadcast K×(d/m) literal centroids, one (cluster, dim)-keyed exchange
+per iteration, K·(d/m) means to the driver); encoding is a stateless
+codegen argmin over the m broadcast codebooks — no join, no shuffle, the
+same shape as emb_kmeans_assign_stats. Reconstruction error needs no
+decode join: per-vector squared error is exactly the sum of the m
+subspace argmin distances, so quality stats fall out of the encode
+expressions themselves.
+
+Determinism mirrors the kmeans operator: subspace codebooks seed from the
+first k vectors by id, distance ties break toward the lower code, so the
+same corpus always produces the same codes.
+
+Reference analog: none; beyond-reference embedding-pipeline surface.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .kmeans import KMeansModel, argmin_centroid, kmeans_train
+
+
+@dataclass
+class PQModel:
+    m: int
+    dim: int
+    # codebooks[j]: cluster id -> centroid of subspace j (length dim // m)
+    codebooks: list[dict[int, list[float]]]
+
+    @property
+    def sub_dim(self) -> int:
+        return self.dim // self.m
+
+    def _sub_expr(self, emb_col: str, j: int) -> str:
+        # 1-based slice start; argmin_centroid casts to ARRAY<DOUBLE>
+        return f"slice({emb_col}, {j * self.sub_dim + 1}, {self.sub_dim})"
+
+    def _bests(self, emb_col: str) -> list[Column]:
+        return [
+            argmin_centroid(self._sub_expr(emb_col, j), self.codebooks[j])
+            for j in range(self.m)
+        ]
+
+    def encode(self, emb: DataFrame, emb_col: str = "embedding",
+               id_col: str = "vec_id") -> DataFrame:
+        """(id, codes array<int>, sq_err double): each vector's m codebook
+        codes plus its exact reconstruction error ‖x − x̂‖² (the sum of the
+        m subspace argmin distances — no decode join needed)."""
+        if not all(self.codebooks):
+            # untrained/empty-corpus model: the well-defined degenerate
+            # result is the empty code table (same contract as the kmeans
+            # assign queries' empty guard)
+            return emb.sparkSession.createDataFrame(
+                [], f"{id_col} LONG, codes ARRAY<INT>, sq_err DOUBLE"
+            )
+        bests = self._bests(emb_col)
+        codes = F.array(*[b["cid"].cast("int") for b in bests])
+        err_col = bests[0]["d2"]
+        for b in bests[1:]:
+            err_col = err_col + b["d2"]
+        return emb.select(
+            F.col(id_col),
+            codes.alias("codes"),
+            F.greatest(err_col, F.lit(0.0)).alias("sq_err"),
+        )
+
+
+def train_pq(
+    emb: DataFrame,
+    m: int = 4,
+    k: int = 16,
+    max_iters: int = 3,
+    tol: float = 0.0,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> PQModel:
+    """Train one k-means codebook per subspace. The embedding dimension
+    must divide evenly by ``m`` (PQ's standard constraint). Empty input
+    yields empty codebooks (encode of the empty frame is empty)."""
+    first = emb.select(F.size(F.col(emb_col)).alias("d")).limit(1).collect()
+    if not first:
+        return PQModel(m=m, dim=0, codebooks=[{} for _ in range(m)])
+    dim = int(first[0]["d"])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+    books: list[dict[int, list[float]]] = []
+    for j in range(m):
+        sliced = emb.select(
+            F.col(id_col),
+            F.slice(F.col(emb_col), j * sub + 1, sub).alias("sub"),
+        )
+        model: KMeansModel = kmeans_train(
+            sliced, k=k, max_iters=max_iters, tol=tol,
+            emb_col="sub", id_col=id_col,
+        )
+        books.append(model.centroids)
+    return PQModel(m=m, dim=dim, codebooks=books)
+
+
+def pq_quality_stats(emb: DataFrame, model: PQModel,
+                     emb_col: str = "embedding",
+                     id_col: str = "vec_id") -> DataFrame:
+    """Corpus-level quantizer quality: one row of (n_vectors, mse,
+    max_sq_err) — a single mergeable aggregate over the encode
+    expressions, nothing corpus-sized shuffles."""
+    enc = model.encode(emb, emb_col=emb_col, id_col=id_col)
+    return enc.agg(
+        F.count("*").cast("long").alias("n_vectors"),
+        F.avg("sq_err").alias("mse"),
+        F.max("sq_err").alias("max_sq_err"),
+    )
