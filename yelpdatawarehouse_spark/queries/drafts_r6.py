@@ -1,0 +1,274 @@
+"""Round-6 registration drafts: query + oracle pairs over the new
+operators, hash-verified by tests/test_drafts_r6.py TODAY but deliberately
+NOT imported by queries/__init__ — registering them now would displace the
+round-5 driver window's stale re-verifications (VERDICT r4 #3). Round 6
+moves each pair into its home module with @register unchanged.
+
+Every function follows the registry contract (column aliases identical on
+both sides, ints cast long/BIGINT, floats through rfix)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.presentation import rfix, rfix_sql
+from ..sources.tables import spread, table
+
+_TOKS = "string_split_regex(text, '\\s+')"
+
+
+# ---------------------------------------------------------------------------
+# operators/lm.py → per-source bigram LM quality rollup
+
+BIGRAM_ALPHA = 0.5
+
+BIGRAM_QUALITY_ORACLE = f"""
+WITH toks AS (SELECT doc_id, source, {_TOKS} AS t FROM documents),
+tok AS (
+    SELECT doc_id, source, t[CAST(idx.i AS INT)] AS w, idx.i AS i
+    FROM toks, (SELECT unnest(range(1, 4097)) AS i) idx
+    WHERE idx.i <= len(t)
+),
+bg AS (
+    SELECT doc_id, source, t[CAST(idx.i AS INT)] AS w1,
+           t[CAST(idx.i AS INT) + 1] AS w2
+    FROM toks, (SELECT unnest(range(1, 4097)) AS i) idx
+    WHERE idx.i < len(t)
+),
+uni AS (SELECT w, count(*)::DOUBLE AS c FROM tok GROUP BY w),
+bic AS (SELECT w1, w2, count(*)::DOUBLE AS c FROM bg GROUP BY w1, w2),
+v AS (SELECT count(*)::DOUBLE AS v FROM uni),
+perdoc AS (
+    SELECT bg.doc_id, bg.source,
+           count(*) AS n_bigrams,
+           avg(ln((bic.c + {BIGRAM_ALPHA}) / (uni.c + {BIGRAM_ALPHA} * (SELECT v FROM v))))
+               AS lp
+    FROM bg
+    JOIN bic ON bic.w1 = bg.w1 AND bic.w2 = bg.w2
+    JOIN uni ON uni.w = bg.w1
+    GROUP BY bg.doc_id, bg.source
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs_scored,
+       CAST(sum(n_bigrams) AS BIGINT) AS n_bigrams,
+       {rfix_sql('avg(lp)', 4)} AS avg_doc_logprob
+FROM perdoc
+GROUP BY source
+"""
+
+
+def text_bigram_quality_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus-quality rollup of the add-k bigram LM
+    (operators/lm.score_bigram_addk): documents with at least one bigram,
+    their bigram mass, and the mean per-document average log-probability —
+    the source-ranking signal a curation pipeline thresholds on.
+
+    Scale shape: the operator's two count exchanges + the per-doc score
+    join, then a source-keyed rollup; the mean-of-means lands on rfix like
+    every float digest.
+    """
+    from ..operators.lm import score_bigram_addk
+
+    d = spread(table(spark, sf_dir, "documents"))
+    scored = score_bigram_addk(d, alpha=BIGRAM_ALPHA)
+    return (
+        scored.filter(F.col("n_bigrams") > 0)
+        .join(d.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs_scored"),
+            F.sum("n_bigrams").cast("long").alias("n_bigrams"),
+            rfix(F.avg("avg_logprob"), 4).alias("avg_doc_logprob"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# operators/setsketch.py → pairwise event-type audience overlap
+
+THETA_OVERLAP_ORACLE = """
+WITH s AS (SELECT DISTINCT event_type, user_id FROM events),
+cnt AS (SELECT event_type, count(*)::BIGINT AS n FROM s GROUP BY event_type)
+SELECT a.event_type AS type_a, b.event_type AS type_b,
+       CAST((SELECT count(*) FROM s x JOIN s y
+             ON y.user_id = x.user_id
+            AND x.event_type = a.event_type AND y.event_type = b.event_type)
+           AS BIGINT) AS n_intersect,
+       CAST(a.n + b.n - (SELECT count(*) FROM s x JOIN s y
+             ON y.user_id = x.user_id
+            AND x.event_type = a.event_type AND y.event_type = b.event_type)
+           AS BIGINT) AS n_union
+FROM cnt a JOIN cnt b ON a.event_type < b.event_type
+"""
+
+
+def a_theta_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise audience overlap between event types computed ENTIRELY from
+    theta sketches (operators/setsketch): |A∩B| and |A∪B| per type pair.
+    Below sketch capacity (lg_k=16 ≥ distinct users at harness SFs) theta
+    retains every hash, so the sketch answer EQUALS exact set math and the
+    hash gate applies directly; at 100 TB the same plan degrades to
+    bounded-error estimates — swap the gate for the envelope contract
+    (module docstring) when the corpus crosses capacity.
+
+    Scale shape: one distinct + one sketch exchange collapse users to
+    KB-sized sketches per type; the pair algebra runs over |types|² sketch
+    rows, never user ids.
+    """
+    from ..operators.setsketch import pairwise_set_algebra, theta_group_sketches
+
+    ev = table(spark, sf_dir, "events").select(
+        "event_type", F.col("user_id").cast("string").alias("uid")
+    ).distinct()
+    sk = theta_group_sketches(ev, ["event_type"], "uid", lg_k=16)
+    return pairwise_set_algebra(sk, "event_type").select(
+        F.col("key_a").alias("type_a"),
+        F.col("key_b").alias("type_b"),
+        F.col("n_intersect"),
+        F.col("n_union"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# streaming/lateness.py → per-producer watermark planning profile
+
+LATENESS_WATERMARK_S = 3600.0
+
+LATENESS_ORACLE = f"""
+WITH l AS (
+    SELECT coalesce(
+        (epoch_us(max(ts) OVER (PARTITION BY user_id ORDER BY event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+         - epoch_us(ts)) / 1000000.0, 0.0) AS lateness_s
+    FROM events
+)
+SELECT CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CASE WHEN lateness_s <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_on_time,
+       CAST(sum(CASE WHEN lateness_s > 0 AND lateness_s <= {LATENESS_WATERMARK_S}
+                 THEN 1 ELSE 0 END) AS BIGINT) AS n_late_kept,
+       CAST(sum(CASE WHEN lateness_s > {LATENESS_WATERMARK_S} THEN 1 ELSE 0 END)
+           AS BIGINT) AS n_dropped,
+       {rfix_sql('max(lateness_s)', 3)} AS max_lateness_s
+FROM l
+"""
+
+
+def t10_lateness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark planning profile of the events log under per-producer
+    (user_id) arrival ordering — the streaming/lateness operator's keyed
+    mode, one row: how many events a 1-hour watermark would keep vs drop.
+    Scale shape: one user-keyed window exchange + a single mergeable
+    rollup (see streaming/lateness.py).
+    """
+    from ..streaming.lateness import lateness_profile
+
+    ev = table(spark, sf_dir, "events")
+    prof = lateness_profile(
+        ev, watermark_s=LATENESS_WATERMARK_S, partition_col="user_id"
+    )
+    return prof.select(
+        "n_events",
+        "n_on_time",
+        "n_late_kept",
+        "n_dropped",
+        rfix(F.col("max_lateness_s"), 3).alias("max_lateness_s"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# operators/pq.py → seed-codebook PQ encode stats (exactly SQL-expressible)
+
+_PQ_M, _PQ_K = 4, 8
+
+PQ_SEED_ORACLE = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+dims AS (SELECT 64 AS d, 64 // {_PQ_M} AS sub),
+seeds AS (
+    SELECT vec_id AS cid, j,
+           (SELECT list(v[i]) FROM
+             (SELECT unnest(range(j * (SELECT sub FROM dims) + 1,
+                                  (j + 1) * (SELECT sub FROM dims) + 1)) AS i)) AS c
+    FROM e, (SELECT unnest(range(0, {_PQ_M})) AS j)
+    WHERE vec_id < {_PQ_K}
+),
+slices AS (
+    SELECT e.vec_id, j,
+           (SELECT list(v[i]) FROM
+             (SELECT unnest(range(j * (SELECT sub FROM dims) + 1,
+                                  (j + 1) * (SELECT sub FROM dims) + 1)) AS i)) AS s
+    FROM e, (SELECT unnest(range(0, {_PQ_M})) AS j)
+),
+d2 AS (
+    SELECT sl.vec_id, sl.j, sd.cid,
+           list_inner_product(sl.s, sl.s) + list_inner_product(sd.c, sd.c)
+           - 2 * list_inner_product(sl.s, sd.c) AS d2
+    FROM slices sl JOIN seeds sd ON sd.j = sl.j
+),
+best AS (
+    SELECT vec_id, j, cid, greatest(d2, 0) AS d2,
+           row_number() OVER (PARTITION BY vec_id, j ORDER BY d2, cid) AS rn
+    FROM d2
+)
+SELECT CAST(j AS BIGINT) AS subspace,
+       CAST(cid AS BIGINT) AS code,
+       CAST(count(*) AS BIGINT) AS n_members,
+       {rfix_sql('sum(d2)', 2)} AS sq_err_total
+FROM best WHERE rn = 1
+GROUP BY j, cid
+"""
+
+
+def emb_pq_seed_codebook_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization encode under the FULL hash gate: codebooks are
+    the untrained seeds (first K vectors' subspace slices — max_iters=0,
+    which is exactly SQL-expressible; the Lloyd-trained variant composes
+    the kmeans unrolled-oracle trick per subspace, kept for a later
+    round), every vector encoded, per-(subspace, code) membership and
+    total squared reconstruction error reported.
+
+    Scale shape: seed collect is K rows (the legitimate bounded kind);
+    encoding is a stateless codegen argmin over m·K literal expressions;
+    ONE m·K-keyed rollup exchange. Mirrors emb_kmeans_assign_stats per
+    subspace.
+    """
+    from ..operators.pq import train_pq
+
+    e = table(spark, sf_dir, "embeddings")
+    model = train_pq(e, m=_PQ_M, k=_PQ_K, max_iters=0)
+    if not all(model.codebooks):
+        return spark.createDataFrame(
+            [], "subspace LONG, code LONG, n_members LONG, sq_err_total DOUBLE"
+        )
+    bests = model._bests("embedding")
+    rows = e.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).cast("long").alias("subspace"),
+                        b["cid"].cast("long").alias("code"),
+                        F.greatest(b["d2"], F.lit(0.0)).alias("d2"),
+                    )
+                    for j, b in enumerate(bests)
+                ]
+            )
+        ).alias("x")
+    )
+    return rows.groupBy(
+        F.col("x.subspace").alias("subspace"), F.col("x.code").alias("code")
+    ).agg(
+        F.count("*").cast("long").alias("n_members"),
+        rfix(F.sum("x.d2"), 2).alias("sq_err_total"),
+    )
+
+
+DRAFTS = {
+    "text_bigram_quality_by_source": (
+        text_bigram_quality_by_source,
+        BIGRAM_QUALITY_ORACLE,
+    ),
+    "a_theta_audience_overlap": (a_theta_audience_overlap, THETA_OVERLAP_ORACLE),
+    "t10_lateness_profile": (t10_lateness_profile, LATENESS_ORACLE),
+    "emb_pq_seed_codebook_stats": (emb_pq_seed_codebook_stats, PQ_SEED_ORACLE),
+}
