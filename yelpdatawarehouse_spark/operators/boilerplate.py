@@ -16,9 +16,10 @@ the corpus, the same bound the C4 pipeline relies on) broadcasts back as a
 left-anti join on the line key, and documents reassemble with one groupBy
 on doc_id. Normalization (trim + casefold) happens before hashing so
 cosmetic whitespace/case variants of a banner still collapse; the line key
-travels as xxhash64 — a collision can only over-remove a (vanishingly rare)
-innocent line, never corrupt output text, matching the recall-over-
-precision contract of every production boilerplate pass.
+travels as the repo's portable md5-derived 60-bit hash
+(functions/hashing.md5_long — the module-wide rule that keeps every
+operator's arithmetic reproducible in the DuckDB oracle, md5_long_sql),
+so the frequency table is engine-verifiable bit-for-bit.
 
 Reference analog: none (the reference never processes document text beyond
 LIKE filters, webapp/mysql_routes.py:619-626); beyond-reference
@@ -31,15 +32,17 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions import hashing
+
 
 def _lines(docs: DataFrame, text_col: str, delim: str) -> DataFrame:
     """(doc_id, pos, line, key): positioned split of each document with the
-    normalized xxhash64 line key. Position is kept so documents reassemble
+    normalized portable line key. Position is kept so documents reassemble
     in original order after filtering."""
     return docs.select(
         "doc_id",
         F.posexplode(F.split(F.col(text_col), delim)).alias("pos", "line"),
-    ).withColumn("key", F.xxhash64(F.lower(F.trim(F.col("line")))))
+    ).withColumn("key", hashing.md5_long(F.lower(F.trim(F.col("line")))))
 
 
 def line_frequencies(

@@ -263,7 +263,151 @@ def emb_pq_seed_codebook_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# operators/containment.py → superset-duplicate pairs over documents
+
+
+def _containment_oracle() -> str:
+    from ..functions.hashing import md5_long_sql
+    from ..functions.text import shingles_sql
+
+    return f"""
+    WITH fp AS (
+        SELECT DISTINCT doc_id, {md5_long_sql('sh')} AS fp
+        FROM (SELECT doc_id, unnest({shingles_sql(_TOKS, 4)}) AS sh
+              FROM documents)
+    ),
+    sizes AS (SELECT doc_id, count(*)::BIGINT AS n FROM fp GROUP BY doc_id),
+    shared AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS shared
+        FROM fp a JOIN fp b ON b.fp = a.fp AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT CAST(doc_a AS BIGINT) AS doc_a, CAST(doc_b AS BIGINT) AS doc_b,
+           CAST(shared AS BIGINT) AS shared,
+           CAST(sa.n AS BIGINT) AS n_a, CAST(sb.n AS BIGINT) AS n_b,
+           {rfix_sql('shared::DOUBLE / least(sa.n, sb.n)', 4)} AS containment
+    FROM shared
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE shared::DOUBLE / least(sa.n, sb.n) >= 0.8
+    """
+
+
+def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Superset-duplicate detection over the documents table
+    (operators/containment): pairs whose smaller-side containment
+    |A∩B| / min(|A|, |B|) reaches 0.8 — the doc-plus-header duplication
+    shape symmetric Jaccard under-scores. Shingle hashing is the repo's
+    portable md5 family, so the oracle reproduces the fingerprints
+    bit-for-bit and the threshold ratio is exact integer division on both
+    engines (rounded only at the presentation edge).
+    """
+    from ..operators.containment import containment_pairs
+
+    d = spread(table(spark, sf_dir, "documents"))
+    out = containment_pairs(d, k=4, threshold=0.8)
+    return out.select(
+        F.col("doc_a").cast("long").alias("doc_a"),
+        F.col("doc_b").cast("long").alias("doc_b"),
+        F.col("shared").cast("long").alias("shared"),
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        rfix(F.col("containment"), 4).alias("containment"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# operators/boilerplate.py → chunk-level boilerplate profile per source
+
+_BP_CHUNK = 8  # tokens per synthetic "line"
+_BP_MIN_DOCS = 2
+
+BOILERPLATE_ORACLE = f"""
+WITH toks AS (SELECT doc_id, source, {_TOKS} AS t FROM documents),
+chunks AS (
+    SELECT doc_id, source,
+           lower(trim(array_to_string(
+               t[CAST(idx.i * {_BP_CHUNK} + 1 AS INT)
+                 : CAST((idx.i + 1) * {_BP_CHUNK} AS INT)], ' '))) AS line
+    FROM toks,
+         (SELECT unnest(range(0, 1025)) AS i) idx
+    WHERE idx.i * {_BP_CHUNK} < len(t)
+),
+df AS (
+    SELECT line, count(DISTINCT doc_id) AS n_docs
+    FROM chunks GROUP BY line
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_chunks,
+       CAST(sum(CASE WHEN df.n_docs >= {_BP_MIN_DOCS} THEN 1 ELSE 0 END)
+           AS BIGINT) AS n_boilerplate_chunks,
+       {rfix_sql(f'sum(CASE WHEN df.n_docs >= {_BP_MIN_DOCS} THEN 1 ELSE 0 END)::DOUBLE / count(*)', 4)}
+           AS boilerplate_fraction
+FROM chunks JOIN df USING (line)
+GROUP BY source
+"""
+
+
+def text_boilerplate_chunk_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate profile of the corpus at chunk granularity
+    (operators/boilerplate applied through a synthetic line structure —
+    the harness documents are single-line, so each {_BP_CHUNK}-token
+    non-overlapping chunk stands in for a line): per source, how many
+    chunk instances exist and what fraction occurs in ≥{_BP_MIN_DOCS}
+    distinct documents (the strip threshold). Exercises the operator's
+    normalize→count→classify path end-to-end; the rebuild path is pinned
+    by tests/test_boilerplate.py.
+
+    Scale shape: chunking is row-local array math; the frequency table is
+    one map-side-combinable exchange on the portable line hash; the
+    classify join is the operator's frequent-set join.
+    """
+    from ..operators.boilerplate import line_frequencies
+
+    d = spread(table(spark, sf_dir, "documents"))
+    toks = F.split(F.col("text"), r"\s+")
+    n_chunks = F.ceil(F.size(toks) / F.lit(_BP_CHUNK)).cast("int")
+    chunked = d.select(
+        "doc_id",
+        "source",
+        F.array_join(
+            F.transform(
+                F.sequence(F.lit(0), n_chunks - 1),
+                lambda i: F.array_join(
+                    F.slice(toks, i * _BP_CHUNK + 1, _BP_CHUNK), " "
+                ),
+            ),
+            "\n",
+        ).alias("text"),
+    )
+    freq = line_frequencies(chunked.select("doc_id", "text"))
+    from ..functions import hashing
+
+    lines = chunked.select(
+        "doc_id",
+        "source",
+        F.explode(F.split(F.col("text"), "\n")).alias("line"),
+    ).withColumn("key", hashing.md5_long(F.lower(F.trim(F.col("line")))))
+    joined = lines.join(
+        F.broadcast(freq.select("key", "n_docs")), "key"
+    )
+    is_bp = (F.col("n_docs") >= _BP_MIN_DOCS).cast("int")
+    return joined.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_chunks"),
+        F.sum(is_bp).cast("long").alias("n_boilerplate_chunks"),
+        rfix(F.sum(is_bp).cast("double") / F.count("*"), 4).alias(
+            "boilerplate_fraction"
+        ),
+    )
+
+
 DRAFTS = {
+    "dedup_containment_pairs": (dedup_containment_pairs, _containment_oracle()),
+    "text_boilerplate_chunk_stats": (
+        text_boilerplate_chunk_stats,
+        BOILERPLATE_ORACLE,
+    ),
     "text_bigram_quality_by_source": (
         text_bigram_quality_by_source,
         BIGRAM_QUALITY_ORACLE,
