@@ -402,7 +402,75 @@ def text_boilerplate_chunk_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# operators/quantiles.py → KLL rollup under the exact+envelope gate
+
+KLL_ROLLUP_ORACLE = f"""
+SELECT CAST(n.n_regionkey AS BIGINT) AS n_regionkey,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       {rfix_sql('quantile_cont(o_totalprice, 0.5)', 4)} AS exact_median,
+       TRUE AS kll_rank_in_envelope
+FROM orders o
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+GROUP BY n.n_regionkey
+"""
+
+
+def a_kll_price_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Region-level order-price medians where the APPROX path is the KLL
+    merge-rollup (operators/quantiles: nation sketches → region merge,
+    never rescanning raw data) and the gate follows the module's
+    approximation contract (sketches.py): hash the EXACT median plus a
+    boolean that the merged KLL estimate's exact rank lies within ±5% of
+    0.5 (3x the k=200 bound — KLL compaction is randomized, so the
+    boolean, not the estimate, is the stable surface).
+    """
+    from ..operators.quantiles import group_sketches, merge_rollup
+
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nationkey"), "n_regionkey"
+    )
+    base = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), "c_nationkey")
+        .select("c_nationkey", "n_regionkey", "o_totalprice")
+    )
+    leaves = group_sketches(base, ["c_nationkey", "n_regionkey"], "o_totalprice")
+    rolled = merge_rollup(leaves, ["n_regionkey"], [0.5]).select(
+        "n_regionkey", F.col("q_0_5").alias("est")
+    )
+    exact = base.groupBy("n_regionkey").agg(
+        F.count("*").cast("long").alias("n_orders"),
+        rfix(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("exact_median"),
+    )
+    ranks = (
+        base.join(F.broadcast(rolled), "n_regionkey")
+        .groupBy("n_regionkey")
+        .agg(
+            (
+                F.sum((F.col("o_totalprice") <= F.col("est")).cast("int"))
+                / F.count("*")
+            ).alias("est_rank")
+        )
+    )
+    return (
+        exact.join(ranks, "n_regionkey")
+        .select(
+            F.col("n_regionkey").cast("long").alias("n_regionkey"),
+            "n_orders",
+            "exact_median",
+            (F.abs(F.col("est_rank") - 0.5) <= 0.05).alias(
+                "kll_rank_in_envelope"
+            ),
+        )
+    )
+
+
 DRAFTS = {
+    "a_kll_price_rollup": (a_kll_price_rollup, KLL_ROLLUP_ORACLE),
     "dedup_containment_pairs": (dedup_containment_pairs, _containment_oracle()),
     "text_boilerplate_chunk_stats": (
         text_boilerplate_chunk_stats,
