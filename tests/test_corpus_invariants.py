@@ -246,3 +246,28 @@ def test_keep_canonical_conserves_clusters_and_picks_longest(spark):
         assert k.dropped_cnt == len(members) - 1
         best = sorted(members, key=lambda d: (-chars[d], d))[0]
         assert k.kept_doc_id == best and k.kept_n_chars == chars[best]
+
+
+def test_oracle_index_bounds_hold_on_every_sf(spark):
+    """Several oracles index token/byte/dim positions through a bounded
+    range(1, N+1) unnest (kmeans/PQ dims 4096, BPE/bigram tokens 4096,
+    mm byte sums 4096, boilerplate chunks 1024) while the Spark side is
+    unbounded. Those bounds are corpus CONTRACTS: if a future generator
+    exceeds them the oracles silently drop tails and hash-mismatch far
+    from the cause — this guard fails loudly at the data instead (r5
+    review finding)."""
+    import duckdb
+
+    con = duckdb.connect()
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        ntoks, nlen = con.execute(
+            f"""SELECT max(len(string_split_regex(text, '\\s+'))),
+                       max(octet_length(encode(text)))
+                FROM '/root/testdata/{sf}/documents.parquet'"""
+        ).fetchone()
+        assert ntoks <= 4096, (sf, ntoks)
+        assert nlen <= 4096, (sf, nlen)
+        dim = con.execute(
+            f"SELECT max(len(embedding)) FROM '/root/testdata/{sf}/embeddings.parquet'"
+        ).fetchone()[0]
+        assert dim <= 4096, (sf, dim)

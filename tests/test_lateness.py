@@ -34,13 +34,10 @@ def _py_lateness(rows):
     frontier = None
     out = {}
     for eid, ts, _u in sorted(rows, key=lambda r: r[0]):
-        late = 0.0 if frontier is None else max(
-            0.0, (frontier - ts).total_seconds()
-        )
-        # model: lateness can be negative when the event advances the
-        # frontier; clamp only the None case like the operator's coalesce
-        if frontier is not None:
-            late = (frontier - ts).total_seconds()
+        # lateness is NEGATIVE when the event advances the frontier; only
+        # the first arrival (no frontier yet) coalesces to 0.0, mirroring
+        # the operator
+        late = 0.0 if frontier is None else (frontier - ts).total_seconds()
         out[eid] = late
         frontier = ts if frontier is None else max(frontier, ts)
     return out

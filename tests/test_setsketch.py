@@ -26,7 +26,7 @@ def _planted(spark):
 def test_pairwise_algebra_exact_below_capacity(spark):
     sk = theta_group_sketches(_planted(spark), ["src"], "uid", lg_k=12)
     got = {
-        (r.key_a, r.key_b): r for r in pairwise_set_algebra(sk, "src").collect()
+        (r.key_a, r.key_b): r for r in pairwise_set_algebra(sk, "src", lg_k=12).collect()
     }
     ab = got[("A", "B")]
     assert (ab.n_union, ab.n_intersect, ab.n_a_only, ab.n_b_only) == (
@@ -68,3 +68,17 @@ def test_empty_input(spark):
     sk = theta_group_sketches(empty, ["src"], "uid")
     assert sk.count() == 0
     assert pairwise_set_algebra(sk, "src").count() == 0
+
+
+def test_union_gadget_capacity_follows_lg_k(spark):
+    """Regression (r5 review): theta_union/theta_union_agg have their OWN
+    nominal capacity (kernel default 2^12) — with lg_k=16 sketches whose
+    union exceeds 4096, exactness must survive because lg_k is passed
+    through to the union gadget too."""
+    rows = [("A", i) for i in range(6000)] + [("B", i) for i in range(3000, 9000)]
+    df = spark.createDataFrame(rows, "src string, uid long")
+    sk = theta_group_sketches(df, ["src"], "uid", lg_k=16)
+    pair = pairwise_set_algebra(sk, "src", lg_k=16).collect()[0]
+    assert (pair.n_union, pair.n_intersect) == (9000, 3000)
+    rolled = merged_distinct(sk.withColumn("all", F.lit(1)), ["all"], lg_k=16)
+    assert rolled.collect()[0].n_distinct == 9000

@@ -14,9 +14,14 @@ shingles, per-pair shared counts from the bucket join (never a cross
 join — only documents sharing a fingerprint ever meet), set sizes joined
 back, one filter. A pathologically common shingle creates a hot
 fingerprint key; the ``max_df`` guard drops fingerprints appearing in more
-than that many documents first — the standard stop-shingle cut, which can
-only LOSE candidate pairs whose every shared shingle is corpus-common
-(boilerplate by definition, the pairs this operator exists to ignore).
+than that many documents BEFORE the pair join — the standard stop-shingle
+cut. Note its exact effect: dropped shingles leave the per-document set
+sizes (the containment denominator) untouched but shrink the SHARED
+count, so every pair whose overlap includes common shingles scores lower
+and can fall under the threshold even when part of its overlap is rare —
+a deliberate recall-for-throughput trade (boilerplate-dominated overlap
+is exactly what it discounts). Run with ``max_df=None`` when the
+brute-force-equivalent result is required (the oracle-gated mode).
 
 Reference analog: none; beyond-reference LLM-curation surface, companion
 to dedup_ngram_jaccard_pairs (symmetric) and operators/boilerplate.py

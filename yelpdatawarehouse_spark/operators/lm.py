@@ -27,20 +27,19 @@ from pyspark.sql import functions as F
 from ..functions import text as T
 
 
-def _TOKS_SQL(text_col: str) -> str:
-    """SQL rendering of T.tokens (same \\s+ split)."""
-    return f"split({text_col}, '\\\\s+')"
-
-
 def _doc_bigrams(docs: DataFrame, text_col: str) -> DataFrame:
     """(doc_id, w1, w2) rows: each document's adjacent token pairs, derived
-    row-locally (transform over the token array against its own tail —
-    no positional self-join)."""
-    pairs = F.expr(
-        # (tokens[i], tokens[i+1]) for i in 0..n-2, as structs
-        f"transform(slice({_TOKS_SQL(text_col)}, 1, "
-        f"greatest(size({_TOKS_SQL(text_col)}) - 1, 0)), "
-        f"(x, i) -> struct(x AS w1, element_at({_TOKS_SQL(text_col)}, i + 2) AS w2))"
+    row-locally by zipping the token array with its own tail — no
+    positional self-join, and the (expensive) split regex is evaluated a
+    CONSTANT number of times per row. Same no-CSE-inside-HOF rationale as
+    functions/text.shingles: element_at(tokens, i) inside a transform
+    lambda re-runs the split per element (measured 4x there)."""
+    toks = T.tokens(text_col)
+    m = F.greatest(F.size(toks) - 1, F.lit(0))
+    pairs = F.zip_with(
+        F.slice(toks, 1, m),
+        F.slice(toks, 2, m),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
     )
     return docs.select("doc_id", F.explode(pairs).alias("p")).select(
         "doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")

@@ -45,12 +45,18 @@ def theta_group_sketches(
 
 
 def merged_distinct(
-    sketches: DataFrame, rollup_keys: list[str]
+    sketches: DataFrame, rollup_keys: list[str], lg_k: int = 12
 ) -> DataFrame:
-    """Union-merge sketches up a hierarchy: (rollup_keys..., n_distinct)."""
+    """Union-merge sketches up a hierarchy: (rollup_keys..., n_distinct).
+
+    ``lg_k`` MUST match the value the sketches were built with: the union
+    gadget has its own nominal capacity (kernel default 2^12), so leaving
+    it lower than the inputs' silently re-introduces sampling — and breaks
+    the exact-below-capacity contract — even when every input sketch is
+    still exact."""
     return (
         sketches.groupBy(*rollup_keys)
-        .agg(F.theta_union_agg("theta").alias("theta"))
+        .agg(F.theta_union_agg("theta", lg_k).alias("theta"))
         .select(
             *rollup_keys,
             F.theta_sketch_estimate("theta").cast("long").alias("n_distinct"),
@@ -58,10 +64,14 @@ def merged_distinct(
     )
 
 
-def pairwise_set_algebra(sketches: DataFrame, key_col: str) -> DataFrame:
+def pairwise_set_algebra(
+    sketches: DataFrame, key_col: str, lg_k: int = 12
+) -> DataFrame:
     """Full set algebra for every group pair (a < b), straight from the
     sketch table: |A∪B|, |A∩B|, |A\\B|, |B\\A| estimates plus the Jaccard
-    they imply. Exact whenever the inputs stayed below sketch capacity."""
+    they imply. Exact whenever the inputs stayed below sketch capacity —
+    provided ``lg_k`` matches the build-side value (see merged_distinct:
+    the pairwise union gadget also has its own capacity)."""
     a = sketches.select(
         F.col(key_col).alias("key_a"), F.col("theta").alias("ta")
     )
@@ -69,7 +79,7 @@ def pairwise_set_algebra(sketches: DataFrame, key_col: str) -> DataFrame:
         F.col(key_col).alias("key_b"), F.col("theta").alias("tb")
     )
     pairs = a.join(F.broadcast(b), F.col("key_a") < F.col("key_b"))
-    union = F.theta_sketch_estimate(F.theta_union("ta", "tb"))
+    union = F.theta_sketch_estimate(F.theta_union("ta", "tb", lg_k))
     inter = F.theta_sketch_estimate(F.theta_intersection("ta", "tb"))
     a_only = F.theta_sketch_estimate(F.theta_difference("ta", "tb"))
     b_only = F.theta_sketch_estimate(F.theta_difference("tb", "ta"))

@@ -122,7 +122,7 @@ def a_theta_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", F.col("user_id").cast("string").alias("uid")
     ).distinct()
     sk = theta_group_sketches(ev, ["event_type"], "uid", lg_k=16)
-    return pairwise_set_algebra(sk, "event_type").select(
+    return pairwise_set_algebra(sk, "event_type", lg_k=16).select(
         F.col("key_a").alias("type_a"),
         F.col("key_b").alias("type_b"),
         F.col("n_intersect"),
@@ -352,9 +352,9 @@ GROUP BY source
 def text_boilerplate_chunk_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Boilerplate profile of the corpus at chunk granularity
     (operators/boilerplate applied through a synthetic line structure —
-    the harness documents are single-line, so each {_BP_CHUNK}-token
+    the harness documents are single-line, so each 8-token (_BP_CHUNK)
     non-overlapping chunk stands in for a line): per source, how many
-    chunk instances exist and what fraction occurs in ≥{_BP_MIN_DOCS}
+    chunk instances exist and what fraction occurs in ≥2 (_BP_MIN_DOCS)
     distinct documents (the strip threshold). Exercises the operator's
     normalize→count→classify path end-to-end; the rebuild path is pinned
     by tests/test_boilerplate.py.
@@ -381,7 +381,14 @@ def text_boilerplate_chunk_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "\n",
         ).alias("text"),
     )
-    freq = line_frequencies(chunked.select("doc_id", "text"))
+    # broadcast ONLY the Zipf-bounded frequent-key set (the operator's own
+    # frequent-set join shape) — the full distinct-line frequency table is
+    # corpus-sized and must never ride a broadcast (r5 review finding)
+    frequent = (
+        line_frequencies(chunked.select("doc_id", "text"))
+        .filter(F.col("n_docs") >= _BP_MIN_DOCS)
+        .select("key", F.lit(1).alias("bp"))
+    )
     from ..functions import hashing
 
     lines = chunked.select(
@@ -389,10 +396,8 @@ def text_boilerplate_chunk_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         F.explode(F.split(F.col("text"), "\n")).alias("line"),
     ).withColumn("key", hashing.md5_long(F.lower(F.trim(F.col("line")))))
-    joined = lines.join(
-        F.broadcast(freq.select("key", "n_docs")), "key"
-    )
-    is_bp = (F.col("n_docs") >= _BP_MIN_DOCS).cast("int")
+    joined = lines.join(F.broadcast(frequent), "key", "left")
+    is_bp = F.col("bp").isNotNull().cast("int")
     return joined.groupBy("source").agg(
         F.count("*").cast("long").alias("n_chunks"),
         F.sum(is_bp).cast("long").alias("n_boilerplate_chunks"),

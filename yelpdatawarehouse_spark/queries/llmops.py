@@ -3517,7 +3517,7 @@ _BPE_MERGES = 2
     tags=("TEXT", "TOKENIZER", "UDF", "ITER"),
 )
 def text_bpe_subword_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multi-merge BPE encode under the FULL hash gate: train {_BPE_MERGES}
+    """Multi-merge BPE encode under the FULL hash gate: train two (=_BPE_MERGES)
     merge rules with the real iterative trainer (operators/bpe.train_bpe —
     round 2 trains on round 1's merged segmentation), encode the corpus
     with the greedy rank-ordered segmenter UDF, report per-source subword
