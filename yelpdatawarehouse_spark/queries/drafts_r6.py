@@ -474,8 +474,77 @@ def a_kll_price_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# operators/containment.py → keep-supersets ACTION rollup
+
+
+def _keep_supersets_oracle() -> str:
+    from ..functions.hashing import md5_long_sql
+    from ..functions.text import shingles_sql
+
+    return f"""
+    WITH fp AS (
+        SELECT DISTINCT doc_id, {md5_long_sql('sh')} AS fp
+        FROM (SELECT doc_id, unnest({shingles_sql(_TOKS, 4)}) AS sh
+              FROM documents)
+    ),
+    sizes AS (SELECT doc_id, count(*)::BIGINT AS n FROM fp GROUP BY doc_id),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS shared
+        FROM fp a JOIN fp b ON b.fp = a.fp AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    q AS (
+        SELECT doc_a, doc_b, sa.n AS n_a, sb.n AS n_b
+        FROM pairs
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE shared::DOUBLE / least(sa.n, sb.n) >= 0.999
+    ),
+    victims AS (
+        SELECT DISTINCT CASE WHEN n_a < n_b THEN doc_a
+                             WHEN n_b < n_a THEN doc_b
+                             ELSE greatest(doc_a, doc_b) END AS doc_id
+        FROM q
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN v.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_dropped
+    FROM documents d LEFT JOIN victims v ON v.doc_id = d.doc_id
+    GROUP BY source
+    """
+
+
+def dedup_keep_supersets_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The containment family's ACTION step rolled up per source: of each
+    near-exact containment pair (threshold 0.999 — exact copies and pure
+    supersets), the smaller document (ties to the higher doc_id, so the
+    earliest superset survives) is marked dropped; report per-source
+    corpus size and drop count. Companion policy to dedup_keep_canonical
+    (which acts on exact-duplicate clusters).
+    """
+    from ..operators.containment import containment_pairs, keep_supersets
+
+    d = spread(table(spark, sf_dir, "documents"))
+    dropped = keep_supersets(containment_pairs(d, k=4, threshold=0.999))
+    return (
+        d.select("doc_id", "source")
+        .join(dropped.withColumn("hit", F.lit(1)), "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(F.coalesce("hit", F.lit(0))).cast("long").alias("n_dropped"),
+        )
+    )
+
+
 DRAFTS = {
     "a_kll_price_rollup": (a_kll_price_rollup, KLL_ROLLUP_ORACLE),
+    "dedup_keep_supersets_stats": (
+        dedup_keep_supersets_stats,
+        _keep_supersets_oracle(),
+    ),
     "dedup_containment_pairs": (dedup_containment_pairs, _containment_oracle()),
     "text_boilerplate_chunk_stats": (
         text_boilerplate_chunk_stats,
