@@ -539,8 +539,149 @@ def dedup_keep_supersets_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# trailing-window DISTINCT (the aggregate RANGE frames cannot express)
+
+TRAILING_ACTIVE_ORACLE = """
+WITH spine AS (
+    SELECT unnest(generate_series(DATE '2024-01-01', DATE '2024-01-31',
+                                  INTERVAL 1 DAY))::DATE AS d
+)
+SELECT strftime(spine.d, '%Y-%m-%d') AS day,
+       CAST(count(DISTINCT e.user_id) AS BIGINT) AS active_users
+FROM spine
+LEFT JOIN events e ON e.ts::DATE BETWEEN spine.d - 6 AND spine.d
+GROUP BY spine.d
+"""
+
+
+def a_trailing_week_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day distinct active users per calendar day — the DAU/WAU
+    family's WAU curve. COUNT(DISTINCT) over a sliding frame is the one
+    aggregate window RANGE frames cannot express (w4's trailing-30-day SUM
+    is frame-able; distinct is not), so the plan is the spine fan-out:
+    each event lands in at most 7 spine days (bounded write amplification),
+    then one (day, user) distinct + per-day count — both map-side
+    combinable. The 31-row spine rides a broadcast; at 100 TB the same
+    shape holds with the sketch path (HLL per day, union of 7 sketches)
+    as the documented approximation when exact distinct is too hot.
+    """
+    ev = table(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("eday"), "user_id"
+    )
+    spine = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit("2024-01-01").cast("date"),
+                F.lit("2024-01-31").cast("date"),
+                F.expr("interval 1 day"),
+            )
+        ).alias("d")
+    )
+    joined = F.broadcast(spine).join(
+        ev,
+        (F.col("eday") >= F.date_sub(F.col("d"), 6))
+        & (F.col("eday") <= F.col("d")),
+        "left",
+    )
+    return (
+        joined.groupBy("d")
+        .agg(F.count_distinct("user_id").cast("long").alias("active_users"))
+        .select(F.date_format("d", "yyyy-MM-dd").alias("day"), "active_users")
+    )
+
+
+TRAILING_SKETCH_ORACLE = """
+WITH spine AS (
+    SELECT unnest(generate_series(DATE '2024-01-01', DATE '2024-01-31',
+                                  INTERVAL 1 DAY))::DATE AS d
+)
+SELECT strftime(spine.d, '%Y-%m-%d') AS day,
+       CAST(count(DISTINCT e.user_id) AS BIGINT) AS exact_active,
+       TRUE AS hll_within_5pct
+FROM spine
+LEFT JOIN events e ON e.ts::DATE BETWEEN spine.d - 6 AND spine.d
+GROUP BY spine.d
+"""
+
+
+def a_trailing_week_active_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sketch path a_trailing_week_active_users documents: each day's
+    user set is HLL-sketched ONCE (one scan, one day-keyed exchange), and
+    every trailing-7 window is answered by unioning seven day sketches —
+    overlapping windows share their days' work instead of rescanning
+    events per window, the re-aggregatability that makes sliding distinct
+    viable at 100 TB. Gate follows the sketches.py approximation
+    contract: exact count hashed, estimate folded into a ±5% envelope
+    boolean (lgK=12 ≈ 1.6% standard error).
+    """
+    ev = table(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("eday"), "user_id"
+    )
+    day_sk = ev.groupBy("eday").agg(
+        F.hll_sketch_agg(F.col("user_id").cast("string"), 12).alias("sk"),
+    )
+    spine = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit("2024-01-01").cast("date"),
+                F.lit("2024-01-31").cast("date"),
+                F.expr("interval 1 day"),
+            )
+        ).alias("d")
+    )
+    est = (
+        F.broadcast(spine)
+        .join(
+            day_sk,
+            (F.col("eday") >= F.date_sub(F.col("d"), 6))
+            & (F.col("eday") <= F.col("d")),
+            "left",
+        )
+        .groupBy("d")
+        .agg(
+            F.coalesce(
+                F.hll_sketch_estimate(F.hll_union_agg("sk")), F.lit(0.0)
+            ).alias("est")
+        )
+    )
+    exact = (
+        F.broadcast(spine)
+        .join(
+            ev,
+            (F.col("eday") >= F.date_sub(F.col("d"), 6))
+            & (F.col("eday") <= F.col("d")),
+            "left",
+        )
+        .groupBy("d")
+        .agg(F.count_distinct("user_id").cast("long").alias("exact_active"))
+    )
+    within = F.when(
+        F.col("exact_active") == 0, F.col("est") == 0
+    ).otherwise(
+        F.abs(F.col("est") - F.col("exact_active"))
+        <= 0.05 * F.col("exact_active")
+    )
+    return (
+        exact.join(est, "d")
+        .select(
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            "exact_active",
+            within.alias("hll_within_5pct"),
+        )
+    )
+
+
 DRAFTS = {
     "a_kll_price_rollup": (a_kll_price_rollup, KLL_ROLLUP_ORACLE),
+    "a_trailing_week_active_users": (
+        a_trailing_week_active_users,
+        TRAILING_ACTIVE_ORACLE,
+    ),
+    "a_trailing_week_active_sketch": (
+        a_trailing_week_active_sketch,
+        TRAILING_SKETCH_ORACLE,
+    ),
     "dedup_keep_supersets_stats": (
         dedup_keep_supersets_stats,
         _keep_supersets_oracle(),
