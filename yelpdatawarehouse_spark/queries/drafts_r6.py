@@ -267,7 +267,12 @@ def emb_pq_seed_codebook_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # operators/containment.py → superset-duplicate pairs over documents
 
 
-def _containment_oracle() -> str:
+def _containment_cte_prefix() -> str:
+    """Shared CTE prefix of BOTH containment-family oracles (pairs +
+    keep-supersets): the fingerprint/sizes/shared-counts pipeline. One
+    definition so the two oracles can never drift from each other — they
+    must stay bit-identical to the single Spark operator they gate
+    (containment_pairs, k=4, md5-family hashing)."""
     from ..functions.hashing import md5_long_sql
     from ..functions.text import shingles_sql
 
@@ -282,7 +287,12 @@ def _containment_oracle() -> str:
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS shared
         FROM fp a JOIN fp b ON b.fp = a.fp AND a.doc_id < b.doc_id
         GROUP BY 1, 2
-    )
+    )"""
+
+
+def _containment_oracle() -> str:
+    return f"""
+    {_containment_cte_prefix()}
     SELECT CAST(doc_a AS BIGINT) AS doc_a, CAST(doc_b AS BIGINT) AS doc_b,
            CAST(shared AS BIGINT) AS shared,
            CAST(sa.n AS BIGINT) AS n_a, CAST(sb.n AS BIGINT) AS n_b,
@@ -479,24 +489,11 @@ def a_kll_price_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _keep_supersets_oracle() -> str:
-    from ..functions.hashing import md5_long_sql
-    from ..functions.text import shingles_sql
-
     return f"""
-    WITH fp AS (
-        SELECT DISTINCT doc_id, {md5_long_sql('sh')} AS fp
-        FROM (SELECT doc_id, unnest({shingles_sql(_TOKS, 4)}) AS sh
-              FROM documents)
-    ),
-    sizes AS (SELECT doc_id, count(*)::BIGINT AS n FROM fp GROUP BY doc_id),
-    pairs AS (
-        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS shared
-        FROM fp a JOIN fp b ON b.fp = a.fp AND a.doc_id < b.doc_id
-        GROUP BY 1, 2
-    ),
+    {_containment_cte_prefix()},
     q AS (
         SELECT doc_a, doc_b, sa.n AS n_a, sb.n AS n_b
-        FROM pairs
+        FROM shared
         JOIN sizes sa ON sa.doc_id = doc_a
         JOIN sizes sb ON sb.doc_id = doc_b
         WHERE shared::DOUBLE / least(sa.n, sb.n) >= 0.999
@@ -534,7 +531,8 @@ def dedup_keep_supersets_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source")
         .agg(
             F.count("*").cast("long").alias("n_docs"),
-            F.sum(F.coalesce("hit", F.lit(0))).cast("long").alias("n_dropped"),
+            # count(col) skips nulls: n_dropped = matched victims
+            F.count("hit").cast("long").alias("n_dropped"),
         )
     )
 
@@ -555,21 +553,13 @@ GROUP BY spine.d
 """
 
 
-def a_trailing_week_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Trailing-7-day distinct active users per calendar day — the DAU/WAU
-    family's WAU curve. COUNT(DISTINCT) over a sliding frame is the one
-    aggregate window RANGE frames cannot express (w4's trailing-30-day SUM
-    is frame-able; distinct is not), so the plan is the spine fan-out:
-    each event lands in at most 7 spine days (bounded write amplification),
-    then one (day, user) distinct + per-day count — both map-side
-    combinable. The 31-row spine rides a broadcast; at 100 TB the same
-    shape holds with the sketch path (HLL per day, union of 7 sketches)
-    as the documented approximation when exact distinct is too hot.
-    """
-    ev = table(spark, sf_dir, "events").select(
-        F.to_date("ts").alias("eday"), "user_id"
-    )
-    spine = spark.range(1).select(
+# One definition of the window for the pair of WAU queries below — the
+# sketch twin's exact_active MUST be the exact query's result, so the
+# spine, the trailing predicate, and the exact aggregation live once.
+
+
+def _jan_spine(spark: SparkSession) -> DataFrame:
+    return spark.range(1).select(
         F.explode(
             F.sequence(
                 F.lit("2024-01-01").cast("date"),
@@ -578,16 +568,50 @@ def a_trailing_week_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("d")
     )
-    joined = F.broadcast(spine).join(
-        ev,
+
+
+def _trailing_7d(spine: DataFrame, right: DataFrame) -> DataFrame:
+    """Broadcast-spine left range-join: right rows with eday in [d-6, d]."""
+    return F.broadcast(spine).join(
+        right,
         (F.col("eday") >= F.date_sub(F.col("d"), 6))
         & (F.col("eday") <= F.col("d")),
         "left",
     )
+
+
+def _trailing_exact_active(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(d, n) exact trailing-7-day distinct users. The events stream is
+    pre-collapsed to DISTINCT (eday, user_id) BEFORE the nested-loop spine
+    join, so the BNLJ evaluates each user-day once — not once per raw
+    event — and its ≤7x fan-out applies to the already-deduped rows."""
+    ev = (
+        table(spark, sf_dir, "events")
+        .select(F.to_date("ts").alias("eday"), "user_id")
+        .distinct()
+    )
     return (
-        joined.groupBy("d")
-        .agg(F.count_distinct("user_id").cast("long").alias("active_users"))
-        .select(F.date_format("d", "yyyy-MM-dd").alias("day"), "active_users")
+        _trailing_7d(_jan_spine(spark), ev)
+        .groupBy("d")
+        .agg(F.count_distinct("user_id").cast("long").alias("n"))
+    )
+
+
+def a_trailing_week_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day distinct active users per calendar day — the DAU/WAU
+    family's WAU curve. COUNT(DISTINCT) over a sliding frame is the one
+    aggregate window RANGE frames cannot express (w4's trailing-30-day SUM
+    is frame-able; distinct is not), so the plan is the spine fan-out:
+    events collapse to distinct (day, user) first, each lands in at most 7
+    spine days (bounded write amplification), then a per-day distinct
+    count — map-side combinable. The 31-row spine rides a broadcast; at
+    100 TB the same shape holds with the sketch path (HLL per day, union
+    of 7 sketches — a_trailing_week_active_sketch) when exact distinct is
+    too hot.
+    """
+    return _trailing_exact_active(spark, sf_dir).select(
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        F.col("n").alias("active_users"),
     )
 
 
@@ -621,23 +645,8 @@ def a_trailing_week_active_sketch(spark: SparkSession, sf_dir: str) -> DataFrame
     day_sk = ev.groupBy("eday").agg(
         F.hll_sketch_agg(F.col("user_id").cast("string"), 12).alias("sk"),
     )
-    spine = spark.range(1).select(
-        F.explode(
-            F.sequence(
-                F.lit("2024-01-01").cast("date"),
-                F.lit("2024-01-31").cast("date"),
-                F.expr("interval 1 day"),
-            )
-        ).alias("d")
-    )
     est = (
-        F.broadcast(spine)
-        .join(
-            day_sk,
-            (F.col("eday") >= F.date_sub(F.col("d"), 6))
-            & (F.col("eday") <= F.col("d")),
-            "left",
-        )
+        _trailing_7d(_jan_spine(spark), day_sk)
         .groupBy("d")
         .agg(
             F.coalesce(
@@ -645,16 +654,8 @@ def a_trailing_week_active_sketch(spark: SparkSession, sf_dir: str) -> DataFrame
             ).alias("est")
         )
     )
-    exact = (
-        F.broadcast(spine)
-        .join(
-            ev,
-            (F.col("eday") >= F.date_sub(F.col("d"), 6))
-            & (F.col("eday") <= F.col("d")),
-            "left",
-        )
-        .groupBy("d")
-        .agg(F.count_distinct("user_id").cast("long").alias("exact_active"))
+    exact = _trailing_exact_active(spark, sf_dir).select(
+        "d", F.col("n").alias("exact_active")
     )
     within = F.when(
         F.col("exact_active") == 0, F.col("est") == 0
