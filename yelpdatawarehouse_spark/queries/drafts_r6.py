@@ -700,3 +700,12 @@ DRAFTS = {
     "t10_lateness_profile": (t10_lateness_profile, LATENESS_ORACLE),
     "emb_pq_seed_codebook_stats": (emb_pq_seed_codebook_stats, PQ_SEED_ORACLE),
 }
+
+# Spark-4 engine surfaces drafted in their home modules (same contract,
+# same gate): VARIANT semi-structured access and the Python-UDTF lateral
+# table function.
+from ..functions.udtf_ops import UDTF_DRAFTS  # noqa: E402
+from .variantq import VARIANT_DRAFTS  # noqa: E402
+
+DRAFTS.update(VARIANT_DRAFTS)
+DRAFTS.update(UDTF_DRAFTS)

@@ -1,0 +1,145 @@
+"""Semi-structured analytics on the VARIANT type (Spark 4).
+
+The reference keeps a whole MongoDB deployment around precisely because its
+review/business documents are schemaless (reference `webapp/mongodb_routes.py`
+— attribute/schema/array analysis endpoints over raw JSON documents). The
+existing queries cover those semantics with string-JSON functions
+(`get_json_object` in p7/a11); this module adds the engine surface Spark 4
+built for that workload: ``parse_json`` → binary VARIANT, then typed
+``variant_get`` path extraction.
+
+Why this matters at 100 TB rather than being a syntax swap:
+
+* **Parse once, extract many.** ``get_json_object(props, '$.a')`` re-parses
+  the JSON *string* for every path and every predicate. ``parse_json``
+  decodes once into the Variant binary encoding (dictionary-encoded field
+  names + offset-indexed values); each ``variant_get`` is then an O(paths)
+  binary probe, not a re-tokenise of the document. On a wide event payload
+  read by a 10-path shredding query that is a ~10x scan-CPU difference.
+* **Typed, null-safe extraction.** ``variant_get(.., 'int')`` pushes the
+  cast into the decoder; ``try_variant_get`` turns missing-path /
+  wrong-type into NULL instead of a job-killing cast error — the exact
+  failure mode of schemaless corpora at scale (one malformed document in
+  100 TB must not fail the query).
+* **Columnar-friendly.** VARIANT columns written to parquet get shredded
+  storage in the Spark 4 writer, so common paths become prunable columns.
+
+Oracles: DuckDB's ``json_extract``/``json_extract_string`` over the same
+string column — semantics (not encoding) are what the gate verifies.
+
+Draft status: wired into ``drafts_r6.DRAFTS`` (hash-verified today by
+tests/test_drafts_r6.py), registered in round 6 — registering now would
+displace the round-5 driver window's stale re-verifications (VERDICT r4 #3).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.presentation import rfix, rfix_sql
+from ..sources.tables import table
+
+VARIANT_SHRED_ORACLE = f"""
+WITH shred AS (
+    SELECT event_type,
+           json_extract(props, '$.k')::BIGINT AS k
+    FROM events
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(k) AS BIGINT) AS n_with_k,
+       {rfix_sql('avg(k)', 4)} AS avg_k,
+       CAST(count(*) FILTER (WHERE k >= 50) AS BIGINT) AS n_high,
+       CAST(max(k) - min(k) AS BIGINT) AS k_span
+FROM shred
+GROUP BY event_type
+"""
+
+
+def v_variant_shred_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shred a semi-structured payload through VARIANT and aggregate.
+
+    ``parse_json`` decodes ``events.props`` ONCE per row into the Variant
+    binary form; every downstream expression (``n_with_k`` presence test,
+    the ``avg``/filter/span aggregates) reads typed values out of that one
+    decode via ``variant_get`` — the parse-once/extract-many shape string
+    JSON functions cannot express. Single scan + one event_type-keyed
+    exchange with map-side partial aggregation; the VARIANT column itself
+    never crosses the shuffle (only the shredded BIGINT does), so payload
+    width does not inflate exchange bytes.
+
+    Reference parity: the Mongo attribute-analysis endpoints
+    (`webapp/mongodb_routes.py` attribute stats) — same "profile a JSON
+    field across all documents" semantics, minus the second database.
+    """
+    ev = table(spark, sf_dir, "events")
+    k = F.variant_get(F.parse_json(F.col("props")), "$.k", "long")
+    shred = ev.select("event_type", k.alias("k"))
+    return shred.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.count("k").alias("n_with_k"),
+        rfix(F.avg("k"), 4).alias("avg_k"),
+        F.sum(F.when(F.col("k") >= 50, 1).otherwise(0))
+        .cast("long")
+        .alias("n_high"),
+        (F.max("k") - F.min("k")).cast("long").alias("k_span"),
+    )
+
+
+VARIANT_SAFETY_ORACLE = """
+SELECT CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(json_extract(props, '$.k')) AS BIGINT) AS n_k_present,
+       CAST(count(*) FILTER (
+           WHERE json_extract(props, '$.retries') IS NULL
+       ) AS BIGINT) AS n_missing_path,
+       CAST(count(*) FILTER (
+           WHERE json_extract_string(props, '$.k') =
+                 CAST(json_extract(props, '$.k')::BIGINT AS VARCHAR)
+       ) AS BIGINT) AS n_cross_typed
+FROM events
+"""
+
+
+def v_variant_null_safety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safety / cross-type contract of VARIANT path access, as one
+    corpus-level profile row:
+
+    * ``n_k_present`` — ``try_variant_get`` returns non-NULL for a path
+      that exists with a castable type;
+    * ``n_missing_path`` — a path absent from every document yields NULL
+      (NOT an error) under ``try_variant_get``, the property that lets a
+      shredding query survive heterogeneous documents at 100 TB;
+    * ``n_cross_typed`` — the same stored value extracted as both ``long``
+      and ``string`` agrees after canonical formatting, pinning the
+      decoder's cross-type view of one binary value.
+
+    One scan, one global aggregate (partial-merged, no keyed shuffle).
+    """
+    ev = table(spark, sf_dir, "events")
+    pv = F.parse_json(F.col("props"))
+    row = ev.select(
+        F.try_variant_get(pv, "$.k", "long").alias("k_long"),
+        F.try_variant_get(pv, "$.retries", "long").alias("k_missing"),
+        F.try_variant_get(pv, "$.k", "string").alias("k_str"),
+    )
+    return row.agg(
+        F.count("*").alias("n_events"),
+        F.count("k_long").alias("n_k_present"),
+        F.sum(F.when(F.col("k_missing").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_missing_path"),
+        F.sum(
+            F.when(
+                F.col("k_str") == F.col("k_long").cast("string"), 1
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_cross_typed"),
+    )
+
+
+VARIANT_DRAFTS = {
+    "v_variant_shred_stats": (v_variant_shred_stats, VARIANT_SHRED_ORACLE),
+    "v_variant_null_safety": (v_variant_null_safety, VARIANT_SAFETY_ORACLE),
+}
