@@ -265,6 +265,59 @@ def stateful_user_summary(stream: DataFrame) -> DataFrame:
     )
 
 
+def stateful_user_summary_tws(stream: DataFrame) -> DataFrame:
+    """The same T4/T5 per-key running aggregate on Spark 4.1's
+    ``transformWithStateInPandas`` — the successor API to
+    ``applyInPandasWithState`` (kept above as ``stateful_user_summary``;
+    both converge to ``batch_user_summary``, and the suite asserts all
+    three agree).
+
+    Why a second implementation of the same semantics earns its keep:
+    the new API is where stateful streaming is headed at scale —
+    named/composite state variables (ValueState/ListState/MapState
+    instead of one opaque tuple), native TTL per state variable, event-
+    and processing-time timers, and first-class schema evolution of
+    state. It also REQUIRES the RocksDB state-store provider, which is
+    the right provider at 100 TB anyway (bounded executor heap, state
+    spills to local SSD + changelog checkpointing) — the caller must set
+    ``spark.sql.streaming.stateStore.providerClass`` to
+    ``...state.RocksDBStateStoreProvider`` before starting the query
+    (see tests/test_tws.py; the HDFS-backed default cannot run this
+    operator).
+    """
+    import pandas as pd  # noqa: PLC0415 — pickled to executors
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    class _RunningSummary(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._agg = handle.getValueState("agg", _STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timerValues):
+            cnt, vsum = self._agg.get() if self._agg.exists() else (0, 0.0)
+            for pdf in rows:
+                cnt += len(pdf)
+                vsum += float(pdf["value"].sum())
+            self._agg.update((cnt, vsum))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "event_cnt": [cnt],
+                    "value_sum": [vsum],
+                    "value_avg": [vsum / cnt if cnt else None],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return stream.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=_RunningSummary(),
+        outputStructType=_STATEFUL_OUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Watermarked windowed aggregation (T7)
 # ---------------------------------------------------------------------------
