@@ -12,6 +12,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions import hashing as H
+from ..functions import text as T
 from ..functions.presentation import rfix, rfix_sql
 from ..sources.tables import spread, table
 
@@ -701,6 +703,167 @@ DRAFTS = {
     "emb_pq_seed_codebook_stats": (emb_pq_seed_codebook_stats, PQ_SEED_ORACLE),
 }
 
+# ---------------------------------------------------------------------------
+# DSIR-style importance resampling (Xie et al. 2023, "Data Selection for
+# Language Models via Importance Resampling") over hashed unigram features
+
+DSIR_BUCKETS = 64
+DSIR_ALPHA = 0.5
+DSIR_TARGET_LANG = "en"
+DSIR_TOPK = 25
+
+_DSIR_BUCKET_SQL = (
+    f"(('0x' || substr(md5(tok), 1, 15))::BIGINT % {DSIR_BUCKETS})"
+)
+
+DSIR_ORACLE = f"""
+WITH tok AS (
+    SELECT doc_id, lang, unnest({_TOKS}) AS tok FROM documents
+),
+b AS (SELECT doc_id, lang, {_DSIR_BUCKET_SQL} AS bucket FROM tok),
+tgt AS (
+    SELECT bucket, count(*)::DOUBLE AS c FROM b
+    WHERE lang = '{DSIR_TARGET_LANG}' GROUP BY bucket
+),
+raw AS (SELECT bucket, count(*)::DOUBLE AS c FROM b GROUP BY bucket),
+tot AS (
+    SELECT (SELECT sum(c) FROM tgt) AS t_tot, (SELECT sum(c) FROM raw) AS r_tot
+),
+ratio AS (
+    SELECT raw.bucket,
+           ln((coalesce(tgt.c, 0) + {DSIR_ALPHA})
+              / (tot.t_tot + {DSIR_ALPHA} * {DSIR_BUCKETS}))
+         - ln((raw.c + {DSIR_ALPHA})
+              / (tot.r_tot + {DSIR_ALPHA} * {DSIR_BUCKETS})) AS lr
+    FROM raw LEFT JOIN tgt ON tgt.bucket = raw.bucket CROSS JOIN tot
+),
+perdoc AS (
+    SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+           avg(ratio.lr) AS w
+    FROM b JOIN ratio ON ratio.bucket = b.bucket
+    GROUP BY b.doc_id
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, n_tokens,
+       {rfix_sql('w', 4)} AS importance_weight
+FROM perdoc
+ORDER BY importance_weight DESC, doc_id
+LIMIT {DSIR_TOPK}
+"""
+
+
+def sample_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection: score every document by how much its hashed
+    n-gram feature distribution looks like a TARGET domain (here: the
+    ``lang = 'en'`` slice) versus the raw corpus, then keep the top-k —
+    the importance-resampling selector behind domain-targeted pretraining
+    corpora (Xie et al. 2023; the published method uses hashed bigrams +
+    a multinomial LM ratio — this is the same estimator over hashed
+    unigrams, add-alpha smoothed).
+
+    Scale shape: tokens explode map-side (no shuffle); BOTH feature
+    histograms are {DSIR_BUCKETS}-row aggregates (one tiny exchange
+    each); the per-bucket log-ratio table rides a broadcast back onto
+    the token stream, so the only fact-scale exchange is the per-doc
+    aggregation, then TakeOrdered. At 100 TB the bucket count grows to
+    10k-1M (the paper's setting) and remains a broadcastable table —
+    importance scoring stays one-pass over the corpus.
+    """
+    d = table(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "lang",
+        F.explode(T.tokens("text")).alias("tok"),
+    )
+    b = d.select(
+        "doc_id",
+        "lang",
+        (H.md5_long("tok") % DSIR_BUCKETS).alias("bucket"),
+    )
+    tgt = (
+        b.filter(F.col("lang") == DSIR_TARGET_LANG)
+        .groupBy("bucket")
+        .agg(F.count("*").cast("double").alias("tc"))
+    )
+    raw = b.groupBy("bucket").agg(F.count("*").cast("double").alias("rc"))
+    totals = raw.join(tgt, "bucket", "left").agg(
+        F.sum("tc").alias("t_tot"), F.sum("rc").alias("r_tot")
+    )
+    ratio = (
+        raw.join(tgt, "bucket", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "bucket",
+            (
+                F.log(
+                    (F.coalesce(F.col("tc"), F.lit(0.0)) + DSIR_ALPHA)
+                    / (F.col("t_tot") + DSIR_ALPHA * DSIR_BUCKETS)
+                )
+                - F.log(
+                    (F.col("rc") + DSIR_ALPHA)
+                    / (F.col("r_tot") + DSIR_ALPHA * DSIR_BUCKETS)
+                )
+            ).alias("lr"),
+        )
+    )
+    perdoc = (
+        b.join(F.broadcast(ratio), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.avg("lr").alias("w"),
+        )
+    )
+    return (
+        perdoc.select(
+            "doc_id", "n_tokens", rfix(F.col("w"), 4).alias("importance_weight")
+        )
+        .orderBy(F.desc("importance_weight"), "doc_id")
+        .limit(DSIR_TOPK)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Parameterized SQL (named-parameter spark.sql) — the injection-safe dynamic
+# query surface
+
+P11_ARGS = {"minprice": 150000.0, "priority": "1-URGENT"}
+
+P11_ORACLE = f"""
+SELECT o_orderstatus AS status,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       {rfix_sql('sum(o_totalprice)')} AS total_value
+FROM orders
+WHERE o_totalprice >= {P11_ARGS['minprice']}
+  AND o_orderpriority = '{P11_ARGS['priority']}'
+GROUP BY o_orderstatus
+"""
+
+
+def p11_parameterized_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic search via NAMED-PARAMETER SQL (``spark.sql(sql, args=...)``)
+    — the type-safe, injection-proof twin of p10's DataFrame-side dynamic
+    predicate assembly. The reference's Flask routes interpolate request
+    values straight into SQL strings (SURVEY §8; e.g. the sort/filter
+    endpoints around webapp/mysql_routes.py:100-140); named parameters
+    are how that surface survives hostile input on Spark: values bind as
+    literals AFTER parsing, Catalyst constant-folds them, and predicate
+    pushdown to the parquet scan is unaffected (plan-identical to the
+    hand-inlined query).
+    """
+    table(spark, sf_dir, "orders").createOrReplaceTempView("_p11_orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus AS status,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(floor(sum(o_totalprice) * 100 + 0.5) / 100 AS DOUBLE)
+                   AS total_value
+        FROM _p11_orders
+        WHERE o_totalprice >= :minprice AND o_orderpriority = :priority
+        GROUP BY o_orderstatus
+        """,
+        args=P11_ARGS,
+    )
+
+
 # Spark-4 engine surfaces drafted in their home modules (same contract,
 # same gate): VARIANT semi-structured access and the Python-UDTF lateral
 # table function.
@@ -709,3 +872,5 @@ from .variantq import VARIANT_DRAFTS  # noqa: E402
 
 DRAFTS.update(VARIANT_DRAFTS)
 DRAFTS.update(UDTF_DRAFTS)
+DRAFTS["sample_dsir_importance"] = (sample_dsir_importance, DSIR_ORACLE)
+DRAFTS["p11_parameterized_search"] = (p11_parameterized_search, P11_ORACLE)
