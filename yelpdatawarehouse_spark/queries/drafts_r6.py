@@ -822,6 +822,80 @@ def sample_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# operators/cms.py → count-min frequency estimates under a FULL exact oracle
+
+CMS_D, CMS_W = 4, 256
+
+def _cms_bucket_oracle(expr: str) -> str:
+    return (
+        f"(('0x' || substr(md5(CAST(seed AS VARCHAR) || ':' || "
+        f"CAST({expr} AS VARCHAR)), 1, 15))::BIGINT % {CMS_W})"
+    )
+
+
+CMS_ORACLE = f"""
+WITH seeds AS (SELECT unnest(range(0, {CMS_D})) AS seed),
+sk AS (
+    SELECT seed, {_cms_bucket_oracle('l_partkey')} AS bucket,
+           count(*)::BIGINT AS c
+    FROM lineitem CROSS JOIN seeds GROUP BY 1, 2
+),
+keys AS (SELECT DISTINCT l_partkey FROM lineitem WHERE l_partkey <= 10),
+probe AS (
+    SELECT l_partkey, seed, {_cms_bucket_oracle('l_partkey')} AS bucket
+    FROM keys CROSS JOIN seeds
+),
+est AS (
+    SELECT p.l_partkey, min(coalesce(sk.c, 0))::BIGINT AS cms_est
+    FROM probe p LEFT JOIN sk ON sk.seed = p.seed AND sk.bucket = p.bucket
+    GROUP BY 1
+),
+exact AS (
+    SELECT l_partkey, count(*)::BIGINT AS exact_cnt
+    FROM lineitem WHERE l_partkey <= 10 GROUP BY 1
+)
+SELECT CAST(e.l_partkey AS BIGINT) AS partkey, x.exact_cnt, e.cms_est,
+       CAST(e.cms_est - x.exact_cnt AS BIGINT) AS overcount,
+       (e.cms_est >= x.exact_cnt) AS never_undercounts
+FROM est e JOIN exact x ON x.l_partkey = e.l_partkey
+"""
+
+
+def a_cms_frequency_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch point queries (operators/cms.py) against exact
+    counts for a fixed key panel. Because the sketch's seeded-md5
+    arithmetic is engine-portable, the oracle REBUILDS the identical
+    d x W counter matrix in SQL and the gate hash-compares estimates —
+    the approximation operator itself is exactly verified, and the
+    emitted ``never_undercounts`` column pins the CMS one-sided-error
+    guarantee on every panel key.
+
+    Scale shape: the fact-scale work is one groupBy over (seed, bucket)
+    on a projected 8-byte key (map-side combine collapses to <= d*W rows
+    per partition before the exchange); estimates probe the broadcast
+    1024-row sketch. Merge-rollup (counter addition across per-source
+    sketches) is pinned by tests/test_cms.py.
+    """
+    from ..operators.cms import cms_build, cms_estimate
+
+    li = table(spark, sf_dir, "lineitem").select("l_partkey")
+    sketch = cms_build(li, "l_partkey", depth=CMS_D, width=CMS_W)
+    panel = li.filter(F.col("l_partkey") <= 10)
+    keys = panel.distinct()
+    est = cms_estimate(sketch, keys, "l_partkey", depth=CMS_D, width=CMS_W)
+    exact = panel.groupBy("l_partkey").agg(
+        F.count("*").cast("long").alias("exact_cnt")
+    )
+    return exact.join(est, "l_partkey").select(
+        F.col("l_partkey").cast("long").alias("partkey"),
+        "exact_cnt",
+        "cms_est",
+        (F.col("cms_est") - F.col("exact_cnt")).cast("long").alias("overcount"),
+        (F.col("cms_est") >= F.col("exact_cnt")).alias("never_undercounts"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Parameterized SQL (named-parameter spark.sql) — the injection-safe dynamic
 # query surface
 
@@ -874,3 +948,4 @@ DRAFTS.update(VARIANT_DRAFTS)
 DRAFTS.update(UDTF_DRAFTS)
 DRAFTS["sample_dsir_importance"] = (sample_dsir_importance, DSIR_ORACLE)
 DRAFTS["p11_parameterized_search"] = (p11_parameterized_search, P11_ORACLE)
+DRAFTS["a_cms_frequency_check"] = (a_cms_frequency_check, CMS_ORACLE)
