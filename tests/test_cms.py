@@ -66,6 +66,44 @@ def test_merge_equals_single_build(spark):
     assert merged == full
 
 
+def test_streaming_cms_equals_batch_sketch(spark, tmp_path):
+    """A sketch folded micro-batch by micro-batch over the event stream
+    must equal the sketch built in one pass over the full table —
+    counter addition is associative, so batching cannot show through."""
+    from yelpdatawarehouse_spark.streaming.pipeline import (
+        event_file_stream,
+        read_cms,
+        run_incremental_cms,
+    )
+
+    src = tmp_path / "incoming"
+    src.mkdir()
+    ev = table(spark, SF, "events")
+    for i in range(3):
+        chunk = ev.filter(F.col("event_id") % 3 == i).toPandas()
+        chunk["ts"] = chunk["ts"].dt.strftime("%Y-%m-%dT%H:%M:%S.%f")
+        chunk.to_json(src / f"chunk_{i}.json", orient="records", lines=True)
+
+    q = run_incremental_cms(
+        spark,
+        event_file_stream(spark, str(src)),
+        "user_id",
+        str(tmp_path / "state"),
+        str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(120)
+
+    streamed = {
+        (r["seed"], r["bucket"]): r["c"]
+        for r in read_cms(spark, str(tmp_path / "state")).collect()
+    }
+    batch = {
+        (r["seed"], r["bucket"]): r["c"]
+        for r in cms_build(ev.select("user_id"), "user_id").collect()
+    }
+    assert streamed == batch
+
+
 def test_unseen_key_estimates_zero_or_collision(spark):
     """A key never observed gets 0 unless EVERY one of its d buckets
     collides with observed keys; with d=4 x W=256 over ~60 keys the

@@ -822,6 +822,129 @@ def sample_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Johnson-Lindenstrauss random projection (seeded sign matrix) + fidelity
+
+JL_SRC, JL_DST = 64, 16
+
+
+def _jl_sign(k: int, j: int) -> float:
+    """±1 from the portable md5 construction — bit-identical to the SQL
+    rendering in the oracle (same string, same 60-bit reduction)."""
+    import hashlib
+
+    h = int(hashlib.md5(f"jl:{k}:{j}".encode()).hexdigest()[:15], 16)
+    return 1.0 if h % 2 == 0 else -1.0
+
+
+_JL_SIGNS = [[_jl_sign(k, j) for j in range(JL_SRC)] for k in range(JL_DST)]
+
+_JL_SIGN_SQL = (
+    "CASE WHEN (('0x' || substr(md5('jl:' || CAST(k AS VARCHAR) || ':' || "
+    "CAST(j AS VARCHAR)), 1, 15))::BIGINT % 2) = 0 THEN 1.0 ELSE -1.0 END"
+)
+
+JL_ORACLE = f"""
+WITH dims AS (SELECT unnest(range(0, {JL_SRC})) AS j),
+ks AS (SELECT unnest(range(0, {JL_DST})) AS k),
+m AS (SELECT k, j, {_JL_SIGN_SQL} AS s FROM ks CROSS JOIN dims),
+v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+      WHERE vec_id < 20),
+x AS (SELECT vec_id, dims.j, e[CAST(dims.j AS INT) + 1] AS xj
+      FROM v CROSS JOIN dims),
+y AS (SELECT x.vec_id, m.k,
+             sum(m.s * x.xj) / sqrt({JL_DST}.0) AS yk
+      FROM x JOIN m ON m.j = x.j GROUP BY x.vec_id, m.k),
+pairs AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id
+          FROM v a JOIN v b ON b.vec_id = a.vec_id + 1
+          WHERE a.vec_id % 2 = 0),
+orig AS (
+    SELECT p.a_id, p.b_id,
+           sum((xa.xj - xb.xj) * (xa.xj - xb.xj)) AS d2o
+    FROM pairs p
+    JOIN x xa ON xa.vec_id = p.a_id
+    JOIN x xb ON xb.vec_id = p.b_id AND xb.j = xa.j
+    GROUP BY p.a_id, p.b_id
+),
+proj AS (
+    SELECT p.a_id, p.b_id,
+           sum((ya.yk - yb.yk) * (ya.yk - yb.yk)) AS d2p
+    FROM pairs p
+    JOIN y ya ON ya.vec_id = p.a_id
+    JOIN y yb ON yb.vec_id = p.b_id AND yb.k = ya.k
+    GROUP BY p.a_id, p.b_id
+)
+SELECT CAST(o.a_id AS BIGINT) AS a_id, CAST(o.b_id AS BIGINT) AS b_id,
+       {rfix_sql('o.d2o', 4)} AS d2_orig,
+       {rfix_sql('pr.d2p', 4)} AS d2_proj,
+       {rfix_sql('pr.d2p / o.d2o', 4)} AS distortion
+FROM orig o JOIN proj pr ON pr.a_id = o.a_id AND pr.b_id = o.b_id
+"""
+
+
+def emb_jl_projection_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss sign-matrix projection 64 -> 16 dims with a
+    measured distance-distortion panel — the cheap dimensionality
+    reduction applied before ANN indexing / clustering when the full
+    embedding width is too expensive to shuffle (a 4x narrower vector is
+    4x fewer exchange bytes in every downstream join).
+
+    The projection itself is the scale payload: a 16x64 ±1 LITERAL
+    matrix evaluated per row as zip_with/aggregate folds — whole-stage
+    codegen, zero shuffle, zero Python, so it streams at scan speed over
+    any corpus. The fidelity check then evaluates the JL promise
+    (squared-distance ratios near 1) on a bounded 10-pair panel, the
+    same panel protocol as ann_recall_eval. Signs derive from the
+    portable seeded-md5 construction, so the oracle regenerates the
+    IDENTICAL matrix in SQL and the gate hash-compares real arithmetic.
+    """
+    e = table(spark, sf_dir, "embeddings")
+    panel = e.filter(F.col("vec_id") < 20).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    signs = F.array(
+        *[
+            F.array(*[F.lit(s) for s in row])
+            for row in _JL_SIGNS
+        ]
+    )
+    proj = F.transform(
+        signs,
+        lambda row: F.aggregate(
+            F.zip_with(row, F.col("e"), lambda s, x: s * x),
+            F.lit(0.0),
+            lambda acc, t: acc + t,
+        )
+        / F.lit(float(JL_DST) ** 0.5),
+    )
+    pv = panel.select("vec_id", "e", proj.alias("y"))
+    a = pv.filter(F.col("vec_id") % 2 == 0).select(
+        F.col("vec_id").alias("a_id"),
+        F.col("e").alias("ea"),
+        F.col("y").alias("ya"),
+    )
+    b = pv.select(
+        F.col("vec_id").alias("b_id"),
+        F.col("e").alias("eb"),
+        F.col("y").alias("yb"),
+    )
+    d2 = lambda u, v: F.aggregate(  # noqa: E731
+        F.zip_with(F.col(u), F.col(v), lambda p, q: (p - q) * (p - q)),
+        F.lit(0.0),
+        lambda acc, t: acc + t,
+    )
+    return (
+        a.join(b, F.col("b_id") == F.col("a_id") + 1)
+        .select(
+            F.col("a_id").cast("long").alias("a_id"),
+            F.col("b_id").cast("long").alias("b_id"),
+            rfix(d2("ea", "eb"), 4).alias("d2_orig"),
+            rfix(d2("ya", "yb"), 4).alias("d2_proj"),
+            rfix(d2("ya", "yb") / d2("ea", "eb"), 4).alias("distortion"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # operators/cms.py → count-min frequency estimates under a FULL exact oracle
 
 CMS_D, CMS_W = 4, 256
@@ -949,3 +1072,7 @@ DRAFTS.update(UDTF_DRAFTS)
 DRAFTS["sample_dsir_importance"] = (sample_dsir_importance, DSIR_ORACLE)
 DRAFTS["p11_parameterized_search"] = (p11_parameterized_search, P11_ORACLE)
 DRAFTS["a_cms_frequency_check"] = (a_cms_frequency_check, CMS_ORACLE)
+DRAFTS["emb_jl_projection_fidelity"] = (
+    emb_jl_projection_fidelity,
+    JL_ORACLE,
+)

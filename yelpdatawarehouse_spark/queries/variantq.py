@@ -115,9 +115,14 @@ def v_variant_null_safety(spark: SparkSession, sf_dir: str) -> DataFrame:
       decoder's cross-type view of one binary value.
 
     One scan, one global aggregate (partial-merged, no keyed shuffle).
+    This query parses with ``try_parse_json`` (NULL on malformed input,
+    flowing through every downstream extraction as NULL) so the
+    one-bad-document-in-100-TB failure mode is closed end-to-end; the
+    oracle's ``json_extract`` contract assumes parseable JSON, which the
+    harness tables satisfy.
     """
     ev = table(spark, sf_dir, "events")
-    pv = F.parse_json(F.col("props"))
+    pv = F.try_parse_json(F.col("props"))
     row = ev.select(
         F.try_variant_get(pv, "$.k", "long").alias("k_long"),
         F.try_variant_get(pv, "$.retries", "long").alias("k_missing"),

@@ -182,6 +182,56 @@ def read_summary(spark: SparkSession, state_dir: str) -> DataFrame:
     return state.withColumn("value_avg", F.col("value_sum") / F.col("event_cnt"))
 
 
+def run_incremental_cms(
+    spark: SparkSession,
+    stream: DataFrame,
+    key: str,
+    state_dir: str,
+    checkpoint_dir: str,
+    depth: int = 4,
+    width: int = 256,
+):
+    """Maintain a count-min sketch of a stream key via foreachBatch —
+    streaming heavy-hitter / frequency tracking with O(d·W) state no
+    matter how many distinct keys flow past (the exact groupBy state the
+    incremental summary keeps is per-key and unbounded on a
+    high-cardinality key; the sketch is the bounded-state alternative).
+
+    Each micro-batch is sketched with ``cms_build`` and folded into the
+    persisted sketch by counter addition (``cms_merge``) under the same
+    atomic state-dir swap as ``run_incremental_summary`` — the fold is
+    associative and commutative, so replays and batch boundaries cannot
+    change the final counters, and the suite pins stream-final ≡
+    batch-built sketch equality (tests/test_cms.py).
+    """
+    from ..operators.cms import cms_build, cms_merge
+
+    cur = os.path.join(state_dir, "current")
+    nxt = os.path.join(state_dir, "next")
+
+    def fold_batch(batch_df: DataFrame, batch_id: int) -> None:
+        delta = cms_build(batch_df, key, depth=depth, width=width)
+        if os.path.exists(cur):
+            folded = cms_merge(spark.read.parquet(cur), delta)
+        else:
+            folded = delta
+        folded.write.mode("overwrite").parquet(nxt)
+        if os.path.exists(cur):
+            shutil.rmtree(cur)
+        os.rename(nxt, cur)
+
+    return (
+        stream.writeStream.foreachBatch(fold_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_cms(spark: SparkSession, state_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(state_dir, "current"))
+
+
 # ---------------------------------------------------------------------------
 # Streaming dedup (exactly-once ingestion for training-data pipelines)
 # ---------------------------------------------------------------------------
