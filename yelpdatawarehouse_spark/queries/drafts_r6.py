@@ -822,6 +822,63 @@ def sample_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# SQL UDFs (CREATE FUNCTION ... RETURN expr) + IDENTIFIER() dynamic names
+
+F15_ORACLE = f"""
+SELECT l_returnflag,
+       CAST(count(*) AS BIGINT) AS n_items,
+       {rfix_sql('sum(l_extendedprice * (1 - l_discount))')} AS sum_disc_price,
+       {rfix_sql('sum(l_extendedprice * (1 - l_discount) * (1 + l_tax))')}
+           AS sum_charge
+FROM lineitem
+WHERE l_quantity < 10
+GROUP BY l_returnflag
+"""
+
+
+def f15_sql_udf_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reusable business logic as SQL UDFs (Spark 4 ``CREATE FUNCTION ...
+    RETURN <expr>``), applied through an ``IDENTIFIER(:tbl)`` dynamic
+    table reference — the declarative function surface that replaces the
+    reference's copy-pasted pricing expressions across route handlers
+    (SURVEY Appendix A: the same discount arithmetic appears inline in
+    several mysql_routes.py endpoints).
+
+    The scale property that makes SQL UDFs the right tool: Catalyst
+    INLINES the function body into the calling plan before optimization
+    — the aggregate below runs as ordinary whole-stage-codegen
+    expressions with zero per-row function-call or Python overhead
+    (tests/test_sql_udf.py asserts no Python eval node in the plan), and
+    predicate pushdown sees through them. IDENTIFIER() resolves the
+    parameterized table name at analysis time without string splicing —
+    the identifier-position complement of p11's value parameters.
+    """
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION ydw_disc_price(p DOUBLE, d DOUBLE) "
+        "RETURNS DOUBLE RETURN p * (1 - d)"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION ydw_charge(p DOUBLE, d DOUBLE, t DOUBLE) "
+        "RETURNS DOUBLE RETURN ydw_disc_price(p, d) * (1 + t)"
+    )
+    table(spark, sf_dir, "lineitem").createOrReplaceTempView("_f15_lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               CAST(count(*) AS BIGINT) AS n_items,
+               CAST(floor(sum(ydw_disc_price(l_extendedprice, l_discount))
+                          * 100 + 0.5) / 100 AS DOUBLE) AS sum_disc_price,
+               CAST(floor(sum(ydw_charge(l_extendedprice, l_discount, l_tax))
+                          * 100 + 0.5) / 100 AS DOUBLE) AS sum_charge
+        FROM IDENTIFIER(:tbl)
+        WHERE l_quantity < :maxqty
+        GROUP BY l_returnflag
+        """,
+        args={"tbl": "_f15_lineitem", "maxqty": 10},
+    )
+
+
+# ---------------------------------------------------------------------------
 # Johnson-Lindenstrauss random projection (seeded sign matrix) + fidelity
 
 JL_SRC, JL_DST = 64, 16
@@ -1076,3 +1133,4 @@ DRAFTS["emb_jl_projection_fidelity"] = (
     emb_jl_projection_fidelity,
     JL_ORACLE,
 )
+DRAFTS["f15_sql_udf_pricing"] = (f15_sql_udf_pricing, F15_ORACLE)
