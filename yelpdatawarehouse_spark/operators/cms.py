@@ -61,8 +61,11 @@ def cms_build(
     oracle side does ``CAST(.. AS VARCHAR)``).
     """
     k = F.col(key).cast("string")
+    # NULL keys hash to a NULL bucket no estimate probe can ever reach —
+    # drop them rather than carry d unreachable counter rows.
+    src = df.where(k.isNotNull())
     rows = [
-        df.select(
+        src.select(
             F.lit(seed).alias("seed"),
             _bucket(k, seed, width).alias("bucket"),
         )
