@@ -822,6 +822,74 @@ def sample_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# operators/quality.py → one-scan declarative data-quality report
+
+QUALITY_ORACLE = """
+WITH base AS (
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS v_date,
+           CAST(sum(CASE WHEN o_orderstatus IN ('O', 'F', 'P') THEN 0 ELSE 1
+               END) AS BIGINT) AS v_status,
+           CAST(sum(CASE WHEN o_totalprice >= 0 THEN 0 ELSE 1 END)
+               AS BIGINT) AS v_price,
+           CAST(count(o_orderkey) - count(DISTINCT o_orderkey)
+               AS BIGINT) AS v_unique
+    FROM orders
+),
+ref AS (
+    SELECT CAST(count(*) AS BIGINT) AS v_ref
+    FROM orders o LEFT JOIN customer c ON c.c_custkey = o.o_custkey
+    WHERE c.c_custkey IS NULL
+)
+SELECT 'orderdate_not_null' AS rule, n AS n_rows, v_date AS n_violations,
+       v_date = 0 AS passed FROM base
+UNION ALL
+SELECT 'status_in_domain', n, v_status, v_status = 0 FROM base
+UNION ALL
+SELECT 'totalprice_nonneg', n, v_price, v_price = 0 FROM base
+UNION ALL
+SELECT 'unique_o_orderkey', n, v_unique, v_unique = 0 FROM base
+UNION ALL
+SELECT 'custkey_in_customer', n, v_ref, v_ref = 0
+FROM base CROSS JOIN ref
+"""
+
+
+def diag_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-publish data-quality gate (operators/quality.py) over the
+    orders batch: completeness, domain membership, value bounds, and key
+    uniqueness evaluated as conditional sums in ONE scan, plus
+    referential integrity of o_custkey against customer as a left-anti
+    count — the Deequ-style check suite a 100 TB ingestion runs before a
+    partition goes live. Exact count arithmetic end-to-end, so the
+    DuckDB oracle reproduces the report bit-for-bit.
+    """
+    from ..operators.quality import (
+        bounds,
+        check_referential,
+        check_rules,
+        in_set,
+        not_null,
+        quality_report,
+    )
+
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    rules = [
+        not_null("orderdate_not_null", "o_orderdate"),
+        in_set("status_in_domain", "o_orderstatus", ("O", "F", "P")),
+        bounds("totalprice_nonneg", "o_totalprice", lo=0),
+    ]
+    return quality_report(
+        [
+            check_rules(o, rules, unique_key="o_orderkey"),
+            check_referential("custkey_in_customer", o, "o_custkey", c, "c_custkey"),
+        ]
+    )
+
+
+# ---------------------------------------------------------------------------
 # SQL UDFs (CREATE FUNCTION ... RETURN expr) + IDENTIFIER() dynamic names
 
 F15_ORACLE = f"""
@@ -1134,3 +1202,4 @@ DRAFTS["emb_jl_projection_fidelity"] = (
     JL_ORACLE,
 )
 DRAFTS["f15_sql_udf_pricing"] = (f15_sql_udf_pricing, F15_ORACLE)
+DRAFTS["diag_quality_report"] = (diag_quality_report, QUALITY_ORACLE)
