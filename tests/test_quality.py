@@ -92,6 +92,28 @@ def test_referential_counts_orphans_and_null_fks(spark):
     assert rep["ri"]["passed"] is False
 
 
+def test_observed_metrics_match_check_rules(spark, tmp_path):
+    """observe_rules must report the same counts as check_rules, computed
+    as a side effect of a WRITE action (no second scan)."""
+    from yelpdatawarehouse_spark.operators.quality import observe_rules
+
+    o = table(spark, SF, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate"
+    )
+    rules = [
+        not_null("d", "o_orderdate"),
+        in_set("s", "o_orderstatus", ("O", "F", "P")),
+        bounds("p", "o_totalprice", lo=0),
+    ]
+    observed, obs = observe_rules(o, rules)
+    observed.write.mode("overwrite").parquet(str(tmp_path / "out.parquet"))
+    got = obs.get
+    want = {r["rule"]: r["n_violations"] for r in check_rules(o, rules).collect()}
+    assert got["n_rows"] == o.count()
+    for rule in ("d", "s", "p"):
+        assert got[rule] == want[rule]
+
+
 def test_row_rules_are_single_scan(spark):
     """All predicate rules must fold into one aggregate over one scan —
     the plan reads the parquet exactly once."""

@@ -129,3 +129,30 @@ def check_referential(
 def quality_report(parts: list[DataFrame]) -> DataFrame:
     """Union rule-report fragments into one report table."""
     return reduce(lambda a, b: a.unionByName(b), parts)
+
+
+def observe_rules(df: DataFrame, rules: list[Rule], name: str = "quality"):
+    """The ZERO-extra-pass variant of :func:`check_rules`: attach the rule
+    suite as an ``Observation`` so the violation counts are computed as a
+    side effect of whatever action next consumes ``df`` — typically the
+    ingestion WRITE itself. At 100 TB this is the difference between
+    "write the batch, then rescan it to audit" and "the write IS the
+    audit": observed metrics are accumulated per task during the write
+    and merged on the driver, costing nothing but a few counters.
+
+    Returns ``(observed_df, observation)``; after an action runs on
+    ``observed_df``, ``observation.get`` yields ``{"n_rows": ...,
+    "<rule>": violations, ...}`` with EXACTLY the numbers check_rules
+    would report (pinned by tests/test_quality.py).
+    """
+    from pyspark.sql import Observation
+
+    obs = Observation(name)
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for r in rules:
+        aggs.append(
+            F.sum(
+                F.when(F.coalesce(r.cond, F.lit(False)), 0).otherwise(1)
+            ).alias(r.name)
+        )
+    return df.observe(obs, *aggs), obs

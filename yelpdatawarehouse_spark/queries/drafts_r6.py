@@ -822,6 +822,103 @@ def sample_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# BM25 ranked retrieval (Robertson/Lucene form) over the documents corpus
+
+BM25_K1, BM25_B = 1.2, 0.75
+BM25_TERMS = ("hash", "join", "stream")
+BM25_TOPK = 10
+
+_BM25_TERMS_SQL = ", ".join(f"'{t}'" for t in BM25_TERMS)
+
+BM25_ORACLE = f"""
+WITH tok AS (
+    SELECT doc_id, unnest({_TOKS}) AS tok FROM documents
+),
+dl AS (SELECT doc_id, len({_TOKS}) AS dlen FROM documents),
+g AS (SELECT count(*)::DOUBLE AS n_docs, avg(dlen) AS avg_len FROM dl),
+tf AS (
+    SELECT doc_id, tok AS term, count(*)::DOUBLE AS tf
+    FROM tok WHERE tok IN ({_BM25_TERMS_SQL})
+    GROUP BY doc_id, tok
+),
+df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+scored AS (
+    SELECT tf.doc_id,
+           sum(
+               ln((g.n_docs - df.df + 0.5) / (df.df + 0.5) + 1)
+               * tf.tf * ({BM25_K1} + 1)
+               / (tf.tf + {BM25_K1}
+                  * (1 - {BM25_B} + {BM25_B} * dl.dlen / g.avg_len))
+           ) AS score
+    FROM tf
+    JOIN df ON df.term = tf.term
+    JOIN dl ON dl.doc_id = tf.doc_id
+    CROSS JOIN g
+    GROUP BY tf.doc_id
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       {rfix_sql('score', 4)} AS bm25_score
+FROM scored
+ORDER BY bm25_score DESC, doc_id
+LIMIT {BM25_TOPK}
+"""
+
+
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval for a fixed term query — the scoring function
+    behind every lexical search/RAG retrieval stage (Robertson's
+    probabilistic model in the Lucene idf form), completing the retrieval
+    pair with text_tfidf_top_terms (which ranks TERMS per doc; this ranks
+    DOCS per query).
+
+    Scale shape: term frequencies aggregate only tokens matching the
+    query terms (the filter runs inside the explode projection, so the
+    exchange carries |matching tokens| rows, not the corpus); document
+    lengths are a row-local ``size(split())`` with no shuffle; the
+    3-row df table and 1-row corpus stats ride broadcasts; top-k is
+    TakeOrdered. Per-query cost at 100 TB is one filtered scan — the
+    shape an inverted index accelerates but never changes.
+    """
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.explode(T.tokens("text")).alias("term"),
+    ).filter(F.col("term").isin(list(BM25_TERMS)))
+    tf = toks.groupBy("doc_id", "term").agg(
+        F.count("*").cast("double").alias("tf")
+    )
+    dl = d.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.size(T.tokens("text")).cast("double").alias("dlen"),
+    )
+    g = dl.agg(
+        F.count("*").cast("double").alias("n_docs"),
+        F.avg("dlen").alias("avg_len"),
+    )
+    df_t = tf.groupBy("term").agg(F.count("*").cast("double").alias("df"))
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1
+    )
+    norm = F.col("tf") + BM25_K1 * (
+        1 - BM25_B + BM25_B * F.col("dlen") / F.col("avg_len")
+    )
+    scored = (
+        tf.join(F.broadcast(df_t), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(g))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(idf * F.col("tf") * (BM25_K1 + 1) / norm).alias("score")
+        )
+    )
+    return (
+        scored.select("doc_id", rfix(F.col("score"), 4).alias("bm25_score"))
+        .orderBy(F.desc("bm25_score"), "doc_id")
+        .limit(BM25_TOPK)
+    )
+
+
+# ---------------------------------------------------------------------------
 # operators/quality.py → one-scan declarative data-quality report
 
 QUALITY_ORACLE = """
@@ -1203,3 +1300,4 @@ DRAFTS["emb_jl_projection_fidelity"] = (
 )
 DRAFTS["f15_sql_udf_pricing"] = (f15_sql_udf_pricing, F15_ORACLE)
 DRAFTS["diag_quality_report"] = (diag_quality_report, QUALITY_ORACLE)
+DRAFTS["text_bm25_topk"] = (text_bm25_topk, BM25_ORACLE)
