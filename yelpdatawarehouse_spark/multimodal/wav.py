@@ -23,13 +23,25 @@ from pyspark.sql import DataFrame
 
 
 def encode_wav_pcm16(samples: Sequence[int], sample_rate: int = 8000) -> bytes:
-    """PCM16 mono samples → WAV bytes (RIFF container via stdlib wave)."""
+    """PCM16 mono samples → WAV bytes (RIFF container via stdlib wave).
+
+    The frame buffer is built with numpy (one ``tobytes`` instead of
+    ``struct.pack`` unpacking every sample as a Python argument — the
+    encode hot spot at 60k payloads/bench); the explicit range check
+    preserves struct.pack's out-of-range error instead of numpy's silent
+    int16 wraparound.
+    """
+    import numpy as np
+
+    arr = np.asarray(samples, dtype=np.int64)
+    if arr.size and (arr.max() > 32767 or arr.min() < -32768):
+        raise struct.error("short format requires -32768 <= number <= 32767")
     buf = io.BytesIO()
     with wave.open(buf, "wb") as w:
         w.setnchannels(1)
         w.setsampwidth(2)
         w.setframerate(sample_rate)
-        w.writeframes(struct.pack(f"<{len(samples)}h", *samples))
+        w.writeframes(arr.astype("<i2").tobytes())
     return buf.getvalue()
 
 
@@ -75,9 +87,18 @@ def decode_audio_features(media_df: DataFrame, payload_col: str = "payload") -> 
             out = {k: [] for k in ("doc_id", "sample_rate", "n_samples", "rms",
                                    "peak", "zero_crossings")}
             for doc_id, payload in zip(pdf["doc_id"], pdf[payload_col]):
-                rate, samples = decode_wav_pcm16(bytes(payload))
-                # vectorized feature math (int64 so the squared sum is exact)
-                a = np.asarray(samples, dtype=np.int64)
+                # Same wave-module decode as decode_wav_pcm16 but straight
+                # into an int64 array (np.frombuffer replaces the
+                # struct.unpack -> list -> asarray round trip per payload).
+                with wave.open(io.BytesIO(bytes(payload)), "rb") as w:
+                    if w.getnchannels() != 1 or w.getsampwidth() != 2:
+                        raise ValueError(
+                            f"expected PCM16 mono, got {w.getnchannels()}ch "
+                            f"{8 * w.getsampwidth()}-bit"
+                        )
+                    rate = w.getframerate()
+                    raw = w.readframes(w.getnframes())
+                a = np.frombuffer(raw, dtype="<i2").astype(np.int64)
                 n = a.size
                 out["doc_id"].append(int(doc_id))
                 out["sample_rate"].append(rate)

@@ -291,12 +291,16 @@ def mm_wav_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def make_wav(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         for pdf in batches:
             ids, payloads = [], []
             for doc_id in pdf["doc_id"]:
                 d = int(doc_id)
                 n = 32 + d % 97
-                samples = [((d * 37 + i * 25) % 256 - 128) * 64 for i in range(n)]
+                # closed form vectorized: identical values to the per-index
+                # Python loop (all operands non-negative before the shift)
+                samples = ((d * 37 + np.arange(n, dtype=np.int64) * 25) % 256 - 128) * 64
                 ids.append(d)
                 payloads.append(encode_wav_pcm16(samples, sample_rate=8000))
             yield pd.DataFrame({"doc_id": ids, "payload": payloads})
