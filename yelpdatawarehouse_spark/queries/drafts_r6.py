@@ -822,6 +822,69 @@ def sample_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Native recursive CTE (WITH RECURSIVE, Spark 4.1) — BFS twin
+
+_RECURSIVE_BFS_SQL = """
+WITH RECURSIVE directed AS (
+    SELECT DISTINCT c.c_nationkey AS src, s.s_nationkey AS dst
+    FROM {orders} o
+    JOIN {customer} c ON c.c_custkey = o.o_custkey
+    JOIN {lineitem} l ON l.l_orderkey = o.o_orderkey
+    JOIN {supplier} s ON s.s_suppkey = l.l_suppkey
+    WHERE c.c_nationkey <> s.s_nationkey
+),
+edges AS (
+    SELECT src, dst FROM directed
+    UNION
+    SELECT dst AS src, src AS dst FROM directed
+),
+walk(node, hop) AS (
+    SELECT 0, 0
+    UNION ALL
+    SELECT e.dst, w.hop + 1
+    FROM walk w JOIN edges e ON e.src = w.node
+    WHERE w.hop < 3
+)
+SELECT CAST(node AS BIGINT) AS node, CAST(min(hop) AS BIGINT) AS hops
+FROM walk GROUP BY node
+"""
+
+RECURSIVE_BFS_ORACLE = _RECURSIVE_BFS_SQL.format(
+    orders="orders", customer="customer", lineitem="lineitem",
+    supplier="supplier",
+)
+
+
+def g_bfs_recursive_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BFS min-hops via a NATIVE recursive CTE (``WITH RECURSIVE``,
+    Spark 4.1) — the declarative twin of ``g_bfs_nation_hops``, whose
+    iterative frontier loop lives in operators/graph.py and whose DuckDB
+    oracle has always BEEN this exact recursive query. Now the engine
+    runs the same ANSI text itself: one SQL string, two engines,
+    hash-identical results.
+
+    Regime note (why both twins stay): the recursive CTE enumerates
+    WALKS (the anchor plus every join-extension up to the hop bound), so
+    it is the right surface for bounded-depth path queries on
+    dimension-sized graphs — exactly this query — while the iterative
+    operator's per-level anti-join against the visited set dedups
+    frontiers and is the scale path for unbounded BFS on fact-sized
+    graphs, where walk enumeration explodes combinatorially. Same
+    result, different growth laws; SURVEY §2.4's J10 ships with both.
+    """
+    for t in ("orders", "customer", "lineitem", "supplier"):
+        table(spark, sf_dir, t).createOrReplaceTempView(f"_gbfs_{t}")
+    return spark.sql(
+        _RECURSIVE_BFS_SQL.format(
+            orders="_gbfs_orders",
+            customer="_gbfs_customer",
+            lineitem="_gbfs_lineitem",
+            supplier="_gbfs_supplier",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # BM25 ranked retrieval (Robertson/Lucene form) over the documents corpus
 
 BM25_K1, BM25_B = 1.2, 0.75
@@ -1301,3 +1364,4 @@ DRAFTS["emb_jl_projection_fidelity"] = (
 DRAFTS["f15_sql_udf_pricing"] = (f15_sql_udf_pricing, F15_ORACLE)
 DRAFTS["diag_quality_report"] = (diag_quality_report, QUALITY_ORACLE)
 DRAFTS["text_bm25_topk"] = (text_bm25_topk, BM25_ORACLE)
+DRAFTS["g_bfs_recursive_native"] = (g_bfs_recursive_native, RECURSIVE_BFS_ORACLE)
