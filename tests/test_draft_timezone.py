@@ -1,0 +1,34 @@
+"""Hostile-timezone gate for the timestamp-touching drafts.
+
+The external driver builds a BARE SparkSession whose JVM timezone is
+whatever the host has (the round-2 bench crashed on exactly this); the
+engine's defense is that sources/tables.table() pins
+spark.sql.session.timeZone=UTC on whatever session it is handed. This
+test re-runs every draft that reads events.ts under a session whose
+timezone was switched to America/New_York BEFORE the query plans, and
+demands the DuckDB oracle still hash-match."""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.parity import SF_TEST_DIR, compare
+from yelpdatawarehouse_spark.queries.drafts_r6 import DRAFTS
+
+_TS_DRAFTS = (
+    "t10_lateness_profile",
+    "a_trailing_week_active_users",
+    "a_trailing_week_active_sketch",
+)
+
+
+@pytest.mark.parametrize("name", _TS_DRAFTS)
+def test_draft_survives_non_utc_session(spark, name):
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        fn, oracle = DRAFTS[name]
+        problems = compare(fn(spark, SF_TEST_DIR), oracle, SF_TEST_DIR)
+        assert not problems, f"{name} under non-UTC session:\n" + "\n".join(problems)
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
