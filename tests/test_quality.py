@@ -114,6 +114,50 @@ def test_observed_metrics_match_check_rules(spark, tmp_path):
         assert got[rule] == want[rule]
 
 
+def test_gated_ingest_routes_bad_batches_to_quarantine(spark, tmp_path):
+    """Three micro-batches, one corrupted: the clean two must land in the
+    live table, the bad one wholesale in quarantine, rows conserved."""
+    import glob
+
+    from yelpdatawarehouse_spark.streaming.pipeline import (
+        event_file_stream,
+        run_gated_ingest,
+    )
+
+    src = tmp_path / "incoming"
+    src.mkdir()
+    ev = table(spark, SF, "events")
+    n_per = {}
+    for i in range(3):
+        chunk = ev.filter(F.col("event_id") % 3 == i).toPandas()
+        chunk["ts"] = chunk["ts"].dt.strftime("%Y-%m-%dT%H:%M:%S.%f")
+        if i == 1:  # corrupt the middle batch: negative values
+            chunk.loc[chunk.index[:5], "value"] = -999.0
+        n_per[i] = len(chunk)
+        chunk.to_json(src / f"chunk_{i}.json", orient="records", lines=True)
+
+    out, quar = tmp_path / "live", tmp_path / "quarantine"
+    q = run_gated_ingest(
+        spark,
+        event_file_stream(spark, str(src)),
+        [bounds("value_nonneg", "value", lo=0)],
+        str(out),
+        str(quar),
+        str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(120)
+
+    live_batches = sorted(glob.glob(str(out / "batch_*")))
+    quar_batches = sorted(glob.glob(str(quar / "batch_*")))
+    assert len(live_batches) == 2
+    assert len(quar_batches) == 1
+    n_live = spark.read.parquet(*live_batches).count()
+    n_quar = spark.read.parquet(*quar_batches).count()
+    assert n_live + n_quar == sum(n_per.values())
+    quar_rows = spark.read.parquet(*quar_batches)
+    assert quar_rows.filter(F.col("value") < 0).count() == 5
+
+
 def test_row_rules_are_single_scan(spark):
     """All predicate rules must fold into one aggregate over one scan —
     the plan reads the parquet exactly once."""

@@ -232,6 +232,56 @@ def read_cms(spark: SparkSession, state_dir: str) -> DataFrame:
     return spark.read.parquet(os.path.join(state_dir, "current"))
 
 
+def run_gated_ingest(
+    spark: SparkSession,
+    stream: DataFrame,
+    rules,
+    out_dir: str,
+    quarantine_dir: str,
+    checkpoint_dir: str,
+):
+    """Quality-gated ingestion: each micro-batch is audited against a
+    declarative rule suite (operators/quality.Rule) DURING its own write
+    via ``observe_rules`` — a clean batch appends to the live table, a
+    batch with ANY violation is diverted wholesale to quarantine for
+    repair-and-replay. Composes the row-level DLQ (parse_events_with_dlq:
+    per-ROW malformedness) with batch-level contract enforcement
+    (per-BATCH statistical violations a single row can't express, e.g.
+    "this feed suddenly ships NULL dates").
+
+    Write-then-audit ordering: the batch lands in a staging dir first
+    (the observation is collected by that write — zero extra pass), then
+    one directory rename routes it. Batch id in the staging path makes a
+    replayed batch overwrite its own staging, so restarts stay
+    idempotent; the checkpoint makes ids durable.
+
+    At 100 TB the audit costs a few counters per task; the routing cost
+    is a metadata move. The convergence + routing invariants are pinned
+    by tests/test_quality.py.
+    """
+    from ..operators.quality import observe_rules
+
+    def gate_batch(batch_df: DataFrame, batch_id: int) -> None:
+        staging = os.path.join(out_dir, f"_staging_{batch_id}")
+        observed, obs = observe_rules(batch_df, rules, name=f"gate_{batch_id}")
+        observed.write.mode("overwrite").parquet(staging)
+        metrics = obs.get
+        violations = sum(v for k, v in metrics.items() if k != "n_rows")
+        dest_root = out_dir if violations == 0 else quarantine_dir
+        os.makedirs(dest_root, exist_ok=True)
+        dest = os.path.join(dest_root, f"batch_{batch_id}")
+        if os.path.exists(dest):
+            shutil.rmtree(dest)
+        os.rename(staging, dest)
+
+    return (
+        stream.writeStream.foreachBatch(gate_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 # ---------------------------------------------------------------------------
 # Streaming dedup (exactly-once ingestion for training-data pipelines)
 # ---------------------------------------------------------------------------
