@@ -631,16 +631,25 @@ GROUP BY spine.d
 """
 
 
-def a_trailing_week_active_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The sketch path a_trailing_week_active_users documents: each day's
-    user set is HLL-sketched ONCE (one scan, one day-keyed exchange), and
-    every trailing-7 window is answered by unioning seven day sketches —
-    overlapping windows share their days' work instead of rescanning
-    events per window, the re-aggregatability that makes sliding distinct
-    viable at 100 TB. Gate follows the sketches.py approximation
-    contract: exact count hashed, estimate folded into a ±5% envelope
-    boolean (lgK=12 ≈ 1.6% standard error).
-    """
+def trailing_week_sketch_diag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unregistered diagnostic twin of :func:`a_trailing_week_active_sketch`
+    (the sketch_vocab_overlap_diag pattern, sketches.py): same rows plus
+    ``est_signed_err`` = HLL estimate − exact, so if the registered
+    query's ±5% envelope boolean ever trips the breach is identifiable as
+    estimator drift rather than an opaque hash mismatch. Not oracled —
+    the raw estimate is engine-specific by nature."""
+    exact, est = _trailing_sketch_frames(spark, sf_dir)
+    return (
+        exact.join(est, "d")
+        .select(
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            "exact_active",
+            rfix(F.col("est") - F.col("exact_active"), 2).alias("est_signed_err"),
+        )
+    )
+
+
+def _trailing_sketch_frames(spark: SparkSession, sf_dir: str):
     ev = table(spark, sf_dir, "events").select(
         F.to_date("ts").alias("eday"), "user_id"
     )
@@ -659,6 +668,22 @@ def a_trailing_week_active_sketch(spark: SparkSession, sf_dir: str) -> DataFrame
     exact = _trailing_exact_active(spark, sf_dir).select(
         "d", F.col("n").alias("exact_active")
     )
+    return exact, est
+
+
+def a_trailing_week_active_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sketch path a_trailing_week_active_users documents: each day's
+    user set is HLL-sketched ONCE (one scan, one day-keyed exchange), and
+    every trailing-7 window is answered by unioning seven day sketches —
+    overlapping windows share their days' work instead of rescanning
+    events per window, the re-aggregatability that makes sliding distinct
+    viable at 100 TB. Gate follows the sketches.py approximation
+    contract: exact count hashed, estimate folded into a ±5% envelope
+    boolean (lgK=12 ≈ 1.6% standard error). An envelope breach is
+    diagnosable via the unregistered :func:`trailing_week_sketch_diag`
+    twin, which emits the signed estimate error.
+    """
+    exact, est = _trailing_sketch_frames(spark, sf_dir)
     within = F.when(
         F.col("exact_active") == 0, F.col("est") == 0
     ).otherwise(
