@@ -1,0 +1,76 @@
+"""Full-registry (and draft-layer) DuckDB-oracle parity sweep at sf0.01 —
+a local dress rehearsal of the external driver's correctness gate.
+
+The CI suite (tests/test_parity.py, tests/test_drafts_r6.py) runs the
+same compare at sf0.001 for speed; the driver runs sf0.01, where
+data-dependent edges (ties at a top-k cutoff, groups that exist only at
+the larger scale, rounding boundaries) can differ. This sweep runs every
+oracled query — registered and drafted — at the driver's own scale and
+prints one line per query plus a failure summary.
+
+    python tools/full_parity.py              # registry + drafts (~2.5 min)
+    python tools/full_parity.py registry     # registry only
+    python tools/full_parity.py drafts       # drafts only
+
+Round-5 result of record: 145/145 registered and 21/21 drafted queries
+OK at sf0.01 (zero failures).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF = "/root/testdata/sf0.01"
+
+
+def main() -> None:
+    which = sys.argv[1] if len(sys.argv) > 1 else "all"
+    from pyspark.sql import SparkSession
+
+    from tests.parity import compare
+
+    spark = (
+        SparkSession.builder.master("local[16]")
+        .config("spark.sql.shuffle.partitions", "16")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    targets: list[tuple[str, object, object]] = []
+    if which in ("all", "registry"):
+        from yelpdatawarehouse_spark.queries import all_queries
+
+        for name, qd in sorted(all_queries().items()):
+            if qd.oracle is not None:
+                targets.append((name, qd.fn, qd.oracle))
+    if which in ("all", "drafts"):
+        from yelpdatawarehouse_spark.queries.drafts_r6 import DRAFTS
+
+        for name, (fn, oracle) in sorted(DRAFTS.items()):
+            targets.append((f"draft:{name}", fn, oracle))
+
+    t0 = time.time()
+    failures = []
+    for name, fn, oracle in targets:
+        try:
+            problems = compare(fn(spark, SF), oracle, SF)
+            status = "OK" if not problems else "FAIL " + "; ".join(problems)[:200]
+        except Exception as e:  # noqa: BLE001 — sweep must report, not stop
+            status = "ERR " + repr(e)[:200]
+        if status != "OK":
+            failures.append(name)
+        print(f"{name}: {status}", flush=True)
+    print(f"DONE {len(targets)} queries in {time.time() - t0:.1f}s; "
+          f"failures: {failures}")
+    spark.stop()
+    if failures:
+        raise SystemExit(1)
+
+
+if __name__ == "__main__":
+    main()
