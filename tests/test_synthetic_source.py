@@ -1,0 +1,60 @@
+"""Python Data Source (sources/synthetic.py): partition-count invariance,
+closed-form agreement, and end-to-end use through the aggregation
+pipeline."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from yelpdatawarehouse_spark.sources.synthetic import (
+    SyntheticEventsDataSource,
+    synth_event,
+)
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _register(spark):
+    spark.dataSource.register(SyntheticEventsDataSource)
+
+
+def _read(spark, **opts):
+    r = spark.read.format("ydw_synthetic_events")
+    for k, v in opts.items():
+        r = r.option(k, str(v))
+    return r.load()
+
+
+def test_rows_match_closed_form(spark):
+    got = sorted(map(tuple, _read(spark, n_events=50, n_users=7).collect()))
+    want = sorted(synth_event(i, 7) for i in range(50))
+    assert got == want
+
+
+def test_partitioning_is_planned_and_invariant(spark):
+    a = _read(spark, n_events=500, n_users=20, partitions=2)
+    b = _read(spark, n_events=500, n_users=20, partitions=11)
+    assert a.rdd.getNumPartitions() == 2
+    assert b.rdd.getNumPartitions() == 11
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_pipeline_over_generated_source(spark):
+    """The generated frame must flow through the real aggregation path
+    (windowed_type_counts) identically under different partitionings."""
+    from yelpdatawarehouse_spark.streaming.pipeline import windowed_type_counts
+
+    def agg(parts):
+        df = windowed_type_counts(
+            _read(spark, n_events=2000, n_users=50, partitions=parts)
+        )
+        return {
+            (r["window_start"], r["event_type"]): (
+                r["event_cnt"],
+                round(r["total_value"], 6),
+            )
+            for r in df.collect()
+        }
+
+    assert agg(3) == agg(9)
+    assert sum(v[0] for v in agg(3).values()) == 2000
