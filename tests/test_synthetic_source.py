@@ -39,6 +39,39 @@ def test_partitioning_is_planned_and_invariant(spark):
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
 
 
+def test_stream_reader_replays_exact_sequence(spark, tmp_path):
+    """The streaming twin must deliver exactly rows [0, max_rows) across
+    micro-batches and equal the batch read of the same range — offset
+    determinism is what makes checkpoint recovery exact."""
+    import time
+
+    q = (
+        spark.readStream.format("ydw_synthetic_events")
+        .option("n_users", "20")
+        .option("rows_per_batch", "64")
+        .option("max_rows", "300")
+        .load()
+        .writeStream.format("memory")
+        .queryName("synth_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    # max_rows caps the sequence: poll until every row has landed
+    # (availableNow drains only ONE prefetched batch from a simple
+    # stream reader, hence the continuous trigger + stop)
+    deadline = time.time() + 120
+    while time.time() < deadline:
+        if spark.sql("SELECT count(*) c FROM synth_stream").collect()[0]["c"] >= 300:
+            break
+        time.sleep(0.5)
+    q.stop()
+    got = sorted(map(tuple, spark.sql("SELECT * FROM synth_stream").collect()))
+    want = sorted(synth_event(i, 20) for i in range(300))
+    assert got == want
+
+
 def test_pipeline_over_generated_source(spark):
     """The generated frame must flow through the real aggregation path
     (windowed_type_counts) identically under different partitionings."""

@@ -71,9 +71,45 @@ class _EventsReader(DataSourceReader):
             yield synth_event(i, partition.n_users)
 
 
+class _EventsStreamReader:
+    """Streaming twin (SimpleDataSourceStreamReader): offsets are plain
+    row indices into the same closed-form sequence, so the stream is
+    exactly replayable — ``readBetweenOffsets`` regenerates any
+    checkpointed range bit-for-bit, giving the source Kafka's
+    replay-on-recovery semantics with zero infrastructure. Each
+    micro-batch emits ``rows_per_batch`` rows until ``max_rows``."""
+
+    def __init__(self, options):
+        self.n_users = int(options.get("n_users", 100))
+        self.rows_per_batch = int(options.get("rows_per_batch", 100))
+        self.max_rows = int(options.get("max_rows", 1000))
+
+    def initialOffset(self) -> dict:
+        return {"i": 0}
+
+    def read(self, start: dict):
+        lo = start["i"]
+        hi = min(lo + self.rows_per_batch, self.max_rows)
+        # concrete list, not a generator: the runtime pickles the
+        # prefetched rows into its offset cache for exact replay
+        return (
+            [synth_event(i, self.n_users) for i in range(lo, hi)],
+            {"i": hi},
+        )
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return [
+            synth_event(i, self.n_users) for i in range(start["i"], end["i"])
+        ]
+
+    def commit(self, end: dict) -> None:
+        pass
+
+
 class SyntheticEventsDataSource(DataSource):
-    """``spark.read.format("ydw_synthetic_events")`` after
-    ``spark.dataSource.register(SyntheticEventsDataSource)``."""
+    """``spark.read.format("ydw_synthetic_events")`` (batch) or
+    ``spark.readStream.format("ydw_synthetic_events")`` (micro-batched
+    stream) after ``spark.dataSource.register(SyntheticEventsDataSource)``."""
 
     @classmethod
     def name(cls) -> str:
@@ -87,3 +123,6 @@ class SyntheticEventsDataSource(DataSource):
 
     def reader(self, schema) -> DataSourceReader:
         return _EventsReader(self.options)
+
+    def simpleStreamReader(self, schema) -> _EventsStreamReader:
+        return _EventsStreamReader(self.options)
