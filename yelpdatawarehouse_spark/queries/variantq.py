@@ -21,8 +21,12 @@ Why this matters at 100 TB rather than being a syntax swap:
   wrong-type into NULL instead of a job-killing cast error — the exact
   failure mode of schemaless corpora at scale (one malformed document in
   100 TB must not fail the query).
-* **Columnar-friendly.** VARIANT columns written to parquet get shredded
-  storage in the Spark 4 writer, so common paths become prunable columns.
+* **Columnar-friendly.** VARIANT round-trips through parquet as its
+  binary encoding (pinned by tests/test_variant.py), and this build reads
+  the shredded parquet layout (`spark.sql.variant.allowReadingShredded`
+  is on), where common paths become prunable physical columns; the
+  writer-side shredding flag is not in this Spark build, so writes here
+  stay unshredded.
 
 Oracles: DuckDB's ``json_extract``/``json_extract_string`` over the same
 string column — semantics (not encoding) are what the gate verifies.
