@@ -9,7 +9,7 @@ both sides, ints cast long/BIGINT, floats through rfix)."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import hashing as H
@@ -847,6 +847,176 @@ def sample_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Curation v2 capstone: quality gate -> exact dedup -> DSIR-target keep
+
+CURATION_V2_ORACLE = f"""
+WITH base AS (
+    SELECT source, doc_id, {_TOKS} AS toks,
+           md5(trim(regexp_replace(regexp_replace(lower(text),
+                    '[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g'))) AS fp
+    FROM documents
+),
+q AS (
+    SELECT source, doc_id, fp, len(toks) AS n_tokens
+    FROM base
+    WHERE len(toks) >= 15
+      AND len(list_distinct(toks))::DOUBLE / len(toks) >= 0.35
+      AND {T.marker_count_sql('toks', T.STOPWORDS)}::DOUBLE / len(toks) >= 0.01
+),
+u AS (
+    SELECT source, doc_id, n_tokens,
+           row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+    FROM q
+),
+uq AS (SELECT source, doc_id, n_tokens FROM u WHERE rn = 1),
+tok AS (SELECT doc_id, lang, unnest({_TOKS}) AS tok FROM documents),
+bk AS (SELECT doc_id, lang, {_DSIR_BUCKET_SQL} AS bucket FROM tok),
+tgt AS (SELECT bucket, count(*)::DOUBLE AS c FROM bk
+        WHERE lang = '{DSIR_TARGET_LANG}' GROUP BY bucket),
+raw AS (SELECT bucket, count(*)::DOUBLE AS c FROM bk GROUP BY bucket),
+tot AS (SELECT (SELECT sum(c) FROM tgt) AS t_tot,
+               (SELECT sum(c) FROM raw) AS r_tot),
+ratio AS (
+    SELECT raw.bucket,
+           ln((coalesce(tgt.c, 0) + {DSIR_ALPHA})
+              / (tot.t_tot + {DSIR_ALPHA} * {DSIR_BUCKETS}))
+         - ln((raw.c + {DSIR_ALPHA})
+              / (tot.r_tot + {DSIR_ALPHA} * {DSIR_BUCKETS})) AS lr
+    FROM raw LEFT JOIN tgt ON tgt.bucket = raw.bucket CROSS JOIN tot
+),
+w AS (
+    SELECT bk.doc_id, avg(ratio.lr) AS wgt
+    FROM bk JOIN ratio ON ratio.bucket = bk.bucket
+    GROUP BY bk.doc_id
+),
+kept AS (
+    SELECT uq.source, uq.doc_id, uq.n_tokens
+    FROM uq JOIN w ON w.doc_id = uq.doc_id
+    WHERE w.wgt > 0
+),
+s_in AS (SELECT source, count(*) AS n_input FROM base GROUP BY source),
+s_u AS (SELECT source, count(*) AS n_unique_quality FROM uq GROUP BY source),
+s_k AS (SELECT source, count(*) AS n_kept,
+               CAST(sum(n_tokens) AS BIGINT) AS tokens_kept
+        FROM kept GROUP BY source)
+SELECT s_in.source,
+       CAST(n_input AS BIGINT) AS n_input,
+       CAST(coalesce(n_unique_quality, 0) AS BIGINT) AS n_unique_quality,
+       CAST(coalesce(n_kept, 0) AS BIGINT) AS n_kept,
+       CAST(coalesce(tokens_kept, 0) AS BIGINT) AS tokens_kept
+FROM s_in
+LEFT JOIN s_u USING (source)
+LEFT JOIN s_k USING (source)
+"""
+
+
+def pipeline_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation funnel v2 — the round's new selector composed into the
+    end-to-end pipeline shape: Gopher-style quality gate and exact-dup
+    removal (identical thresholds and canonicalization to
+    pipeline_corpus_curation) followed by DSIR importance SELECTION —
+    keep only survivors whose hashed-unigram log-likelihood ratio vs the
+    target domain is positive, i.e. documents that look MORE like the
+    target distribution than the raw corpus (sample_dsir_importance's
+    estimator used as a filter, the way the published method applies it).
+
+    Shuffle audit: fp-window dedup (1 exchange) ∥ DSIR weighting (token
+    explode, two {DSIR_BUCKETS}-row histograms, broadcast ratio, 1
+    per-doc exchange) → doc_id equi-join of the two survivor frames →
+    per-source rollup. The importance model is trained on the RAW corpus
+    (not the survivors), matching DSIR practice — selection must not
+    shift the raw feature distribution it normalizes against.
+    """
+    d = table(spark, sf_dir, "documents")
+    toks = T.tokens("text")
+    base = d.select(
+        "source",
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        (F.size(F.array_distinct(toks)).cast("double") / F.size(toks)).alias(
+            "uniq_ratio"
+        ),
+        (T.marker_count(toks, T.STOPWORDS).cast("double") / F.size(toks)).alias(
+            "stop_ratio"
+        ),
+        F.md5(T.normalize("text")).alias("fp"),
+    )
+    qcond = (
+        (F.col("n_tokens") >= 15)
+        & (F.col("uniq_ratio") >= 0.35)
+        & (F.col("stop_ratio") >= 0.01)
+    )
+    q = base.filter(qcond)
+    w_fp = Window.partitionBy("fp").orderBy("doc_id")
+    uq = (
+        q.withColumn("rn", F.row_number().over(w_fp))
+        .filter(F.col("rn") == 1)
+        .select("source", "doc_id", "n_tokens")
+    )
+
+    tokd = d.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "lang",
+        F.explode(T.tokens("text")).alias("tok"),
+    )
+    bk = tokd.select(
+        "doc_id", "lang", (H.md5_long("tok") % DSIR_BUCKETS).alias("bucket")
+    )
+    tgt = (
+        bk.filter(F.col("lang") == DSIR_TARGET_LANG)
+        .groupBy("bucket")
+        .agg(F.count("*").cast("double").alias("tc"))
+    )
+    raw = bk.groupBy("bucket").agg(F.count("*").cast("double").alias("rc"))
+    totals = raw.join(tgt, "bucket", "left").agg(
+        F.sum("tc").alias("t_tot"), F.sum("rc").alias("r_tot")
+    )
+    ratio = (
+        raw.join(tgt, "bucket", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "bucket",
+            (
+                F.log(
+                    (F.coalesce(F.col("tc"), F.lit(0.0)) + DSIR_ALPHA)
+                    / (F.col("t_tot") + DSIR_ALPHA * DSIR_BUCKETS)
+                )
+                - F.log(
+                    (F.col("rc") + DSIR_ALPHA)
+                    / (F.col("r_tot") + DSIR_ALPHA * DSIR_BUCKETS)
+                )
+            ).alias("lr"),
+        )
+    )
+    weights = (
+        bk.join(F.broadcast(ratio), "bucket")
+        .groupBy("doc_id")
+        .agg(F.avg("lr").alias("wgt"))
+    )
+    kept = uq.join(weights.filter(F.col("wgt") > 0), "doc_id")
+
+    s_in = base.groupBy("source").agg(F.count("*").alias("n_input"))
+    s_u = uq.groupBy("source").agg(F.count("*").alias("n_unique_quality"))
+    s_k = kept.groupBy("source").agg(
+        F.count("*").alias("n_kept"),
+        F.sum("n_tokens").cast("long").alias("tokens_kept"),
+    )
+    return (
+        s_in.join(s_u, "source", "left")
+        .join(s_k, "source", "left")
+        .select(
+            "source",
+            F.col("n_input").cast("long").alias("n_input"),
+            F.coalesce("n_unique_quality", F.lit(0))
+            .cast("long")
+            .alias("n_unique_quality"),
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+            F.coalesce("tokens_kept", F.lit(0)).cast("long").alias("tokens_kept"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Native recursive CTE (WITH RECURSIVE, Spark 4.1) — BFS twin
 
 _RECURSIVE_BFS_SQL = """
@@ -1390,3 +1560,4 @@ DRAFTS["f15_sql_udf_pricing"] = (f15_sql_udf_pricing, F15_ORACLE)
 DRAFTS["diag_quality_report"] = (diag_quality_report, QUALITY_ORACLE)
 DRAFTS["text_bm25_topk"] = (text_bm25_topk, BM25_ORACLE)
 DRAFTS["g_bfs_recursive_native"] = (g_bfs_recursive_native, RECURSIVE_BFS_ORACLE)
+DRAFTS["pipeline_curation_v2"] = (pipeline_curation_v2, CURATION_V2_ORACLE)
