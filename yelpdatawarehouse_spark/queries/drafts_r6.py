@@ -847,6 +847,58 @@ def sample_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Distribution-rank window functions (ntile / percent_rank / cume_dist)
+
+W8_ORACLE = f"""
+WITH ranked AS (
+    SELECT c_mktsegment, c_acctbal,
+           ntile(10) OVER w AS decile,
+           percent_rank() OVER w AS pr,
+           cume_dist() OVER w AS cd
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment
+                 ORDER BY c_acctbal, c_custkey)
+)
+SELECT c_mktsegment, CAST(decile AS BIGINT) AS decile,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       {rfix_sql('min(c_acctbal)')} AS lo_bal,
+       {rfix_sql('max(c_acctbal)')} AS hi_bal,
+       {rfix_sql('max(pr)', 4)} AS max_percent_rank,
+       {rfix_sql('max(cd)', 4)} AS max_cume_dist
+FROM ranked
+GROUP BY c_mktsegment, decile
+"""
+
+
+def w8_decile_value_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile profile of customer balances per market segment through the
+    distribution-rank window family — ``ntile`` (equal-count bucketing),
+    ``percent_rank`` and ``cume_dist`` (relative position) — completing
+    the §2.5 window surface beyond ranking/offset/frame functions.
+    Deterministic because the window order is TOTAL (balance then
+    custkey), which is what makes ntile's row-position bucketing
+    hash-comparable across engines. One exchange on the partition key;
+    the decile rollup reuses that partitioning (no second exchange)."""
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    ranked = table(spark, sf_dir, "customer").select(
+        "c_mktsegment",
+        "c_acctbal",
+        F.ntile(10).over(w).alias("decile"),
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+    )
+    return ranked.groupBy(
+        "c_mktsegment", F.col("decile").cast("long").alias("decile")
+    ).agg(
+        F.count("*").cast("long").alias("n_customers"),
+        rfix(F.min("c_acctbal")).alias("lo_bal"),
+        rfix(F.max("c_acctbal")).alias("hi_bal"),
+        rfix(F.max("pr"), 4).alias("max_percent_rank"),
+        rfix(F.max("cd"), 4).alias("max_cume_dist"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Curation v2 capstone: quality gate -> exact dedup -> DSIR-target keep
 
 CURATION_V2_ORACLE = f"""
@@ -1561,3 +1613,4 @@ DRAFTS["diag_quality_report"] = (diag_quality_report, QUALITY_ORACLE)
 DRAFTS["text_bm25_topk"] = (text_bm25_topk, BM25_ORACLE)
 DRAFTS["g_bfs_recursive_native"] = (g_bfs_recursive_native, RECURSIVE_BFS_ORACLE)
 DRAFTS["pipeline_curation_v2"] = (pipeline_curation_v2, CURATION_V2_ORACLE)
+DRAFTS["w8_decile_value_profile"] = (w8_decile_value_profile, W8_ORACLE)
