@@ -19,6 +19,7 @@ _TS_DRAFTS = (
     "t10_lateness_profile",
     "a_trailing_week_active_users",
     "a_trailing_week_active_sketch",
+    "t12_gap_interpolation",
 )
 
 

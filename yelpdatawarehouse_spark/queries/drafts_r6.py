@@ -847,6 +847,107 @@ def sample_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Time-series gap fill: zero-fill spine -> linear interpolation
+
+T12_ORACLE = f"""
+WITH spine AS (
+    SELECT unnest(generate_series(DATE '2024-01-01', DATE '2024-01-31',
+                                  INTERVAL 1 DAY))::DATE AS d
+),
+daily AS (
+    SELECT ts::DATE AS d, sum(value) AS v
+    FROM events WHERE event_type = 'purchase' GROUP BY 1
+),
+masked AS (
+    SELECT spine.d,
+           CASE WHEN day(spine.d) % 3 = 0 THEN NULL ELSE daily.v END AS v
+    FROM spine LEFT JOIN daily ON daily.d = spine.d
+),
+w AS (
+    SELECT d, v,
+           last_value(v IGNORE NULLS) OVER wb AS pv,
+           last_value(CASE WHEN v IS NOT NULL THEN d END IGNORE NULLS)
+               OVER wb AS pd,
+           first_value(v IGNORE NULLS) OVER wf AS nv,
+           first_value(CASE WHEN v IS NOT NULL THEN d END IGNORE NULLS)
+               OVER wf AS nd
+    FROM masked
+    WINDOW wb AS (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING
+                  AND CURRENT ROW),
+           wf AS (ORDER BY d ROWS BETWEEN CURRENT ROW
+                  AND UNBOUNDED FOLLOWING)
+)
+SELECT strftime(d, '%Y-%m-%d') AS day,
+       (v IS NULL) AS is_gap,
+       {rfix_sql('''CASE WHEN v IS NOT NULL THEN v
+             WHEN pv IS NOT NULL AND nv IS NOT NULL
+                  THEN pv + (nv - pv) * (d - pd)::DOUBLE / (nd - pd)
+             WHEN pv IS NOT NULL THEN pv
+             ELSE nv END''', 4)} AS filled_value
+FROM w
+"""
+
+
+def t12_gap_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap repair — the step after j9's zero-filled date
+    spine: days whose observation is missing (here a deterministic
+    simulated sensor dropout: every third calendar day masked) are
+    LINEARLY INTERPOLATED between the nearest observed neighbors via
+    IGNORE-NULLS window carries (last_value backward, first_value
+    forward), falling back to nearest-edge extrapolation at the series
+    boundaries. The lag/lead-ignore-nulls pair is the canonical gap-fill
+    idiom every metrics pipeline needs and the one window variant the
+    suite did not yet exercise.
+
+    Scale shape: the fact-scale work is the daily pre-aggregation (one
+    map-side-combinable exchange); everything after operates on the
+    spine-sized frame (rows = days), so the unpartitioned windows are
+    bounded by the calendar, not the corpus.
+    """
+    ev = table(spark, sf_dir, "events")
+    daily = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(F.to_date("ts").alias("d"))
+        .agg(F.sum("value").alias("dv"))
+    )
+    masked = (
+        _jan_spine(spark)
+        .join(daily, "d", "left")
+        .select(
+            "d",
+            F.when(F.dayofmonth("d") % 3 == 0, F.lit(None)).otherwise(
+                F.col("dv")
+            ).alias("v"),
+        )
+    )
+    wb = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    wf = Window.orderBy("d").rowsBetween(0, Window.unboundedFollowing)
+    obs_day = F.when(F.col("v").isNotNull(), F.col("d"))
+    w = masked.select(
+        "d",
+        "v",
+        F.last("v", ignorenulls=True).over(wb).alias("pv"),
+        F.last(obs_day, ignorenulls=True).over(wb).alias("pd"),
+        F.first("v", ignorenulls=True).over(wf).alias("nv"),
+        F.first(obs_day, ignorenulls=True).over(wf).alias("nd"),
+    )
+    lin = F.col("pv") + (F.col("nv") - F.col("pv")) * (
+        F.datediff("d", "pd").cast("double") / F.datediff("nd", "pd")
+    )
+    filled = (
+        F.when(F.col("v").isNotNull(), F.col("v"))
+        .when(F.col("pv").isNotNull() & F.col("nv").isNotNull(), lin)
+        .when(F.col("pv").isNotNull(), F.col("pv"))
+        .otherwise(F.col("nv"))
+    )
+    return w.select(
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        F.col("v").isNull().alias("is_gap"),
+        rfix(filled, 4).alias("filled_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Distribution-rank window functions (ntile / percent_rank / cume_dist)
 
 W8_ORACLE = f"""
@@ -1614,3 +1715,4 @@ DRAFTS["text_bm25_topk"] = (text_bm25_topk, BM25_ORACLE)
 DRAFTS["g_bfs_recursive_native"] = (g_bfs_recursive_native, RECURSIVE_BFS_ORACLE)
 DRAFTS["pipeline_curation_v2"] = (pipeline_curation_v2, CURATION_V2_ORACLE)
 DRAFTS["w8_decile_value_profile"] = (w8_decile_value_profile, W8_ORACLE)
+DRAFTS["t12_gap_interpolation"] = (t12_gap_interpolation, T12_ORACLE)
