@@ -265,6 +265,139 @@ def emb_pq_seed_codebook_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PQ_QUERIES, _PQ_TOPK = 3, 5
+
+PQ_ADC_ORACLE = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+dims AS (SELECT 64 AS d, 64 // {_PQ_M} AS sub),
+seeds AS (
+    SELECT vec_id AS cid, j,
+           (SELECT list(v[i]) FROM
+             (SELECT unnest(range(j * (SELECT sub FROM dims) + 1,
+                                  (j + 1) * (SELECT sub FROM dims) + 1)) AS i)) AS c
+    FROM e, (SELECT unnest(range(0, {_PQ_M})) AS j)
+    WHERE vec_id < {_PQ_K}
+),
+slices AS (
+    SELECT e.vec_id, j,
+           (SELECT list(v[i]) FROM
+             (SELECT unnest(range(j * (SELECT sub FROM dims) + 1,
+                                  (j + 1) * (SELECT sub FROM dims) + 1)) AS i)) AS s
+    FROM e, (SELECT unnest(range(0, {_PQ_M})) AS j)
+),
+d2 AS (
+    SELECT sl.vec_id, sl.j, sd.cid,
+           list_inner_product(sl.s, sl.s) + list_inner_product(sd.c, sd.c)
+           - 2 * list_inner_product(sl.s, sd.c) AS d2
+    FROM slices sl JOIN seeds sd ON sd.j = sl.j
+),
+best AS (
+    SELECT vec_id, j, cid,
+           row_number() OVER (PARTITION BY vec_id, j ORDER BY d2, cid) AS rn
+    FROM d2
+),
+adc AS (
+    SELECT qd.vec_id AS query_id, b.vec_id AS neighbor_id,
+           sum(qd.d2) AS dist
+    FROM best b
+    JOIN d2 qd ON qd.j = b.j AND qd.cid = b.cid
+    WHERE b.rn = 1 AND qd.vec_id < {_PQ_QUERIES}
+      AND b.vec_id <> qd.vec_id
+    GROUP BY 1, 2
+),
+ranked AS (
+    SELECT query_id, neighbor_id,
+           {rfix_sql('dist', 6)} AS d6, {rfix_sql('dist', 4)} AS adc_dist,
+           row_number() OVER (
+               PARTITION BY query_id
+               ORDER BY {rfix_sql('dist', 6)}, neighbor_id) AS rn
+    FROM adc
+)
+SELECT CAST(query_id AS BIGINT) AS query_id,
+       CAST(neighbor_id AS BIGINT) AS neighbor_id,
+       CAST(rn AS BIGINT) AS rank, adc_dist
+FROM ranked WHERE rn <= {_PQ_TOPK}
+"""
+
+
+def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ asymmetric-distance search (ADC; Jégou et al.) — the query path
+    product quantization exists for: each query's distance TABLE to every
+    subspace centroid is computed once (m·K = {_PQ_M}·{_PQ_K} doubles per
+    query), and a database vector's approximate distance is just the sum
+    of m table lookups addressed by its stored codes — the database's
+    full-precision vectors are never touched at query time.
+
+    Scale shape: the distance tables ride a broadcast (m·K·|panel| rows);
+    the database side is the posexploded code table (4 ints per vector,
+    no shuffle to produce); ONE (query, vector)-keyed exchange sums the
+    lookups, then a per-query top-k window. Codebooks are the seed
+    variant (max_iters=0) so the ENTIRE index + search pipeline is
+    reproduced arithmetically by the oracle — hash-verified approximate
+    search, same contract as emb_pq_seed_codebook_stats.
+    """
+    from ..operators.pq import train_pq
+
+    e = table(spark, sf_dir, "embeddings")
+    model = train_pq(e, m=_PQ_M, k=_PQ_K, max_iters=0)
+    if not all(model.codebooks):
+        return spark.createDataFrame(
+            [], "query_id LONG, neighbor_id LONG, rank LONG, adc_dist DOUBLE"
+        )
+    codes = model.encode(e).select(
+        "vec_id", F.posexplode("codes").alias("j", "cid")
+    )
+    # per-query distance table: raw ||q_j - c||^2 for every (j, cid) —
+    # same expression family as kmeans.argmin_centroid, kept un-clamped
+    # so sums match the oracle's raw arithmetic bit-for-bit
+    panel = e.filter(F.col("vec_id") < _PQ_QUERIES)
+    entries = []
+    for j in range(model.m):
+        sub = model._sub_expr("embedding", j)
+        sd = F.expr(
+            f"aggregate(zip_with(CAST({sub} AS ARRAY<DOUBLE>), "
+            f"CAST({sub} AS ARRAY<DOUBLE>), (x, y) -> x * y), "
+            f"0.0D, (acc, x) -> acc + x)"
+        )
+        for cid in sorted(model.codebooks[j]):
+            c = model.codebooks[j][cid]
+            arr = ", ".join(f"{float(x)!r}D" for x in c)
+            dot = F.expr(
+                f"aggregate(zip_with(CAST({sub} AS ARRAY<DOUBLE>), "
+                f"array({arr}), (x, y) -> x * y), 0.0D, (acc, x) -> acc + x)"
+            )
+            c2 = sum(x * x for x in c)
+            entries.append(
+                F.struct(
+                    F.lit(j).alias("j"),
+                    F.lit(int(cid)).alias("cid"),
+                    (sd + F.lit(c2) - 2 * dot).alias("qd2"),
+                )
+            )
+    qtab = panel.select(
+        F.col("vec_id").alias("query_id"), F.explode(F.array(*entries)).alias("x")
+    ).select("query_id", "x.j", "x.cid", "x.qd2")
+    adc = (
+        codes.join(F.broadcast(qtab), ["j", "cid"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.sum("qd2").alias("dist"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        rfix(F.col("dist"), 6), F.asc("neighbor_id")
+    )
+    return (
+        adc.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _PQ_TOPK)
+        .select(
+            F.col("query_id").cast("long").alias("query_id"),
+            F.col("neighbor_id").cast("long").alias("neighbor_id"),
+            F.col("rank").cast("long").alias("rank"),
+            rfix(F.col("dist"), 4).alias("adc_dist"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # operators/containment.py → superset-duplicate pairs over documents
 
@@ -1716,3 +1849,4 @@ DRAFTS["g_bfs_recursive_native"] = (g_bfs_recursive_native, RECURSIVE_BFS_ORACLE
 DRAFTS["pipeline_curation_v2"] = (pipeline_curation_v2, CURATION_V2_ORACLE)
 DRAFTS["w8_decile_value_profile"] = (w8_decile_value_profile, W8_ORACLE)
 DRAFTS["t12_gap_interpolation"] = (t12_gap_interpolation, T12_ORACLE)
+DRAFTS["ann_pq_adc_topk"] = (ann_pq_adc_topk, PQ_ADC_ORACLE)
