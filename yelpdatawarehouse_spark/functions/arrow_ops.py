@@ -1,0 +1,56 @@
+"""mapInArrow kernels: the lowest-overhead Python escape hatch.
+
+The repo's Python ladder, fastest to slowest, is now complete:
+built-in JVM expressions (every hot path) > ``mapInArrow`` (this module:
+RecordBatch in, RecordBatch out — zero pandas materialization, columnar
+end-to-end via pyarrow.compute) > ``mapInPandas``/``applyInPandas``
+(multimodal codecs, stateful processors: per-row Python objects but
+Arrow-batched transport) > row-at-a-time UDFs (banned). ``mapInArrow``
+matters when a kernel is expressible in Arrow's vectorized compute
+functions: the batch never becomes pandas Series, so string-heavy
+columns skip the object-per-cell conversion that dominates
+mapInPandas on text workloads.
+
+``token_count_arrow`` exists to MEASURE and PIN that contract, not to
+replace the built-in: tests/test_arrow_ops.py asserts it agrees exactly
+with the JVM ``size(split(...))`` expression, which remains the
+production path (the built-in is still faster — it never leaves the JVM
+at all)."""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import types as S
+
+
+def token_count_arrow(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, n_tokens) via Arrow-native whitespace tokenization:
+    ``pyarrow.compute.split_pattern_regex`` + ``list_value_length``,
+    entirely columnar inside the Python worker. Matches the engine's
+    canonical tokenization (split on ``\\s+``, Java limit=-1 semantics:
+    leading/trailing empty fields kept) so counts equal
+    ``size(split(text, '\\s+'))`` bit-for-bit."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    schema = S.StructType(
+        [
+            S.StructField("doc_id", S.LongType()),
+            S.StructField("n_tokens", S.LongType()),
+        ]
+    )
+
+    def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            toks = pc.split_pattern_regex(batch.column(text_col), r"\s+")
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pc.cast(batch.column("doc_id"), pa.int64()),
+                    pc.cast(pc.list_value_length(toks), pa.int64()),
+                ],
+                names=["doc_id", "n_tokens"],
+            )
+
+    return docs.select("doc_id", text_col).mapInArrow(kernel, schema)
