@@ -265,6 +265,125 @@ def emb_pq_seed_codebook_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# MinHash-LSH index-quality eval: precision/recall vs exact Jaccard truth
+
+_PR_PANEL, _PR_TAU = 20, 0.2
+
+def _pr_jaccard_sql() -> str:
+    return (
+        "len(list_intersect(a.s, b.s))::DOUBLE / "
+        "(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))"
+    )
+
+
+def MINHASH_PR_ORACLE() -> str:
+    from .llmops import _TOKS as _LTOKS
+    from .llmops import _minhash_oracle
+
+    return f"""
+    WITH cand0 AS ({_minhash_oracle()}),
+    cand AS (SELECT doc_a, doc_b FROM cand0 WHERE doc_a < {_PR_PANEL}),
+    sh AS (SELECT doc_id, list_distinct({T.shingles_sql(_LTOKS, 3)}) AS s
+           FROM documents),
+    truth AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM sh a JOIN sh b ON b.doc_id > a.doc_id
+        WHERE a.doc_id < {_PR_PANEL}
+          AND len(list_intersect(a.s, b.s)) > 0
+          AND {rfix_sql(_pr_jaccard_sql(), 6)} >= {_PR_TAU}
+    ),
+    hit AS (
+        SELECT t.doc_a, t.doc_b FROM truth t
+        JOIN cand c ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b
+    ),
+    m AS (
+        SELECT (SELECT count(*) FROM truth) AS n_true,
+               (SELECT count(*) FROM cand) AS n_cand,
+               (SELECT count(*) FROM hit) AS n_hit
+    )
+    SELECT CAST(n_true AS BIGINT) AS n_true,
+           CAST(n_cand AS BIGINT) AS n_cand,
+           CAST(n_hit AS BIGINT) AS n_hit,
+           {rfix_sql('n_hit::DOUBLE / nullif(n_cand, 0)', 4)} AS precision,
+           {rfix_sql('n_hit::DOUBLE / nullif(n_true, 0)', 4)} AS recall
+    FROM m
+    """
+
+
+def dedup_minhash_pr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-quality evaluation for the MinHash-LSH DEDUP index —
+    measured precision AND recall of the banding candidates against
+    exact 3-gram-Jaccard ground truth (tau = {_PR_TAU}) on a bounded
+    panel, completing the eval family (ann_recall_eval / ann_ivf_recall
+    measure the ANN indexes; this measures the dedup index). These two
+    numbers are what a 4x4-banding choice trades: more bands -> higher
+    recall, lower precision — the S-curve every LSH deployment tunes.
+
+    Scale shape: ground truth is exact only over the panel (standard
+    eval protocol) and is computed by a SHINGLE join (pairs share >= 1
+    shingle; a zero-overlap pair cannot reach tau), never all-pairs; the
+    candidate side is the production banding query itself, panel-
+    filtered. Metric assembly is three broadcast-sized counts.
+    """
+    from .llmops import _DUP_SHINGLE_K  # noqa: F401 (doc cross-ref)
+    from .llmops import dedup_minhash_lsh_candidates
+
+    d = table(spark, sf_dir, "documents")
+    sh = d.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.array_distinct(T.shingles(T.tokens("text"), 3)).alias("s"),
+    )
+    sizes = sh.select("doc_id", F.size("s").alias("n"))
+    ex = sh.select("doc_id", F.explode("s").alias("sg"))
+    pan = ex.filter(F.col("doc_id") < _PR_PANEL).select(
+        F.col("doc_id").alias("doc_a"), "sg"
+    )
+    shared = (
+        pan.join(ex.select(F.col("doc_id").alias("doc_b"), "sg"), "sg")
+        .filter(F.col("doc_b") > F.col("doc_a"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    jac = (
+        shared.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("inter").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("inter"))
+            ).alias("j"),
+        )
+    )
+    truth = jac.filter(rfix(F.col("j"), 6) >= _PR_TAU).select("doc_a", "doc_b")
+    cand = dedup_minhash_lsh_candidates(spark, sf_dir).filter(
+        F.col("doc_a") < _PR_PANEL
+    )
+    hit = truth.join(cand, ["doc_a", "doc_b"])
+    m = (
+        truth.agg(F.count("*").alias("n_true"))
+        .crossJoin(F.broadcast(cand.agg(F.count("*").alias("n_cand"))))
+        .crossJoin(F.broadcast(hit.agg(F.count("*").alias("n_hit"))))
+    )
+    return m.select(
+        F.col("n_true").cast("long").alias("n_true"),
+        F.col("n_cand").cast("long").alias("n_cand"),
+        F.col("n_hit").cast("long").alias("n_hit"),
+        rfix(
+            F.col("n_hit").cast("double")
+            / F.nullif(F.col("n_cand"), F.lit(0)),
+            4,
+        ).alias("precision"),
+        rfix(
+            F.col("n_hit").cast("double")
+            / F.nullif(F.col("n_true"), F.lit(0)),
+            4,
+        ).alias("recall"),
+    )
+
+
 _PQ_QUERIES, _PQ_TOPK = 3, 5
 
 PQ_ADC_ORACLE = f"""
@@ -1850,3 +1969,4 @@ DRAFTS["pipeline_curation_v2"] = (pipeline_curation_v2, CURATION_V2_ORACLE)
 DRAFTS["w8_decile_value_profile"] = (w8_decile_value_profile, W8_ORACLE)
 DRAFTS["t12_gap_interpolation"] = (t12_gap_interpolation, T12_ORACLE)
 DRAFTS["ann_pq_adc_topk"] = (ann_pq_adc_topk, PQ_ADC_ORACLE)
+DRAFTS["dedup_minhash_pr_eval"] = (dedup_minhash_pr_eval, MINHASH_PR_ORACLE())
