@@ -12,7 +12,7 @@ prints one line per query plus a failure summary.
     python tools/full_parity.py registry     # registry only
     python tools/full_parity.py drafts       # drafts only
 
-Round-5 result of record: 145/145 registered and 24/24 drafted queries
+Round-5 result of record: 145/145 registered and 26/26 drafted queries
 OK at sf0.01 (zero failures).
 """
 
