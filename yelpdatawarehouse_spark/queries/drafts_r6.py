@@ -266,6 +266,77 @@ def emb_pq_seed_codebook_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Null-aware anti join: NOT IN three-valued logic pinned cross-engine
+
+J19_ORACLE = """
+WITH probe AS (
+    SELECT CASE WHEN c_acctbal < 500 THEN NULL ELSE c_custkey END AS k
+    FROM customer WHERE c_mktsegment = 'BUILDING'
+),
+clean AS (SELECT k FROM probe WHERE k IS NOT NULL)
+SELECT 'not_in_with_null' AS variant,
+       CAST((SELECT count(*) FROM orders
+             WHERE o_custkey NOT IN (SELECT k FROM probe)) AS BIGINT)
+           AS n_rows
+UNION ALL
+SELECT 'not_in_no_null',
+       CAST((SELECT count(*) FROM orders
+             WHERE o_custkey NOT IN (SELECT k FROM clean)) AS BIGINT)
+UNION ALL
+SELECT 'anti_join_with_null',
+       CAST((SELECT count(*) FROM orders o
+             WHERE NOT EXISTS (SELECT 1 FROM probe p
+                               WHERE p.k = o.o_custkey)) AS BIGINT)
+"""
+
+
+def j19_null_aware_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The three-valued-logic triptych every engine must get right, as
+    one query: ``NOT IN`` over a subquery CONTAINING a NULL can never be
+    TRUE (``x <> NULL`` is unknown), so the first variant is provably 0
+    rows; removing the NULLs restores the intuitive complement; and
+    ``NOT EXISTS`` (a plain anti join) ignores the NULLs entirely. Spark
+    plans variant 1 as a NULL-AWARE anti join (BroadcastHashJoin LeftAnti
+    with isNullAwareAntiJoin=true — the trailing flag in the plan) — a
+    physical-operator mode this suite did not yet exercise — while
+    variant 3 stays an ordinary left anti.
+    Pinning all three counts against DuckDB guards the classic silent
+    NOT-IN-with-NULLs divergence. Reference exposure: the reference
+    interpolates `NOT IN (...)` lists in several route handlers with no
+    NULL handling (SURVEY §8 family).
+    """
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    probe = c.filter(F.col("c_mktsegment") == "BUILDING").select(
+        F.when(F.col("c_acctbal") < 500, F.lit(None))
+        .otherwise(F.col("c_custkey"))
+        .alias("k")
+    )
+    clean = probe.filter(F.col("k").isNotNull())
+    o.createOrReplaceTempView("_j19_orders")
+    probe.createOrReplaceTempView("_j19_probe")
+    clean.createOrReplaceTempView("_j19_clean")
+    return spark.sql(
+        """
+        SELECT 'not_in_with_null' AS variant,
+               CAST((SELECT count(*) FROM _j19_orders
+                     WHERE o_custkey NOT IN (SELECT k FROM _j19_probe))
+                   AS BIGINT) AS n_rows
+        UNION ALL
+        SELECT 'not_in_no_null',
+               CAST((SELECT count(*) FROM _j19_orders
+                     WHERE o_custkey NOT IN (SELECT k FROM _j19_clean))
+                   AS BIGINT)
+        UNION ALL
+        SELECT 'anti_join_with_null',
+               CAST((SELECT count(*) FROM _j19_orders o
+                     WHERE NOT EXISTS (SELECT 1 FROM _j19_probe p
+                                       WHERE p.k = o.o_custkey)) AS BIGINT)
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
 # MinHash-LSH index-quality eval: precision/recall vs exact Jaccard truth
 
 _PR_PANEL, _PR_TAU = 20, 0.2
@@ -1970,3 +2041,4 @@ DRAFTS["w8_decile_value_profile"] = (w8_decile_value_profile, W8_ORACLE)
 DRAFTS["t12_gap_interpolation"] = (t12_gap_interpolation, T12_ORACLE)
 DRAFTS["ann_pq_adc_topk"] = (ann_pq_adc_topk, PQ_ADC_ORACLE)
 DRAFTS["dedup_minhash_pr_eval"] = (dedup_minhash_pr_eval, MINHASH_PR_ORACLE())
+DRAFTS["j19_null_aware_anti_join"] = (j19_null_aware_anti_join, J19_ORACLE)
