@@ -12,8 +12,8 @@ prints one line per query plus a failure summary.
     python tools/full_parity.py registry     # registry only
     python tools/full_parity.py drafts       # drafts only
 
-Round-5 result of record: 145/145 registered and 26/26 drafted queries
-OK at sf0.01 (zero failures).
+Round-5 result of record: every registered query (145) and every staged
+draft OK at sf0.01 — zero failures on any sweep this round.
 """
 
 from __future__ import annotations
