@@ -2042,3 +2042,184 @@ DRAFTS["t12_gap_interpolation"] = (t12_gap_interpolation, T12_ORACLE)
 DRAFTS["ann_pq_adc_topk"] = (ann_pq_adc_topk, PQ_ADC_ORACLE)
 DRAFTS["dedup_minhash_pr_eval"] = (dedup_minhash_pr_eval, MINHASH_PR_ORACLE())
 DRAFTS["j19_null_aware_anti_join"] = (j19_null_aware_anti_join, J19_ORACLE)
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval: reciprocal-rank fusion of BM25 (lexical) and cosine
+# (dense) candidate lists — the standard two-tower RAG retrieval merge.
+
+RRF_K = 60          # Cormack et al.'s damping constant
+RRF_DEPTH = 50      # candidates taken from each ranker
+RRF_TOPK = 15
+RRF_QUERY_VEC = 0   # vec_id whose embedding is the dense query
+
+
+def _rrf_oracle() -> str:
+    from ..functions.vectors import cosine_sql
+
+    cos = cosine_sql("e.embedding", "q.qe")
+    return f"""
+WITH tok AS (
+    SELECT doc_id, unnest({_TOKS}) AS tok FROM documents
+),
+dl AS (SELECT doc_id, len({_TOKS}) AS dlen FROM documents),
+g AS (SELECT count(*)::DOUBLE AS n_docs, avg(dlen) AS avg_len FROM dl),
+tf AS (
+    SELECT doc_id, tok AS term, count(*)::DOUBLE AS tf
+    FROM tok WHERE tok IN ({_BM25_TERMS_SQL})
+    GROUP BY doc_id, tok
+),
+df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+bm AS (
+    SELECT tf.doc_id,
+           sum(ln((g.n_docs - df.df + 0.5) / (df.df + 0.5) + 1)
+               * tf.tf * ({BM25_K1} + 1)
+               / (tf.tf + {BM25_K1}
+                  * (1 - {BM25_B} + {BM25_B} * dl.dlen / g.avg_len))
+           ) AS score
+    FROM tf
+    JOIN df ON df.term = tf.term
+    JOIN dl ON dl.doc_id = tf.doc_id
+    CROSS JOIN g
+    GROUP BY tf.doc_id
+),
+lex AS (
+    SELECT doc_id,
+           row_number() OVER (ORDER BY {rfix_sql('score', 6)} DESC, doc_id)
+               AS lex_rank
+    FROM bm
+    QUALIFY lex_rank <= {RRF_DEPTH}
+),
+q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = {RRF_QUERY_VEC}),
+vecrank AS (
+    SELECT e.vec_id AS doc_id,
+           row_number() OVER (ORDER BY {rfix_sql(cos, 6)} DESC, e.vec_id)
+               AS vec_rank
+    FROM embeddings e CROSS JOIN q
+    QUALIFY vec_rank <= {RRF_DEPTH}
+),
+fused AS (
+    SELECT coalesce(l.doc_id, v.doc_id) AS doc_id,
+           CAST(l.lex_rank AS BIGINT) AS lex_rank,
+           CAST(v.vec_rank AS BIGINT) AS vec_rank,
+           coalesce(1.0 / ({RRF_K} + l.lex_rank), 0.0)
+             + coalesce(1.0 / ({RRF_K} + v.vec_rank), 0.0) AS rrf
+    FROM lex l FULL OUTER JOIN vecrank v ON v.doc_id = l.doc_id
+)
+SELECT doc_id, lex_rank, vec_rank,
+       {rfix_sql('rrf', 6)} AS rrf_score
+FROM fused
+ORDER BY rrf DESC, doc_id
+LIMIT {RRF_TOPK}
+"""
+
+
+RRF_ORACLE = _rrf_oracle()
+
+
+def text_rrf_hybrid_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via reciprocal-rank fusion (Cormack/Clarke/
+    Buettcher, SIGIR'09): the BM25 lexical ranking (text_bm25_topk's
+    scorer at depth 50) and a dense cosine ranking against a fixed query
+    embedding are fused as sum(1 / (60 + rank)) — the score-free merge
+    every two-tower RAG stack runs because it needs no calibration
+    between incomparable scorers. Ranks are taken over 6-digit-
+    canonicalized scores with id tie-breaks (the ann_topk convention) so
+    both engines rank identical inputs; the fused score is then pure
+    integer-reciprocal arithmetic — bit-exact across engines.
+
+    Scale shape: the lexical leg is the BM25 filtered-explode (exchange
+    carries only matching tokens); the dense leg broadcasts one query
+    vector over a single corpus scan; each leg ends in a depth-50
+    TakeOrdered, so the fusion join is 50x50 rows on the driver-free
+    path. Per-query cost at 100 TB = two corpus scans, no full-corpus
+    shuffle.
+    """
+    d = table(spark, sf_dir, "documents")
+    e = table(spark, sf_dir, "embeddings")
+    from ..functions import vectors as V
+
+    # Lexical leg (BM25 scorer at fusion depth).
+    toks = d.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.explode(T.tokens("text")).alias("term"),
+    ).filter(F.col("term").isin(list(BM25_TERMS)))
+    tf = toks.groupBy("doc_id", "term").agg(
+        F.count("*").cast("double").alias("tf")
+    )
+    dl = d.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.size(T.tokens("text")).cast("double").alias("dlen"),
+    )
+    g = dl.agg(
+        F.count("*").cast("double").alias("n_docs"),
+        F.avg("dlen").alias("avg_len"),
+    )
+    df_t = tf.groupBy("term").agg(F.count("*").cast("double").alias("df"))
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1
+    )
+    norm = F.col("tf") + BM25_K1 * (
+        1 - BM25_B + BM25_B * F.col("dlen") / F.col("avg_len")
+    )
+    bm = (
+        tf.join(F.broadcast(df_t), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(g))
+        .groupBy("doc_id")
+        .agg(F.sum(idf * F.col("tf") * (BM25_K1 + 1) / norm).alias("score"))
+    )
+    # TakeOrdered to fusion depth FIRST (distributed top-k), then rank the
+    # 50 survivors — the global row_number never sees the full corpus.
+    wl = Window.orderBy(F.desc("s6"), F.asc("doc_id"))
+    lex = (
+        bm.select("doc_id", rfix(F.col("score"), 6).alias("s6"))
+        .orderBy(F.desc("s6"), F.asc("doc_id"))
+        .limit(RRF_DEPTH)
+        .select(
+            "doc_id", F.row_number().over(wl).cast("long").alias("lex_rank")
+        )
+    )
+
+    # Dense leg: one broadcast query vector against the corpus.
+    q = e.filter(F.col("vec_id") == RRF_QUERY_VEC).select(
+        F.col("embedding").alias("qe")
+    )
+    cos = V.cosine(F.col("embedding"), F.col("qe"))
+    wv = Window.orderBy(F.desc("c6"), F.asc("doc_id"))
+    vec = (
+        e.crossJoin(F.broadcast(q))
+        .select(
+            F.col("vec_id").cast("long").alias("doc_id"),
+            rfix(cos, 6).alias("c6"),
+        )
+        .orderBy(F.desc("c6"), F.asc("doc_id"))
+        .limit(RRF_DEPTH)
+        .select(
+            "doc_id", F.row_number().over(wv).cast("long").alias("vec_rank")
+        )
+    )
+
+    rrf = F.coalesce(1.0 / (RRF_K + F.col("lex_rank")), F.lit(0.0)) + F.coalesce(
+        1.0 / (RRF_K + F.col("vec_rank")), F.lit(0.0)
+    )
+    return (
+        lex.join(vec, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            "lex_rank",
+            "vec_rank",
+            rrf.alias("_rrf"),
+        )
+        .orderBy(F.desc("_rrf"), "doc_id")
+        .limit(RRF_TOPK)
+        .select(
+            "doc_id",
+            "lex_rank",
+            "vec_rank",
+            rfix(F.col("_rrf"), 6).alias("rrf_score"),
+        )
+    )
+
+
+DRAFTS["text_rrf_hybrid_topk"] = (text_rrf_hybrid_topk, RRF_ORACLE)
