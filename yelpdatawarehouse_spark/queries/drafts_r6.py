@@ -2223,3 +2223,73 @@ def text_rrf_hybrid_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 DRAFTS["text_rrf_hybrid_topk"] = (text_rrf_hybrid_topk, RRF_ORACLE)
+
+
+# ---------------------------------------------------------------------------
+# Skyline (Pareto front) of orders: latest-and-most-valuable orders that no
+# other order strictly beats on BOTH date and price.
+
+SKYLINE_GROUPS = 32  # phase-1 parallelism; any value is semantics-neutral
+
+O7_ORACLE = """
+SELECT CAST(a.o_orderkey AS BIGINT) AS o_orderkey,
+       strftime(a.o_orderdate, '%Y-%m-%d') AS order_date,
+       a.o_totalprice
+FROM orders a
+WHERE NOT EXISTS (
+    SELECT 1 FROM orders b
+    WHERE b.o_orderdate > a.o_orderdate
+      AND b.o_totalprice > a.o_totalprice
+)
+"""
+
+
+def o7_pareto_front_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline / Pareto front (Börzsönyi et al., ICDE'01) over orders:
+    keep each order no other order strictly dominates on BOTH the
+    maximize-dimensions (o_orderdate, o_totalprice). The oracle is the
+    textbook O(n²) ``NOT EXISTS`` dominance test; the engine runs the
+    O(n log n) equivalence instead — sorted by day, a row is on the
+    front iff ``max(price)`` over the STRICTLY-LATER range frame does
+    not exceed its own price — so the hash gate *proves* the
+    window rewrite ≡ brute-force dominance on every row.
+
+    Scale shape: two-phase distributed skyline. Phase 1 computes a local
+    front inside each of 32 hash groups (dominance is transitive, so any
+    globally-dominated row is dominated by a phase-1 survivor); phase 2
+    re-runs the same range-frame test once over the tiny union of local
+    fronts. No single task ever sees the full table, and there is no
+    all-pairs join anywhere — the shape that survives 100 TB where the
+    oracle's NOT EXISTS cannot.
+    """
+    o = spread(table(spark, sf_dir, "orders"))
+    day = F.datediff(
+        F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date")
+    )
+    base = o.select(
+        F.col("o_orderkey").cast("long").alias("o_orderkey"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+        "o_totalprice",
+        day.cast("long").alias("_day"),
+        F.pmod(F.xxhash64("o_orderkey"), F.lit(SKYLINE_GROUPS)).alias("_grp"),
+    )
+    later_local = (
+        Window.partitionBy("_grp")
+        .orderBy("_day")
+        .rangeBetween(1, Window.unboundedFollowing)
+    )
+    on_front = lambda m: m.isNull() | (m <= F.col("o_totalprice"))  # noqa: E731
+    local = base.withColumn(
+        "_m", F.max("o_totalprice").over(later_local)
+    ).filter(on_front(F.col("_m")))
+    later_glob = Window.orderBy("_day").rangeBetween(
+        1, Window.unboundedFollowing
+    )
+    return (
+        local.withColumn("_m2", F.max("o_totalprice").over(later_glob))
+        .filter(on_front(F.col("_m2")))
+        .select("o_orderkey", "order_date", "o_totalprice")
+    )
+
+
+DRAFTS["o7_pareto_front_orders"] = (o7_pareto_front_orders, O7_ORACLE)
