@@ -2293,3 +2293,94 @@ def o7_pareto_front_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 DRAFTS["o7_pareto_front_orders"] = (o7_pareto_front_orders, O7_ORACLE)
+
+
+# ---------------------------------------------------------------------------
+# EWMA of per-customer order value — the recursive smoother turned into a
+# closed-form bounded-lag window (pandas ewm(adjust=True) semantics).
+
+EWMA_ALPHA = 0.3
+EWMA_LAGS = 20  # (1-a)^20 ~ 8e-4: truncation is part of the spec, not error
+_EWMA_W = [(1.0 - EWMA_ALPHA) ** j for j in range(EWMA_LAGS)]
+
+
+def _ewma_oracle() -> str:
+    # Same literal weights, same left-associated add order as the engine —
+    # the two sides run bit-identical IEEE arithmetic.
+    num = " + ".join(
+        f"coalesce(lag(o_totalprice, {j}) OVER w, 0.0) * {w!r}"
+        for j, w in enumerate(_EWMA_W)
+    )
+    den = " + ".join(
+        f"(CASE WHEN lag(o_totalprice, {j}) OVER w IS NULL THEN 0.0 "
+        f"ELSE {w!r} END)"
+        for j, w in enumerate(_EWMA_W)
+    )
+    return f"""
+WITH scored AS (
+    SELECT o_custkey,
+           count(*) OVER (PARTITION BY o_custkey) AS n_orders,
+           row_number() OVER (PARTITION BY o_custkey
+                              ORDER BY o_orderdate DESC, o_orderkey DESC)
+               AS rn,
+           ({num}) / ({den}) AS ewma
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey
+                 ORDER BY o_orderdate, o_orderkey)
+)
+SELECT CAST(o_custkey AS BIGINT) AS o_custkey,
+       CAST(n_orders AS BIGINT) AS n_orders,
+       {rfix_sql('ewma', 4)} AS ewma_spend
+FROM scored WHERE rn = 1
+"""
+
+
+EWMA_ORACLE = _ewma_oracle()
+
+
+def w9_ewma_customer_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average of each customer's order
+    value, reported at their latest order — the classic RECURSIVE
+    smoother (y_n = a*x_n + (1-a)*y_{n-1}) made distributable by the
+    adjust-form identity: y_n = Σ w_j·x_{n-j} / Σ w_j with
+    w_j = (1-a)^j, truncated at 20 lags (weight < 1e-3). The weights are
+    Python-float literals embedded in BOTH engines and the 20-term sum is
+    left-associated on both sides, so the arithmetic is bit-identical —
+    no recursion, no UDF, no iterative job.
+
+    Scale shape: one customer-keyed exchange feeding an ordered window of
+    bounded 20-row lags — identical cost to w3's running average; the
+    final latest-row filter is a row_number in the SAME partitioning, so
+    the whole query is a single shuffle.
+    """
+    o = spread(table(spark, sf_dir, "orders"))
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    num = F.coalesce(F.lag("o_totalprice", 0).over(w), F.lit(0.0)) * _EWMA_W[0]
+    den = F.when(F.lag("o_totalprice", 0).over(w).isNull(), 0.0).otherwise(
+        _EWMA_W[0]
+    )
+    for j in range(1, EWMA_LAGS):
+        lj = F.lag("o_totalprice", j).over(w)
+        num = num + F.coalesce(lj, F.lit(0.0)) * _EWMA_W[j]
+        den = den + F.when(lj.isNull(), 0.0).otherwise(_EWMA_W[j])
+    wd = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_orderdate"), F.desc("o_orderkey")
+    )
+    return (
+        o.select(
+            F.col("o_custkey").cast("long").alias("o_custkey"),
+            F.count("*")
+            .over(Window.partitionBy("o_custkey"))
+            .cast("long")
+            .alias("n_orders"),
+            F.row_number().over(wd).alias("_rn"),
+            (num / den).alias("_ewma"),
+        )
+        .filter(F.col("_rn") == 1)
+        .select(
+            "o_custkey", "n_orders", rfix(F.col("_ewma"), 4).alias("ewma_spend")
+        )
+    )
+
+
+DRAFTS["w9_ewma_customer_spend"] = (w9_ewma_customer_spend, EWMA_ORACLE)
