@@ -20,6 +20,7 @@ _TS_DRAFTS = (
     "a_trailing_week_active_users",
     "a_trailing_week_active_sketch",
     "t12_gap_interpolation",
+    "a_cohort_retention_matrix",
 )
 
 

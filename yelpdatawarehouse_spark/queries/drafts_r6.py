@@ -2384,3 +2384,65 @@ def w9_ewma_customer_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 DRAFTS["w9_ewma_customer_spend"] = (w9_ewma_customer_spend, EWMA_ORACLE)
+
+
+# ---------------------------------------------------------------------------
+# Cohort retention matrix: users bucketed by first-activity month, counted
+# in each subsequent month of activity.
+
+COHORT_ORACLE = """
+WITH fm AS (
+    SELECT user_id, min(ts) AS fts FROM events GROUP BY user_id
+),
+am AS (
+    SELECT DISTINCT user_id, date_trunc('month', ts) AS m FROM events
+),
+j AS (
+    SELECT strftime(date_trunc('month', f.fts), '%Y-%m') AS cohort_month,
+           (date_part('year', a.m) * 12 + date_part('month', a.m))
+             - (date_part('year', f.fts) * 12 + date_part('month', f.fts))
+               AS age
+    FROM am a JOIN fm f USING (user_id)
+)
+SELECT cohort_month,
+       CAST(age AS BIGINT) AS age_months,
+       CAST(count(*) AS BIGINT) AS n_active
+FROM j
+GROUP BY cohort_month, age
+"""
+
+
+def a_cohort_retention_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix — the product-analytics staple: each user
+    joins the cohort of their first-event month; every (cohort month,
+    months-since-cohort) cell counts users active in that month. Month
+    distance is pure integer arithmetic (year*12 + month deltas), never
+    float months_between, so both engines bucket identically; month
+    labels format through the session-UTC pin in sources.table().
+
+    Scale shape: first-event per user is one user-keyed partial-agg
+    exchange; active months dedup on (user, month); the cohort join is
+    user-keyed (AQE will co-locate it with the dedup's partitioning);
+    the final matrix rollup is a cells-sized exchange. No windows, no
+    skew hazard beyond the user key itself.
+    """
+    e = spread(table(spark, sf_dir, "events"))
+    ym = lambda c: (F.year(c) * 12 + F.month(c)).cast("long")  # noqa: E731
+    fm = e.groupBy("user_id").agg(F.min("ts").alias("fts"))
+    am = e.select(
+        "user_id", F.date_trunc("month", F.col("ts")).alias("m")
+    ).distinct()
+    return (
+        am.join(fm, "user_id")
+        .select(
+            F.date_format(F.date_trunc("month", F.col("fts")), "yyyy-MM").alias(
+                "cohort_month"
+            ),
+            (ym(F.col("m")) - ym(F.col("fts"))).alias("age_months"),
+        )
+        .groupBy("cohort_month", "age_months")
+        .agg(F.count("*").cast("long").alias("n_active"))
+    )
+
+
+DRAFTS["a_cohort_retention_matrix"] = (a_cohort_retention_matrix, COHORT_ORACLE)
