@@ -21,6 +21,7 @@ _TS_DRAFTS = (
     "a_trailing_week_active_sketch",
     "t12_gap_interpolation",
     "a_cohort_retention_matrix",
+    "t13_event_transition_matrix",
 )
 
 

@@ -2446,3 +2446,71 @@ def a_cohort_retention_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 DRAFTS["a_cohort_retention_matrix"] = (a_cohort_retention_matrix, COHORT_ORACLE)
+
+
+# ---------------------------------------------------------------------------
+# First-order Markov transition matrix over per-user event sequences.
+
+T13_ORACLE = """
+WITH seq AS (
+    SELECT event_type AS from_type,
+           lead(event_type) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS to_type
+    FROM events
+),
+cnt AS (
+    SELECT from_type, to_type, count(*) AS n
+    FROM seq WHERE to_type IS NOT NULL
+    GROUP BY from_type, to_type
+)
+SELECT from_type, to_type,
+       CAST(n AS BIGINT) AS n_transitions,
+       {p} AS p_transition
+FROM cnt
+""".format(
+    p=rfix_sql(
+        "n::DOUBLE / (sum(n) OVER (PARTITION BY from_type))::DOUBLE", 4
+    )
+)
+
+
+def t13_event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of user behavior: for each
+    ordered pair of consecutive events within a user's timeline (total
+    order: ts then event_id), the transition count and the
+    row-normalized probability — the model behind next-action
+    prediction, funnel leak detection, and session simulation. The
+    probability is exact-integer division canonicalized at the
+    presentation edge, so both engines emit identical cells.
+
+    Scale shape: one user-keyed exchange feeds the ordered lead();
+    the pair rollup is a |types|²-sized aggregate (partial map-side),
+    and row-normalization is a window over the tiny matrix itself —
+    nothing downstream of the first shuffle scales with the event log.
+    """
+    e = spread(table(spark, sf_dir, "events"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    cnt = (
+        e.select(
+            F.col("event_type").alias("from_type"),
+            F.lead("event_type").over(w).alias("to_type"),
+        )
+        .filter(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count("*").alias("n"))
+    )
+    wt = Window.partitionBy("from_type")
+    return cnt.select(
+        "from_type",
+        "to_type",
+        F.col("n").cast("long").alias("n_transitions"),
+        rfix(
+            F.col("n").cast("double") / F.sum("n").over(wt).cast("double"), 4
+        ).alias("p_transition"),
+    )
+
+
+DRAFTS["t13_event_transition_matrix"] = (
+    t13_event_transition_matrix,
+    T13_ORACLE,
+)
