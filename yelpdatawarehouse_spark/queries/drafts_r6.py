@@ -2514,3 +2514,81 @@ DRAFTS["t13_event_transition_matrix"] = (
     t13_event_transition_matrix,
     T13_ORACLE,
 )
+
+
+# ---------------------------------------------------------------------------
+# Reliability diagram for a fixed linear-logistic quality scorer: is the
+# model's predicted probability calibrated against the observed label rate?
+
+CALIB_W0, CALIB_W1, CALIB_W2 = -1.5, 0.9, 0.4
+
+
+def _calib_oracle() -> str:
+    z = (
+        f"{CALIB_W0!r} + {CALIB_W1!r} * (n_chars / 1200.0) "
+        f"+ {CALIB_W2!r} * ((length(text) - length(replace(text, 'the', '')))"
+        f" / 3.0 / 10.0)"
+    )
+    p6 = rfix_sql(f"1.0 / (1.0 + exp(-({z})))", 6)
+    return f"""
+WITH scored AS (
+    SELECT CAST(floor({p6} * 10) AS BIGINT) AS bin,
+           {p6} AS p,
+           CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+    FROM documents
+)
+SELECT bin,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       {rfix_sql('sum(p) / count(*)', 4)} AS mean_predicted,
+       {rfix_sql('sum(y)::DOUBLE / count(*)', 4)} AS frac_positive
+FROM scored
+GROUP BY bin
+"""
+
+
+CALIB_ORACLE = _calib_oracle()
+
+
+def ml_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram (Niculescu-Mizil/Caruana-style calibration
+    eval) for a FIXED linear-logistic document-quality scorer: score
+    every document with literal weights over two cheap text features,
+    decile-bin the predicted probability, and compare the bin's mean
+    prediction against the observed positive rate (label: lang = 'en').
+    The sigmoid output is canonicalized to 6 digits BEFORE binning (the
+    repo's c6 convention) so a last-ulp exp() difference between engines
+    cannot flip a bin edge; weights are Python-float literals and the
+    linear term is left-associated identically on both sides.
+
+    Scale shape: scoring is a row-local column expression inside
+    codegen; the only exchange is the ≤10-row bin rollup with map-side
+    partials — the evaluate-a-classifier-on-100TB query really is one
+    scan.
+    """
+    d = spread(table(spark, sf_dir, "documents"))
+    count_the = (
+        (F.length("text") - F.length(F.regexp_replace("text", "the", "")))
+        / 3.0
+        / 10.0
+    )
+    z = (
+        F.lit(CALIB_W0)
+        + F.lit(CALIB_W1) * (F.col("n_chars") / 1200.0)
+        + F.lit(CALIB_W2) * count_the
+    )
+    p6 = rfix(1.0 / (1.0 + F.exp(-z)), 6)
+    scored = d.select(
+        F.floor(p6 * 10).cast("long").alias("bin"),
+        p6.alias("p"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+    )
+    return scored.groupBy("bin").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        rfix(F.sum("p") / F.count("*"), 4).alias("mean_predicted"),
+        rfix(F.sum("y").cast("double") / F.count("*"), 4).alias(
+            "frac_positive"
+        ),
+    )
+
+
+DRAFTS["ml_calibration_bins"] = (ml_calibration_bins, CALIB_ORACLE)
