@@ -2592,3 +2592,76 @@ def ml_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 DRAFTS["ml_calibration_bins"] = (ml_calibration_bins, CALIB_ORACLE)
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q22 shape: above-average-balance customers in a nation panel who
+# never ordered — scalar-subquery threshold + null-free anti join.
+
+Q22_NATIONS = (1, 3, 5, 7, 9)
+_Q22_NATIONS_SQL = ", ".join(str(n) for n in Q22_NATIONS)
+
+
+def _q22_oracle() -> str:
+    from ..functions.presentation import cavg_sql
+
+    thr = cavg_sql(
+        "sum(CASE WHEN c_acctbal > 0.0 THEN c_acctbal END)",
+        "count(CASE WHEN c_acctbal > 0.0 THEN c_acctbal END)",
+        6,
+    )
+    return f"""
+WITH sel AS (
+    SELECT * FROM customer WHERE c_nationkey IN ({_Q22_NATIONS_SQL})
+),
+t AS (SELECT {thr} AS thr FROM sel)
+SELECT CAST(c.c_nationkey AS BIGINT) AS nationkey,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       {rfix_sql('sum(c.c_acctbal)', 2)} AS total_acctbal
+FROM sel c CROSS JOIN t
+WHERE c.c_acctbal > t.thr
+  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+GROUP BY c.c_nationkey
+"""
+
+
+Q22_ORACLE = _q22_oracle()
+
+
+def j20_sales_opportunity_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 re-expressed on this schema (nation panel instead of
+    phone country codes): within a fixed set of nations, find customers
+    whose balance beats the panel's average POSITIVE balance yet who have
+    never placed an order, rolled up per nation — the classic
+    scalar-aggregate-subquery + anti-join composition. The threshold is
+    the canonical average (rfix the cents-quantized sum, then divide by
+    the exact count — presentation.cavg), so the strict `>` comparison
+    sees a bit-identical cutoff in both engines.
+
+    Scale shape: the threshold is a 1-row aggregate broadcast over the
+    panel scan; the never-ordered test is a LEFT ANTI hash join on
+    c_custkey (orders shuffles once on its FK); the nation rollup is a
+    5-row map-side-partial aggregate. Q22's textbook plan, with the
+    correlated NOT EXISTS already decorrelated by construction.
+    """
+    from ..functions.presentation import cavg
+
+    c = spread(table(spark, sf_dir, "customer")).filter(
+        F.col("c_nationkey").isin(list(Q22_NATIONS))
+    )
+    pos = F.when(F.col("c_acctbal") > 0.0, F.col("c_acctbal"))
+    thr = c.agg(cavg(F.sum(pos), F.count(pos), 6).alias("thr"))
+    o = spread(table(spark, sf_dir, "orders"))
+    return (
+        c.crossJoin(F.broadcast(thr))
+        .filter(F.col("c_acctbal") > F.col("thr"))
+        .join(o, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy(F.col("c_nationkey").cast("long").alias("nationkey"))
+        .agg(
+            F.count("*").cast("long").alias("n_customers"),
+            rfix(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+        )
+    )
+
+
+DRAFTS["j20_sales_opportunity_q22"] = (j20_sales_opportunity_q22, Q22_ORACLE)
