@@ -22,6 +22,8 @@ _TS_DRAFTS = (
     "t12_gap_interpolation",
     "a_cohort_retention_matrix",
     "t13_event_transition_matrix",
+    "t14_funnel_conversion",
+    "scd2_priority_history",
 )
 
 

@@ -2665,3 +2665,496 @@ def j20_sales_opportunity_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 DRAFTS["j20_sales_opportunity_q22"] = (j20_sales_opportunity_q22, Q22_ORACLE)
+
+
+# ---------------------------------------------------------------------------
+# Prefix-filtered set-similarity join (PPJoin family, Xiao et al. WWW'08):
+# Jaccard-threshold pairs found by joining only on each set's RAREST-token
+# prefix, with the hash gate proving the pruning loses no qualifying pair.
+
+PPJ_TAU = 0.6     # Jaccard threshold
+PPJ_MOD = 5       # deterministic corpus slice keeping the O(n²) oracle honest
+
+
+PPJOIN_ORACLE = f"""
+WITH tok AS (
+    SELECT DISTINCT doc_id, unnest({_TOKS}) AS t
+    FROM documents WHERE doc_id % {PPJ_MOD} = 0
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+pairs AS (
+    SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
+    FROM tok a JOIN tok b ON b.t = a.t AND a.doc_id < b.doc_id
+    GROUP BY da, db
+),
+scored AS (
+    SELECT da, db,
+           inter::DOUBLE / (sa.n + sb.n - inter) AS j
+    FROM pairs
+    JOIN sizes sa ON sa.doc_id = da
+    JOIN sizes sb ON sb.doc_id = db
+)
+SELECT CAST(da AS BIGINT) AS doc_a,
+       CAST(db AS BIGINT) AS doc_b,
+       {rfix_sql('j', 6)} AS jaccard
+FROM scored WHERE j >= {PPJ_TAU}
+"""
+
+
+def dedup_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-similarity self-join at Jaccard ≥ 0.6 via PREFIX FILTERING
+    (the PPJoin family, Xiao/Wang/Lin/Yu WWW'08): order each document's
+    distinct tokens globally by ascending corpus frequency, keep only the
+    first |T| - ceil(τ|T|) + 1 (the RAREST tokens), and generate
+    candidates by equi-joining on prefix tokens alone — the pigeonhole
+    bound guarantees every pair with J ≥ τ shares at least one prefix
+    token. Exact Jaccard then verifies candidates. The oracle is the
+    share-ANY-token O(pairs) join, so the hash gate proves the prefix
+    pruning is LOSSLESS, not approximate. (The corpus slice keeps the
+    oracle's brute-force join honest at test scale; the engine path
+    never depends on it.)
+
+    Scale shape: where a share-any-token join explodes on stopwords
+    (a token in k docs yields k² candidate rows), the prefix join's
+    fan-out is bounded by RARE-token frequencies — the candidate exchange
+    shrinks by orders of magnitude at corpus scale. Token frequencies are
+    a vocab-sized aggregate broadcast back onto a doc-local sort;
+    ceil(τ|T|) is exact integer arithmetic (floor((3n+4)/5)) on both
+    engines; verification joins candidate pairs only.
+    """
+    d = spread(table(spark, sf_dir, "documents")).filter(
+        F.col("doc_id") % PPJ_MOD == 0
+    )
+    tok = d.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.explode(F.array_distinct(T.tokens("text"))).alias("t"),
+    )
+    freq = tok.groupBy("t").agg(F.count("*").cast("long").alias("f"))
+    # Per-doc token set sorted by (corpus frequency, token): rarest first.
+    by_doc = (
+        tok.join(freq, "t")
+        .groupBy("doc_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("f"), F.col("t")))
+            ).alias("st"),
+            F.count("*").cast("long").alias("n"),
+        )
+        .select(
+            "doc_id",
+            "n",
+            F.transform(F.col("st"), lambda s: s.getField("t")).alias("toks"),
+            # prefix length = n - ceil(tau*n) + 1, exact in integers for tau=3/5
+            (
+                F.col("n") - F.floor((3 * F.col("n") + 4) / 5).cast("long") + 1
+            ).alias("p"),
+        )
+    )
+    pref = by_doc.select(
+        "doc_id", F.explode(F.slice("toks", 1, F.col("p"))).alias("t")
+    )
+    cand = (
+        pref.alias("a")
+        .join(pref.alias("b"), "t")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    sets = by_doc.select("doc_id", "n", "toks")
+    scored = (
+        cand.join(
+            sets.select(
+                F.col("doc_id").alias("doc_a"),
+                F.col("n").alias("na"),
+                F.col("toks").alias("ta"),
+            ),
+            "doc_a",
+        )
+        .join(
+            sets.select(
+                F.col("doc_id").alias("doc_b"),
+                F.col("n").alias("nb"),
+                F.col("toks").alias("tb"),
+            ),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.size(F.array_intersect("ta", "tb")).cast("double")
+                / (
+                    F.col("na")
+                    + F.col("nb")
+                    - F.size(F.array_intersect("ta", "tb"))
+                )
+            ).alias("_j"),
+        )
+    )
+    return scored.filter(F.col("_j") >= PPJ_TAU).select(
+        "doc_a", "doc_b", rfix(F.col("_j"), 6).alias("jaccard")
+    )
+
+
+DRAFTS["dedup_prefix_filter_jaccard"] = (
+    dedup_prefix_filter_jaccard,
+    PPJOIN_ORACLE,
+)
+
+
+# ---------------------------------------------------------------------------
+# Ordered funnel conversion: view -> click -> purchase, each step's
+# timestamp strictly after the user's previous step. The product-analytics
+# primitive behind activation dashboards and drop-off diagnosis.
+
+FUNNEL_STEPS = ("view", "click", "purchase")
+
+FUNNEL_ORACLE = f"""
+WITH s1 AS (
+    SELECT user_id, min(ts) AS t FROM events
+    WHERE event_type = '{FUNNEL_STEPS[0]}' GROUP BY user_id
+),
+s2 AS (
+    SELECT e.user_id, min(e.ts) AS t
+    FROM events e JOIN s1 ON s1.user_id = e.user_id AND e.ts > s1.t
+    WHERE e.event_type = '{FUNNEL_STEPS[1]}' GROUP BY e.user_id
+),
+s3 AS (
+    SELECT e.user_id, min(e.ts) AS t
+    FROM events e JOIN s2 ON s2.user_id = e.user_id AND e.ts > s2.t
+    WHERE e.event_type = '{FUNNEL_STEPS[2]}' GROUP BY e.user_id
+),
+counts AS (
+    SELECT 1 AS step_idx, '{FUNNEL_STEPS[0]}' AS step,
+           (SELECT count(*) FROM s1) AS n_users
+    UNION ALL
+    SELECT 2, '{FUNNEL_STEPS[1]}', (SELECT count(*) FROM s2)
+    UNION ALL
+    SELECT 3, '{FUNNEL_STEPS[2]}', (SELECT count(*) FROM s3)
+),
+laged AS (
+    SELECT *, lag(n_users) OVER (ORDER BY step_idx) AS prev,
+           first_value(n_users) OVER (ORDER BY step_idx) AS n1
+    FROM counts
+)
+SELECT CAST(step_idx AS BIGINT) AS step_idx,
+       step,
+       CAST(n_users AS BIGINT) AS n_users,
+       CASE WHEN coalesce(prev, n_users) > 0
+            THEN {rfix_sql('n_users::DOUBLE / coalesce(prev, n_users)', 6)}
+       END AS conv_from_prev,
+       CASE WHEN n1 > 0 THEN {rfix_sql('n_users::DOUBLE / n1', 6)} END
+           AS conv_overall
+FROM laged
+"""
+
+
+def t14_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strictly-ordered funnel: a user converts at step k only with an
+    event of step k's type at a timestamp strictly after their step-k-1
+    conversion time (earliest-qualifying semantics, the standard
+    product-analytics definition). Emits one row per step with reach and
+    the step-over-step / overall conversion rates, exact-integer ratios
+    canonicalized at the presentation edge.
+
+    Scale shape: step 1 is one user-keyed partial aggregate; each later
+    step joins the event scan against the previous step's per-user
+    frontier — a frame that only SHRINKS down the funnel and that AQE
+    broadcasts once it fits, so the event log is never shuffled more
+    than once per step and funnel depth (a constant) bounds the pass
+    count. The final window runs over exactly len(steps) rows.
+    """
+    e = spread(table(spark, sf_dir, "events"))
+    frontier = (
+        e.filter(F.col("event_type") == FUNNEL_STEPS[0])
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t"))
+    )
+    counts = [
+        frontier.agg(F.count("*").alias("n_users")).select(
+            F.lit(1).alias("step_idx"),
+            F.lit(FUNNEL_STEPS[0]).alias("step"),
+            "n_users",
+        )
+    ]
+    for i, step in enumerate(FUNNEL_STEPS[1:], start=2):
+        frontier = (
+            e.filter(F.col("event_type") == step)
+            .join(frontier, "user_id")
+            .filter(F.col("ts") > F.col("t"))
+            .groupBy("user_id")
+            .agg(F.min("ts").alias("t"))
+        )
+        counts.append(
+            frontier.agg(F.count("*").alias("n_users")).select(
+                F.lit(i).alias("step_idx"), F.lit(step).alias("step"), "n_users"
+            )
+        )
+    allc = counts[0]
+    for c in counts[1:]:
+        allc = allc.unionByName(c)
+    w = Window.orderBy("step_idx")
+    prev = F.coalesce(F.lag("n_users").over(w), F.col("n_users"))
+    n1 = F.first("n_users").over(w)
+    return allc.select(
+        F.col("step_idx").cast("long").alias("step_idx"),
+        "step",
+        F.col("n_users").cast("long").alias("n_users"),
+        F.when(
+            prev > 0, rfix(F.col("n_users").cast("double") / prev, 6)
+        ).alias("conv_from_prev"),
+        F.when(
+            n1 > 0, rfix(F.col("n_users").cast("double") / n1, 6)
+        ).alias("conv_overall"),
+    )
+
+
+DRAFTS["t14_funnel_conversion"] = (t14_funnel_conversion, FUNNEL_ORACLE)
+
+
+# ---------------------------------------------------------------------------
+# SCD Type-2 dimension history: collapse each customer's order-priority
+# timeline into change-detected validity intervals — the slowly-changing-
+# dimension maintenance pattern every warehouse runs on dimension loads.
+
+SCD2_ORACLE = """
+WITH ordered AS (
+    SELECT o_custkey, o_orderpriority AS p, o_orderdate AS d, o_orderkey AS k,
+           lag(o_orderpriority) OVER w AS prev_p
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+),
+changes AS (
+    SELECT o_custkey, p, d, k FROM ordered
+    WHERE prev_p IS NULL OR p <> prev_p
+),
+vers AS (
+    SELECT o_custkey, p, d AS vf,
+           lead(d) OVER (PARTITION BY o_custkey ORDER BY d, k) AS vt
+    FROM changes
+)
+SELECT CAST(o_custkey AS BIGINT) AS custkey,
+       p AS priority,
+       strftime(vf, '%Y-%m-%d %H:%M:%S') AS valid_from,
+       strftime(vt, '%Y-%m-%d %H:%M:%S') AS valid_to,
+       (vt IS NULL) AS is_current
+FROM vers
+"""
+
+
+def scd2_priority_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 interval build: order each customer's orders by
+    (date, key), keep only rows where o_orderpriority CHANGES (change
+    detection via lag), then close each version with the next change's
+    date (lead) — yielding [valid_from, valid_to) validity intervals
+    with an open current version, exactly the merge a warehouse
+    dimension load performs. Timestamps leave as formatted strings so
+    both engines hash identical bytes.
+
+    Scale shape: one customer-keyed exchange feeds both windows (change
+    detection and interval close share the same partitioning, so
+    Catalyst plans a single sort+exchange reused by both), and the
+    change filter shrinks the second window's input to the number of
+    VERSIONS, not orders. Nothing leaves the per-customer partition.
+    """
+    o = spread(table(spark, sf_dir, "orders"))
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    changes = (
+        o.select(
+            "o_custkey",
+            F.col("o_orderpriority").alias("p"),
+            F.col("o_orderdate").alias("d"),
+            F.col("o_orderkey").alias("k"),
+            F.lag("o_orderpriority").over(w).alias("prev_p"),
+        )
+        .filter(F.col("prev_p").isNull() | (F.col("p") != F.col("prev_p")))
+    )
+    wv = Window.partitionBy("o_custkey").orderBy("d", "k")
+    return changes.select(
+        F.col("o_custkey").cast("long").alias("custkey"),
+        F.col("p").alias("priority"),
+        F.date_format("d", "yyyy-MM-dd HH:mm:ss").alias("valid_from"),
+        F.date_format(F.lead("d").over(wv), "yyyy-MM-dd HH:mm:ss").alias(
+            "valid_to"
+        ),
+        F.lead("d").over(wv).isNull().alias("is_current"),
+    )
+
+
+DRAFTS["scd2_priority_history"] = (scd2_priority_history, SCD2_ORACLE)
+
+
+# ---------------------------------------------------------------------------
+# PMI collocations: top-k adjacent token pairs by pointwise mutual
+# information — the classic collocation-mining statistic (Church & Hanks
+# 1990) behind phrase detection in LLM tokenizer/corpus pipelines.
+
+PMI_MIN_COUNT = 3
+PMI_TOPK = 50
+
+PMI_ORACLE = f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+uni AS (
+    SELECT t[CAST(i.i AS INT)] AS w, count(*)::DOUBLE AS c
+    FROM toks, (SELECT unnest(range(1, 4097)) AS i) i
+    WHERE i.i <= len(t)
+    GROUP BY w
+),
+bg AS (
+    SELECT t[CAST(i.i AS INT)] AS w1, t[CAST(i.i AS INT) + 1] AS w2,
+           count(*) AS c12
+    FROM toks, (SELECT unnest(range(1, 4097)) AS i) i
+    WHERE i.i < len(t)
+    GROUP BY w1, w2
+),
+tot AS (
+    SELECT (SELECT sum(c) FROM uni) AS n_uni,
+           (SELECT sum(c12)::DOUBLE FROM bg) AS n_bg
+),
+scored AS (
+    SELECT w1, w2, c12,
+           {rfix_sql(
+               'ln((c12 / n_bg) / ((u1.c / n_uni) * (u2.c / n_uni)))', 4
+           )} AS pmi
+    FROM bg
+    JOIN uni u1 ON u1.w = bg.w1
+    JOIN uni u2 ON u2.w = bg.w2
+    CROSS JOIN tot
+    WHERE c12 >= {PMI_MIN_COUNT}
+)
+SELECT w1, w2, CAST(c12 AS BIGINT) AS n_pair, pmi
+FROM scored
+ORDER BY pmi DESC, w1, w2
+LIMIT {PMI_TOPK}
+"""
+
+
+def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{PMI_TOPK} collocations by pointwise mutual information:
+    PMI(w1,w2) = ln( p(w1,w2) / (p(w1)·p(w2)) ) over adjacent token
+    pairs with support >= {PMI_MIN_COUNT}, unigram probabilities from
+    the token stream and pair probabilities from the bigram stream.
+    The ranking key is the PRESENTATION-ROUNDED pmi with (w1, w2) as
+    the tie-break, so the top-k frontier is a total order and both
+    engines cut the same set.
+
+    Scale shape: two corpus-wide counting aggregates (token and bigram,
+    both map-side partial), then a vocab-sized hash join of pair counts
+    to the two unigram frequencies — corpus length never appears after
+    the counts collapse (Zipf bounds both sides). Totals ride in as a
+    broadcast 1-row aggregate; the final top-k is a TakeOrdered, no
+    global sort materialized.
+    """
+    d = spread(table(spark, sf_dir, "documents"))
+    toks = d.select(T.tokens("text").alias("t"))
+    uni = toks.select(F.explode("t").alias("w")).groupBy("w").agg(
+        F.count("*").cast("double").alias("c")
+    )
+    bg = (
+        toks.filter(F.size("t") >= 2)
+        .select(
+            F.explode(
+                F.arrays_zip(
+                    F.slice("t", 1, F.size("t") - 1),
+                    F.slice("t", 2, F.size("t") - 1),
+                )
+            ).alias("p")
+        )
+        .select(F.col("p.0").alias("w1"), F.col("p.1").alias("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("c12"))
+        .filter(F.col("c12") >= PMI_MIN_COUNT)
+    )
+    tot = F.broadcast(
+        uni.agg(F.sum("c").alias("n_uni")).crossJoin(
+            toks.select(
+                F.greatest(F.size("t") - 1, F.lit(0)).alias("nb")
+            ).agg(F.sum("nb").cast("double").alias("n_bg"))
+        )
+    )
+    scored = (
+        bg.join(uni.select(F.col("w").alias("w1"), F.col("c").alias("c1")), "w1")
+        .join(uni.select(F.col("w").alias("w2"), F.col("c").alias("c2")), "w2")
+        .crossJoin(tot)
+        .select(
+            "w1",
+            "w2",
+            F.col("c12").cast("long").alias("n_pair"),
+            rfix(
+                F.log(
+                    (F.col("c12") / F.col("n_bg"))
+                    / ((F.col("c1") / F.col("n_uni")) * (F.col("c2") / F.col("n_uni")))
+                ),
+                4,
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(F.desc("pmi"), "w1", "w2").limit(PMI_TOPK)
+
+
+DRAFTS["text_pmi_collocations"] = (text_pmi_collocations, PMI_ORACLE)
+
+
+# ---------------------------------------------------------------------------
+# MAD-robust anomaly detection: modified z-scores (Iglewicz & Hoaglin)
+# over event values — the outlier screen quality pipelines run before
+# training-data admission, robust where mean/stddev are poisoned by the
+# very outliers being hunted.
+
+MAD_K = 0.6745   # Phi^-1(0.75): scales MAD to sigma-equivalent units
+MAD_CUT = 3.5    # Iglewicz & Hoaglin's recommended rejection threshold
+
+MAD_ORACLE = f"""
+WITH med AS (SELECT quantile_cont(value, 0.5) AS m FROM events),
+mad AS (
+    SELECT quantile_cont(abs(value - med.m), 0.5) AS d
+    FROM events, med
+)
+SELECT CAST(event_id AS BIGINT) AS event_id,
+       event_type,
+       {rfix_sql('value', 4)} AS value,
+       {rfix_sql(f'{MAD_K} * (value - med.m) / mad.d', 4)} AS modified_z
+FROM events, med, mad
+WHERE abs({MAD_K} * (value - med.m) / mad.d) > {MAD_CUT}
+"""
+
+
+def a_mad_outlier_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Modified z-score outlier screen: |0.6745·(x − median)/MAD| > 3.5
+    (Iglewicz & Hoaglin 1993), median and MAD both EXACT interpolated
+    percentiles — the robust alternative to mean/stddev z-scores, whose
+    estimators the outliers themselves corrupt. Spark's `percentile`
+    and DuckDB's `quantile_cont` share linear-interpolation semantics,
+    so the cut line itself is hash-verified.
+
+    Scale shape: two global exact-percentile aggregates (Spark's
+    ObjectHashAggregate percentile — at true 100 TB scale the engine's
+    own approx_percentile(..., 1e-6) swaps in with an envelope oracle,
+    the same trade documented for the sketch family), each reducing to
+    a single broadcast row; the outlier filter is then a codegen'd scan
+    predicate — no shuffle touches the event log itself.
+    """
+    e = spread(table(spark, sf_dir, "events"))
+    med = F.broadcast(e.agg(F.expr("percentile(value, 0.5)").alias("m")))
+    mad = F.broadcast(
+        e.crossJoin(med).agg(
+            F.expr("percentile(abs(value - m), 0.5)").alias("d")
+        )
+    )
+    mz = F.lit(MAD_K) * (F.col("value") - F.col("m")) / F.col("d")
+    return (
+        e.crossJoin(med)
+        .crossJoin(mad)
+        .filter(F.abs(mz) > MAD_CUT)
+        .select(
+            F.col("event_id").cast("long").alias("event_id"),
+            "event_type",
+            rfix(F.col("value"), 4).alias("value"),
+            rfix(mz, 4).alias("modified_z"),
+        )
+    )
+
+
+DRAFTS["a_mad_outlier_events"] = (a_mad_outlier_events, MAD_ORACLE)
