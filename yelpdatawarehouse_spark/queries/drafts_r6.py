@@ -3158,3 +3158,83 @@ def a_mad_outlier_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 DRAFTS["a_mad_outlier_events"] = (a_mad_outlier_events, MAD_ORACLE)
+
+
+# ---------------------------------------------------------------------------
+# Chi-square independence cross-tab: observed vs expected counts for
+# order priority x status — the categorical-association test behind
+# dashboard "is this segmentation real?" checks and feature screening.
+
+CHI2_ORACLE = f"""
+WITH obs AS (
+    SELECT o_orderpriority AS p, o_orderstatus AS s, count(*) AS o
+    FROM orders GROUP BY p, s
+),
+rows_ AS (SELECT o_orderpriority AS p, count(*) AS rt FROM orders GROUP BY p),
+cols_ AS (SELECT o_orderstatus AS s, count(*) AS ct FROM orders GROUP BY s),
+n AS (SELECT count(*)::DOUBLE AS n FROM orders),
+grid AS (
+    SELECT rows_.p, cols_.s, rows_.rt, cols_.ct,
+           coalesce(obs.o, 0) AS o
+    FROM rows_ CROSS JOIN cols_
+    LEFT JOIN obs ON obs.p = rows_.p AND obs.s = cols_.s
+)
+SELECT p AS priority, s AS status,
+       CAST(o AS BIGINT) AS observed,
+       {rfix_sql('rt * ct / n.n', 4)} AS expected,
+       {rfix_sql('(o - rt * ct / n.n) * (o - rt * ct / n.n) / (rt * ct / n.n)', 4)}
+           AS chi2_contrib
+FROM grid, n
+"""
+
+
+def a_chi2_priority_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square contingency grid over priority x status: every
+    cell of the FULL cross (zero-observed cells included — they carry
+    chi2 mass equal to their expectation) with observed count, expected
+    count under independence (row_total·col_total/N), and the cell's
+    chi-square contribution. Sum(chi2_contrib) with dof
+    (|rows|−1)(|cols|−1) is the test statistic; emitting per-cell keeps
+    the result auditable and the hash gate total.
+
+    Scale shape: three map-side-partial counting aggregates over one
+    scan lineage; the grid itself is |priorities|·|statuses| rows built
+    by a BroadcastNestedLoopJoin of two KEY-sized (not data-sized)
+    aggregates, so nothing downstream of the counts scales with the
+    fact table.
+    """
+    o = spread(table(spark, sf_dir, "orders"))
+    obs = o.groupBy(
+        F.col("o_orderpriority").alias("p"), F.col("o_orderstatus").alias("s")
+    ).agg(F.count("*").alias("o"))
+    rows_ = o.groupBy(F.col("o_orderpriority").alias("p")).agg(
+        F.count("*").alias("rt")
+    )
+    cols_ = o.groupBy(F.col("o_orderstatus").alias("s")).agg(
+        F.count("*").alias("ct")
+    )
+    n = F.broadcast(o.agg(F.count("*").cast("double").alias("n")))
+    grid = (
+        rows_.crossJoin(F.broadcast(cols_))
+        .join(obs, ["p", "s"], "left")
+        .crossJoin(n)
+        .select(
+            "p",
+            "s",
+            F.coalesce(F.col("o"), F.lit(0)).alias("o"),
+            (F.col("rt") * F.col("ct") / F.col("n")).alias("e"),
+        )
+    )
+    return grid.select(
+        F.col("p").alias("priority"),
+        F.col("s").alias("status"),
+        F.col("o").cast("long").alias("observed"),
+        rfix(F.col("e"), 4).alias("expected"),
+        rfix(
+            (F.col("o") - F.col("e")) * (F.col("o") - F.col("e")) / F.col("e"),
+            4,
+        ).alias("chi2_contrib"),
+    )
+
+
+DRAFTS["a_chi2_priority_status"] = (a_chi2_priority_status, CHI2_ORACLE)
