@@ -1,0 +1,152 @@
+"""Semantic invariants for the round-5-late drafts — properties the
+oracle hash can't state (it only proves Spark ≡ DuckDB; these pin what
+BOTH must satisfy), same spirit as tests/test_sessions_invariants.py."""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+import pyspark.sql.functions as F
+
+from tests.parity import SF_TEST_DIR
+from yelpdatawarehouse_spark.queries.drafts_r6 import (
+    DRAFTS,
+    PPJ_TAU,
+    RULE_MIN_SUP,
+)
+from yelpdatawarehouse_spark.sources.tables import table
+
+
+def _rows(spark, name):
+    fn, _ = DRAFTS[name]
+    return fn(spark, SF_TEST_DIR).collect()
+
+
+def test_funnel_monotone(spark):
+    rows = sorted(_rows(spark, "t14_funnel_conversion"), key=lambda r: r.step_idx)
+    assert [r.step_idx for r in rows] == [1, 2, 3]
+    for a, b in zip(rows, rows[1:]):
+        assert b.n_users <= a.n_users, "funnel reach must be non-increasing"
+    for r in rows:
+        if r.conv_from_prev is not None:
+            assert 0.0 <= r.conv_from_prev <= 1.0
+        if r.conv_overall is not None:
+            assert 0.0 <= r.conv_overall <= 1.0
+
+
+def test_scd2_intervals_partition_the_timeline(spark):
+    by_cust = defaultdict(list)
+    for r in _rows(spark, "scd2_priority_history"):
+        by_cust[r.custkey].append(r)
+    assert by_cust
+    for rows in by_cust.values():
+        assert sum(1 for r in rows if r.is_current) == 1
+        rows.sort(key=lambda r: r.valid_from)
+        for a, b in zip(rows, rows[1:]):
+            assert a.valid_to == b.valid_from, "intervals must chain exactly"
+            assert a.priority != b.priority, "adjacent versions must differ"
+        assert rows[-1].valid_to is None
+
+
+def test_gini_bounds(spark):
+    rows = _rows(spark, "diag_gini_spend_by_nation")
+    assert rows
+    for r in rows:
+        assert 0.0 <= r.gini < 1.0
+        assert r.n_customers >= 1
+
+
+def test_benford_is_a_distribution(spark):
+    rows = _rows(spark, "diag_benford_totalprice")
+    assert len(rows) == 9
+    assert abs(sum(r.benford_p for r in rows) - 1.0) < 1e-3
+    assert abs(sum(r.observed_p for r in rows) - 1.0) < 1e-3
+    assert all(r.chi2_contrib >= 0 for r in rows)
+
+
+def test_chi2_grid_is_total(spark):
+    rows = _rows(spark, "a_chi2_priority_status")
+    n_orders = table(spark, SF_TEST_DIR, "orders").count()
+    n_p = len({r.priority for r in rows})
+    n_s = len({r.status for r in rows})
+    assert len(rows) == n_p * n_s, "grid must include zero-observed cells"
+    assert sum(r.observed for r in rows) == n_orders
+    assert abs(sum(r.expected for r in rows) - n_orders) < 0.01 * n_orders
+    assert all(r.chi2_contrib >= 0 for r in rows)
+
+
+def test_attribution_conserves_purchases(spark):
+    rows = _rows(spark, "t15_last_touch_attribution")
+    n_purchases = (
+        table(spark, SF_TEST_DIR, "events")
+        .filter(F.col("event_type") == "purchase")
+        .count()
+    )
+    assert sum(r.n_purchases for r in rows) == n_purchases
+    assert all(r.channel != "purchase" for r in rows)
+
+
+def test_cumulative_users_telescopes(spark):
+    rows = sorted(_rows(spark, "t16_cumulative_unique_users"), key=lambda r: r.day)
+    total_users = (
+        table(spark, SF_TEST_DIR, "events").select("user_id").distinct().count()
+    )
+    run = 0
+    for r in rows:
+        run += r.new_users
+        assert r.cumulative_users == run
+        assert r.active_users <= r.cumulative_users
+    assert rows[-1].cumulative_users == total_users
+
+
+def test_association_rules_shape(spark):
+    rows = _rows(spark, "j21_association_rules")
+    assert rows and len(rows) % 2 == 0, "every rule has its reverse"
+    directed = {(r.antecedent, r.consequent) for r in rows}
+    assert len(directed) == len(rows)
+    for r in rows:
+        assert (r.consequent, r.antecedent) in directed
+        assert r.n_baskets >= RULE_MIN_SUP
+        assert 0.0 < r.confidence <= 1.0
+        assert r.lift > 0.0
+
+
+def test_ppjoin_pairs_are_canonical_and_thresholded(spark):
+    rows = _rows(spark, "dedup_prefix_filter_jaccard")
+    assert rows
+    for r in rows:
+        assert r.doc_a < r.doc_b
+        assert r.jaccard >= PPJ_TAU
+
+
+def test_native_sessions_well_formed(spark):
+    rows = _rows(spark, "t18_native_session_window")
+    assert rows
+    n_events = table(spark, SF_TEST_DIR, "events").count()
+    assert sum(r.n_events for r in rows) == n_events
+    assert all(r.session_end > r.session_start for r in rows)
+
+
+def test_interarrival_percentiles_ordered(spark):
+    rows = _rows(spark, "t17_interarrival_profile")
+    assert rows
+    for r in rows:
+        assert 0 <= r.median_gap_s <= r.p90_gap_s <= r.max_gap_s
+
+
+def test_mad_outliers_beyond_cut(spark):
+    from yelpdatawarehouse_spark.queries.drafts_r6 import MAD_CUT
+
+    rows = _rows(spark, "a_mad_outlier_events")
+    assert rows, "the synthetic event values have genuine tails"
+    assert all(abs(r.modified_z) > MAD_CUT for r in rows)
+
+
+def test_pmi_topk_is_ranked(spark):
+    from yelpdatawarehouse_spark.queries.drafts_r6 import PMI_MIN_COUNT, PMI_TOPK
+
+    rows = _rows(spark, "text_pmi_collocations")
+    assert 0 < len(rows) <= PMI_TOPK
+    assert all(r.n_pair >= PMI_MIN_COUNT for r in rows)
+    pmis = [r.pmi for r in rows]
+    assert pmis == sorted(pmis, reverse=True)

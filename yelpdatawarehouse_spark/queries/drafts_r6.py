@@ -3238,3 +3238,547 @@ def a_chi2_priority_status(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 DRAFTS["a_chi2_priority_status"] = (a_chi2_priority_status, CHI2_ORACLE)
+
+
+# ---------------------------------------------------------------------------
+# Last-touch attribution: credit each purchase to the user's most recent
+# preceding non-purchase event — the marketing-analytics join behind
+# channel ROI dashboards, expressed as a single ordered window carry.
+
+ATTR_ORACLE = """
+WITH tagged AS (
+    SELECT user_id, ts, event_id, event_type,
+           CASE WHEN event_type <> 'purchase' THEN event_type END AS touch
+    FROM events
+),
+carried AS (
+    SELECT event_type, value,
+           last_value(touch IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS channel
+    FROM (SELECT t.*, e.value FROM tagged t
+          JOIN events e USING (event_id))
+)
+SELECT coalesce(channel, '(none)') AS channel,
+       CAST(count(*) AS BIGINT) AS n_purchases,
+       CAST(floor(sum(value) * 10000 + 0.5) / 10000 AS DOUBLE) AS attributed_value
+FROM carried
+WHERE event_type = 'purchase'
+GROUP BY channel
+"""
+
+
+def t15_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: each purchase is credited to the most
+    recent STRICTLY-PRECEDING non-purchase event in the same user's
+    timeline (ts, event_id total order); purchases with no preceding
+    touch fall into '(none)'. Emits per-channel purchase counts and
+    attributed revenue. The carry is `last_value IGNORE NULLS` over
+    ROWS UNBOUNDED PRECEDING..1 PRECEDING — identical frame semantics
+    on both engines.
+
+    Scale shape: one user-keyed exchange feeds the ordered carry
+    (the same sort also serves the strict 1-PRECEDING frame), then a
+    channel-sized map-side-partial rollup; nothing after the single
+    window pass scales with the event log.
+    """
+    e = spread(table(spark, sf_dir, "events"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.when(
+        F.col("event_type") != "purchase", F.col("event_type")
+    )
+    carried = e.select(
+        "event_type",
+        "value",
+        F.last(touch, ignorenulls=True).over(w).alias("channel"),
+    )
+    return (
+        carried.filter(F.col("event_type") == "purchase")
+        .groupBy(F.coalesce(F.col("channel"), F.lit("(none)")).alias("channel"))
+        .agg(
+            F.count("*").cast("long").alias("n_purchases"),
+            rfix(F.sum("value"), 4).alias("attributed_value"),
+        )
+    )
+
+
+DRAFTS["t15_last_touch_attribution"] = (
+    t15_last_touch_attribution,
+    ATTR_ORACLE,
+)
+
+
+# ---------------------------------------------------------------------------
+# Benford first-digit screen: does the leading digit of order totals
+# follow log10(1 + 1/d)? The forensic data-quality test that catches
+# fabricated or truncated numeric columns before they poison training.
+
+BENFORD_ORACLE = f"""
+WITH digits AS (
+    SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1)
+                AS BIGINT) AS d
+    FROM orders WHERE o_totalprice >= 1
+),
+obs AS (SELECT d, count(*) AS o FROM digits GROUP BY d),
+n AS (SELECT count(*)::DOUBLE AS n FROM digits),
+grid AS (
+    SELECT g.d, coalesce(obs.o, 0) AS o
+    FROM (SELECT unnest(range(1, 10)) AS d) g
+    LEFT JOIN obs ON obs.d = g.d
+)
+SELECT CAST(grid.d AS BIGINT) AS digit,
+       CAST(o AS BIGINT) AS observed,
+       {rfix_sql('log10(1.0 + 1.0 / grid.d)', 6)} AS benford_p,
+       CASE WHEN n.n > 0 THEN {rfix_sql('o / n.n', 6)} END AS observed_p,
+       CASE WHEN n.n > 0 THEN {rfix_sql(
+           '(o / n.n - log10(1.0 + 1.0 / grid.d))'
+           ' * (o / n.n - log10(1.0 + 1.0 / grid.d))'
+           ' / log10(1.0 + 1.0 / grid.d) * n.n', 4
+       )} END AS chi2_contrib
+FROM grid, n
+"""
+
+
+def diag_benford_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit profile of o_totalprice: observed vs
+    theoretical P(d) = log10(1 + 1/d) for d = 1..9 (all nine rows
+    always present, zero-observed digits included — their chi-square
+    mass is the strongest fabrication signal), plus each digit's
+    chi-square contribution n·(p_obs − p_ben)²/p_ben. A classic
+    forensic screen for synthetic/truncated numerics in ingest QA.
+
+    Scale shape: the first digit is a codegen'd string expression on
+    the scan, collapsed by one 9-key map-side-partial aggregate; the
+    digit spine is a 9-row broadcast. Nothing downstream of the count
+    scales with the fact table.
+    """
+    o = spread(table(spark, sf_dir, "orders"))
+    digits = o.filter(F.col("o_totalprice") >= 1).select(
+        F.substring(
+            F.floor("o_totalprice").cast("long").cast("string"), 1, 1
+        )
+        .cast("long")
+        .alias("d")
+    )
+    obs = digits.groupBy("d").agg(F.count("*").alias("o"))
+    n = F.broadcast(digits.agg(F.count("*").cast("double").alias("n")))
+    spine = spark.range(1, 10).select(F.col("id").alias("d"))
+    ben = F.log10(1.0 + 1.0 / F.col("d"))
+    return (
+        spine.join(obs, "d", "left")
+        .crossJoin(n)
+        .select(
+            F.col("d").cast("long").alias("digit"),
+            F.coalesce(F.col("o"), F.lit(0)).cast("long").alias("observed"),
+            rfix(ben, 6).alias("benford_p"),
+            F.when(
+                F.col("n") > 0,
+                rfix(F.coalesce(F.col("o"), F.lit(0)) / F.col("n"), 6),
+            ).alias("observed_p"),
+            F.when(
+                F.col("n") > 0,
+                rfix(
+                    (F.coalesce(F.col("o"), F.lit(0)) / F.col("n") - ben)
+                    * (F.coalesce(F.col("o"), F.lit(0)) / F.col("n") - ben)
+                    / ben
+                    * F.col("n"),
+                    4,
+                ),
+            ).alias("chi2_contrib"),
+        )
+    )
+
+
+DRAFTS["diag_benford_totalprice"] = (
+    diag_benford_totalprice,
+    BENFORD_ORACLE,
+)
+
+
+# ---------------------------------------------------------------------------
+# Gini concentration of customer spend per nation: the inequality
+# coefficient ops teams use to flag revenue (or key-skew) concentration
+# — computed exactly from the rank formulation, partition-parallel.
+
+GINI_ORACLE = """
+WITH spend AS (
+    SELECT c.c_nationkey, o.o_custkey, sum(o.o_totalprice) AS s
+    FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_nationkey, o.o_custkey
+),
+ranked AS (
+    SELECT c_nationkey, s,
+           row_number() OVER (PARTITION BY c_nationkey ORDER BY s, o_custkey)
+               AS r,
+           count(*) OVER (PARTITION BY c_nationkey) AS n,
+           sum(s) OVER (PARTITION BY c_nationkey) AS tot
+    FROM spend
+)
+SELECT n2.n_name AS nation,
+       CAST(max(n) AS BIGINT) AS n_customers,
+       CAST(floor(max(tot) * 100 + 0.5) / 100 AS DOUBLE) AS total_spend,
+       CAST(floor((2.0 * sum(r * s) / (max(n) * max(tot))
+                   - (max(n) + 1.0) / max(n)) * 10000 + 0.5) / 10000 AS DOUBLE)
+           AS gini
+FROM ranked JOIN nation n2 ON n2.n_nationkey = ranked.c_nationkey
+GROUP BY n2.n_name
+"""
+
+
+def diag_gini_spend_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Gini coefficient of per-customer spend within each nation,
+    via the rank formulation G = 2·Σ(r·x)/(n·Σx) − (n+1)/n over
+    ascending (spend, custkey) ranks — tie order cannot change Σ(r·x)
+    across equal values, so the statistic is deterministic while the
+    window order stays total. The concentration diagnostic that flags
+    both revenue inequality and, read as key frequencies, shuffle-skew
+    risk before it bites a join.
+
+    Scale shape: the spend rollup is one (nation-bearing) aggregate;
+    ranking partitions BY NATION, so the sort is partition-parallel
+    (never a single-partition global window); the nation dim joins
+    broadcast. One exchange for the rollup, one for the rank partition.
+    """
+    o = spread(table(spark, sf_dir, "orders"))
+    c = table(spark, sf_dir, "customer")
+    nat = table(spark, sf_dir, "nation")
+    spend = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_nationkey", "o_custkey")
+        .agg(F.sum("o_totalprice").alias("s"))
+    )
+    w = Window.partitionBy("c_nationkey").orderBy("s", "o_custkey")
+    wp = Window.partitionBy("c_nationkey")
+    ranked = spend.select(
+        "c_nationkey",
+        "s",
+        F.row_number().over(w).alias("r"),
+        F.count("*").over(wp).alias("n"),
+        F.sum("s").over(wp).alias("tot"),
+    )
+    return (
+        ranked.join(F.broadcast(nat), ranked.c_nationkey == nat.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.max("n").cast("long").alias("n_customers"),
+            rfix(F.max("tot"), 2).alias("total_spend"),
+            rfix(
+                2.0 * F.sum(F.col("r") * F.col("s"))
+                / (F.max("n") * F.max("tot"))
+                - (F.max("n") + 1.0) / F.max("n"),
+                4,
+            ).alias("gini"),
+        )
+    )
+
+
+DRAFTS["diag_gini_spend_by_nation"] = (
+    diag_gini_spend_by_nation,
+    GINI_ORACLE,
+)
+
+
+# ---------------------------------------------------------------------------
+# Cumulative unique users by day: the growth-accounting curve (new vs
+# returning) every product dashboard opens with — first-seen collapse
+# then a running total over the day spine.
+
+CUMUNIQ_ORACLE = """
+WITH first_seen AS (
+    SELECT user_id, min(CAST(ts AS DATE)) AS d FROM events GROUP BY user_id
+),
+daily AS (
+    SELECT d, count(*) AS new_users FROM first_seen GROUP BY d
+),
+active AS (
+    SELECT CAST(ts AS DATE) AS d, count(DISTINCT user_id) AS active_users
+    FROM events GROUP BY d
+)
+SELECT strftime(a.d, '%Y-%m-%d') AS day,
+       CAST(coalesce(daily.new_users, 0) AS BIGINT) AS new_users,
+       CAST(a.active_users AS BIGINT) AS active_users,
+       CAST(sum(coalesce(daily.new_users, 0))
+                OVER (ORDER BY a.d) AS BIGINT) AS cumulative_users
+FROM active a LEFT JOIN daily ON daily.d = a.d
+"""
+
+
+def t16_cumulative_unique_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Growth accounting by day: per-day NEW users (first-ever
+    appearance), per-day ACTIVE users (distinct that day), and the
+    running cumulative distinct-user total — computed without any
+    cumulative DISTINCT by collapsing each user to a first-seen date
+    first, so the running total is a plain prefix sum of new-user
+    counts (the standard trick that turns an O(days·users) rescan into
+    one aggregate plus a day-spine window).
+
+    Scale shape: two user/day-keyed partial aggregates on the scan; the
+    prefix sum runs over the DAY spine (calendar-sized, not data-sized)
+    — its single-partition window is bounded by days, never by events.
+    """
+    e = spread(table(spark, sf_dir, "events"))
+    d = F.to_date("ts")
+    first_seen = e.groupBy("user_id").agg(F.min(d).alias("d"))
+    daily = first_seen.groupBy("d").agg(F.count("*").alias("new_users"))
+    active = e.groupBy(d.alias("d")).agg(
+        F.countDistinct("user_id").alias("active_users")
+    )
+    w = Window.orderBy("d")
+    return (
+        active.join(daily, "d", "left")
+        .select(
+            F.col("d"),
+            F.coalesce(F.col("new_users"), F.lit(0)).alias("nu"),
+            F.col("active_users"),
+        )
+        .select(
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            F.col("nu").cast("long").alias("new_users"),
+            F.col("active_users").cast("long").alias("active_users"),
+            F.sum("nu").over(w).cast("long").alias("cumulative_users"),
+        )
+    )
+
+
+DRAFTS["t16_cumulative_unique_users"] = (
+    t16_cumulative_unique_users,
+    CUMUNIQ_ORACLE,
+)
+
+
+# ---------------------------------------------------------------------------
+# Association rules over order baskets: support / confidence / lift for
+# co-purchased part pairs — the market-basket layer on top of the
+# co-purchase join (j5), i.e. Apriori's k=2 rule stage made relational.
+
+RULE_MIN_SUP = 3
+
+RULES_ORACLE = f"""
+WITH it AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+n AS (SELECT count(DISTINCT l_orderkey)::DOUBLE AS n FROM it),
+isup AS (SELECT l_partkey AS p, count(*) AS s FROM it GROUP BY p),
+pairs AS (
+    SELECT a.l_partkey AS pa, b.l_partkey AS pb, count(*) AS c
+    FROM it a JOIN it b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY pa, pb
+    HAVING count(*) >= {RULE_MIN_SUP}
+),
+rules AS (
+    SELECT pa AS ant, pb AS con, c, sa.s AS s_ant, sb.s AS s_con
+    FROM pairs JOIN isup sa ON sa.p = pa JOIN isup sb ON sb.p = pb
+    UNION ALL
+    SELECT pb, pa, c, sb.s, sa.s
+    FROM pairs JOIN isup sa ON sa.p = pa JOIN isup sb ON sb.p = pb
+)
+SELECT CAST(ant AS BIGINT) AS antecedent,
+       CAST(con AS BIGINT) AS consequent,
+       CAST(c AS BIGINT) AS n_baskets,
+       {rfix_sql('c / n.n', 6)} AS support,
+       {rfix_sql('c::DOUBLE / s_ant', 6)} AS confidence,
+       {rfix_sql('c * n.n / (s_ant * s_con)', 4)} AS lift
+FROM rules, n
+"""
+
+
+def j21_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k=2 association rules (Apriori's rule stage, Agrawal & Srikant
+    1994) over order baskets: for every part pair co-purchased in
+    >= {RULE_MIN_SUP} orders, both directed rules with support
+    (pair/baskets), confidence (pair/antecedent), and lift
+    (confidence/consequent-rate). Exact-integer ratios canonicalized at
+    the presentation edge.
+
+    Scale shape: the pair counts reuse j5's basket self-join shape
+    (order-keyed exchange; the registered hot-basket salted path covers
+    skew); the support HAVING prunes BEFORE the item-support joins, so
+    rule assembly joins a frequent-pair set against an item-sized
+    aggregate. Basket count rides in as a broadcast 1-row aggregate;
+    the direction flip is a union of two projections, no second join.
+    """
+    li = spread(table(spark, sf_dir, "lineitem"))
+    it = li.select("l_orderkey", "l_partkey").distinct()
+    n = F.broadcast(
+        it.agg(F.countDistinct("l_orderkey").cast("double").alias("n"))
+    )
+    isup = it.groupBy(F.col("l_partkey").alias("p")).agg(
+        F.count("*").alias("s")
+    )
+    a, b = it.alias("a"), it.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
+        )
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") >= RULE_MIN_SUP)
+        .join(isup.select(F.col("p").alias("pa"), F.col("s").alias("sa")), "pa")
+        .join(isup.select(F.col("p").alias("pb"), F.col("s").alias("sb")), "pb")
+    )
+    fwd = pairs.select(
+        F.col("pa").alias("ant"), F.col("pb").alias("con"),
+        "c", F.col("sa").alias("s_ant"), F.col("sb").alias("s_con"),
+    )
+    rev = pairs.select(
+        F.col("pb").alias("ant"), F.col("pa").alias("con"),
+        "c", F.col("sb").alias("s_ant"), F.col("sa").alias("s_con"),
+    )
+    return (
+        fwd.unionByName(rev)
+        .crossJoin(n)
+        .select(
+            F.col("ant").cast("long").alias("antecedent"),
+            F.col("con").cast("long").alias("consequent"),
+            F.col("c").cast("long").alias("n_baskets"),
+            rfix(F.col("c") / F.col("n"), 6).alias("support"),
+            rfix(F.col("c").cast("double") / F.col("s_ant"), 6).alias(
+                "confidence"
+            ),
+            rfix(
+                F.col("c") * F.col("n") / (F.col("s_ant") * F.col("s_con")), 4
+            ).alias("lift"),
+        )
+    )
+
+
+DRAFTS["j21_association_rules"] = (j21_association_rules, RULES_ORACLE)
+
+
+# ---------------------------------------------------------------------------
+# Inter-arrival time profile: the distribution of gaps between a user's
+# consecutive same-type events — the latency fingerprint behind rate
+# alarms, bot detection, and watermark tuning.
+
+INTERARRIVAL_ORACLE = f"""
+WITH gaps AS (
+    SELECT event_type,
+           epoch(ts) - lag(epoch(ts))
+               OVER (PARTITION BY user_id, event_type
+                     ORDER BY ts, event_id) AS g
+    FROM events
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_gaps,
+       {rfix_sql('quantile_cont(g, 0.5)', 4)} AS median_gap_s,
+       {rfix_sql('quantile_cont(g, 0.9)', 4)} AS p90_gap_s,
+       {rfix_sql('max(g)', 4)} AS max_gap_s
+FROM gaps WHERE g IS NOT NULL
+GROUP BY event_type
+"""
+
+
+def t17_interarrival_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type inter-arrival profile: for each user's consecutive
+    same-type events ((user, type) partition, (ts, event_id) total
+    order), the gap in seconds; rolled up per type to exact interpolated
+    median/p90 and max. The signal behind rate-limit alarms and
+    streaming watermark calibration (compare t10_lateness_profile).
+
+    Scale shape: one (user, type)-keyed exchange feeds the lag; the
+    rollup is |types|-keyed with exact percentiles over per-type gap
+    sets. At true 100 TB the percentile swaps to approx_percentile with
+    an envelope oracle — the documented sketch-family trade.
+    """
+    e = spread(table(spark, sf_dir, "events"))
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    # timestamp -> double keeps the microsecond fraction (unix_timestamp
+    # truncates to whole seconds and would diverge from DuckDB's epoch())
+    sec = F.col("ts").cast("double")
+    gaps = e.select(
+        "event_type", (sec - F.lag(sec).over(w)).alias("g")
+    ).filter(F.col("g").isNotNull())
+    return gaps.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_gaps"),
+        rfix(F.expr("percentile(g, 0.5)"), 4).alias("median_gap_s"),
+        rfix(F.expr("percentile(g, 0.9)"), 4).alias("p90_gap_s"),
+        rfix(F.max("g"), 4).alias("max_gap_s"),
+    )
+
+
+DRAFTS["t17_interarrival_profile"] = (
+    t17_interarrival_profile,
+    INTERARRIVAL_ORACLE,
+)
+
+
+# ---------------------------------------------------------------------------
+# Native session_window twin: Spark's built-in gap-session operator,
+# hash-proven equivalent to the classic SQL islands construction — the
+# batch counterpart of the streaming session aggregation
+# (streaming/pipeline.py), with the engine's own merge logic under oracle.
+
+SESSION_GAP_S = 21_600  # 6 hours, matching t8_sessionization
+
+NATIVE_SESSION_ORACLE = f"""
+WITH flagged AS (
+    SELECT user_id, ts, event_id, value,
+           CASE WHEN lag(ts) OVER w IS NULL
+                  OR epoch(ts) - lag(epoch(ts)) OVER w >= {SESSION_GAP_S}
+                THEN 1 ELSE 0 END AS brk
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+    SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS sid
+    FROM flagged
+)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       strftime(max(ts) + INTERVAL {SESSION_GAP_S} SECOND,
+                '%Y-%m-%d %H:%M:%S') AS session_end,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(floor(sum(value) * 10000 + 0.5) / 10000 AS DOUBLE) AS session_value
+FROM sess
+GROUP BY user_id, sid
+"""
+
+
+def t18_native_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's NATIVE session_window (gap = 6 h) in batch mode, with the
+    oracle rebuilding identical sessions via the lag/flag/prefix-sum
+    islands construction — so the hash gate proves the engine's built-in
+    session merge (start = min ts, end = max ts + gap, an event at
+    exactly last+gap opens a NEW session because the window end is
+    exclusive) equals the relational definition t8_sessionization uses.
+    One operator, two derivations, byte-equal output.
+
+    Scale shape: session_window aggregates hash-shuffle once on
+    user_id and merge sessions inside the aggregation operator (no
+    window sort pass at all — the advantage over the islands form);
+    sub-second timestamps survive because the gap math runs on
+    microsecond-precision timestamps on both engines.
+    """
+    e = spread(table(spark, sf_dir, "events"))
+    agg = e.groupBy(
+        F.session_window("ts", f"{SESSION_GAP_S} seconds"), "user_id"
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum("value").alias("v"),
+    )
+    return agg.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.date_format("session_window.start", "yyyy-MM-dd HH:mm:ss").alias(
+            "session_start"
+        ),
+        F.date_format("session_window.end", "yyyy-MM-dd HH:mm:ss").alias(
+            "session_end"
+        ),
+        F.col("n").cast("long").alias("n_events"),
+        rfix(F.col("v"), 4).alias("session_value"),
+    )
+
+
+DRAFTS["t18_native_session_window"] = (
+    t18_native_session_window,
+    NATIVE_SESSION_ORACLE,
+)
