@@ -1,0 +1,94 @@
+"""Targeted regressions for the round-4 ADVICE findings — each pins the
+fixed behavior on an input CONSTRUCTED to hit the latent branch, which the
+sf test corpora never exercise (that is what made the bugs latent).
+
+1. ann_ivf_recall_eval / ann_recall_eval: a query-panel vector alone in
+   its coarse cell / LSH bucket must still emit a row (n_candidates = 0),
+   matching the oracle's correlated COUNT (llmops.py left-join+coalesce).
+2. sources/tables.py events branch: table() must memoize the scan key so
+   spread() skips the partition probe, same as every other table.
+3. a_sketch_vocab_overlap's diag twin: the signed estimator error must be
+   emitted and numerically consistent with the boolean envelope verdict.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.parity import SF_TEST_DIR
+
+
+@pytest.fixture(scope="module")
+def lone_cell_sf_dir(spark, tmp_path_factory):
+    """A synthetic sf dir whose embeddings leave query vector 0 ALONE in
+    its IVF cell: vec 0 is the e0 basis vector, every other vector sits
+    in a tight cluster around e1, so assignment (max rounded cosine,
+    ties to lower cid) puts 0 -> cell 0 with no co-members."""
+    out = str(tmp_path_factory.mktemp("lone_cell"))
+    # identical cluster vectors: centroids 1..7 tie at rounded cosine 1.0,
+    # the tie-break sends every cluster member to cid 1 — one shared cell
+    rows = [(0, [1.0, 0.0, 0.0, 0.0], 0)]
+    for i in range(1, 16):
+        rows.append((i, [0.0, 1.0, 0.0, 0.0], 1))
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(out, "embeddings.parquet")
+    )
+    return out
+
+
+def test_ivf_recall_eval_keeps_zero_candidate_queries(spark, lone_cell_sf_dir):
+    from yelpdatawarehouse_spark.queries.llmops import ann_ivf_recall_eval
+
+    rows = {r.query_id: r for r in ann_ivf_recall_eval(spark, lone_cell_sf_dir).collect()}
+    assert sorted(rows) == [0, 1, 2, 3, 4], "every panel query must survive"
+    lone = rows[0]
+    assert lone.n_candidates == 0
+    assert lone.hits == 0
+    assert lone.recall_at_10 == 0.0
+    # the clustered queries really do have candidates (cell 1 has 14 others)
+    assert all(rows[q].n_candidates > 0 for q in (1, 2, 3, 4))
+
+
+def test_lsh_recall_eval_panel_is_total(spark, lone_cell_sf_dir):
+    from yelpdatawarehouse_spark.queries.llmops import ann_recall_eval
+
+    rows = {r.query_id: r for r in ann_recall_eval(spark, lone_cell_sf_dir).collect()}
+    assert sorted(rows) == [0, 1, 2, 3, 4], "every panel query must survive"
+    for r in rows.values():
+        assert r.n_candidates >= 0
+        assert 0.0 <= r.recall_at_10 <= 1.0
+
+
+def test_events_table_memoizes_scan_key(spark):
+    from yelpdatawarehouse_spark.sources import tables as tb
+
+    df = tb.table(spark, SF_TEST_DIR, "events")
+    key = getattr(df, "_ydw_scan_key", None)
+    assert key is not None, "events branch must set the memo key"
+    tb._SCAN_PARTS.pop(key, None)
+    tb.spread(df)
+    assert key in tb._SCAN_PARTS, "spread() must memoize the partition probe"
+    probed = tb._SCAN_PARTS[key]
+    tb.spread(df)  # second call must reuse, not re-probe to a new value
+    assert tb._SCAN_PARTS[key] == probed
+
+
+def test_vocab_overlap_diag_err_consistent_with_envelope(spark):
+    from yelpdatawarehouse_spark.queries.sketches import (
+        sketch_vocab_overlap_diag,
+    )
+
+    rows = sketch_vocab_overlap_diag(spark, SF_TEST_DIR).collect()
+    assert rows
+    for r in rows:
+        exact_union = r.exact_union
+        # the boolean is DERIVED from the emitted signed error (2dp
+        # canonicalization can sit on the 5% line, hence the tolerance)
+        inside = abs(r.est_signed_err) <= 0.05 * exact_union + 0.005
+        if r.inter_in_envelope:
+            assert inside, f"flag says inside but err={r.est_signed_err}"
