@@ -4,8 +4,6 @@ BOTH must satisfy), same spirit as tests/test_sessions_invariants.py."""
 
 from __future__ import annotations
 
-from collections import defaultdict
-
 import pyspark.sql.functions as F
 
 from tests.parity import SF_TEST_DIR
@@ -22,30 +20,6 @@ def _rows(spark, name):
     return fn(spark, SF_TEST_DIR).collect()
 
 
-def test_funnel_monotone(spark):
-    rows = sorted(_rows(spark, "t14_funnel_conversion"), key=lambda r: r.step_idx)
-    assert [r.step_idx for r in rows] == [1, 2, 3]
-    for a, b in zip(rows, rows[1:]):
-        assert b.n_users <= a.n_users, "funnel reach must be non-increasing"
-    for r in rows:
-        if r.conv_from_prev is not None:
-            assert 0.0 <= r.conv_from_prev <= 1.0
-        if r.conv_overall is not None:
-            assert 0.0 <= r.conv_overall <= 1.0
-
-
-def test_scd2_intervals_partition_the_timeline(spark):
-    by_cust = defaultdict(list)
-    for r in _rows(spark, "scd2_priority_history"):
-        by_cust[r.custkey].append(r)
-    assert by_cust
-    for rows in by_cust.values():
-        assert sum(1 for r in rows if r.is_current) == 1
-        rows.sort(key=lambda r: r.valid_from)
-        for a, b in zip(rows, rows[1:]):
-            assert a.valid_to == b.valid_from, "intervals must chain exactly"
-            assert a.priority != b.priority, "adjacent versions must differ"
-        assert rows[-1].valid_to is None
 
 
 def test_gini_bounds(spark):
@@ -118,13 +92,6 @@ def test_ppjoin_pairs_are_canonical_and_thresholded(spark):
         assert r.doc_a < r.doc_b
         assert r.jaccard >= PPJ_TAU
 
-
-def test_native_sessions_well_formed(spark):
-    rows = _rows(spark, "t18_native_session_window")
-    assert rows
-    n_events = table(spark, SF_TEST_DIR, "events").count()
-    assert sum(r.n_events for r in rows) == n_events
-    assert all(r.session_end > r.session_start for r in rows)
 
 
 def test_interarrival_percentiles_ordered(spark):

@@ -22,12 +22,9 @@ _TS_DRAFTS = (
     "t12_gap_interpolation",
     "a_cohort_retention_matrix",
     "t13_event_transition_matrix",
-    "t14_funnel_conversion",
-    "scd2_priority_history",
     "t15_last_touch_attribution",
     "t16_cumulative_unique_users",
     "t17_interarrival_profile",
-    "t18_native_session_window",
 )
 
 

@@ -2805,188 +2805,6 @@ DRAFTS["dedup_prefix_filter_jaccard"] = (
 
 
 # ---------------------------------------------------------------------------
-# Ordered funnel conversion: view -> click -> purchase, each step's
-# timestamp strictly after the user's previous step. The product-analytics
-# primitive behind activation dashboards and drop-off diagnosis.
-
-FUNNEL_STEPS = ("view", "click", "purchase")
-
-FUNNEL_ORACLE = f"""
-WITH s1 AS (
-    SELECT user_id, min(ts) AS t FROM events
-    WHERE event_type = '{FUNNEL_STEPS[0]}' GROUP BY user_id
-),
-s2 AS (
-    SELECT e.user_id, min(e.ts) AS t
-    FROM events e JOIN s1 ON s1.user_id = e.user_id AND e.ts > s1.t
-    WHERE e.event_type = '{FUNNEL_STEPS[1]}' GROUP BY e.user_id
-),
-s3 AS (
-    SELECT e.user_id, min(e.ts) AS t
-    FROM events e JOIN s2 ON s2.user_id = e.user_id AND e.ts > s2.t
-    WHERE e.event_type = '{FUNNEL_STEPS[2]}' GROUP BY e.user_id
-),
-counts AS (
-    SELECT 1 AS step_idx, '{FUNNEL_STEPS[0]}' AS step,
-           (SELECT count(*) FROM s1) AS n_users
-    UNION ALL
-    SELECT 2, '{FUNNEL_STEPS[1]}', (SELECT count(*) FROM s2)
-    UNION ALL
-    SELECT 3, '{FUNNEL_STEPS[2]}', (SELECT count(*) FROM s3)
-),
-laged AS (
-    SELECT *, lag(n_users) OVER (ORDER BY step_idx) AS prev,
-           first_value(n_users) OVER (ORDER BY step_idx) AS n1
-    FROM counts
-)
-SELECT CAST(step_idx AS BIGINT) AS step_idx,
-       step,
-       CAST(n_users AS BIGINT) AS n_users,
-       CASE WHEN coalesce(prev, n_users) > 0
-            THEN {rfix_sql('n_users::DOUBLE / coalesce(prev, n_users)', 6)}
-       END AS conv_from_prev,
-       CASE WHEN n1 > 0 THEN {rfix_sql('n_users::DOUBLE / n1', 6)} END
-           AS conv_overall
-FROM laged
-"""
-
-
-def t14_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Strictly-ordered funnel: a user converts at step k only with an
-    event of step k's type at a timestamp strictly after their step-k-1
-    conversion time (earliest-qualifying semantics, the standard
-    product-analytics definition). Emits one row per step with reach and
-    the step-over-step / overall conversion rates, exact-integer ratios
-    canonicalized at the presentation edge.
-
-    Scale shape: step 1 is one user-keyed partial aggregate; each later
-    step joins the event scan against the previous step's per-user
-    frontier — a frame that only SHRINKS down the funnel and that AQE
-    broadcasts once it fits, so the event log is never shuffled more
-    than once per step and funnel depth (a constant) bounds the pass
-    count. The final window runs over exactly len(steps) rows.
-    """
-    e = spread(table(spark, sf_dir, "events"))
-    frontier = (
-        e.filter(F.col("event_type") == FUNNEL_STEPS[0])
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t"))
-    )
-    counts = [
-        frontier.agg(F.count("*").alias("n_users")).select(
-            F.lit(1).alias("step_idx"),
-            F.lit(FUNNEL_STEPS[0]).alias("step"),
-            "n_users",
-        )
-    ]
-    for i, step in enumerate(FUNNEL_STEPS[1:], start=2):
-        frontier = (
-            e.filter(F.col("event_type") == step)
-            .join(frontier, "user_id")
-            .filter(F.col("ts") > F.col("t"))
-            .groupBy("user_id")
-            .agg(F.min("ts").alias("t"))
-        )
-        counts.append(
-            frontier.agg(F.count("*").alias("n_users")).select(
-                F.lit(i).alias("step_idx"), F.lit(step).alias("step"), "n_users"
-            )
-        )
-    allc = counts[0]
-    for c in counts[1:]:
-        allc = allc.unionByName(c)
-    w = Window.orderBy("step_idx")
-    prev = F.coalesce(F.lag("n_users").over(w), F.col("n_users"))
-    n1 = F.first("n_users").over(w)
-    return allc.select(
-        F.col("step_idx").cast("long").alias("step_idx"),
-        "step",
-        F.col("n_users").cast("long").alias("n_users"),
-        F.when(
-            prev > 0, rfix(F.col("n_users").cast("double") / prev, 6)
-        ).alias("conv_from_prev"),
-        F.when(
-            n1 > 0, rfix(F.col("n_users").cast("double") / n1, 6)
-        ).alias("conv_overall"),
-    )
-
-
-DRAFTS["t14_funnel_conversion"] = (t14_funnel_conversion, FUNNEL_ORACLE)
-
-
-# ---------------------------------------------------------------------------
-# SCD Type-2 dimension history: collapse each customer's order-priority
-# timeline into change-detected validity intervals — the slowly-changing-
-# dimension maintenance pattern every warehouse runs on dimension loads.
-
-SCD2_ORACLE = """
-WITH ordered AS (
-    SELECT o_custkey, o_orderpriority AS p, o_orderdate AS d, o_orderkey AS k,
-           lag(o_orderpriority) OVER w AS prev_p
-    FROM orders
-    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
-),
-changes AS (
-    SELECT o_custkey, p, d, k FROM ordered
-    WHERE prev_p IS NULL OR p <> prev_p
-),
-vers AS (
-    SELECT o_custkey, p, d AS vf,
-           lead(d) OVER (PARTITION BY o_custkey ORDER BY d, k) AS vt
-    FROM changes
-)
-SELECT CAST(o_custkey AS BIGINT) AS custkey,
-       p AS priority,
-       strftime(vf, '%Y-%m-%d %H:%M:%S') AS valid_from,
-       strftime(vt, '%Y-%m-%d %H:%M:%S') AS valid_to,
-       (vt IS NULL) AS is_current
-FROM vers
-"""
-
-
-def scd2_priority_history(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SCD Type-2 interval build: order each customer's orders by
-    (date, key), keep only rows where o_orderpriority CHANGES (change
-    detection via lag), then close each version with the next change's
-    date (lead) — yielding [valid_from, valid_to) validity intervals
-    with an open current version, exactly the merge a warehouse
-    dimension load performs. Timestamps leave as formatted strings so
-    both engines hash identical bytes.
-
-    Scale shape: one customer-keyed exchange feeds both windows (change
-    detection and interval close share the same partitioning, so
-    Catalyst plans a single sort+exchange reused by both), and the
-    change filter shrinks the second window's input to the number of
-    VERSIONS, not orders. Nothing leaves the per-customer partition.
-    """
-    o = spread(table(spark, sf_dir, "orders"))
-    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
-    changes = (
-        o.select(
-            "o_custkey",
-            F.col("o_orderpriority").alias("p"),
-            F.col("o_orderdate").alias("d"),
-            F.col("o_orderkey").alias("k"),
-            F.lag("o_orderpriority").over(w).alias("prev_p"),
-        )
-        .filter(F.col("prev_p").isNull() | (F.col("p") != F.col("prev_p")))
-    )
-    wv = Window.partitionBy("o_custkey").orderBy("d", "k")
-    return changes.select(
-        F.col("o_custkey").cast("long").alias("custkey"),
-        F.col("p").alias("priority"),
-        F.date_format("d", "yyyy-MM-dd HH:mm:ss").alias("valid_from"),
-        F.date_format(F.lead("d").over(wv), "yyyy-MM-dd HH:mm:ss").alias(
-            "valid_to"
-        ),
-        F.lead("d").over(wv).isNull().alias("is_current"),
-    )
-
-
-DRAFTS["scd2_priority_history"] = (scd2_priority_history, SCD2_ORACLE)
-
-
-# ---------------------------------------------------------------------------
 # PMI collocations: top-k adjacent token pairs by pointwise mutual
 # information — the classic collocation-mining statistic (Church & Hanks
 # 1990) behind phrase detection in LLM tokenizer/corpus pipelines.
@@ -3707,78 +3525,4 @@ def t17_interarrival_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 DRAFTS["t17_interarrival_profile"] = (
     t17_interarrival_profile,
     INTERARRIVAL_ORACLE,
-)
-
-
-# ---------------------------------------------------------------------------
-# Native session_window twin: Spark's built-in gap-session operator,
-# hash-proven equivalent to the classic SQL islands construction — the
-# batch counterpart of the streaming session aggregation
-# (streaming/pipeline.py), with the engine's own merge logic under oracle.
-
-SESSION_GAP_S = 21_600  # 6 hours, matching t8_sessionization
-
-NATIVE_SESSION_ORACLE = f"""
-WITH flagged AS (
-    SELECT user_id, ts, event_id, value,
-           CASE WHEN lag(ts) OVER w IS NULL
-                  OR epoch(ts) - lag(epoch(ts)) OVER w >= {SESSION_GAP_S}
-                THEN 1 ELSE 0 END AS brk
-    FROM events
-    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-),
-sess AS (
-    SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                             ROWS UNBOUNDED PRECEDING) AS sid
-    FROM flagged
-)
-SELECT CAST(user_id AS BIGINT) AS user_id,
-       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
-       strftime(max(ts) + INTERVAL {SESSION_GAP_S} SECOND,
-                '%Y-%m-%d %H:%M:%S') AS session_end,
-       CAST(count(*) AS BIGINT) AS n_events,
-       CAST(floor(sum(value) * 10000 + 0.5) / 10000 AS DOUBLE) AS session_value
-FROM sess
-GROUP BY user_id, sid
-"""
-
-
-def t18_native_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Spark's NATIVE session_window (gap = 6 h) in batch mode, with the
-    oracle rebuilding identical sessions via the lag/flag/prefix-sum
-    islands construction — so the hash gate proves the engine's built-in
-    session merge (start = min ts, end = max ts + gap, an event at
-    exactly last+gap opens a NEW session because the window end is
-    exclusive) equals the relational definition t8_sessionization uses.
-    One operator, two derivations, byte-equal output.
-
-    Scale shape: session_window aggregates hash-shuffle once on
-    user_id and merge sessions inside the aggregation operator (no
-    window sort pass at all — the advantage over the islands form);
-    sub-second timestamps survive because the gap math runs on
-    microsecond-precision timestamps on both engines.
-    """
-    e = spread(table(spark, sf_dir, "events"))
-    agg = e.groupBy(
-        F.session_window("ts", f"{SESSION_GAP_S} seconds"), "user_id"
-    ).agg(
-        F.count("*").alias("n"),
-        F.sum("value").alias("v"),
-    )
-    return agg.select(
-        F.col("user_id").cast("long").alias("user_id"),
-        F.date_format("session_window.start", "yyyy-MM-dd HH:mm:ss").alias(
-            "session_start"
-        ),
-        F.date_format("session_window.end", "yyyy-MM-dd HH:mm:ss").alias(
-            "session_end"
-        ),
-        F.col("n").cast("long").alias("n_events"),
-        rfix(F.col("v"), 4).alias("session_value"),
-    )
-
-
-DRAFTS["t18_native_session_window"] = (
-    t18_native_session_window,
-    NATIVE_SESSION_ORACLE,
 )
