@@ -2709,8 +2709,9 @@ def dedup_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidates by equi-joining on prefix tokens alone — the pigeonhole
     bound guarantees every pair with J ≥ τ shares at least one prefix
     token. Exact Jaccard then verifies candidates. The oracle is the
-    share-ANY-token O(pairs) join, so the hash gate proves the prefix
-    pruning is LOSSLESS, not approximate. (The corpus slice keeps the
+    share-ANY-token O(pairs) join — the candidate strategy the
+    registry's dedup_ngram_jaccard_pairs builds on — so the hash gate
+    proves the prefix pruning is LOSSLESS against it, not approximate. (The corpus slice keeps the
     oracle's brute-force join honest at test scale; the engine path
     never depends on it.)
 
@@ -2942,10 +2943,12 @@ WHERE abs({MAD_K} * (value - med.m) / mad.d) > {MAD_CUT}
 def a_mad_outlier_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Modified z-score outlier screen: |0.6745·(x − median)/MAD| > 3.5
     (Iglewicz & Hoaglin 1993), median and MAD both EXACT interpolated
-    percentiles — the robust alternative to mean/stddev z-scores, whose
-    estimators the outliers themselves corrupt. Spark's `percentile`
-    and DuckDB's `quantile_cont` share linear-interpolation semantics,
-    so the cut line itself is hash-verified.
+    percentiles — the robust alternative to the registry's mean/stddev
+    screen (w_pandas_zscore_outliers, which exists to prove the
+    applyInPandas surface), robust because mean/stddev are corrupted by
+    the very outliers being hunted. Spark's `percentile` and DuckDB's
+    `quantile_cont` share linear-interpolation semantics, so the cut
+    line itself is hash-verified.
 
     Scale shape: two global exact-percentile aggregates (Spark's
     ObjectHashAggregate percentile — at true 100 TB scale the engine's
