@@ -117,3 +117,24 @@ def test_pmi_topk_is_ranked(spark):
     assert all(r.n_pair >= PMI_MIN_COUNT for r in rows)
     pmis = [r.pmi for r in rows]
     assert pmis == sorted(pmis, reverse=True)
+
+
+def test_acf_is_a_correlation(spark):
+    rows = sorted(_rows(spark, "t19_acf_daily_orders"), key=lambda r: r.lag)
+    assert [r.lag for r in rows] == [1, 2, 3, 4, 5, 6, 7]
+    n_days = None
+    for r in rows:
+        assert -1.0 <= r.acf <= 1.0
+        if n_days is None:
+            n_days = r.n_pairs + 1
+        assert r.n_pairs == n_days - r.lag, "each lag loses exactly lag pairs"
+
+
+def test_cusum_telescopes_to_zero(spark):
+    rows = sorted(_rows(spark, "t20_cusum_daily_revenue"), key=lambda r: r.day)
+    assert rows
+    # sum of deviations from the mean over the WHOLE series is zero
+    assert abs(rows[-1].cusum) < 0.01 * max(abs(r.cusum) for r in rows) + 1.0
+    assert sum(1 for r in rows if r.is_changepoint) >= 1
+    peak = max(abs(r.cusum) for r in rows)
+    assert all(abs(r.cusum) == peak for r in rows if r.is_changepoint)

@@ -25,6 +25,8 @@ _TS_DRAFTS = (
     "t15_last_touch_attribution",
     "t16_cumulative_unique_users",
     "t17_interarrival_profile",
+    "t19_acf_daily_orders",
+    "t20_cusum_daily_revenue",
 )
 
 

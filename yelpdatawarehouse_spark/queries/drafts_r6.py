@@ -3529,3 +3529,151 @@ DRAFTS["t17_interarrival_profile"] = (
     t17_interarrival_profile,
     INTERARRIVAL_ORACLE,
 )
+
+
+# ---------------------------------------------------------------------------
+# Autocorrelation function of the daily order-count series: Pearson
+# corr(x_t, x_{t-k}) for lags 1..7 — the time-series diagnostic behind
+# seasonality detection and forecast-model selection, over the observed
+# trading-day series.
+
+ACF_MAX_LAG = 7
+
+ACF_ORACLE = f"""
+WITH daily AS (
+    SELECT CAST(o_orderdate AS DATE) AS d, count(*)::DOUBLE AS x
+    FROM orders GROUP BY d
+),
+lagged AS (
+    SELECT x,
+           {", ".join(
+               f"lag(x, {k}) OVER (ORDER BY d) AS x{k}"
+               for k in range(1, ACF_MAX_LAG + 1)
+           )}
+    FROM daily
+),
+cols AS (
+    SELECT {", ".join(
+        f"corr(x, x{k}) AS c{k}, count(x{k}) AS n{k}"
+        for k in range(1, ACF_MAX_LAG + 1)
+    )}
+    FROM lagged
+)
+{" UNION ALL ".join(
+    f"SELECT CAST({k} AS BIGINT) AS lag, "
+    f"CAST(floor(c{k} * 10000 + 0.5) / 10000 AS DOUBLE) AS acf, "
+    f"CAST(n{k} AS BIGINT) AS n_pairs FROM cols"
+    for k in range(1, ACF_MAX_LAG + 1)
+)}
+"""
+
+
+def t19_acf_daily_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1..{ACF_MAX_LAG} autocorrelation of the daily order-count
+    series (Pearson corr of the series against its own lags, computed
+    over OBSERVED days — calendar gaps collapse, the standard
+    trading-day convention). Both engines skip null (head-of-series)
+    pairs in corr, and the 6dp/4dp corr canonicalization precedent is
+    a_stats_aggregates (sketches.py).
+
+    Scale shape: the raw scan collapses to a day-spine-sized series in
+    one map-side-partial aggregate; the lag window and the seven corr
+    aggregates run over that calendar-bounded frame (single partition
+    by construction, bounded by days not orders — same argument as
+    t16's prefix sum). One scan, one exchange, constant-width output.
+    """
+    o = spread(table(spark, sf_dir, "orders"))
+    daily = o.groupBy(
+        F.col("o_orderdate").cast("date").alias("d")
+    ).agg(F.count("*").cast("double").alias("x"))
+    w = Window.orderBy("d")
+    lagged = daily.select(
+        "x",
+        *[F.lag("x", k).over(w).alias(f"x{k}") for k in range(1, ACF_MAX_LAG + 1)],
+    )
+    cols = lagged.agg(
+        *[
+            a
+            for k in range(1, ACF_MAX_LAG + 1)
+            for a in (
+                F.corr("x", f"x{k}").alias(f"c{k}"),
+                F.count(f"x{k}").alias(f"n{k}"),
+            )
+        ]
+    )
+    parts = [
+        cols.select(
+            F.lit(k).cast("long").alias("lag"),
+            rfix(F.col(f"c{k}"), 4).alias("acf"),
+            F.col(f"n{k}").cast("long").alias("n_pairs"),
+        )
+        for k in range(1, ACF_MAX_LAG + 1)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+DRAFTS["t19_acf_daily_orders"] = (t19_acf_daily_orders, ACF_ORACLE)
+
+
+# ---------------------------------------------------------------------------
+# CUSUM changepoint trace over daily revenue: the cumulative deviation
+# from the series mean, whose extremum locates the most likely level
+# shift (Page 1954 / the CUSUM chart's offline form) — drift detection
+# for ingest monitoring.
+
+CUSUM_ORACLE = """
+WITH daily AS (
+    SELECT CAST(o_orderdate AS DATE) AS d, sum(o_totalprice) AS r
+    FROM orders GROUP BY d
+),
+mu AS (SELECT avg(r) AS m FROM daily),
+trace AS (
+    SELECT d, r,
+           sum(r - mu.m) OVER (ORDER BY d
+                               ROWS UNBOUNDED PRECEDING) AS s
+    FROM daily, mu
+)
+SELECT strftime(d, '%Y-%m-%d') AS day,
+       CAST(floor(r * 100 + 0.5) / 100 AS DOUBLE) AS daily_revenue,
+       CAST(floor(s * 100 + 0.5) / 100 AS DOUBLE) AS cusum,
+       (abs(s) = (SELECT max(abs(s)) FROM trace)) AS is_changepoint
+FROM trace
+"""
+
+
+def t20_cusum_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offline CUSUM trace: S_t = Σ_{i≤t} (r_i − mean(r)) over the daily
+    revenue series, with the |S| extremum flagged as the estimated
+    changepoint (the day the level most plausibly shifted). The running
+    sum is ROWS-framed in day order on both engines, so the float
+    addition ORDER is identical and 2dp canonicalization is stable; the
+    mean rides in as a broadcast 1-row aggregate.
+
+    Scale shape: the scan collapses to the day spine in one
+    map-side-partial aggregate; the cumulative window and the global
+    max(|S|) are calendar-bounded (same single-partition justification
+    as t16/t19). One scan, two day-spine passes, nothing data-sized
+    after the first aggregate.
+    """
+    o = spread(table(spark, sf_dir, "orders"))
+    daily = o.groupBy(
+        F.col("o_orderdate").cast("date").alias("d")
+    ).agg(F.sum("o_totalprice").alias("r"))
+    mu = F.broadcast(daily.agg(F.avg("r").alias("m")))
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    trace = daily.crossJoin(mu).select(
+        "d", "r", F.sum(F.col("r") - F.col("m")).over(w).alias("s")
+    )
+    peak = F.broadcast(trace.agg(F.max(F.abs("s")).alias("peak")))
+    return trace.crossJoin(peak).select(
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        rfix(F.col("r"), 2).alias("daily_revenue"),
+        rfix(F.col("s"), 2).alias("cusum"),
+        (F.abs("s") == F.col("peak")).alias("is_changepoint"),
+    )
+
+
+DRAFTS["t20_cusum_daily_revenue"] = (t20_cusum_daily_revenue, CUSUM_ORACLE)
