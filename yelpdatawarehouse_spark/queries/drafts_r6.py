@@ -3601,18 +3601,21 @@ def t19_acf_daily_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ]
     )
-    parts = [
-        cols.select(
-            F.lit(k).cast("long").alias("lag"),
-            rfix(F.col(f"c{k}"), 4).alias("acf"),
-            F.col(f"n{k}").cast("long").alias("n_pairs"),
+    # stack() unpivots the ONE aggregate row — a per-lag union would
+    # re-plan the whole scan→agg→window pipeline once per lag (measured:
+    # 14 scans / 21 exchanges before this rewrite, 2 / 3 after)
+    stacked = ", ".join(
+        f"{k}L, c{k}, n{k}" for k in range(1, ACF_MAX_LAG + 1)
+    )
+    return cols.select(
+        F.expr(
+            f"stack({ACF_MAX_LAG}, {stacked}) AS (lag, acf_raw, n_pairs)"
         )
-        for k in range(1, ACF_MAX_LAG + 1)
-    ]
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+    ).select(
+        F.col("lag").cast("long").alias("lag"),
+        rfix(F.col("acf_raw"), 4).alias("acf"),
+        F.col("n_pairs").cast("long").alias("n_pairs"),
+    )
 
 
 DRAFTS["t19_acf_daily_orders"] = (t19_acf_daily_orders, ACF_ORACLE)
