@@ -1,0 +1,94 @@
+"""Physical-plan pins for the round-5-late drafts — the same
+ceiling/floor guard test_plan_shapes.py applies to the bench headliners,
+extended to the dozen drafts added at the end of round 5 so a plan
+regression is caught before (and after) their round-6 registration.
+
+Semantics per tuple (identical to test_plan_shapes._SHAPES):
+(max shuffles, min broadcasts, max windows, min pushed-filter scans) —
+shuffle/window counts are CEILINGS, broadcast/pushed counts are FLOORS.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))))
+from tools.plan_report import audit  # noqa: E402
+
+from yelpdatawarehouse_spark.queries.drafts_r6 import DRAFTS  # noqa: E402
+
+SF = "/root/testdata/sf0.001"
+
+_SHAPES = {
+    # prefix tokens + sizes ride vocab/doc-sized joins; both doc scans pruned
+    "dedup_prefix_filter_jaccard": (3, 5, 0, 2),
+    # two counting collapses; unigram sides + totals broadcast onto pairs
+    "text_pmi_collocations": (2, 4, 0, 0),
+    # two percentile reductions broadcast back; outlier filter is scan-side
+    "a_mad_outlier_events": (0, 3, 0, 1),
+    # three key-sized aggregates; the grid cross is broadcast-nested-loop
+    "a_chi2_priority_status": (3, 3, 0, 1),
+    # one user_id exchange feeds the ignore-nulls carry; channel rollup
+    "t15_last_touch_attribution": (2, 0, 1, 0),
+    # 9-digit grid join + total broadcast; both order scans pruned+pushed
+    "diag_benford_totalprice": (1, 2, 0, 2),
+    # spend rollup + nation-partitioned rank windows; nation dim broadcast
+    "diag_gini_spend_by_nation": (3, 2, 2, 3),
+    # first-seen + daily collapses; day-spine prefix-sum window
+    "t16_cumulative_unique_users": (4, 1, 1, 0),
+    # basket self-join pair counts + item-support joins; totals broadcast
+    "j21_association_rules": (5, 6, 0, 2),
+    # one (user,type) exchange for the lag; per-type percentile rollup
+    "t17_interarrival_profile": (2, 0, 1, 0),
+    # day-spine collapse, ONE lag window, stack() unpivot of one agg row
+    "t19_acf_daily_orders": (1, 0, 1, 0),
+    # day-spine collapse; mean + |S|-peak ride broadcasts; cumsum window
+    "t20_cusum_daily_revenue": (1, 3, 2, 0),
+}
+
+
+@pytest.fixture(scope="module")
+def static_plans(spark):
+    """Executed-plan strings with AQE off (same rationale as
+    test_plan_shapes.static_plans: AQE defers stage insertion and would
+    hide the static exchange structure being pinned)."""
+    prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        yield {
+            name: DRAFTS[name][0](spark, SF)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+            for name in _SHAPES
+        }
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)
+
+
+@pytest.mark.parametrize("name", sorted(_SHAPES))
+def test_draft_plan_shape(static_plans, name):
+    max_shuffles, min_broadcasts, max_windows, min_pushed = _SHAPES[name]
+    a = audit(static_plans[name])
+    assert a["shuffles"] <= max_shuffles, f"{name}: {a['shuffles']} shuffles > {max_shuffles}"
+    assert a["broadcasts"] >= min_broadcasts, (
+        f"{name}: {a['broadcasts']} broadcasts < {min_broadcasts} — a small side "
+        "probably lost its broadcast"
+    )
+    assert a["windows"] <= max_windows, f"{name}: {a['windows']} windows > {max_windows}"
+    assert a["pushed"] >= min_pushed, (
+        f"{name}: {a['pushed']} pushed-filter scans < {min_pushed} — a predicate "
+        "stopped reaching the parquet reader"
+    )
+
+
+def test_acf_is_single_pipeline(static_plans):
+    """The stack() unpivot must keep ACF one scan→agg→window pipeline —
+    the per-lag-union regression re-planned it seven times (measured
+    14 scans / 21 exchanges before the rewrite)."""
+    plan = static_plans["t19_acf_daily_orders"]
+    assert plan.count("FileScan") <= 2
+    assert audit(plan)["windows"] == 1
