@@ -2752,12 +2752,21 @@ def dedup_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     pref = by_doc.select(
-        "doc_id", F.explode(F.slice("toks", 1, F.col("p"))).alias("t")
+        "doc_id", "n", F.explode(F.slice("toks", 1, F.col("p"))).alias("t")
     )
+    # PPJoin's LENGTH filter: J(A,B) <= min(|A|,|B|)/max(|A|,|B|), so
+    # J >= 3/5 requires 5*min >= 3*max — a necessary condition checked in
+    # integers INSIDE the candidate join, pruning pairs before the
+    # distinct and the array-intersect verification ever see them.
     cand = (
         pref.alias("a")
-        .join(pref.alias("b"), "t")
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .join(
+            pref.alias("b"),
+            (F.col("a.t") == F.col("b.t"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (5 * F.col("a.n") >= 3 * F.col("b.n"))
+            & (5 * F.col("b.n") >= 3 * F.col("a.n")),
+        )
         .select(
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
         )
