@@ -138,3 +138,36 @@ def test_cusum_telescopes_to_zero(spark):
     assert sum(1 for r in rows if r.is_changepoint) >= 1
     peak = max(abs(r.cusum) for r in rows)
     assert all(abs(r.cusum) == peak for r in rows if r.is_changepoint)
+
+
+def test_bootstrap_confidence_distribution(spark):
+    from yelpdatawarehouse_spark.queries.drafts_r6 import BOOT_B
+
+    rows = _rows(spark, "ml_bootstrap_mean_ci")
+    assert len(rows) == BOOT_B
+    orders = table(spark, SF_TEST_DIR, "orders")
+    n = orders.count()
+    true_mean = orders.agg(F.avg("o_totalprice")).first()[0]
+    for r in rows:
+        # Poisson(1) weights: effective n concentrates around n
+        assert 0.8 * n < r.n_eff < 1.2 * n
+        # each resampled mean stays near the estimand
+        assert abs(r.boot_mean - true_mean) < 0.2 * true_mean
+    # the replicates form a DISTRIBUTION, not one repeated value
+    assert len({r.boot_mean for r in rows}) > 1
+
+
+def test_psi_bins_conserve_and_contribs_nonneg(spark):
+    rows = _rows(spark, "diag_psi_priority_drift")
+    orders = table(spark, SF_TEST_DIR, "orders")
+    n_ref = orders.filter(F.col("o_orderpriority") == "1-URGENT").count()
+    n_cmp = orders.count() - n_ref
+    assert sum(r.n_ref for r in rows) == n_ref
+    assert sum(r.n_cmp for r in rows) == n_cmp
+    assert len(rows) == 10, "decile edges must produce all ten bins"
+    for r in rows:
+        # PSI contributions are individually non-negative by Gibbs
+        if r.psi_contrib is not None:
+            assert r.psi_contrib >= 0
+        # deciles of the reference hold ~10% of the reference each
+        assert abs(r.n_ref - 0.1 * n_ref) <= 0.02 * n_ref + 2

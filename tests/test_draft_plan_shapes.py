@@ -47,6 +47,10 @@ _SHAPES = {
     "t19_acf_daily_orders": (1, 0, 1, 0),
     # day-spine collapse; mean + |S|-peak ride broadcasts; cumsum window
     "t20_cusum_daily_revenue": (1, 3, 2, 0),
+    # 2·B codegen'd md5/CASE sums in ONE global aggregate — no exchange
+    "ml_bootstrap_mean_ci": (0, 0, 0, 0),
+    # decile edges + totals broadcast; pushed reference-priority filter
+    "diag_psi_priority_drift": (1, 2, 0, 1),
 }
 
 

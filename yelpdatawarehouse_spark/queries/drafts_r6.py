@@ -3689,3 +3689,216 @@ def t20_cusum_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 DRAFTS["t20_cusum_daily_revenue"] = (t20_cusum_daily_revenue, CUSUM_ORACLE)
+
+
+# ---------------------------------------------------------------------------
+# Poisson-bootstrap confidence distribution for the mean order value:
+# deterministic hash-derived Poisson(1) weights give B resampled means in
+# ONE aggregation pass — the scalable bootstrap (no data copies, no RNG
+# state) used for error bars over massive datasets.
+
+BOOT_B = 16
+# P(Poisson(1) <= k) cumulative cutoffs, truncated at w=4 (tail mass 3.7e-3
+# folds into the top weight — part of the spec, identical on both engines)
+_BOOT_CUTS = (0.3678794411714423, 0.7357588823428846,
+              0.9196986029286058, 0.9810118431238462)
+
+
+def _boot_weight_sql(b: int) -> str:
+    seeded_key = "'" + str(b) + ":' || o_orderkey"
+    u = f"(({H.md5_long_sql(seeded_key)}) / 1152921504606846976.0)"
+    return (f"(CASE WHEN {u} < {_BOOT_CUTS[0]!r} THEN 0 "
+            f"WHEN {u} < {_BOOT_CUTS[1]!r} THEN 1 "
+            f"WHEN {u} < {_BOOT_CUTS[2]!r} THEN 2 "
+            f"WHEN {u} < {_BOOT_CUTS[3]!r} THEN 3 ELSE 4 END)")
+
+
+def _bootstrap_oracle() -> str:
+    sums = ", ".join(
+        f"sum({_boot_weight_sql(b)} * o_totalprice) AS s{b}, "
+        f"sum({_boot_weight_sql(b)}) AS w{b}"
+        for b in range(BOOT_B)
+    )
+    arms = " UNION ALL ".join(
+        f"SELECT CAST({b} AS BIGINT) AS replicate, "
+        f"CAST(floor(s{b} / w{b} * 10000 + 0.5) / 10000 AS DOUBLE) "
+        f"AS boot_mean, CAST(w{b} AS BIGINT) AS n_eff FROM sums"
+        for b in range(BOOT_B)
+    )
+    return f"WITH sums AS (SELECT {sums} FROM orders) {arms}"
+
+
+BOOTSTRAP_ORACLE = _bootstrap_oracle()
+
+
+def ml_bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson bootstrap (Chamandy et al., Google 2012) of mean
+    o_totalprice: replicate b weights each row by a Poisson(1) draw
+    derived DETERMINISTICALLY from md5(b ':' orderkey) via the inverse
+    CDF (cut at w=4; the 0.37% tail folds upward by spec), so the whole
+    confidence distribution — {BOOT_B} resampled means — comes from one
+    aggregation pass with no data duplication and no RNG state to
+    coordinate across executors. Sorting boot_mean gives the percentile
+    CI; the emitted per-replicate rows keep the gate total.
+
+    Scale shape: ONE scan, 2·B map-side-partial sums (all codegen'd
+    md5/CASE arithmetic), a single 1-row aggregate, then a stack()
+    unpivot to B rows — zero hash exchanges, zero windows over data.
+    The md5-uniform construction is the engine-portable primitive every
+    sampling operator here shares (functions/hashing.py).
+    """
+    o = spread(table(spark, sf_dir, "orders"))
+
+    def weight(b: int):
+        u = H.md5_long(
+            F.concat(F.lit(f"{b}:"), F.col("o_orderkey").cast("string"))
+        ) / F.lit(float(1 << 60))
+        return (
+            F.when(u < _BOOT_CUTS[0], 0)
+            .when(u < _BOOT_CUTS[1], 1)
+            .when(u < _BOOT_CUTS[2], 2)
+            .when(u < _BOOT_CUTS[3], 3)
+            .otherwise(4)
+        )
+
+    sums = o.agg(
+        *[
+            a
+            for b in range(BOOT_B)
+            for a in (
+                F.sum(weight(b) * F.col("o_totalprice")).alias(f"s{b}"),
+                F.sum(weight(b)).alias(f"w{b}"),
+            )
+        ]
+    )
+    stacked = ", ".join(f"{b}L, s{b} / w{b}, w{b}" for b in range(BOOT_B))
+    return sums.select(
+        F.expr(
+            f"stack({BOOT_B}, {stacked}) AS (replicate, boot_mean_raw, n_eff)"
+        )
+    ).select(
+        F.col("replicate").cast("long").alias("replicate"),
+        rfix(F.col("boot_mean_raw"), 4).alias("boot_mean"),
+        F.col("n_eff").cast("long").alias("n_eff"),
+    )
+
+
+DRAFTS["ml_bootstrap_mean_ci"] = (ml_bootstrap_mean_ci, BOOTSTRAP_ORACLE)
+
+
+# ---------------------------------------------------------------------------
+# Population Stability Index: decile-binned distribution drift of order
+# value, urgent-priority traffic vs the rest — the monitoring statistic
+# scoring/ingest pipelines alarm on (PSI > 0.2 = retrain).
+
+PSI_EDGES = 9  # deciles of the reference distribution
+
+
+def _psi_oracle() -> str:
+    edges = ", ".join(
+        f"(floor(quantile_cont(o_totalprice, {0.1 * (k + 1):.1f}) * 1000000 "
+        f"+ 0.5) / 1000000) AS e{k}"
+        for k in range(PSI_EDGES)
+    )
+    bin_case = "CASE " + " ".join(
+        f"WHEN o_totalprice < e{k} THEN {k}" for k in range(PSI_EDGES)
+    ) + f" ELSE {PSI_EDGES} END"
+    return f"""
+WITH ref AS (SELECT o_totalprice FROM orders WHERE o_orderpriority = '1-URGENT'),
+edges AS (SELECT {edges} FROM ref),
+binned AS (
+    SELECT {bin_case} AS bin,
+           (o_orderpriority = '1-URGENT') AS is_ref
+    FROM orders, edges
+),
+counts AS (
+    SELECT bin,
+           sum(CASE WHEN is_ref THEN 1 ELSE 0 END) AS nr,
+           sum(CASE WHEN is_ref THEN 0 ELSE 1 END) AS nc
+    FROM binned GROUP BY bin
+),
+tot AS (
+    SELECT sum(nr)::DOUBLE AS tr, sum(nc)::DOUBLE AS tc FROM counts
+)
+SELECT CAST(bin AS BIGINT) AS bin,
+       CAST(nr AS BIGINT) AS n_ref,
+       CAST(nc AS BIGINT) AS n_cmp,
+       CASE WHEN nr > 0 AND nc > 0 THEN
+           CAST(floor((nr / tr - nc / tc) * ln((nr / tr) / (nc / tc))
+                * 1000000 + 0.5) / 1000000 AS DOUBLE)
+       END AS psi_contrib
+FROM counts, tot
+"""
+
+
+PSI_ORACLE = _psi_oracle()
+
+
+def diag_psi_priority_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index per decile bin: the reference
+    population (urgent-priority orders) defines 9 exact-percentile bin
+    edges — canonicalized to 6dp BEFORE binning, so the cut lines are
+    byte-identical on both engines (the rounded-cut-line move
+    dedup_embedding_cosine_pairs documents) — and both populations are
+    histogrammed against them; each bin contributes
+    (p_ref − p_cmp)·ln(p_ref/p_cmp), whose sum is the PSI drift alarm.
+
+    Scale shape: the edge computation is one exact-percentile aggregate
+    over the (pushed-filter) reference scan, broadcast as a 1-row frame;
+    binning is a codegen'd CASE chain on the main scan; the rollup is a
+    10-key map-side-partial aggregate with the totals broadcast back.
+    At true 100 TB the edges swap to approx_percentile, the same trade
+    the sketch family documents.
+    """
+    o = spread(table(spark, sf_dir, "orders"))
+    ref = o.filter(F.col("o_orderpriority") == "1-URGENT")
+    edges = F.broadcast(
+        ref.agg(
+            *[
+                rfix(
+                    F.expr(f"percentile(o_totalprice, {0.1 * (k + 1):.1f})"), 6
+                ).alias(f"e{k}")
+                for k in range(PSI_EDGES)
+            ]
+        )
+    )
+    bin_col = F.lit(PSI_EDGES)
+    for k in reversed(range(PSI_EDGES)):
+        bin_col = F.when(
+            F.col("o_totalprice") < F.col(f"e{k}"), F.lit(k)
+        ).otherwise(bin_col)
+    counts = (
+        o.crossJoin(edges)
+        .select(
+            bin_col.alias("bin"),
+            (F.col("o_orderpriority") == "1-URGENT").alias("is_ref"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.sum(F.when(F.col("is_ref"), 1).otherwise(0)).alias("nr"),
+            F.sum(F.when(F.col("is_ref"), 0).otherwise(1)).alias("nc"),
+        )
+    )
+    tot = F.broadcast(
+        counts.agg(
+            F.sum("nr").cast("double").alias("tr"),
+            F.sum("nc").cast("double").alias("tc"),
+        )
+    )
+    p = F.col("nr") / F.col("tr")
+    q = F.col("nc") / F.col("tc")
+    return counts.crossJoin(tot).select(
+        F.col("bin").cast("long").alias("bin"),
+        F.col("nr").cast("long").alias("n_ref"),
+        F.col("nc").cast("long").alias("n_cmp"),
+        F.when(
+            (F.col("nr") > 0) & (F.col("nc") > 0),
+            rfix((p - q) * F.log(p / q), 6),
+        ).alias("psi_contrib"),
+    )
+
+
+DRAFTS["diag_psi_priority_drift"] = (
+    diag_psi_priority_drift,
+    PSI_ORACLE,
+)
