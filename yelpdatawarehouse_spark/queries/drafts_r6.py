@@ -2229,8 +2229,6 @@ DRAFTS["text_rrf_hybrid_topk"] = (text_rrf_hybrid_topk, RRF_ORACLE)
 # Skyline (Pareto front) of orders: latest-and-most-valuable orders that no
 # other order strictly beats on BOTH date and price.
 
-SKYLINE_GROUPS = 32  # phase-1 parallelism; any value is semantics-neutral
-
 O7_ORACLE = """
 SELECT CAST(a.o_orderkey AS BIGINT) AS o_orderkey,
        strftime(a.o_orderdate, '%Y-%m-%d') AS order_date,
@@ -2248,19 +2246,23 @@ def o7_pareto_front_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skyline / Pareto front (Börzsönyi et al., ICDE'01) over orders:
     keep each order no other order strictly dominates on BOTH the
     maximize-dimensions (o_orderdate, o_totalprice). The oracle is the
-    textbook O(n²) ``NOT EXISTS`` dominance test; the engine runs the
-    O(n log n) equivalence instead — sorted by day, a row is on the
-    front iff ``max(price)`` over the STRICTLY-LATER range frame does
-    not exceed its own price — so the hash gate *proves* the
-    window rewrite ≡ brute-force dominance on every row.
+    textbook O(n²) ``NOT EXISTS`` dominance test; the engine exploits
+    the DISCRETE first dimension: an order is dominated iff some
+    strictly-later DAY contains a strictly-higher price, so the whole
+    dominance structure collapses to the per-day max-price series and
+    its suffix maximum — the hash gate *proves* that collapse ≡
+    brute-force dominance on every row.
 
-    Scale shape: two-phase distributed skyline. Phase 1 computes a local
-    front inside each of 32 hash groups (dominance is transitive, so any
-    globally-dominated row is dominated by a phase-1 survivor); phase 2
-    re-runs the same range-frame test once over the tiny union of local
-    fronts. No single task ever sees the full table, and there is no
-    all-pairs join anywhere — the shape that survives 100 TB where the
-    oracle's NOT EXISTS cannot.
+    Scale shape: one day-keyed map-side-partial aggregate (the only
+    data-sized exchange), a suffix-max window over the DAY SPINE
+    (calendar-bounded, same single-partition justification as t16/t19),
+    then a broadcast join of the spine back onto the scan with the
+    codegen'd front predicate. Under verbatim replication the earlier
+    two-phase row-window form went superlinear (x35 at 20x facts: its
+    phase-2 window input grew with the front, and day-ties degenerate
+    RANGE frames); this form's window input is CONSTANT in the fact
+    count. The general d-dimensional skyline needs the two-phase
+    partition trick; a 2-D front with a discrete axis does not.
     """
     o = spread(table(spark, sf_dir, "orders"))
     day = F.datediff(
@@ -2271,23 +2273,15 @@ def o7_pareto_front_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
         "o_totalprice",
         day.cast("long").alias("_day"),
-        F.pmod(F.xxhash64("o_orderkey"), F.lit(SKYLINE_GROUPS)).alias("_grp"),
     )
-    later_local = (
-        Window.partitionBy("_grp")
-        .orderBy("_day")
-        .rangeBetween(1, Window.unboundedFollowing)
-    )
-    on_front = lambda m: m.isNull() | (m <= F.col("o_totalprice"))  # noqa: E731
-    local = base.withColumn(
-        "_m", F.max("o_totalprice").over(later_local)
-    ).filter(on_front(F.col("_m")))
-    later_glob = Window.orderBy("_day").rangeBetween(
-        1, Window.unboundedFollowing
+    daily = base.groupBy("_day").agg(F.max("o_totalprice").alias("_dm"))
+    later = Window.orderBy("_day").rowsBetween(1, Window.unboundedFollowing)
+    suffix = daily.select(
+        "_day", F.max("_dm").over(later).alias("_suf")
     )
     return (
-        local.withColumn("_m2", F.max("o_totalprice").over(later_glob))
-        .filter(on_front(F.col("_m2")))
+        base.join(F.broadcast(suffix), "_day")
+        .filter(F.col("_suf").isNull() | (F.col("_suf") <= F.col("o_totalprice")))
         .select("o_orderkey", "order_date", "o_totalprice")
     )
 
