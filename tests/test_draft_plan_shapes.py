@@ -51,6 +51,9 @@ _SHAPES = {
     "ml_bootstrap_mean_ci": (0, 0, 0, 0),
     # decile edges + totals broadcast; pushed reference-priority filter
     "diag_psi_priority_drift": (1, 2, 0, 1),
+    # skyline via day-collapse + day-spine suffix-max + broadcast join —
+    # the pin that keeps the x35-at-20x two-phase row-window form out
+    "o7_pareto_front_orders": (1, 1, 1, 0),
 }
 
 
