@@ -12,8 +12,9 @@ prints one line per query plus a failure summary.
     python tools/full_parity.py registry     # registry only
     python tools/full_parity.py drafts       # drafts only
 
-Round-5 result of record: every registered query (145) and every staged
-draft OK at sf0.01 — zero failures on any sweep this round.
+Round-5 result of record (round close): 193/193 OK at sf0.01 — every
+registered query (145) and every staged draft (48) — zero failures on
+any sweep this round.
 """
 
 from __future__ import annotations
