@@ -171,3 +171,37 @@ def test_psi_bins_conserve_and_contribs_nonneg(spark):
             assert r.psi_contrib >= 0
         # deciles of the reference hold ~10% of the reference each
         assert abs(r.n_ref - 0.1 * n_ref) <= 0.02 * n_ref + 2
+
+
+def test_skyline_is_pairwise_nondominating(spark):
+    rows = _rows(spark, "o7_pareto_front_orders")
+    assert rows
+    pts = [(r.order_date, r.o_totalprice) for r in rows]
+    for d1, p1 in pts:
+        for d2, p2 in pts:
+            assert not (d2 > d1 and p2 > p1), "front contains a dominated point"
+    # the single most expensive order can never be dominated on price
+    orders = table(spark, SF_TEST_DIR, "orders")
+    max_price = orders.agg(F.max("o_totalprice")).first()[0]
+    assert any(abs(p - max_price) < 1e-9 for _, p in pts)
+
+
+def test_minhash_pr_eval_is_a_confusion_summary(spark):
+    (r,) = _rows(spark, "dedup_minhash_pr_eval")
+    assert r.n_hit <= r.n_true and r.n_hit <= r.n_cand
+    if r.n_cand:
+        assert abs(r.precision - r.n_hit / r.n_cand) < 1e-4
+    if r.n_true:
+        assert abs(r.recall - r.n_hit / r.n_true) < 1e-4
+        assert 0.0 <= r.precision <= 1.0 and 0.0 <= r.recall <= 1.0
+
+
+def test_curation_v2_funnel_shrinks(spark):
+    rows = _rows(spark, "pipeline_curation_v2")
+    assert rows
+    n_docs = table(spark, SF_TEST_DIR, "documents").count()
+    assert sum(r.n_input for r in rows) == n_docs
+    for r in rows:
+        # each stage can only discard: input >= unique-quality >= kept
+        assert r.n_input >= r.n_unique_quality >= r.n_kept >= 0
+        assert (r.tokens_kept > 0) == (r.n_kept > 0)
