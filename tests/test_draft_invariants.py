@@ -205,3 +205,82 @@ def test_curation_v2_funnel_shrinks(spark):
         # each stage can only discard: input >= unique-quality >= kept
         assert r.n_input >= r.n_unique_quality >= r.n_kept >= 0
         assert (r.tokens_kept > 0) == (r.n_kept > 0)
+
+
+def test_markov_rows_are_distributions(spark):
+    from collections import defaultdict
+
+    by_from = defaultdict(float)
+    n_types = set()
+    for r in _rows(spark, "t13_event_transition_matrix"):
+        assert r.n_transitions >= 1
+        assert 0.0 < r.p_transition <= 1.0
+        by_from[r.from_type] += r.p_transition
+        n_types.add(r.from_type)
+    assert n_types
+    for ft, s in by_from.items():
+        # row-normalized probabilities sum to 1 (4dp canonicalization slack)
+        assert abs(s - 1.0) < 5e-3, f"{ft} row sums to {s}"
+
+
+def test_ewma_within_observed_spend_range(spark):
+    lo, hi = (
+        table(spark, SF_TEST_DIR, "orders")
+        .agg(F.min("o_totalprice"), F.max("o_totalprice"))
+        .first()
+    )
+    rows = _rows(spark, "w9_ewma_customer_spend")
+    assert rows
+    for r in rows:
+        # a convex combination of a customer's order values stays in range
+        assert lo - 1e-6 <= r.ewma_spend <= hi + 1e-6
+
+
+def test_calibration_bins_are_probability_shaped(spark):
+    rows = sorted(_rows(spark, "ml_calibration_bins"), key=lambda r: r.bin)
+    assert rows
+    for r in rows:
+        assert 0 <= r.bin <= 9
+        assert 0.0 <= r.mean_predicted <= 1.0
+        assert 0.0 <= r.frac_positive <= 1.0
+        # the bin's mean prediction must lie inside the bin's own range
+        assert r.bin / 10 - 1e-6 <= r.mean_predicted <= (r.bin + 1) / 10 + 1e-6
+
+
+def test_theta_overlap_set_algebra(spark):
+    rows = _rows(spark, "a_theta_audience_overlap")
+    assert rows
+    for r in rows:
+        assert r.type_a < r.type_b
+        assert 0 <= r.n_intersect <= r.n_union
+
+
+def test_containment_pairs_bounds(spark):
+    rows = _rows(spark, "dedup_containment_pairs")
+    assert rows
+    for r in rows:
+        assert r.doc_a != r.doc_b
+        assert 0 < r.shared <= min(r.n_a, r.n_b)
+        assert 0.0 < r.containment <= 1.0
+
+
+def test_cohort_matrix_monotone_from_birth(spark):
+    from collections import defaultdict
+
+    cohorts = defaultdict(dict)
+    for r in _rows(spark, "a_cohort_retention_matrix"):
+        cohorts[r.cohort_month][r.age_months] = r.n_active
+    assert cohorts
+    for month, ages in cohorts.items():
+        assert 0 in ages, f"cohort {month} lacks its birth row"
+        # no later age can exceed the cohort's size at birth
+        assert all(n <= ages[0] for n in ages.values())
+
+
+def test_jl_projection_distortion_consistent(spark):
+    rows = _rows(spark, "emb_jl_projection_fidelity")
+    assert rows
+    for r in rows:
+        assert r.d2_orig > 0
+        # distortion column must equal the ratio it summarizes
+        assert abs(r.distortion - r.d2_proj / r.d2_orig) < 1e-3
