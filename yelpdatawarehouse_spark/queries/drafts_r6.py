@@ -3715,7 +3715,8 @@ def _bootstrap_oracle() -> str:
     )
     arms = " UNION ALL ".join(
         f"SELECT CAST({b} AS BIGINT) AS replicate, "
-        f"CAST(floor(s{b} / w{b} * 10000 + 0.5) / 10000 AS DOUBLE) "
+        f"CASE WHEN w{b} > 0 THEN "
+        f"CAST(floor(s{b} / w{b} * 10000 + 0.5) / 10000 AS DOUBLE) END "
         f"AS boot_mean, CAST(w{b} AS BIGINT) AS n_eff FROM sums"
         for b in range(BOOT_B)
     )
@@ -3765,7 +3766,12 @@ def ml_bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ]
     )
-    stacked = ", ".join(f"{b}L, s{b} / w{b}, w{b}" for b in range(BOOT_B))
+    # IF-guard: a replicate whose Poisson weights all drew 0 (possible on
+    # tiny inputs; found by tests/test_bootstrap_properties.py) must yield
+    # a NULL mean, not an ANSI divide-by-zero
+    stacked = ", ".join(
+        f"{b}L, IF(w{b} > 0, s{b} / w{b}, NULL), w{b}" for b in range(BOOT_B)
+    )
     return sums.select(
         F.expr(
             f"stack({BOOT_B}, {stacked}) AS (replicate, boot_mean_raw, n_eff)"
