@@ -3594,15 +3594,28 @@ def t19_acf_daily_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         "x",
         *[F.lag("x", k).over(w).alias(f"x{k}") for k in range(1, ACF_MAX_LAG + 1)],
     )
+    # corr from raw moments with explicit zero-variance guards: Spark's
+    # ANSI `corr` THROWS on a constant series (DuckDB returns NULL), so
+    # a flat daily-count stretch would crash the draft — probed directly,
+    # same latent class as the Benford/bootstrap divide-by-zero guards.
+    # Counts are small integers, so the moment sums are exact doubles.
+    def _corr_terms(k: int):
+        y = F.col(f"x{k}")
+        xm = F.when(y.isNotNull(), F.col("x"))
+        n = F.count(y).cast("double")
+        sx, sy = F.sum(xm), F.sum(y)
+        sxy = F.sum(xm * y)
+        sxx, syy = F.sum(xm * xm), F.sum(y * y)
+        vx = n * sxx - sx * sx
+        vy = n * syy - sy * sy
+        c = F.when(
+            (n >= 2) & (vx > 0) & (vy > 0),
+            (n * sxy - sx * sy) / F.sqrt(vx * vy),
+        )
+        return c.alias(f"c{k}"), F.count(y).alias(f"n{k}")
+
     cols = lagged.agg(
-        *[
-            a
-            for k in range(1, ACF_MAX_LAG + 1)
-            for a in (
-                F.corr("x", f"x{k}").alias(f"c{k}"),
-                F.count(f"x{k}").alias(f"n{k}"),
-            )
-        ]
+        *[a for k in range(1, ACF_MAX_LAG + 1) for a in _corr_terms(k)]
     )
     # stack() unpivots the ONE aggregate row — a per-lag union would
     # re-plan the whole scan→agg→window pipeline once per lag (measured:
