@@ -2939,7 +2939,8 @@ SELECT CAST(event_id AS BIGINT) AS event_id,
        {rfix_sql('value', 4)} AS value,
        {rfix_sql(f'{MAD_K} * (value - med.m) / mad.d', 4)} AS modified_z
 FROM events, med, mad
-WHERE abs({MAD_K} * (value - med.m) / mad.d) > {MAD_CUT}
+WHERE mad.d > 0
+  AND abs({MAD_K} * (value - med.m) / mad.d) > {MAD_CUT}
 """
 
 
@@ -2960,14 +2961,26 @@ def a_mad_outlier_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     a single broadcast row; the outlier filter is then a codegen'd scan
     predicate — no shuffle touches the event log itself.
     """
-    e = spread(table(spark, sf_dir, "events"))
+    # explicit null prune: the CASE-guarded z no longer implies
+    # IsNotNull(value), so push it to the scan ourselves (a NULL value
+    # can never be an outlier; DuckDB's quantile/WHERE skip NULLs too)
+    e = spread(table(spark, sf_dir, "events")).filter(
+        F.col("value").isNotNull()
+    )
     med = F.broadcast(e.agg(F.expr("percentile(value, 0.5)").alias("m")))
     mad = F.broadcast(
         e.crossJoin(med).agg(
             F.expr("percentile(abs(value - m), 0.5)").alias("d")
         )
     )
-    mz = F.lit(MAD_K) * (F.col("value") - F.col("m")) / F.col("d")
+    # CASE-guarded z: a majority-identical column has MAD = 0 and the
+    # modified z is undefined (ANSI division would throw; conjunctions do
+    # not short-circuit in codegen, CASE branches do) — by spec such a
+    # degenerate column yields no outliers (same WHERE in the oracle)
+    mz = F.when(
+        F.col("d") > 0,
+        F.lit(MAD_K) * (F.col("value") - F.col("m")) / F.col("d"),
+    )
     return (
         e.crossJoin(med)
         .crossJoin(mad)
