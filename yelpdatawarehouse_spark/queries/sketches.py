@@ -304,24 +304,49 @@ def a_stats_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     covariance, regression slope, standard deviation — per group in one
     pass.
 
-    All four are single-pass mergeable moment accumulators ((co)variance
-    via the standard shifted-moment updates), so they partially aggregate
-    map-side and cost one exchange of fixed-width state per group — at
-    100 TB the same scaling argument as the count/sum family. Rounded at
-    the presentation edge because different engines associate the moment
-    merges differently (last-ulp noise only; the moments themselves are
-    algebraically identical).
+    All four are single-pass mergeable moment accumulators, so they
+    partially aggregate map-side and cost one exchange of fixed-width
+    state per group — at 100 TB the same scaling argument as the
+    count/sum family. Rounded at the presentation edge because different
+    engines associate the moment merges differently (last-ulp noise only;
+    the moments themselves are algebraically identical).
+
+    Built from raw moments with explicit zero-variance guards rather
+    than F.corr/covar_samp/regr_slope: under ANSI mode those THROW
+    (divide-by-zero) on a zero-variance group where DuckDB returns NULL —
+    the same latent divergence class t19_acf_daily_orders guards against,
+    unreachable on TPC-H-shaped data but reachable on a constant column.
+    Sum-of-squares cancellation is benign here (variance/mean² is O(1)
+    for both columns) and the rfix canonicalization absorbs the last-ulp
+    difference vs streaming co-moment updates.
     """
     li = table(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("double")
+    y = F.col("l_extendedprice").cast("double")
+    both = x.isNotNull() & y.isNotNull()
+    xp, yp = F.when(both, x), F.when(both, y)
+    n = F.count(xp).cast("double")
+    sx, sy = F.sum(xp), F.sum(yp)
+    sxx, syy, sxy = F.sum(xp * xp), F.sum(yp * yp), F.sum(xp * yp)
+    vx = n * sxx - sx * sx
+    vy = n * syy - sy * sy
+    cov = n * sxy - sx * sy
+    # stddev_samp over y alone (its own null mask, like the builtin)
+    ny = F.count(y).cast("double")
+    sy1, syy1 = F.sum(y), F.sum(y * y)
+    vy1 = ny * syy1 - sy1 * sy1
     return li.groupBy("l_returnflag").agg(
-        rfix(F.corr("l_quantity", "l_extendedprice"), 6).alias("qty_price_corr"),
-        rfix(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias(
-            "qty_price_covar"
-        ),
-        rfix(F.regr_slope("l_extendedprice", "l_quantity"), 4).alias(
-            "price_per_qty"
-        ),
-        rfix(F.stddev_samp("l_extendedprice"), 2).alias("price_stddev"),
+        rfix(
+            F.when((vx > 0) & (vy > 0), cov / F.sqrt(vx * vy)), 6
+        ).alias("qty_price_corr"),
+        rfix(F.when(n >= 2, cov / (n * (n - 1))), 2).alias("qty_price_covar"),
+        rfix(F.when(vx > 0, cov / vx), 4).alias("price_per_qty"),
+        rfix(
+            F.when(
+                ny >= 2, F.sqrt(F.greatest(vy1, F.lit(0.0)) / (ny * (ny - 1)))
+            ),
+            2,
+        ).alias("price_stddev"),
     )
 
 
