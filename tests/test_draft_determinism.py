@@ -10,7 +10,9 @@ import pytest
 
 from tests.parity import SF_TEST_DIR
 from tests.test_determinism import _canon, _same
-from yelpdatawarehouse_spark.queries.drafts_r6 import DRAFTS
+from yelpdatawarehouse_spark.queries.draft_layer import all_drafts
+
+DRAFTS = all_drafts()
 
 
 @pytest.mark.parametrize("name", sorted(DRAFTS))

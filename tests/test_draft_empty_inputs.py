@@ -6,7 +6,9 @@ not a corner case, at 100 TB)."""
 from __future__ import annotations
 
 from tests.test_empty_inputs import empty_sf_dir  # noqa: F401 (fixture)
-from yelpdatawarehouse_spark.queries.drafts_r6 import DRAFTS
+from yelpdatawarehouse_spark.queries.draft_layer import all_drafts
+
+DRAFTS = all_drafts()
 
 
 def test_every_draft_survives_empty_input(spark, empty_sf_dir):  # noqa: F811

@@ -1,0 +1,336 @@
+"""Semantic invariants for the round-7 drafts — properties the oracle hash
+can't state, several pinned on CONSTRUCTED inputs that exercise branches
+the sf corpora never hit (k-core actually peeling, a perfectly separable
+stump split, a constant Holt series), same spirit as test_stats_guard.py.
+"""
+
+from __future__ import annotations
+
+import datetime
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from tests.parity import SF_TEST_DIR
+from yelpdatawarehouse_spark.queries.drafts_r7 import (
+    AHASH_HAMMING_MAX,
+    DRAFTS,
+    KCORE_K,
+    RIDGE_LAMBDA,
+)
+from yelpdatawarehouse_spark.sources.tables import TABLES
+
+
+def _rows(spark, name, sf_dir=SF_TEST_DIR):
+    fn, _ = DRAFTS[name]
+    return fn(spark, sf_dir).collect()
+
+
+_DEFAULTS = {
+    pa.int64(): 0,
+    pa.int32(): 0,
+    pa.float64(): 0.0,
+    pa.string(): "",
+}
+
+
+def _synth_dir(tmp_path_factory, overrides: dict) -> str:
+    """Schema-faithful sf dir: listed tables get the given rows (dicts of
+    column -> list, unspecified columns filled with type defaults), every
+    other table is a 0-row twin."""
+    out = str(tmp_path_factory.mktemp("synth_sf"))
+    for t in TABLES:
+        schema = pq.read_schema(os.path.join(SF_TEST_DIR, t + ".parquet"))
+        if t not in overrides:
+            pq.write_table(schema.empty_table(), os.path.join(out, t + ".parquet"))
+            continue
+        cols = overrides[t]
+        n = len(next(iter(cols.values())))
+        arrays = []
+        for field in schema:
+            if field.name in cols:
+                arrays.append(pa.array(cols[field.name]).cast(field.type))
+            elif pa.types.is_timestamp(field.type):
+                arrays.append(
+                    pa.array([datetime.datetime(1995, 1, 1)] * n).cast(field.type)
+                )
+            else:
+                arrays.append(
+                    pa.array([_DEFAULTS.get(field.type, 0)] * n).cast(field.type)
+                )
+        pq.write_table(pa.table(arrays, schema=schema), os.path.join(out, t + ".parquet"))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# k-core: on a star-plus-clique graph the peel must actually peel — the sf
+# corpora at sf0.001 are dense enough that no node falls below k.
+
+
+@pytest.fixture(scope="module")
+def star_clique_dir(tmp_path_factory):
+    # clique K4 on parts 1-4: two orders each containing all four parts
+    # (every pair co-occurs twice -> edges). star: part 10 centered on
+    # leaves 11-15, two orders per leaf containing only (10, leaf).
+    orders, parts = [], []
+    oid = 0
+    for _ in range(2):
+        oid += 1
+        for p in (1, 2, 3, 4):
+            orders.append(oid)
+            parts.append(p)
+    for leaf in (11, 12, 13, 14, 15):
+        for _ in range(2):
+            oid += 1
+            for p in (10, leaf):
+                orders.append(oid)
+                parts.append(p)
+    return _synth_dir(
+        tmp_path_factory,
+        {"lineitem": {"l_orderkey": orders, "l_partkey": parts}},
+    )
+
+
+def test_kcore_peels_star_keeps_clique(spark, star_clique_dir):
+    rows = {r.part: r.residual_degree for r in _rows(spark, "g_kcore_parts", star_clique_dir)}
+    # leaves (degree 1) peel in round 1; the hub (degree -> 0) peels in
+    # round 2; the K4 clique (degree 3 = k) survives with full degree.
+    assert rows == {1: 3, 2: 3, 3: 3, 4: 3}
+    assert KCORE_K == 3
+
+
+# ---------------------------------------------------------------------------
+# naive Bayes: perfectly separable vocabularies classify perfectly.
+
+
+@pytest.fixture(scope="module")
+def disjoint_vocab_dir(tmp_path_factory):
+    ids, texts, sources = [], [], []
+    for i in range(40):
+        ids.append(i)
+        if i % 2 == 0:
+            texts.append("alpha beta gamma alpha")
+            sources.append("srcA")
+        else:
+            texts.append("delta epsilon zeta zeta")
+            sources.append("srcB")
+    return _synth_dir(
+        tmp_path_factory,
+        {
+            "documents": {
+                "doc_id": ids,
+                "text": texts,
+                "lang": ["en"] * 40,
+                "source": sources,
+                "n_chars": [len(t) for t in texts],
+            }
+        },
+    )
+
+
+def test_naive_bayes_separable_is_diagonal(spark, disjoint_vocab_dir):
+    rows = _rows(spark, "ml_naive_bayes_confusion", disjoint_vocab_dir)
+    assert rows, "held-out split must be non-empty"
+    for r in rows:
+        assert r.true_source == r.pred_source, f"misclassified: {r}"
+    assert sum(r.n_docs for r in rows) == 8  # 40 docs, doc_id % 5 == 0
+
+
+def test_naive_bayes_confusion_is_total(spark):
+    from yelpdatawarehouse_spark.sources.tables import table
+
+    rows = _rows(spark, "ml_naive_bayes_confusion")
+    n_test = (
+        table(spark, SF_TEST_DIR, "documents")
+        .filter("doc_id % 5 = 0")
+        .count()
+    )
+    assert sum(r.n_docs for r in rows) == n_test
+
+
+# ---------------------------------------------------------------------------
+# decision stump: a perfectly separable target reaches Gini 0 at the
+# separating threshold.
+
+
+@pytest.fixture(scope="module")
+def separable_stump_dir(tmp_path_factory):
+    qty = [1.0, 1.0, 2.0, 2.0, 3.0, 3.0, 4.0, 4.0] * 5
+    flag = ["R" if q <= 2 else "N" for q in qty]
+    return _synth_dir(
+        tmp_path_factory,
+        {
+            "lineitem": {
+                "l_orderkey": list(range(len(qty))),
+                "l_partkey": list(range(len(qty))),
+                "l_quantity": qty,
+                "l_returnflag": flag,
+            }
+        },
+    )
+
+
+def test_stump_finds_perfect_split(spark, separable_stump_dir):
+    (row,) = _rows(spark, "ml_decision_stump_returns", separable_stump_dir)
+    assert row.threshold == 2
+    assert row.split_gini == 0.0
+    assert row.n_left == 20 and row.n_right == 20
+
+
+# ---------------------------------------------------------------------------
+# ridge: the query's Cramer solve must agree with an independent dense
+# linear-algebra solve of the same normal equations (numpy).
+
+
+def test_ridge_matches_numpy_solve(spark):
+    import numpy as np
+
+    (row,) = _rows(spark, "ml_ridge_normal_eq")
+    import duckdb
+
+    con = duckdb.connect()
+    q, price, disc = (
+        con.execute(
+            f"""SELECT list(l_quantity ORDER BY l_orderkey, l_linenumber),
+                       list(l_extendedprice ORDER BY l_orderkey, l_linenumber),
+                       list(l_discount ORDER BY l_orderkey, l_linenumber)
+                FROM read_parquet('{SF_TEST_DIR}/lineitem.parquet')"""
+        ).fetchone()
+    )
+    Xm = np.column_stack([np.ones(len(q)), np.array(q), np.array(disc)])
+    yv = np.array(price)
+    A = Xm.T @ Xm + RIDGE_LAMBDA * np.eye(3)
+    beta = np.linalg.solve(A, Xm.T @ yv)
+    assert abs(row.beta_intercept - beta[0]) < 2e-3
+    assert abs(row.beta_quantity - beta[1]) < 2e-3
+    assert abs(row.beta_discount - beta[2]) < 2e-3
+
+
+# ---------------------------------------------------------------------------
+# Holt: a constant series has level == the constant and trend == 0 at
+# every step; on real data the level trace must stay inside the series'
+# min/max envelope (convexity of the update).
+
+
+@pytest.fixture(scope="module")
+def constant_revenue_dir(tmp_path_factory):
+    days = [datetime.datetime(1995, 1, d + 1) for d in range(10)]
+    return _synth_dir(
+        tmp_path_factory,
+        {
+            "orders": {
+                "o_orderkey": list(range(10)),
+                "o_custkey": [1] * 10,
+                "o_totalprice": [100.0] * 10,
+                "o_orderdate": days,
+            }
+        },
+    )
+
+
+def test_holt_constant_series_is_flat(spark, constant_revenue_dir):
+    rows = _rows(spark, "t21_holt_linear_daily", constant_revenue_dir)
+    assert len(rows) == 10
+    for r in rows:
+        assert r.level == 100.0
+        assert r.trend == 0.0
+
+
+def test_holt_level_in_envelope(spark):
+    rows = _rows(spark, "t21_holt_linear_daily")
+    ys = [r.daily_revenue for r in rows]
+    lo, hi = min(ys), max(ys)
+    for r in rows:
+        assert lo - 0.01 <= r.level <= hi + 0.01
+
+
+# ---------------------------------------------------------------------------
+# aHash: identical payloads collide at hamming 0; every emitted pair
+# respects the banding bound.
+
+
+@pytest.fixture(scope="module")
+def twin_docs_dir(tmp_path_factory):
+    texts = [
+        "the quick brown fox jumps over the lazy dog again and again today",
+        "the quick brown fox jumps over the lazy dog again and again today",
+        "completely different content with other words entirely here now ok",
+        "ZZZZ yyyy ZZZZ yyyy ZZZZ yyyy ZZZZ yyyy ZZZZ yyyy ZZZZ yyyy ZZ no",
+    ]
+    return _synth_dir(
+        tmp_path_factory,
+        {
+            "documents": {
+                "doc_id": [0, 1, 2, 3],
+                "text": texts,
+                "lang": ["en"] * 4,
+                "source": ["s"] * 4,
+                "n_chars": [len(t) for t in texts],
+            }
+        },
+    )
+
+
+def test_ahash_twins_collide(spark, twin_docs_dir):
+    rows = _rows(spark, "mm_ahash_near_dup_pairs", twin_docs_dir)
+    pairs = {(r.doc_a, r.doc_b): r.hamming for r in rows}
+    assert pairs.get((0, 1)) == 0, "identical payloads must pair at hamming 0"
+
+
+def test_ahash_respects_bound(spark):
+    rows = _rows(spark, "mm_ahash_near_dup_pairs")
+    assert rows
+    for r in rows:
+        assert 0 <= r.hamming <= AHASH_HAMMING_MAX
+        assert r.doc_a < r.doc_b
+
+
+# ---------------------------------------------------------------------------
+# Adamic-Adar: predicted links must be NON-edges of the strong graph, with
+# at least one common neighbor each.
+
+
+def test_adamic_adar_predicts_only_non_edges(spark):
+    import duckdb
+
+    rows = _rows(spark, "g_adamic_adar_nations")
+    assert rows
+    con = duckdb.connect()
+    for t in ("orders", "customer", "lineitem", "supplier"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_TEST_DIR}/{t}.parquet')"
+        )
+    edges = set(
+        map(
+            tuple,
+            con.execute(
+                """WITH w AS (
+                       SELECT c.c_nationkey a, s.s_nationkey b, count(*) wt
+                       FROM orders o
+                       JOIN customer c ON c.c_custkey = o.o_custkey
+                       JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+                       JOIN supplier s ON s.s_suppkey = l.l_suppkey
+                       WHERE c.c_nationkey <> s.s_nationkey GROUP BY 1, 2),
+                   m AS (SELECT avg(wt) mu FROM w),
+                   st AS (SELECT a, b FROM w, m WHERE wt >= mu)
+                   SELECT a, b FROM st UNION SELECT b, a FROM st"""
+            ).fetchall(),
+        )
+    )
+    for r in rows:
+        assert (r.nation_a, r.nation_b) not in edges
+        assert r.n_common >= 1
+        assert r.aa_score > 0
+        assert r.nation_a < r.nation_b
+
+
+# ---------------------------------------------------------------------------
+# Q15: every returned supplier ties for the global maximum.
+
+
+def test_q15_rows_all_tie_at_max(spark):
+    rows = _rows(spark, "j22_top_supplier_q15")
+    assert rows
+    assert len({r.total_revenue for r in rows}) == 1

@@ -18,7 +18,9 @@ import pytest
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))))
 from tools.plan_report import audit  # noqa: E402
 
-from yelpdatawarehouse_spark.queries.drafts_r6 import DRAFTS  # noqa: E402
+from yelpdatawarehouse_spark.queries.draft_layer import all_drafts  # noqa: E402
+
+DRAFTS = all_drafts()
 
 SF = "/root/testdata/sf0.001"
 
@@ -54,6 +56,26 @@ _SHAPES = {
     # skyline via day-collapse + day-spine suffix-max + broadcast join —
     # the pin that keeps the x35-at-20x two-phase row-window form out
     "o7_pareto_front_orders": (1, 1, 1, 0),
+    # --- round-7 drafts ---
+    # pushed ship-date scan, one supplier rollup; max + dim broadcast
+    "j22_top_supplier_q15": (2, 2, 0, 3),
+    # fact joins broadcast dims; node-scale wedge/degree/anti joins
+    "g_adamic_adar_nations": (8, 4, 0, 4),
+    # basket collapse + pair count + 3 peel rounds of node-keyed joins;
+    # keep-lists ride broadcasts at node scale
+    "g_kcore_parts": (6, 12, 0, 0),
+    # model aggregates + token-keyed scoring join; class dim broadcast;
+    # one bounded per-doc argmax window
+    "ml_naive_bayes_confusion": (9, 4, 1, 6),
+    # ONE value-domain collapse; cumulative + argmin windows are bounded
+    # by the feature domain, not the fact count
+    "ml_decision_stump_returns": (1, 1, 2, 0),
+    # the whole model is one global aggregate — zero exchanges
+    "ml_ridge_normal_eq": (0, 0, 0, 0),
+    # day-spine collapse then a single fold — one exchange total
+    "t21_holt_linear_daily": (1, 0, 0, 0),
+    # kernel fingerprints, band-keyed candidate join, hamming verify
+    "mm_ahash_near_dup_pairs": (2, 1, 0, 1),
 }
 
 

@@ -8,7 +8,9 @@ from __future__ import annotations
 import pytest
 
 from tests.parity import SF_TEST_DIR
-from yelpdatawarehouse_spark.queries.drafts_r6 import DRAFTS
+from yelpdatawarehouse_spark.queries.draft_layer import all_drafts
+
+DRAFTS = all_drafts()
 
 # The one draft whose WHOLE POINT is the Python path (lateral UDTF).
 _PYTHON_OK = {"text_chunk_udtf"}

@@ -13,9 +13,13 @@ from __future__ import annotations
 import pytest
 
 from tests.parity import SF_TEST_DIR, compare
-from yelpdatawarehouse_spark.queries.drafts_r6 import DRAFTS
+from yelpdatawarehouse_spark.queries.draft_layer import all_drafts
+
+DRAFTS = all_drafts()
 
 _TS_DRAFTS = (
+    "j22_top_supplier_q15",
+    "t21_holt_linear_daily",
     "t10_lateness_profile",
     "a_trailing_week_active_users",
     "a_trailing_week_active_sketch",

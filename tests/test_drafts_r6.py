@@ -7,7 +7,9 @@ from __future__ import annotations
 import pytest
 
 from tests.parity import SF_TEST_DIR, compare
-from yelpdatawarehouse_spark.queries.drafts_r6 import DRAFTS
+from yelpdatawarehouse_spark.queries.draft_layer import all_drafts
+
+DRAFTS = all_drafts()
 
 
 @pytest.mark.parametrize("name", sorted(DRAFTS))

@@ -1,4 +1,4 @@
-"""Scale-probe UNREGISTERED draft queries (queries/drafts_r6.DRAFTS).
+"""Scale-probe UNREGISTERED draft queries (queries/draft_layer union).
 
 tools/scale_probe.py drives registered queries through the registry; this
 companion applies the identical replicated-facts protocol to the draft
@@ -23,8 +23,10 @@ from tools.scale_probe import BASE, FACTOR, build_scaled, time_query  # noqa: E4
 
 
 def main() -> None:
-    from yelpdatawarehouse_spark.queries.drafts_r6 import DRAFTS
+    from yelpdatawarehouse_spark.queries.draft_layer import all_drafts
     from yelpdatawarehouse_spark.session import get_spark
+
+    DRAFTS = all_drafts()
 
     names = sys.argv[1].split(",") if len(sys.argv) > 1 else sorted(DRAFTS)
     unknown = [n for n in names if n not in DRAFTS]

@@ -254,3 +254,76 @@ def sample_frames(media_df: DataFrame, every_n_bytes: int = 64) -> DataFrame:
             "frame_bytes"
         ),
     )
+
+
+_AHASH_BITS = 32
+_AHASH_SCHEMA = S.StructType(
+    [
+        S.StructField("doc_id", S.LongType()),
+        S.StructField("ahash", S.LongType()),
+    ]
+)
+
+
+def _ahash_stub(b: bytes) -> int:
+    """Deterministic pseudo-aHash for non-image bytes / codec-less hosts:
+    sample ``_AHASH_BITS`` evenly strided bytes, threshold each against
+    their mean (the exact integer sum divided once, so every engine
+    computes the identical double), bit i = cell i >= mean."""
+    n = len(b)
+    if n == 0:
+        return 0
+    stride = n // _AHASH_BITS if n >= _AHASH_BITS else 1
+    n_cells = _AHASH_BITS if n >= _AHASH_BITS else n
+    cells = [b[i * stride] for i in range(n_cells)]
+    mean = float(sum(cells)) / n_cells
+    h = 0
+    for i, v in enumerate(cells):
+        if v >= mean:
+            h |= 1 << i
+    return h
+
+
+def _ahash_real(image_mod, b: bytes):
+    """Real-codec branch: classic average hash on an 8x4 grayscale
+    thumbnail (row-major bit order). None for non-image bytes."""
+    import io  # noqa: PLC0415
+
+    try:
+        with image_mod.open(io.BytesIO(b)) as im:
+            px = list(im.convert("L").resize((8, 4)).getdata())
+            mean = float(sum(px)) / len(px)
+            h = 0
+            for i, v in enumerate(px):
+                if v >= mean:
+                    h |= 1 << i
+            return h
+    except Exception:
+        return None
+
+
+def perceptual_ahash(media_df: DataFrame, strict: bool = False) -> DataFrame:
+    """Average-hash fingerprint per payload — the image near-dup key
+    (aHash; Krawetz 2011). Codec probed at runtime on the worker like
+    ``decode_image_features``: PIL present → true 8x4 thumbnail hash for
+    decodable images; otherwise (or for non-image bytes) the deterministic
+    strided-byte stub with the same bit-vector contract."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        image_mod = _probe_codec(full_only=strict)
+        if strict and image_mod is None:
+            raise NotImplementedError(
+                "perceptual hashing requires a codec (PIL) not present in "
+                "this environment; install pillow or wire one in here"
+            )
+        for pdf in batches:
+            out = {"doc_id": [], "ahash": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload or b"")
+                h = _ahash_real(image_mod, b) if image_mod is not None else None
+                out["doc_id"].append(int(doc_id))
+                out["ahash"].append(int(h if h is not None else _ahash_stub(b)))
+            yield pd.DataFrame(out)
+
+    cols = media_df.select("doc_id", "payload")
+    return cols.repartition(F.col("doc_id")).mapInPandas(kernel, _AHASH_SCHEMA)

@@ -637,3 +637,213 @@ def ml_ridge_normal_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 DRAFTS["ml_ridge_normal_eq"] = (ml_ridge_normal_eq, RIDGE_ORACLE)
+
+
+# ---------------------------------------------------------------------------
+# Holt double exponential smoothing over the daily revenue series: level +
+# trend recurrence (Holt 1957), the forecasting sibling of w9's EWMA. The
+# recurrence is inherently sequential, but the SERIES is calendar-bounded,
+# so it runs as ONE higher-order fold over the collapsed day spine —
+# JVM-side, no UDF, no collect.
+
+HOLT_ALPHA = 0.3
+HOLT_BETA = 0.1
+
+HOLT_ORACLE = f"""
+WITH RECURSIVE daily AS (
+    SELECT CAST(o_orderdate AS DATE) AS d, sum(o_totalprice) AS r
+    FROM orders GROUP BY d
+),
+idx AS (SELECT d, r, row_number() OVER (ORDER BY d) AS rn FROM daily),
+rec(rn, d, r, l, b) AS (
+    SELECT rn, d, r, r::DOUBLE,
+           coalesce((SELECT r FROM idx WHERE rn = 2) - r, 0.0)::DOUBLE
+    FROM idx WHERE rn = 1
+    UNION ALL
+    SELECT i.rn, i.d, i.r,
+           {HOLT_ALPHA} * i.r + (1 - {HOLT_ALPHA}) * (rec.l + rec.b),
+           {HOLT_BETA} * (({HOLT_ALPHA} * i.r
+                           + (1 - {HOLT_ALPHA}) * (rec.l + rec.b)) - rec.l)
+               + (1 - {HOLT_BETA}) * rec.b
+    FROM rec JOIN idx i ON i.rn = rec.rn + 1
+)
+SELECT strftime(d, '%Y-%m-%d') AS day,
+       {rfix_sql('r', 2)} AS daily_revenue,
+       {rfix_sql('l', 2)} AS level,
+       {rfix_sql('b', 2)} AS trend
+FROM rec
+"""
+
+
+def t21_holt_linear_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt linear-trend smoothing (α={HOLT_ALPHA}, β={HOLT_BETA}) of daily
+    order revenue: lₜ = αyₜ + (1-α)(lₜ₋₁+bₜ₋₁),
+    bₜ = β(lₜ-lₜ₋₁) + (1-β)bₜ₋₁, initialized l₁=y₁, b₁=y₂-y₁ (0 for a
+    1-day series). Emits the full level/trend trace.
+
+    Scale shape: the fact scan collapses to the day spine in one
+    map-side-partial aggregate (same argument as t19/t20: the series is
+    calendar-bounded, constant in the fact count); the recurrence then
+    runs as a single F.aggregate fold over the sorted series — a
+    whole-stage-codegen higher-order function, not a Python UDF, and the
+    only "single-partition" object is the day-spine array. Both engines
+    apply the recurrence in strict day order, so the float stream is
+    order-identical and 2dp canonicalization is stable.
+    """
+    o = spread(table(spark, sf_dir, "orders"))
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("d")).agg(
+        F.sum("o_totalprice").alias("r")
+    )
+    series = daily.agg(
+        F.sort_array(F.collect_list(F.struct("d", "r"))).alias("s")
+    )
+    a, b = float(HOLT_ALPHA), float(HOLT_BETA)
+    trace = series.select(
+        F.expr(
+            f"""
+            CASE WHEN size(s) = 0 THEN array()
+            ELSE aggregate(
+              slice(s, 2, greatest(size(s) - 1, 0)),
+              array(named_struct(
+                  'd', s[0].d, 'y', CAST(s[0].r AS DOUBLE),
+                  'l', CAST(s[0].r AS DOUBLE),
+                  'b', CASE WHEN size(s) >= 2
+                            THEN CAST(s[1].r - s[0].r AS DOUBLE)
+                            ELSE 0.0D END)),
+              (acc, x) -> concat(acc, array(named_struct(
+                  'd', x.d, 'y', CAST(x.r AS DOUBLE),
+                  'l', {a}D * x.r + {1 - a}D
+                       * (element_at(acc, -1).l + element_at(acc, -1).b),
+                  'b', {b}D * (({a}D * x.r + {1 - a}D
+                                * (element_at(acc, -1).l
+                                   + element_at(acc, -1).b))
+                               - element_at(acc, -1).l)
+                       + {1 - b}D * element_at(acc, -1).b)))
+            ) END AS trace
+            """
+        )
+    ).select(F.explode("trace").alias("t"))
+    return trace.select(
+        F.date_format("t.d", "yyyy-MM-dd").alias("day"),
+        rfix(F.col("t.y"), 2).alias("daily_revenue"),
+        rfix(F.col("t.l"), 2).alias("level"),
+        rfix(F.col("t.b"), 2).alias("trend"),
+    )
+
+
+DRAFTS["t21_holt_linear_daily"] = (t21_holt_linear_daily, HOLT_ORACLE)
+
+
+# ---------------------------------------------------------------------------
+# Perceptual-hash near-duplicate pairs: aHash fingerprints from the
+# multimodal kernel, banded exactly (pigeonhole: 4 bands, hamming <= 3 =>
+# at least one band identical), verified by true hamming distance. The
+# image twin of dedup_simhash_pairs.
+
+AHASH_BANDS = 4
+AHASH_BAND_BITS = 8
+AHASH_HAMMING_MAX = AHASH_BANDS - 1  # pigeonhole-exact banding bound
+
+AHASH_ORACLE = f"""
+WITH d AS (
+    SELECT doc_id, text, length(text) AS L FROM documents WHERE length(text) > 0
+),
+p AS (
+    SELECT doc_id, text,
+           CASE WHEN L >= 32 THEN L // 32 ELSE 1 END AS st,
+           CASE WHEN L >= 32 THEN 32 ELSE L END AS nc
+    FROM d
+),
+cells AS (
+    SELECT doc_id, idx.i,
+           ord(substring(text, CAST(idx.i * st + 1 AS INT), 1)) AS v
+    FROM p, (SELECT unnest(range(0, 32)) AS i) idx
+    WHERE idx.i < nc
+),
+mn AS (SELECT doc_id, avg(v::DOUBLE) AS m FROM cells GROUP BY doc_id),
+h AS (
+    SELECT c.doc_id,
+           sum(CASE WHEN c.v >= mn.m THEN (1::BIGINT << c.i) ELSE 0 END)::BIGINT
+               AS ahash
+    FROM cells c JOIN mn ON mn.doc_id = c.doc_id
+    GROUP BY c.doc_id
+)
+SELECT CAST(a.doc_id AS BIGINT) AS doc_a, CAST(b.doc_id AS BIGINT) AS doc_b,
+       CAST(bit_count(xor(a.ahash, b.ahash)) AS BIGINT) AS hamming
+FROM h a JOIN h b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.ahash, b.ahash)) <= {AHASH_HAMMING_MAX}
+"""
+
+
+def mm_ahash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-duplicate pairs by average-hash fingerprint
+    (multimodal/columns.perceptual_ahash): {AHASH_BANDS} bands of
+    {AHASH_BAND_BITS} bits generate candidates, true 32-bit hamming
+    distance <= {AHASH_HAMMING_MAX} verifies them. The banding is EXACT by
+    pigeonhole — {AHASH_HAMMING_MAX} differing bits cannot touch all
+    {AHASH_BANDS} bands — so the result provably equals the oracle's
+    brute-force all-pairs join (the FastSS/dedup_simhash_pairs move,
+    applied to the image modality).
+
+    On this corpus the payloads are text bytes (never decodable images),
+    so the kernel's deterministic stub branch runs in EVERY environment
+    and DuckDB reproduces the hash arithmetically — the same
+    environment-independence contract as mm_decode_features_stub; with
+    PIL installed and real image payloads, the identical pipeline runs on
+    true 8x4-thumbnail hashes.
+
+    Scale shape: one Arrow-batched kernel pass computes fixed-width
+    fingerprints; candidates come from {AHASH_BANDS} band-keyed
+    equi-joins (never all-pairs); verification touches candidate pairs
+    only. Payload bytes are pruned before the join — only (doc_id, hash)
+    shuffles.
+    """
+    from ..multimodal.columns import attach_fake_media, perceptual_ahash
+
+    docs = spread(table(spark, sf_dir, "documents"))
+    media = attach_fake_media(docs).filter(F.octet_length("payload") > 0)
+    hashes = perceptual_ahash(media)
+    bands = hashes.select(
+        "doc_id",
+        "ahash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band_i"),
+                        F.shiftright(F.col("ahash"), i * AHASH_BAND_BITS)
+                        .bitwiseAND(F.lit((1 << AHASH_BAND_BITS) - 1))
+                        .alias("band_v"),
+                    )
+                    for i in range(AHASH_BANDS)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "ahash", "band.band_i", "band.band_v")
+    a = bands.select(
+        F.col("band_i"),
+        F.col("band_v"),
+        F.col("doc_id").alias("doc_a"),
+        F.col("ahash").alias("ha"),
+    )
+    b = bands.select(
+        F.col("band_i"),
+        F.col("band_v"),
+        F.col("doc_id").alias("doc_b"),
+        F.col("ahash").alias("hb"),
+    )
+    cand = (
+        a.join(b, ["band_i", "band_v"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "ha", "hb")
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return cand.filter(hamming <= AHASH_HAMMING_MAX).select(
+        F.col("doc_a").cast("long").alias("doc_a"),
+        F.col("doc_b").cast("long").alias("doc_b"),
+        hamming.cast("long").alias("hamming"),
+    )
+
+
+DRAFTS["mm_ahash_near_dup_pairs"] = (mm_ahash_near_dup_pairs, AHASH_ORACLE)
