@@ -334,3 +334,48 @@ def test_q15_rows_all_tie_at_max(spark):
     rows = _rows(spark, "j22_top_supplier_q15")
     assert rows
     assert len({r.total_revenue for r in rows}) == 1
+
+
+# ---------------------------------------------------------------------------
+# RAKE: phrases are stopword-free, scores positive, k respected.
+
+
+def test_rake_phrases_are_stopword_free(spark):
+    from yelpdatawarehouse_spark.queries.drafts_r7 import RAKE_STOPWORDS, RAKE_TOP_K
+
+    rows = _rows(spark, "text_rake_keywords")
+    assert 0 < len(rows) <= RAKE_TOP_K
+    for r in rows:
+        assert r.rake_score > 0
+        assert r.n_occurrences >= 1
+        for w in r.phrase.split(" "):
+            assert w not in RAKE_STOPWORDS
+            assert w == w.lower()
+
+
+# ---------------------------------------------------------------------------
+# seasonal decomposition: components reassemble the series; the seasonal
+# profile is centered; only interior (full-window) days are emitted.
+
+
+def test_seasonal_decompose_identity(spark):
+    from yelpdatawarehouse_spark.sources.tables import table
+
+    rows = _rows(spark, "t22_weekday_seasonal_decompose")
+    n_days = (
+        table(spark, SF_TEST_DIR, "orders")
+        .selectExpr("CAST(o_orderdate AS DATE) d")
+        .distinct()
+        .count()
+    )
+    assert len(rows) == n_days - 6
+    for r in rows:
+        assert (
+            abs(r.daily_revenue - r.trend - r.seasonal - r.remainder) < 0.02
+        ), r
+    seasonal_by_day = {}
+    for r in rows:
+        seasonal_by_day.setdefault(r.seasonal, None)
+    # 7 distinct weekday offsets, centered to ~0
+    assert len(seasonal_by_day) == 7
+    assert abs(sum(seasonal_by_day)) < 0.005 * 7

@@ -76,6 +76,11 @@ _SHAPES = {
     "t21_holt_linear_daily": (1, 0, 0, 0),
     # kernel fingerprints, band-keyed candidate join, hamming verify
     "mm_ahash_near_dup_pairs": (2, 1, 0, 1),
+    # token-keyed joins; doc-partitioned run-id window re-planned per
+    # branch (4x); top-k is TakeOrdered, never a global sort
+    "text_rake_keywords": (4, 3, 4, 1),
+    # ONE fact exchange; day-spine windows; 7-row seasonal dim broadcast
+    "t22_weekday_seasonal_decompose": (1, 2, 3, 0),
 }
 
 

@@ -20,6 +20,7 @@ DRAFTS = all_drafts()
 _TS_DRAFTS = (
     "j22_top_supplier_q15",
     "t21_holt_linear_daily",
+    "t22_weekday_seasonal_decompose",
     "t10_lateness_profile",
     "a_trailing_week_active_users",
     "a_trailing_week_active_sketch",

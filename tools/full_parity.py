@@ -50,7 +50,9 @@ def main() -> None:
             if qd.oracle is not None:
                 targets.append((name, qd.fn, qd.oracle))
     if which in ("all", "drafts"):
-        from yelpdatawarehouse_spark.queries.drafts_r6 import DRAFTS
+        from yelpdatawarehouse_spark.queries.draft_layer import all_drafts
+
+        DRAFTS = all_drafts()
 
         for name, (fn, oracle) in sorted(DRAFTS.items()):
             targets.append((f"draft:{name}", fn, oracle))

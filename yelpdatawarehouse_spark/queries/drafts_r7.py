@@ -847,3 +847,260 @@ def mm_ahash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 DRAFTS["mm_ahash_near_dup_pairs"] = (mm_ahash_near_dup_pairs, AHASH_ORACLE)
+
+
+# ---------------------------------------------------------------------------
+# RAKE keyword extraction (Rose et al. 2010): candidate phrases are maximal
+# stopword-free token runs; word score = degree/frequency over the phrase
+# graph; phrase score = sum of member word scores. Global top-20.
+
+RAKE_STOPWORDS = (
+    "the", "a", "an", "and", "or", "of", "in", "on", "to", "for", "with",
+    "is", "are", "was", "were", "be", "as", "at", "by", "it", "that",
+    "this", "from", "but", "not",
+)
+RAKE_TOP_K = 20
+
+_RAKE_STOP_SQL = ", ".join(f"'{w}'" for w in RAKE_STOPWORDS)
+
+RAKE_ORACLE = f"""
+WITH toks AS (
+    SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM documents
+),
+tok AS (
+    SELECT doc_id, idx.i AS pos, lower(t[CAST(idx.i AS INT)]) AS w,
+           (lower(t[CAST(idx.i AS INT)]) IN ({_RAKE_STOP_SQL})
+            OR t[CAST(idx.i AS INT)] = '') AS is_stop
+    FROM toks, (SELECT unnest(range(1, 4097)) AS i) idx
+    WHERE idx.i <= len(t)
+),
+runs AS (
+    SELECT doc_id, pos, w, is_stop,
+           sum(CASE WHEN is_stop THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY pos
+                     ROWS UNBOUNDED PRECEDING) AS run_id
+    FROM tok
+),
+pw AS (SELECT doc_id, run_id, pos, w FROM runs WHERE NOT is_stop),
+phr AS (
+    SELECT doc_id, run_id,
+           string_agg(w, ' ' ORDER BY pos) AS phrase,
+           count(*)::DOUBLE AS plen
+    FROM pw GROUP BY doc_id, run_id
+),
+wstat AS (
+    SELECT pw.w,
+           count(*)::DOUBLE AS freq,
+           sum(phr.plen - 1) AS deg
+    FROM pw JOIN phr ON phr.doc_id = pw.doc_id AND phr.run_id = pw.run_id
+    GROUP BY pw.w
+),
+pscore AS (
+    SELECT phr.doc_id, phr.run_id, phr.phrase,
+           sum(ws.deg / ws.freq) AS score
+    FROM pw
+    JOIN phr ON phr.doc_id = pw.doc_id AND phr.run_id = pw.run_id
+    JOIN wstat ws ON ws.w = pw.w
+    GROUP BY 1, 2, 3
+),
+agg AS (
+    SELECT phrase, max(score) AS score, count(*) AS n_occurrences
+    FROM pscore GROUP BY phrase
+),
+ranked AS (
+    SELECT phrase, score, n_occurrences,
+           row_number() OVER (
+               ORDER BY floor(score * 1e4 + 0.5) DESC, phrase ASC
+           ) AS rn
+    FROM agg
+)
+SELECT phrase, {rfix_sql('score', 4)} AS rake_score,
+       CAST(n_occurrences AS BIGINT) AS n_occurrences
+FROM ranked WHERE rn <= {RAKE_TOP_K}
+"""
+
+
+def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword extraction: phrases are maximal runs of non-stopword
+    tokens (run boundaries = a cumulative stopword count per document);
+    each word scores deg/freq over the phrase co-occurrence graph
+    (deg(w) = Σ over occurrences of |phrase|−1, freq(w) = occurrences);
+    a phrase scores the sum of its member word scores, and the global
+    top-{RAKE_TOP_K} distinct phrases are ranked on the 4dp-canonicalized
+    score (both sides) with a lexicographic tie-break.
+
+    Every occurrence of a phrase TEXT has the same word multiset, so
+    per-occurrence scores are equal and the distinct-phrase aggregate is
+    max() only in form.
+
+    Scale shape: one posexplode + a per-doc cumulative window keyed by
+    doc (token order is per-document, so the window partitions by the
+    corpus's natural parallel unit); word stats and phrase scores are
+    token-keyed joins + aggregates (map-side partial); the final top-k
+    is TakeOrdered over distinct phrases, never a global sort.
+    """
+    from ..functions import text as T
+
+    d = spread(table(spark, sf_dir, "documents"))
+    tok = d.select(
+        "doc_id", F.posexplode(T.tokens("text")).alias("pos", "w0")
+    ).select(
+        "doc_id",
+        "pos",
+        F.lower("w0").alias("w"),
+        (F.lower("w0").isin(*RAKE_STOPWORDS) | (F.col("w0") == "")).alias(
+            "is_stop"
+        ),
+    )
+    run_w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    pw = (
+        tok.withColumn("run_id", F.sum(F.col("is_stop").cast("int")).over(run_w))
+        .filter(~F.col("is_stop"))
+        .select("doc_id", "run_id", "pos", "w")
+    )
+    phr = pw.groupBy("doc_id", "run_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "w"))),
+                lambda s: s.w,
+            ),
+            " ",
+        ).alias("phrase"),
+        F.count("*").cast("double").alias("plen"),
+    )
+    pw_len = pw.join(phr, ["doc_id", "run_id"])
+    wstat = pw_len.groupBy("w").agg(
+        F.count("*").cast("double").alias("freq"),
+        F.sum(F.col("plen") - 1).alias("deg"),
+    )
+    pscore = (
+        pw_len.join(wstat, "w")
+        .groupBy("doc_id", "run_id", "phrase")
+        .agg(F.sum(F.col("deg") / F.col("freq")).alias("score"))
+    )
+    agg = pscore.groupBy("phrase").agg(
+        F.max("score").alias("score"), F.count("*").alias("n_occurrences")
+    )
+    # deterministic total order => orderBy+limit ≡ row_number<=k, but plans
+    # as TakeOrderedAndProject (O(k) per partition), never a global sort
+    return (
+        agg.orderBy(
+            F.floor(F.col("score") * 1e4 + 0.5).desc(), F.col("phrase").asc()
+        )
+        .limit(RAKE_TOP_K)
+        .select(
+            "phrase",
+            rfix(F.col("score"), 4).alias("rake_score"),
+            F.col("n_occurrences").cast("long").alias("n_occurrences"),
+        )
+    )
+
+
+DRAFTS["text_rake_keywords"] = (text_rake_keywords, RAKE_ORACLE)
+
+
+# ---------------------------------------------------------------------------
+# Classical seasonal decomposition of daily revenue: centered 7-day moving
+# trend, mean weekday seasonal (centered), remainder — the moving-average
+# decomposition STL refines. Canonicalization discipline: every unordered
+# sum is rfix'd IMMEDIATELY, so all downstream scalar arithmetic runs on
+# bit-identical doubles in both engines and later roundings cannot
+# straddle a boundary.
+
+STL_ORACLE = f"""
+WITH daily AS (
+    SELECT CAST(o_orderdate AS DATE) AS d,
+           {rfix_sql('sum(o_totalprice)', 2)} AS r
+    FROM orders GROUP BY 1
+),
+tr AS (
+    SELECT d, r,
+           {rfix_sql("sum(r) OVER (ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)", 2)}
+               AS s7,
+           count(*) OVER (ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+               AS c7
+    FROM daily
+),
+interior AS (
+    SELECT d, r, {rfix_sql('s7 / 7', 2)} AS trend,
+           r - {rfix_sql('s7 / 7', 2)} AS detr,
+           dayofweek(d) AS wd
+    FROM tr WHERE c7 = 7
+),
+seas AS (
+    SELECT wd,
+           {rfix_sql(f"({rfix_sql('sum(detr)', 2)}) / count(*)", 4)} AS s_raw
+    FROM interior GROUP BY wd
+),
+ctr AS (SELECT {rfix_sql(f"({rfix_sql('sum(s_raw)', 4)}) / 7", 4)} AS m FROM seas),
+seas_c AS (SELECT wd, s_raw - (SELECT m FROM ctr) AS s_c FROM seas)
+SELECT strftime(i.d, '%Y-%m-%d') AS day,
+       i.r AS daily_revenue,
+       i.trend AS trend,
+       {rfix_sql('s.s_c', 4)} AS seasonal,
+       {rfix_sql('i.detr - s.s_c', 4)} AS remainder
+FROM interior i JOIN seas_c s ON s.wd = i.wd
+"""
+
+
+def t22_weekday_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moving-average seasonal decomposition of the daily revenue series:
+    trend = centered 7-day mean (INTERIOR days only — a partial edge
+    window changes the divisor and the estimator), seasonal = centered
+    mean weekday deviation from trend, remainder = the rest. Weekday
+    numbering conventions differ across engines but only partition
+    IDENTITY matters — the same calendar days group together either way.
+
+    Scale shape: the fact scan collapses to the day spine in one
+    map-side-partial aggregate; the rolling window, the 7-group weekday
+    aggregate and the centering constant are all calendar-bounded (t19/
+    t20's argument); the seasonal values join back as a broadcast 7-row
+    dimension. One fact exchange total.
+    """
+    o = spread(table(spark, sf_dir, "orders"))
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("d")).agg(
+        rfix(F.sum("o_totalprice"), 2).alias("r")
+    )
+    w7 = Window.orderBy("d").rowsBetween(-3, 3)
+    tr = daily.select(
+        "d",
+        "r",
+        rfix(F.sum("r").over(w7), 2).alias("s7"),
+        F.count("*").over(w7).alias("c7"),
+    )
+    interior = (
+        tr.filter(F.col("c7") == 7)
+        .select(
+            "d",
+            "r",
+            rfix(F.col("s7") / 7, 2).alias("trend"),
+            (F.col("r") - rfix(F.col("s7") / 7, 2)).alias("detr"),
+            F.dayofweek("d").alias("wd"),
+        )
+    )
+    seas = interior.groupBy("wd").agg(
+        rfix(rfix(F.sum("detr"), 2) / F.count("*"), 4).alias("s_raw")
+    )
+    ctr = F.broadcast(
+        seas.agg(rfix(rfix(F.sum("s_raw"), 4) / 7, 4).alias("m"))
+    )
+    seas_c = F.broadcast(
+        seas.crossJoin(ctr).select("wd", (F.col("s_raw") - F.col("m")).alias("s_c"))
+    )
+    return interior.join(seas_c, "wd").select(
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        F.col("r").alias("daily_revenue"),
+        F.col("trend"),
+        rfix(F.col("s_c"), 4).alias("seasonal"),
+        rfix(F.col("detr") - F.col("s_c"), 4).alias("remainder"),
+    )
+
+
+DRAFTS["t22_weekday_seasonal_decompose"] = (
+    t22_weekday_seasonal_decompose,
+    STL_ORACLE,
+)
