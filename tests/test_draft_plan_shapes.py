@@ -61,9 +61,10 @@ _SHAPES = {
     "j22_top_supplier_q15": (2, 2, 0, 3),
     # fact joins broadcast dims; node-scale wedge/degree/anti joins
     "g_adamic_adar_nations": (8, 4, 0, 4),
-    # basket collapse + pair count + 3 peel rounds of node-keyed joins;
-    # keep-lists ride broadcasts at node scale
-    "g_kcore_parts": (6, 12, 0, 0),
+    # peel rounds are eagerly checkpoint-pinned (an unpinned loop
+    # triples the subtree per round: ~500 FileScans, 13s at sf0.1), so
+    # the FINAL plan is one degree aggregate over the pinned edge set
+    "g_kcore_parts": (1, 0, 0, 0),
     # model aggregates + token-keyed scoring join; class dim broadcast;
     # one bounded per-doc argmax window
     "ml_naive_bayes_confusion": (9, 4, 1, 6),

@@ -279,15 +279,22 @@ def g_kcore_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("c") >= KCORE_MIN_TOGETHER)
         .select("pa", "pb")
     )
-    edges = pairs.select(
-        F.col("pa").alias("src"), F.col("pb").alias("dst")
-    ).union(pairs.select(F.col("pb").alias("src"), F.col("pa").alias("dst")))
+    # eager pin: the basket expansion feeds deg + BOTH semi-joins in every
+    # round — unpinned, each round TRIPLES the subtree and the executed
+    # plan reaches ~500 FileScans (measured 13s at sf0.1; 2s pinned).
+    # Same flat-plan move as g_pagerank_nations / operators/graph.bfs.
+    edges = (
+        pairs.select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
+        .union(pairs.select(F.col("pb").alias("src"), F.col("pa").alias("dst")))
+        .localCheckpoint(eager=True)
+    )
     for _ in range(KCORE_ROUNDS):
         deg = edges.groupBy("src").agg(F.count("*").alias("d"))
         keep = deg.filter(F.col("d") >= KCORE_K).select(F.col("src").alias("node"))
         edges = (
             edges.join(keep, edges.src == keep.node, "left_semi")
             .join(keep, F.col("dst") == keep.node, "left_semi")
+            .localCheckpoint(eager=True)
         )
     return edges.groupBy("src").agg(
         F.count("*").cast("long").alias("residual_degree")
