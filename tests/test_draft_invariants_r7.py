@@ -379,3 +379,78 @@ def test_seasonal_decompose_identity(spark):
     # 7 distinct weekday offsets, centered to ~0
     assert len(seasonal_by_day) == 7
     assert abs(sum(seasonal_by_day)) < 0.005 * 7
+
+
+# ---------------------------------------------------------------------------
+# nearest centroid: confusion totals the test split; orthogonal clusters
+# classify perfectly.
+
+
+@pytest.fixture(scope="module")
+def orthogonal_embeddings_dir(tmp_path_factory):
+    rows_v, rows_l = [], []
+    for i in range(40):
+        lab = i % 2
+        base = [0.0] * 8
+        base[lab] = 1.0
+        base[4 + lab] = 0.5 if i % 3 else 1.0  # within-cluster variation
+        rows_v.append(base)
+        rows_l.append(lab)
+    return _synth_dir(
+        tmp_path_factory,
+        {
+            "embeddings": {
+                "vec_id": list(range(40)),
+                "embedding": rows_v,
+                "label": rows_l,
+            }
+        },
+    )
+
+
+def test_centroid_classifier_separable_is_diagonal(spark, orthogonal_embeddings_dir):
+    rows = _rows(spark, "ml_nearest_centroid_eval", orthogonal_embeddings_dir)
+    assert rows
+    for r in rows:
+        assert r.true_label == r.pred_label, r
+    assert sum(r.n_vecs for r in rows) == 8
+
+
+def test_centroid_confusion_is_total(spark):
+    from yelpdatawarehouse_spark.sources.tables import table
+
+    rows = _rows(spark, "ml_nearest_centroid_eval")
+    n_test = (
+        table(spark, SF_TEST_DIR, "embeddings").filter("vec_id % 5 = 0").count()
+    )
+    assert sum(r.n_vecs for r in rows) == n_test
+
+
+# ---------------------------------------------------------------------------
+# runs test: an alternating series runs n times; a two-block series runs
+# exactly twice (both give |z| far from 0 on opposite sides).
+
+
+def _revenue_days(pattern):
+    days, prices = [], []
+    for i, hi in enumerate(pattern):
+        days.append(datetime.datetime(1995, 2, 1) + datetime.timedelta(days=i))
+        prices.append(5000.0 if hi else 100.0)
+    return {
+        "orders": {
+            "o_orderkey": list(range(len(pattern))),
+            "o_totalprice": prices,
+            "o_orderdate": days,
+        }
+    }
+
+
+def test_runs_test_alternating_and_blocked(spark, tmp_path_factory):
+    alt = _synth_dir(tmp_path_factory, _revenue_days([i % 2 == 0 for i in range(20)]))
+    (r,) = _rows(spark, "a_runs_test_daily_revenue", alt)
+    assert r.n_runs == 20 and r.n_above == 10 and r.n_below == 10
+    assert r.z_score > 2, "alternation = far more runs than chance"
+    blk = _synth_dir(tmp_path_factory, _revenue_days([i < 10 for i in range(20)]))
+    (r2,) = _rows(spark, "a_runs_test_daily_revenue", blk)
+    assert r2.n_runs == 2
+    assert r2.z_score < -2, "two blocks = far fewer runs than chance"

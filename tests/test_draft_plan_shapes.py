@@ -82,6 +82,11 @@ _SHAPES = {
     "text_rake_keywords": (4, 3, 4, 1),
     # ONE fact exchange; day-spine windows; 7-row seasonal dim broadcast
     "t22_weekday_seasonal_decompose": (1, 2, 3, 0),
+    # dim-keyed centroid aggregate; K*d model broadcast onto exploded
+    # test vectors; bounded K-row argmax window
+    "ml_nearest_centroid_eval": (5, 2, 1, 2),
+    # day-spine collapse + lag window + one fixed-width aggregate
+    "a_runs_test_daily_revenue": (1, 1, 1, 0),
 }
 
 

@@ -21,6 +21,7 @@ _TS_DRAFTS = (
     "j22_top_supplier_q15",
     "t21_holt_linear_daily",
     "t22_weekday_seasonal_decompose",
+    "a_runs_test_daily_revenue",
     "t10_lateness_profile",
     "a_trailing_week_active_users",
     "a_trailing_week_active_sketch",

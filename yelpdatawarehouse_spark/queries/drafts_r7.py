@@ -1111,3 +1111,218 @@ DRAFTS["t22_weekday_seasonal_decompose"] = (
     t22_weekday_seasonal_decompose,
     STL_ORACLE,
 )
+
+
+# ---------------------------------------------------------------------------
+# Nearest-centroid (Rocchio) classification over the embedding corpus:
+# per-label centroids from the training split, held-out vectors assigned
+# to the max-cosine centroid — the supervised sibling of
+# emb_kmeans_assign_stats, as pure dimension-keyed aggregation.
+
+CENTROID_ORACLE = """
+WITH e AS (
+    SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+),
+trx AS (
+    SELECT label, idx.i, avg(v[CAST(idx.i AS INT)]) AS c
+    FROM e, (SELECT unnest(range(1, 4097)) AS i) idx
+    WHERE vec_id % 5 <> 0 AND idx.i <= len(v)
+    GROUP BY label, idx.i
+),
+centl AS (
+    SELECT label, list(c ORDER BY i) AS cl FROM trx GROUP BY label
+),
+scored AS (
+    SELECT te.vec_id, te.label AS true_label, ce.label AS cand,
+           CASE WHEN list_inner_product(te.v, te.v) > 0
+                 AND list_inner_product(ce.cl, ce.cl) > 0
+                THEN list_inner_product(te.v, ce.cl)
+                     / (sqrt(list_inner_product(te.v, te.v))
+                        * sqrt(list_inner_product(ce.cl, ce.cl)))
+           END AS cos
+    FROM e te CROSS JOIN centl ce
+    WHERE te.vec_id % 5 = 0
+),
+pred AS (
+    SELECT vec_id, true_label, cand,
+           row_number() OVER (
+               PARTITION BY vec_id
+               ORDER BY floor(cos * 1e6 + 0.5) DESC NULLS LAST, cand ASC
+           ) AS rn
+    FROM scored
+)
+SELECT CAST(true_label AS BIGINT) AS true_label,
+       CAST(cand AS BIGINT) AS pred_label,
+       CAST(count(*) AS BIGINT) AS n_vecs
+FROM pred WHERE rn = 1
+GROUP BY 1, 2
+"""
+
+
+def ml_nearest_centroid_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid classifier: per-label mean embeddings from the
+    training split (vec_id % 5 ≠ 0), held-out vectors assigned to the
+    max-cosine centroid (6dp-canonicalized rank key on BOTH sides, label
+    tie-break, NULLS LAST pinned explicitly — Spark desc and DuckDB DESC
+    default to opposite null placement). Output is the label confusion
+    matrix.
+
+    Scale shape: centroid training is ONE dimension-keyed aggregate
+    (K·d fixed-width rows out of the exchange — the kmeans_update
+    pattern); scoring joins exploded test vectors to the K·d centroid
+    table broadcast on the dimension index, then one (vec, label)
+    exchange; the per-vector argmax is a bounded K-row window. No
+    collect anywhere — the model never leaves the cluster.
+    """
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    train = e.filter(F.col("vec_id") % 5 != 0)
+    test = e.filter(F.col("vec_id") % 5 == 0)
+    trx = train.select(
+        "label", F.posexplode("v").alias("i", "x")
+    ).groupBy("label", "i").agg(F.avg("x").alias("c"))
+    cnorm = F.broadcast(
+        trx.groupBy("label").agg(F.sqrt(F.sum(F.col("c") * F.col("c"))).alias("nc"))
+    )
+    cent = F.broadcast(trx)
+    tex = test.select(
+        "vec_id",
+        F.col("label").alias("true_label"),
+        F.sqrt(
+            F.aggregate(
+                F.zip_with("v", "v", lambda a, b: a * b),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        ).alias("nx"),
+        F.posexplode("v").alias("i", "x"),
+    )
+    scored = (
+        tex.join(cent, "i")
+        .groupBy("vec_id", "true_label", F.col("label").alias("cand"))
+        .agg(
+            F.sum(F.col("x") * F.col("c")).alias("dot"),
+            F.first("nx").alias("nx"),
+        )
+        .join(cnorm, F.col("cand") == cnorm.label)
+        .select(
+            "vec_id",
+            "true_label",
+            "cand",
+            F.when(
+                (F.col("nx") > 0) & (F.col("nc") > 0),
+                F.col("dot") / (F.col("nx") * F.col("nc")),
+            ).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.floor(F.col("cos") * 1e6 + 0.5).desc_nulls_last(), F.col("cand").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .groupBy(
+            F.col("true_label").cast("long").alias("true_label"),
+            F.col("cand").cast("long").alias("pred_label"),
+        )
+        .agg(F.count("*").cast("long").alias("n_vecs"))
+    )
+
+
+DRAFTS["ml_nearest_centroid_eval"] = (ml_nearest_centroid_eval, CENTROID_ORACLE)
+
+
+# ---------------------------------------------------------------------------
+# Wald-Wolfowitz runs test on daily revenue vs its median — "is the series
+# random around its level?" as one binarize + lag + closed-form z.
+
+RUNS_ORACLE = f"""
+WITH daily AS (
+    SELECT CAST(o_orderdate AS DATE) AS d,
+           {rfix_sql('sum(o_totalprice)', 2)} AS r
+    FROM orders GROUP BY 1
+),
+med AS (SELECT median(r) AS m FROM daily),
+sgn AS (
+    SELECT d, (r >= (SELECT m FROM med)) AS up,
+           lag((r >= (SELECT m FROM med))) OVER (ORDER BY d) AS prev_up
+    FROM daily
+),
+agg AS (
+    SELECT count(*)::DOUBLE AS n,
+           sum(CASE WHEN up THEN 1 ELSE 0 END)::DOUBLE AS n1,
+           sum(CASE WHEN up THEN 0 ELSE 1 END)::DOUBLE AS n0,
+           (1 + sum(CASE WHEN prev_up IS NOT NULL AND up <> prev_up
+                         THEN 1 ELSE 0 END))::DOUBLE AS runs
+    FROM sgn
+)
+SELECT CAST(n AS BIGINT) AS n_days,
+       CAST(n1 AS BIGINT) AS n_above,
+       CAST(n0 AS BIGINT) AS n_below,
+       CAST(runs AS BIGINT) AS n_runs,
+       {rfix_sql('2 * n1 * n0 / n + 1', 4)} AS expected_runs,
+       CASE WHEN n1 > 0 AND n0 > 0 AND n > 1
+                 AND 2 * n1 * n0 * (2 * n1 * n0 - n) > 0
+            THEN {rfix_sql(
+                '(runs - (2 * n1 * n0 / n + 1))'
+                ' / sqrt(2 * n1 * n0 * (2 * n1 * n0 - n) / (n * n * (n - 1)))',
+                4)}
+       END AS z_score
+FROM agg
+"""
+
+
+def a_runs_test_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald-Wolfowitz runs test: binarize each day's (canonicalized)
+    revenue against the series median, count sign runs, and compare with
+    the closed-form expectation under randomness. The median interpolates
+    the same two order statistics of identical canonical doubles on both
+    engines, so the binarization cannot flip; the z denominator is
+    guarded for the degenerate all-above/all-below series (ANSI sqrt/0).
+
+    Scale shape: one day-spine collapse, a calendar-bounded lag window,
+    one fixed-width aggregate. Same single-partition-bounded-by-days
+    justification as t19/t20.
+    """
+    o = spread(table(spark, sf_dir, "orders"))
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("d")).agg(
+        rfix(F.sum("o_totalprice"), 2).alias("r")
+    )
+    med = F.broadcast(daily.agg(F.median("r").alias("m")))
+    w = Window.orderBy("d")
+    sgn = daily.crossJoin(med).select(
+        "d",
+        (F.col("r") >= F.col("m")).alias("up"),
+    ).select("d", "up", F.lag("up").over(w).alias("prev_up"))
+    n = F.count("*").cast("double")
+    n1 = F.sum(F.col("up").cast("int")).cast("double")
+    n0 = F.sum((~F.col("up")).cast("int")).cast("double")
+    runs = (
+        F.lit(1)
+        + F.sum(
+            (F.col("prev_up").isNotNull() & (F.col("up") != F.col("prev_up")))
+            .cast("int")
+        )
+    ).cast("double")
+    agg = sgn.agg(
+        n.alias("n"), n1.alias("n1"), n0.alias("n0"), runs.alias("runs")
+    )
+    nn, n1c, n0c, rr = F.col("n"), F.col("n1"), F.col("n0"), F.col("runs")
+    mu = 2 * n1c * n0c / nn + 1
+    var = 2 * n1c * n0c * (2 * n1c * n0c - nn) / (nn * nn * (nn - 1))
+    return agg.select(
+        nn.cast("long").alias("n_days"),
+        n1c.cast("long").alias("n_above"),
+        n0c.cast("long").alias("n_below"),
+        rr.cast("long").alias("n_runs"),
+        rfix(mu, 4).alias("expected_runs"),
+        F.when(
+            (n1c > 0) & (n0c > 0) & (nn > 1)
+            & (2 * n1c * n0c * (2 * n1c * n0c - nn) > 0),
+            rfix((rr - mu) / F.sqrt(var), 4),
+        ).alias("z_score"),
+    )
+
+
+DRAFTS["a_runs_test_daily_revenue"] = (a_runs_test_daily_revenue, RUNS_ORACLE)
