@@ -59,8 +59,10 @@ _SHAPES = {
     # --- round-7 drafts ---
     # pushed ship-date scan, one supplier rollup; max + dim broadcast
     "j22_top_supplier_q15": (2, 2, 0, 3),
-    # fact joins broadcast dims; node-scale wedge/degree/anti joins
-    "g_adamic_adar_nations": (8, 4, 0, 4),
+    # the edge set is eagerly checkpoint-pinned (unpinned, each of its
+    # four consumers re-plans the 4-way fact join: 64 FileScans); the
+    # final plan is node-scale wedge/degree/anti joins only
+    "g_adamic_adar_nations": (6, 0, 0, 0),
     # peel rounds are eagerly checkpoint-pinned (an unpinned loop
     # triples the subtree per round: ~500 FileScans, 13s at sf0.1), so
     # the FINAL plan is one degree aggregate over the pinned edge set

@@ -169,10 +169,15 @@ def g_adamic_adar_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     mu = F.broadcast(w.agg(F.avg("wt").alias("m")))
     strong = w.crossJoin(mu).filter(F.col("wt") >= F.col("m")).select("wa", "wb")
+    # eager pin: edges feed deg + both wedge sides + the anti-join — the
+    # node-scale edge set is tiny, but unpinned each reference re-plans
+    # the whole 4-way fact join (64 FileScans measured). Same flat-plan
+    # discipline as g_pagerank_nations / g_kcore_parts.
     edges = (
         strong.select(F.col("wa").alias("src"), F.col("wb").alias("dst"))
         .union(strong.select(F.col("wb").alias("src"), F.col("wa").alias("dst")))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     deg = edges.groupBy("src").agg(F.count("*").cast("double").alias("d"))
     e1 = edges.select(F.col("src").alias("a"), F.col("dst").alias("z"))
