@@ -454,3 +454,34 @@ def test_runs_test_alternating_and_blocked(spark, tmp_path_factory):
     (r2,) = _rows(spark, "a_runs_test_daily_revenue", blk)
     assert r2.n_runs == 2
     assert r2.z_score < -2, "two blocks = far fewer runs than chance"
+
+
+# ---------------------------------------------------------------------------
+# scene cuts: a payload with one abrupt content change cuts exactly once,
+# at the known boundary magnitude; uniform payloads never cut.
+
+
+def test_scene_cut_detects_constructed_boundary(spark, tmp_path_factory):
+    texts = [
+        "a" * 128 + "z" * 128,   # one dominant jump: frame 1 -> 2
+        "m" * 256,               # uniform: max_jump 0, no cuts
+        "q" * 40,                # single frame: no jumps possible
+    ]
+    d = _synth_dir(
+        tmp_path_factory,
+        {
+            "documents": {
+                "doc_id": [0, 1, 2],
+                "text": texts,
+                "lang": ["en"] * 3,
+                "source": ["s"] * 3,
+                "n_chars": [len(t) for t in texts],
+            }
+        },
+    )
+    rows = {r.doc_id: r for r in _rows(spark, "mm_scene_cut_profile", d)}
+    assert rows[0].n_frames == 4
+    assert rows[0].n_cuts == 1
+    assert rows[0].max_jump == 64 * (ord("z") - ord("a"))
+    assert rows[1].n_frames == 4 and rows[1].n_cuts == 0 and rows[1].max_jump == 0
+    assert rows[2].n_frames == 1 and rows[2].n_cuts == 0 and rows[2].max_jump == 0

@@ -89,6 +89,8 @@ _SHAPES = {
     "ml_nearest_centroid_eval": (5, 2, 1, 2),
     # day-spine collapse + lag window + one fixed-width aggregate
     "a_runs_test_daily_revenue": (1, 1, 1, 0),
+    # frame explode + codegen byte-sum fold; doc-partitioned jump windows
+    "mm_scene_cut_profile": (2, 2, 3, 1),
 }
 
 

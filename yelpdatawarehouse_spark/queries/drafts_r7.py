@@ -1331,3 +1331,129 @@ def a_runs_test_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 DRAFTS["a_runs_test_daily_revenue"] = (a_runs_test_daily_revenue, RUNS_ORACLE)
+
+
+# ---------------------------------------------------------------------------
+# Video-style scene-cut detection on the frame-sampling plumbing: frames
+# from multimodal/columns.sample_frames, per-frame intensity feature,
+# adjacent-frame jumps, cut = jump at least half the doc's max jump. All
+# integer arithmetic (byte sums), so cross-engine parity is exact.
+
+SCENE_FRAME_BYTES = 64
+
+SCENE_ORACLE = f"""
+WITH d AS (
+    SELECT doc_id, text, length(text) AS L FROM documents
+),
+f AS (
+    SELECT doc_id,
+           greatest(CAST(floor(L / {SCENE_FRAME_BYTES}) AS BIGINT), 1) AS n_frames,
+           text, L
+    FROM d
+),
+frames AS (
+    SELECT doc_id, n_frames, idx.k,
+           CAST(idx.k * {SCENE_FRAME_BYTES} AS INT) AS off, text, L
+    FROM f, (SELECT unnest(range(0, 4097)) AS k) idx
+    WHERE idx.k < n_frames
+),
+feat AS (
+    SELECT fr.doc_id, fr.n_frames, fr.k,
+           coalesce(sum(ord(substring(fr.text, CAST(fr.off + p.i AS INT), 1))), 0)
+               AS feature
+    FROM frames fr
+    LEFT JOIN (SELECT unnest(range(1, {SCENE_FRAME_BYTES} + 1)) AS i) p
+      ON fr.off + p.i <= fr.L
+    GROUP BY 1, 2, 3
+),
+jumps AS (
+    SELECT doc_id, n_frames, k,
+           abs(feature - lag(feature) OVER (PARTITION BY doc_id ORDER BY k))
+               AS jump
+    FROM feat
+),
+prof AS (
+    SELECT doc_id, any_value(n_frames) AS n_frames,
+           coalesce(max(jump), 0) AS max_jump,
+           sum(CASE WHEN jump IS NOT NULL THEN 1 ELSE 0 END) AS n_jumps
+    FROM jumps GROUP BY doc_id
+)
+SELECT CAST(p.doc_id AS BIGINT) AS doc_id,
+       CAST(p.n_frames AS BIGINT) AS n_frames,
+       CAST(coalesce(c.n_cuts, 0) AS BIGINT) AS n_cuts,
+       CAST(p.max_jump AS BIGINT) AS max_jump
+FROM prof p
+LEFT JOIN (
+    SELECT j.doc_id, count(*) AS n_cuts
+    FROM jumps j
+    JOIN prof pp ON pp.doc_id = j.doc_id
+    WHERE j.jump IS NOT NULL AND pp.max_jump > 0
+      AND 2 * j.jump >= pp.max_jump
+    GROUP BY j.doc_id
+) c ON c.doc_id = p.doc_id
+"""
+
+
+def mm_scene_cut_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scene-cut profile over sampled frames: each payload is sliced into
+    {SCENE_FRAME_BYTES}-byte frames (multimodal/columns.sample_frames —
+    the video frame-extraction plumbing), each frame reduces to an
+    integer intensity feature (byte sum, JVM-side), and a cut is an
+    adjacent-frame jump at least HALF the document's maximum jump
+    (2·jump ≥ max, integer arithmetic — no float thresholds anywhere, so
+    the parity is exact by construction).
+
+    Scale shape: frame explosion is one narrow projection (1 row → n
+    frames of fixed width); the feature fold is a codegen higher-order
+    function over ≤{SCENE_FRAME_BYTES} chars; jumps and the per-doc max
+    are doc-partitioned windows — the corpus's natural parallel unit.
+    Real video would swap the byte-sum feature for a decoded-luma kernel
+    (perceptual_ahash's probe pattern); the distribution plumbing is
+    identical.
+    """
+    from ..multimodal.columns import attach_fake_media, sample_frames
+
+    docs = spread(table(spark, sf_dir, "documents"))
+    frames = sample_frames(
+        attach_fake_media(docs), every_n_bytes=SCENE_FRAME_BYTES
+    )
+    feat = frames.select(
+        "doc_id",
+        F.col("frame_idx").alias("k"),
+        F.expr(
+            "aggregate(transform(sequence(1, octet_length(frame_bytes)),"
+            " i -> ascii(substring(CAST(frame_bytes AS STRING), i, 1))),"
+            " 0L, (a, x) -> a + x)"
+        ).alias("feature"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("k")
+    jumps = feat.select(
+        "doc_id",
+        "k",
+        F.abs(F.col("feature") - F.lag("feature").over(w)).alias("jump"),
+    )
+    prof = jumps.groupBy("doc_id").agg(
+        (F.max("k") + 1).alias("n_frames"),
+        F.coalesce(F.max("jump"), F.lit(0)).alias("max_jump"),
+    )
+    cuts = (
+        jumps.join(prof.select("doc_id", F.col("max_jump").alias("mj")), "doc_id")
+        .filter(
+            F.col("jump").isNotNull() & (F.col("mj") > 0)
+            & (2 * F.col("jump") >= F.col("mj"))
+        )
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_cuts"))
+    )
+    return (
+        prof.join(cuts, "doc_id", "left")
+        .select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.col("n_frames").cast("long").alias("n_frames"),
+            F.coalesce("n_cuts", F.lit(0)).cast("long").alias("n_cuts"),
+            F.col("max_jump").cast("long").alias("max_jump"),
+        )
+    )
+
+
+DRAFTS["mm_scene_cut_profile"] = (mm_scene_cut_profile, SCENE_ORACLE)
