@@ -485,3 +485,49 @@ def test_scene_cut_detects_constructed_boundary(spark, tmp_path_factory):
     assert rows[0].max_jump == 64 * (ord("z") - ord("a"))
     assert rows[1].n_frames == 4 and rows[1].n_cuts == 0 and rows[1].max_jump == 0
     assert rows[2].n_frames == 1 and rows[2].n_cuts == 0 and rows[2].max_jump == 0
+
+
+# ---------------------------------------------------------------------------
+# Kalman local level: gain and variance bounded; level inside the series
+# envelope (convex update).
+
+
+def test_kalman_bounds_and_envelope(spark):
+    from yelpdatawarehouse_spark.queries.drafts_r7 import KALMAN_Q, KALMAN_R
+
+    rows = _rows(spark, "t25_kalman_local_level")
+    assert rows
+    ys = [r.daily_revenue for r in rows]
+    lo, hi = min(ys), max(ys)
+    for r in rows:
+        assert 0 < r.kalman_gain <= 1
+        assert 0 < r.error_variance <= KALMAN_R + KALMAN_Q
+        assert lo - 0.01 <= r.level_estimate <= hi + 0.01
+    # steady state: the gain converges to the Riccati fixed point
+    import math
+
+    pstar = (KALMAN_Q + math.sqrt(KALMAN_Q * KALMAN_Q + 4 * KALMAN_Q * KALMAN_R)) / 2
+    kstar = pstar / (pstar + KALMAN_R)
+    assert abs(rows[-1].kalman_gain - kstar) < 1e-3
+
+
+# ---------------------------------------------------------------------------
+# RFM: codes are three quintile digits; the histogram is total over
+# customers who ordered.
+
+
+def test_rfm_codes_and_totals(spark):
+    from yelpdatawarehouse_spark.sources.tables import table
+
+    rows = _rows(spark, "w12_rfm_segments")
+    assert rows
+    for r in rows:
+        digits = (r.rfm_code // 100, (r.rfm_code // 10) % 10, r.rfm_code % 10)
+        assert all(1 <= d <= 5 for d in digits), r
+        assert r.n_customers >= 1
+        assert r.avg_monetary > 0
+        assert r.avg_frequency >= 1
+    n_buyers = (
+        table(spark, SF_TEST_DIR, "orders").select("o_custkey").distinct().count()
+    )
+    assert sum(r.n_customers for r in rows) == n_buyers

@@ -340,3 +340,27 @@ def test_stump_matches_python_search(spark, random_stump_dir):
     assert got.threshold == t
     assert abs(got.split_gini - math.floor(g * 1e6 + 0.5) / 1e6) < 1e-9
     assert got.n_left == nl and got.n_right == nr
+
+
+def test_kalman_matches_python_recurrence(spark, random_revenue_dir):
+    from yelpdatawarehouse_spark.queries.drafts_r7 import KALMAN_Q, KALMAN_R
+
+    sf_dir, daily = random_revenue_dir
+    ys = list(daily.values())
+    x, p = [ys[0]], [float(KALMAN_R)]
+    ks = [1.0]
+    for y in ys[1:]:
+        pm = p[-1] + KALMAN_Q
+        k = pm / (pm + KALMAN_R)
+        x.append(x[-1] + k * (y - x[-1]))
+        p.append((1 - k) * pm)
+        ks.append(k)
+    got = sorted(
+        DRAFTS["t25_kalman_local_level"][0](spark, sf_dir).collect(),
+        key=lambda r: r.day,
+    )
+    assert len(got) == len(ys)
+    for r, xe, pe, ke in zip(got, x, p, ks):
+        assert abs(r.level_estimate - _r2(xe)) < 1e-9
+        assert abs(r.error_variance - _r2(pe)) < 1e-9
+        assert abs(r.kalman_gain - math.floor(ke * 1e6 + 0.5) / 1e6) < 1e-9

@@ -91,6 +91,11 @@ _SHAPES = {
     "a_runs_test_daily_revenue": (1, 1, 1, 0),
     # frame explode + codegen byte-sum fold; doc-partitioned jump windows
     "mm_scene_cut_profile": (2, 2, 3, 1),
+    # day-spine collapse then a single fold — one exchange (t21's shape)
+    "t25_kalman_local_level": (1, 0, 0, 0),
+    # customer rollup; max-date + dim broadcasts; segment-partitioned
+    # quintile windows, histogram reuses that partitioning
+    "w12_rfm_segments": (2, 2, 3, 2),
 }
 
 

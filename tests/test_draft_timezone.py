@@ -22,6 +22,8 @@ _TS_DRAFTS = (
     "t21_holt_linear_daily",
     "t22_weekday_seasonal_decompose",
     "a_runs_test_daily_revenue",
+    "t25_kalman_local_level",
+    "w12_rfm_segments",
     "t10_lateness_profile",
     "a_trailing_week_active_users",
     "a_trailing_week_active_sketch",

@@ -1457,3 +1457,208 @@ def mm_scene_cut_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 DRAFTS["mm_scene_cut_profile"] = (mm_scene_cut_profile, SCENE_ORACLE)
+
+
+# ---------------------------------------------------------------------------
+# 1-D Kalman filter (local-level model) over daily revenue: the optimal
+# recursive level estimate with evolving gain — the adaptive sibling of
+# w9's fixed-alpha EWMA and t21's Holt. Same fold-over-the-day-spine
+# execution; the state is (estimate, variance) instead of (level, trend).
+
+KALMAN_Q = 1e5   # process variance per day (revenue units squared)
+KALMAN_R = 1e7   # observation variance
+
+KALMAN_ORACLE = f"""
+WITH RECURSIVE daily AS (
+    SELECT CAST(o_orderdate AS DATE) AS d,
+           {rfix_sql('sum(o_totalprice)', 2)} AS r
+    FROM orders GROUP BY 1
+),
+idx AS (SELECT d, r, row_number() OVER (ORDER BY d) AS rn FROM daily),
+rec(rn, d, r, x, p, k) AS (
+    SELECT rn, d, r, r::DOUBLE, {KALMAN_R}::DOUBLE, 1.0::DOUBLE
+    FROM idx WHERE rn = 1
+    UNION ALL
+    SELECT i.rn, i.d, i.r,
+           rec.x + ((rec.p + {KALMAN_Q}) / (rec.p + {KALMAN_Q} + {KALMAN_R}))
+                   * (i.r - rec.x),
+           (1 - (rec.p + {KALMAN_Q}) / (rec.p + {KALMAN_Q} + {KALMAN_R}))
+               * (rec.p + {KALMAN_Q}),
+           (rec.p + {KALMAN_Q}) / (rec.p + {KALMAN_Q} + {KALMAN_R})
+    FROM rec JOIN idx i ON i.rn = rec.rn + 1
+)
+SELECT strftime(d, '%Y-%m-%d') AS day,
+       r AS daily_revenue,
+       {rfix_sql('x', 2)} AS level_estimate,
+       {rfix_sql('p', 2)} AS error_variance,
+       {rfix_sql('k', 6)} AS kalman_gain
+FROM rec
+"""
+
+
+def t25_kalman_local_level(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar Kalman filter, local-level model: predict P⁻=P+Q, gain
+    K=P⁻/(P⁻+R), update x+=K(y−x), P=(1−K)P⁻ — initialized x₁=y₁,
+    P₁=R. Unlike EWMA/Holt the smoothing weight ADAPTS (K shrinks as the
+    estimate converges), which is why the gain trace is part of the
+    output contract.
+
+    Scale shape: identical to t21 — one map-side-partial day-spine
+    collapse (canonicalized immediately, so both engines fold identical
+    doubles), then the recurrence as a single F.aggregate fold
+    (whole-stage codegen, no UDF). DuckDB replays the same recurrence as
+    a recursive CTE in the same day order, so the float stream is
+    order-identical.
+    """
+    o = spread(table(spark, sf_dir, "orders"))
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("d")).agg(
+        rfix(F.sum("o_totalprice"), 2).alias("r")
+    )
+    series = daily.agg(
+        F.sort_array(F.collect_list(F.struct("d", "r"))).alias("s")
+    )
+    q, rr = float(KALMAN_Q), float(KALMAN_R)
+    trace = series.select(
+        F.expr(
+            f"""
+            CASE WHEN size(s) = 0 THEN array()
+            ELSE aggregate(
+              slice(s, 2, greatest(size(s) - 1, 0)),
+              array(named_struct(
+                  'd', s[0].d, 'y', CAST(s[0].r AS DOUBLE),
+                  'x', CAST(s[0].r AS DOUBLE), 'p', {rr}D, 'k', 1.0D)),
+              (acc, e) -> concat(acc, array(named_struct(
+                  'd', e.d, 'y', CAST(e.r AS DOUBLE),
+                  'x', element_at(acc, -1).x
+                       + ((element_at(acc, -1).p + {q}D)
+                          / (element_at(acc, -1).p + {q}D + {rr}D))
+                         * (e.r - element_at(acc, -1).x),
+                  'p', (1.0D - (element_at(acc, -1).p + {q}D)
+                               / (element_at(acc, -1).p + {q}D + {rr}D))
+                       * (element_at(acc, -1).p + {q}D),
+                  'k', (element_at(acc, -1).p + {q}D)
+                       / (element_at(acc, -1).p + {q}D + {rr}D))))
+            ) END AS trace
+            """
+        )
+    ).select(F.explode("trace").alias("t"))
+    return trace.select(
+        F.date_format("t.d", "yyyy-MM-dd").alias("day"),
+        F.col("t.y").alias("daily_revenue"),
+        rfix(F.col("t.x"), 2).alias("level_estimate"),
+        rfix(F.col("t.p"), 2).alias("error_variance"),
+        rfix(F.col("t.k"), 6).alias("kalman_gain"),
+    )
+
+
+DRAFTS["t25_kalman_local_level"] = (t25_kalman_local_level, KALMAN_ORACLE)
+
+
+# ---------------------------------------------------------------------------
+# RFM customer segmentation: recency / frequency / monetary quintiles
+# within each market segment, concatenated to the classic 3-digit RFM
+# code — the per-peer-group scoring keeps every ntile window PARTITIONED
+# (w8's discipline), never a global sort.
+
+RFM_ORACLE = f"""
+WITH ref AS (SELECT max(CAST(o_orderdate AS DATE)) AS maxd FROM orders),
+cust AS (
+    SELECT o_custkey,
+           datediff('day', max(CAST(o_orderdate AS DATE)), (SELECT maxd FROM ref))
+               AS recency_days,
+           count(*) AS frequency,
+           {rfix_sql('sum(o_totalprice)', 2)} AS monetary
+    FROM orders GROUP BY o_custkey
+),
+seg AS (
+    SELECT c.c_mktsegment, cu.*
+    FROM cust cu JOIN customer c ON c.c_custkey = cu.o_custkey
+),
+scored AS (
+    SELECT c_mktsegment,
+           monetary, frequency,
+           ntile(5) OVER (PARTITION BY c_mktsegment
+                          ORDER BY recency_days DESC, o_custkey) AS r_score,
+           ntile(5) OVER (PARTITION BY c_mktsegment
+                          ORDER BY frequency ASC, o_custkey) AS f_score,
+           ntile(5) OVER (PARTITION BY c_mktsegment
+                          ORDER BY monetary ASC, o_custkey) AS m_score
+    FROM seg
+)
+SELECT c_mktsegment,
+       CAST(r_score * 100 + f_score * 10 + m_score AS BIGINT) AS rfm_code,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       {rfix_sql(f"({rfix_sql('sum(monetary)', 2)}) / count(*)", 2)} AS avg_monetary,
+       {rfix_sql('sum(frequency)::DOUBLE / count(*)', 2)} AS avg_frequency
+FROM scored
+GROUP BY 1, 2
+"""
+
+
+def w12_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: per customer, days since last order (vs the
+    corpus max date), order count, and canonicalized total spend; each
+    scored into within-market-segment quintiles (5 = most recent / most
+    frequent / highest spend) with the customer key as the deterministic
+    ntile tie-break; output is the per-segment RFM-code histogram with
+    average monetary/frequency.
+
+    Scale shape: one customer-keyed rollup of the fact scan, the max
+    date as a broadcast 1-row aggregate, the dim join broadcast, and all
+    three quintile windows PARTITIONED by market segment (w8's
+    discipline — equal-count bucketing against peers, never a global
+    sort); the histogram rollup reuses the segment partitioning.
+    """
+    o = spread(table(spark, sf_dir, "orders"))
+    ref = F.broadcast(
+        o.agg(F.max(F.col("o_orderdate").cast("date")).alias("maxd"))
+    )
+    cust = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.max(F.col("o_orderdate").cast("date")).alias("lastd"),
+            F.count("*").alias("frequency"),
+            rfix(F.sum("o_totalprice"), 2).alias("monetary"),
+        )
+        .crossJoin(ref)
+        .select(
+            "o_custkey",
+            F.datediff(F.col("maxd"), F.col("lastd")).alias("recency_days"),
+            "frequency",
+            "monetary",
+        )
+    )
+    c = F.broadcast(
+        table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    )
+    seg = cust.join(c, cust.o_custkey == c.c_custkey)
+    wr = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("recency_days").desc(), "o_custkey"
+    )
+    wf = Window.partitionBy("c_mktsegment").orderBy("frequency", "o_custkey")
+    wm = Window.partitionBy("c_mktsegment").orderBy("monetary", "o_custkey")
+    scored = seg.select(
+        "c_mktsegment",
+        "monetary",
+        "frequency",
+        F.ntile(5).over(wr).alias("r_score"),
+        F.ntile(5).over(wf).alias("f_score"),
+        F.ntile(5).over(wm).alias("m_score"),
+    )
+    from ..functions.presentation import cavg
+
+    return scored.groupBy(
+        "c_mktsegment",
+        (
+            F.col("r_score") * 100 + F.col("f_score") * 10 + F.col("m_score")
+        ).cast("long").alias("rfm_code"),
+    ).agg(
+        F.count("*").cast("long").alias("n_customers"),
+        cavg(F.sum("monetary"), F.count("*"), 2).alias("avg_monetary"),
+        rfix(F.sum("frequency").cast("double") / F.count("*"), 2).alias(
+            "avg_frequency"
+        ),
+    )
+
+
+DRAFTS["w12_rfm_segments"] = (w12_rfm_segments, RFM_ORACLE)
