@@ -531,3 +531,32 @@ def test_rfm_codes_and_totals(spark):
         table(spark, SF_TEST_DIR, "orders").select("o_custkey").distinct().count()
     )
     assert sum(r.n_customers for r in rows) == n_buyers
+
+
+# ---------------------------------------------------------------------------
+# Mahalanobis outliers: a constructed extreme vector ranks first; constant
+# dimensions are excluded from the distance, not divided by.
+
+
+def test_mahalanobis_flags_constructed_outlier(spark, tmp_path_factory):
+    import random
+
+    rng = random.Random(75)
+    vecs = [[rng.gauss(0, 1) for _ in range(6)] + [7.0] for _ in range(30)]
+    vecs[13] = [25.0] * 6 + [7.0]  # extreme on every varying dim; dim 7 constant
+    d = _synth_dir(
+        tmp_path_factory,
+        {
+            "embeddings": {
+                "vec_id": list(range(30)),
+                "embedding": vecs,
+                "label": [0] * 30,
+            }
+        },
+    )
+    rows = _rows(spark, "emb_mahalanobis_outliers", d)
+    assert rows[0].n_dims_used == 6, "constant dimension must be excluded"
+    top = max(rows, key=lambda r: r.mahal_dist)
+    assert top.vec_id == 13
+    for r in rows:
+        assert r.mahal_dist >= 0

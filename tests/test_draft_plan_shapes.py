@@ -96,6 +96,8 @@ _SHAPES = {
     # customer rollup; max-date + dim broadcasts; segment-partitioned
     # quintile windows, histogram reuses that partitioning
     "w12_rfm_segments": (2, 2, 3, 2),
+    # d-row moment broadcast onto exploded vectors; top-k is TakeOrdered
+    "emb_mahalanobis_outliers": (2, 1, 0, 0),
 }
 
 

@@ -1662,3 +1662,112 @@ def w12_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 DRAFTS["w12_rfm_segments"] = (w12_rfm_segments, RFM_ORACLE)
+
+
+# ---------------------------------------------------------------------------
+# Embedding outlier scoring by diagonal Mahalanobis distance: per-dimension
+# corpus moments -> per-vector standardized distance -> top-k. The
+# embedding-quality filter a training pipeline runs before clustering
+# (full-covariance Mahalanobis needs a d x d solve; the diagonal form is
+# the standard at-scale surrogate and is exactly reproducible in SQL).
+
+MAHAL_TOP_K = 25
+
+MAHAL_ORACLE = f"""
+WITH e AS (
+    SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+),
+x AS (
+    SELECT vec_id, idx.i, v[CAST(idx.i AS INT)] AS x
+    FROM e, (SELECT unnest(range(1, 4097)) AS i) idx
+    WHERE idx.i <= len(v)
+),
+mom AS (
+    SELECT i, avg(x) AS mu,
+           CASE WHEN count(*) >= 2
+                     AND count(*) * sum(x * x) - sum(x) * sum(x) > 0
+                THEN (count(*) * sum(x * x) - sum(x) * sum(x))
+                     / (count(*) * (count(*) - 1))
+           END AS var
+    FROM x GROUP BY i
+),
+d2 AS (
+    SELECT x.vec_id,
+           sum(CASE WHEN mom.var IS NOT NULL
+                    THEN (x.x - mom.mu) * (x.x - mom.mu) / mom.var
+                    ELSE 0 END) AS dist2,
+           sum(CASE WHEN mom.var IS NOT NULL THEN 1 ELSE 0 END) AS n_dims_used
+    FROM x JOIN mom ON mom.i = x.i
+    GROUP BY x.vec_id
+),
+ranked AS (
+    SELECT vec_id, dist2, n_dims_used,
+           row_number() OVER (
+               ORDER BY floor(dist2 * 1e6 + 0.5) DESC, vec_id ASC
+           ) AS rn
+    FROM d2
+)
+SELECT CAST(vec_id AS BIGINT) AS vec_id,
+       {rfix_sql('sqrt(dist2)', 4)} AS mahal_dist,
+       CAST(n_dims_used AS BIGINT) AS n_dims_used
+FROM ranked WHERE rn <= {MAHAL_TOP_K}
+"""
+
+
+def emb_mahalanobis_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{MAHAL_TOP_K} embedding outliers by diagonal Mahalanobis
+    distance: per-dimension corpus mean/variance (guarded moment
+    arithmetic — a zero-variance dimension contributes nothing rather
+    than dividing by zero, the a_stats_aggregates discipline), each
+    vector scored Σ (xᵢ−μᵢ)²/σᵢ², ranked on the 6dp-canonicalized
+    distance with the vector id as tie-break.
+
+    Scale shape: ONE dimension-keyed moment aggregate (d fixed-width
+    rows — never a d×d covariance), broadcast back onto the exploded
+    vectors, one vector-keyed sum, then TakeOrdered-style top-k through
+    the canonicalized rank window bounded by the corpus. The
+    full-covariance variant needs a distributed d×d gram + solve
+    (ml_ridge_normal_eq shows the gram pattern); diagonal is the
+    documented at-scale surrogate.
+    """
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    x = e.select("vec_id", F.posexplode("v").alias("i0", "x"))
+    n = F.count("*").cast("double")
+    sx, sxx = F.sum("x"), F.sum(F.col("x") * F.col("x"))
+    vx = n * sxx - sx * sx
+    mom = F.broadcast(
+        x.groupBy(F.col("i0").alias("i")).agg(
+            F.avg("x").alias("mu"),
+            F.when((n >= 2) & (vx > 0), vx / (n * (n - 1))).alias("var"),
+        )
+    )
+    d2 = (
+        x.join(mom, x.i0 == mom.i)
+        .groupBy("vec_id")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("var").isNotNull(),
+                    (F.col("x") - F.col("mu")) * (F.col("x") - F.col("mu"))
+                    / F.col("var"),
+                ).otherwise(0.0)
+            ).alias("dist2"),
+            F.sum(F.col("var").isNotNull().cast("int")).alias("n_dims_used"),
+        )
+    )
+    return (
+        d2.orderBy(
+            F.floor(F.col("dist2") * 1e6 + 0.5).desc(), F.col("vec_id").asc()
+        )
+        .limit(MAHAL_TOP_K)
+        .select(
+            F.col("vec_id").cast("long").alias("vec_id"),
+            rfix(F.sqrt("dist2"), 4).alias("mahal_dist"),
+            F.col("n_dims_used").cast("long").alias("n_dims_used"),
+        )
+    )
+
+
+DRAFTS["emb_mahalanobis_outliers"] = (emb_mahalanobis_outliers, MAHAL_ORACLE)
