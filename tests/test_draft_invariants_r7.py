@@ -560,3 +560,61 @@ def test_mahalanobis_flags_constructed_outlier(spark, tmp_path_factory):
     assert top.vec_id == 13
     for r in rows:
         assert r.mahal_dist >= 0
+
+
+# ---------------------------------------------------------------------------
+# KS drift: D in [0,1]; per-source + rest totals the corpus; a constructed
+# shifted source must flag drift while an identical source must not.
+
+
+def test_ks_drift_bounds_and_construction(spark, tmp_path_factory):
+    rows = _rows(spark, "text_ks_length_drift")
+    assert rows
+    total = rows[0].n_source + rows[0].n_rest
+    for r in rows:
+        assert 0.0 <= r.ks_d <= 1.0
+        assert r.n_source + r.n_rest == total
+        assert r.drift_flag == (r.ks_d > r.critical_d)
+    # 60 docs at length 20 split over two sources, 10 shifted docs at 400:
+    # "shifted" vs rest has disjoint support (D = 1, flagged); "same" vs
+    # rest differs only by the small shifted tail (D = 0.25 < crit 0.33).
+    d = _synth_dir(
+        tmp_path_factory,
+        {
+            "documents": {
+                "doc_id": list(range(70)),
+                "text": ["w " * 10] * 60 + ["w " * 200] * 10,
+                "lang": ["en"] * 70,
+                "source": ["same"] * 30 + ["same2"] * 30 + ["shifted"] * 10,
+                "n_chars": [20] * 60 + [400] * 10,
+            }
+        },
+    )
+    got = {r.source: r for r in _rows(spark, "text_ks_length_drift", d)}
+    assert got["shifted"].drift_flag, "disjoint length support must drift"
+    assert got["shifted"].ks_d == 1.0
+    assert not got["same"].drift_flag, "a matching-shape source must not"
+
+
+# ---------------------------------------------------------------------------
+# weighted median: on a constructed group the answer is hand-checkable,
+# and heavy weight on one price pins the median there.
+
+
+def test_weighted_median_constructed(spark, tmp_path_factory):
+    d = _synth_dir(
+        tmp_path_factory,
+        {
+            "lineitem": {
+                "l_orderkey": list(range(5)),
+                "l_partkey": list(range(5)),
+                "l_returnflag": ["X"] * 5,
+                "l_extendedprice": [10.0, 20.0, 30.0, 40.0, 50.0],
+                "l_quantity": [1.0, 1.0, 1.0, 1.0, 10.0],
+            }
+        },
+    )
+    (r,) = _rows(spark, "f16_weighted_median_price", d)
+    # total weight 14, half 7 -> first cum >= 7 is price 50 (cum 14)
+    assert r.weighted_median_price == 50.0
+    assert r.total_weight == 14

@@ -98,6 +98,11 @@ _SHAPES = {
     "w12_rfm_segments": (2, 2, 3, 2),
     # d-row moment broadcast onto exploded vectors; top-k is TakeOrdered
     "emb_mahalanobis_outliers": (2, 1, 0, 0),
+    # two histogram collapses; length-support grid rides broadcasts;
+    # source-partitioned ECDF window
+    "text_ks_length_drift": (3, 3, 1, 1),
+    # one (flag, price) collapse; group-partitioned cumulative windows
+    "f16_weighted_median_price": (2, 0, 3, 0),
 }
 
 

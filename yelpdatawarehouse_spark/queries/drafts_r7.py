@@ -1771,3 +1771,201 @@ def emb_mahalanobis_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 DRAFTS["emb_mahalanobis_outliers"] = (emb_mahalanobis_outliers, MAHAL_ORACLE)
+
+
+# ---------------------------------------------------------------------------
+# Two-sample Kolmogorov-Smirnov drift per source: each source's doc-length
+# distribution vs the REST of the corpus — "which ingest stream changed
+# shape?" All ECDF arithmetic is exact integer ratios, so cross-engine
+# parity is exact.
+
+KS_ALPHA_C = 1.36  # critical-value coefficient for alpha = 0.05
+
+KS_ORACLE = f"""
+WITH d AS (SELECT source, n_chars AS L FROM documents),
+tot AS (SELECT count(*)::DOUBLE AS n FROM d),
+per_src AS (SELECT source, count(*)::DOUBLE AS na FROM d GROUP BY source),
+grid AS (
+    SELECT p.source, g.L,
+           coalesce(c.cnt, 0)::DOUBLE AS cnt_src,
+           g.cnt_all::DOUBLE AS cnt_all
+    FROM per_src p
+    CROSS JOIN (SELECT L, count(*) AS cnt_all FROM d GROUP BY L) g
+    LEFT JOIN (SELECT source, L, count(*) AS cnt FROM d GROUP BY 1, 2) c
+      ON c.source = p.source AND c.L = g.L
+),
+ecdf AS (
+    SELECT source, L,
+           sum(cnt_src) OVER (PARTITION BY source ORDER BY L
+                              ROWS UNBOUNDED PRECEDING) AS cum_src,
+           sum(cnt_all - cnt_src) OVER (PARTITION BY source ORDER BY L
+                                        ROWS UNBOUNDED PRECEDING) AS cum_rest
+    FROM grid
+),
+ks AS (
+    SELECT e.source,
+           max(abs(e.cum_src / p.na
+                   - e.cum_rest / ((SELECT n FROM tot) - p.na))) AS d_stat,
+           any_value(p.na) AS na,
+           any_value((SELECT n FROM tot) - p.na) AS nb
+    FROM ecdf e JOIN per_src p ON p.source = e.source
+    WHERE p.na > 0 AND (SELECT n FROM tot) - p.na > 0
+    GROUP BY e.source
+)
+SELECT source,
+       {rfix_sql('d_stat', 6)} AS ks_d,
+       CAST(na AS BIGINT) AS n_source,
+       CAST(nb AS BIGINT) AS n_rest,
+       {rfix_sql(f'{KS_ALPHA_C} * sqrt((na + nb) / (na * nb))', 6)} AS critical_d,
+       d_stat > {KS_ALPHA_C} * sqrt((na + nb) / (na * nb)) AS drift_flag
+FROM ks
+"""
+
+
+def text_ks_length_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source two-sample Kolmogorov-Smirnov test of the doc-length
+    distribution against the REST of the corpus: D = max |ECDF_src −
+    ECDF_rest| over the observed length support, with the α=0.05
+    critical value {KS_ALPHA_C}·√((n₁+n₂)/(n₁n₂)). ECDFs are ratios of
+    exact integer counts, so both engines compute identical doubles and
+    the drift flag cannot flip on ulp noise.
+
+    Scale shape: two count collapses (corpus-length histogram, per-source
+    histogram), the |sources|×|length-support| grid from a broadcast-able
+    cross of two DIMENSION-sized frames (never the facts), per-source
+    cumulative windows over the length support, one max per source. The
+    fact scan is touched twice, both times collapsing immediately.
+    """
+    d = spread(table(spark, sf_dir, "documents")).select(
+        "source", F.col("n_chars").alias("L")
+    )
+    tot = F.broadcast(d.agg(F.count("*").cast("double").alias("n")))
+    per_src = d.groupBy("source").agg(F.count("*").cast("double").alias("na"))
+    g_all = d.groupBy("L").agg(F.count("*").alias("cnt_all"))
+    c_src = d.groupBy("source", "L").agg(F.count("*").alias("cnt"))
+    grid = (
+        per_src.crossJoin(F.broadcast(g_all))
+        .join(c_src, ["source", "L"], "left")
+        .select(
+            "source",
+            "L",
+            "na",
+            F.coalesce("cnt", F.lit(0)).cast("double").alias("cnt_src"),
+            F.col("cnt_all").cast("double").alias("cnt_all"),
+        )
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("L")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    ecdf = grid.select(
+        "source",
+        "na",
+        F.sum("cnt_src").over(w).alias("cum_src"),
+        F.sum(F.col("cnt_all") - F.col("cnt_src")).over(w).alias("cum_rest"),
+    )
+    ks = (
+        ecdf.crossJoin(tot)
+        .filter((F.col("na") > 0) & (F.col("n") - F.col("na") > 0))
+        .groupBy("source")
+        .agg(
+            F.max(
+                F.abs(
+                    F.col("cum_src") / F.col("na")
+                    - F.col("cum_rest") / (F.col("n") - F.col("na"))
+                )
+            ).alias("d_stat"),
+            F.first("na").alias("na"),
+            F.first(F.col("n") - F.col("na")).alias("nb"),
+        )
+    )
+    crit = F.lit(KS_ALPHA_C) * F.sqrt(
+        (F.col("na") + F.col("nb")) / (F.col("na") * F.col("nb"))
+    )
+    return ks.select(
+        "source",
+        rfix(F.col("d_stat"), 6).alias("ks_d"),
+        F.col("na").cast("long").alias("n_source"),
+        F.col("nb").cast("long").alias("n_rest"),
+        rfix(crit, 6).alias("critical_d"),
+        (F.col("d_stat") > crit).alias("drift_flag"),
+    )
+
+
+DRAFTS["text_ks_length_drift"] = (text_ks_length_drift, KS_ORACLE)
+
+
+# ---------------------------------------------------------------------------
+# Weighted median: smallest price whose cumulative quantity weight reaches
+# half the group total — the robust "typical traded price" scalar no
+# built-in aggregate covers (percentile_* are row-weighted).
+
+WMEDIAN_ORACLE = """
+WITH pw AS (
+    SELECT l_returnflag AS flag, l_extendedprice AS price,
+           sum(l_quantity) AS w
+    FROM lineitem GROUP BY 1, 2
+),
+cum AS (
+    SELECT flag, price, w,
+           sum(w) OVER (PARTITION BY flag ORDER BY price
+                        ROWS UNBOUNDED PRECEDING) AS cw,
+           sum(w) OVER (PARTITION BY flag) AS tw
+    FROM pw
+),
+hit AS (
+    SELECT flag, price, tw,
+           row_number() OVER (PARTITION BY flag ORDER BY price) AS rn
+    FROM cum WHERE 2 * cw >= tw
+)
+SELECT flag AS l_returnflag,
+       price AS weighted_median_price,
+       CAST(tw AS BIGINT) AS total_weight
+FROM hit WHERE rn = 1
+"""
+
+
+def f16_weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-returnflag QUANTITY-weighted median price: collapse to distinct
+    prices with summed weights, cumulative weight in price order, first
+    price where 2·cum ≥ total. Quantities are integer-valued, so every
+    comparison is exact integer arithmetic and the emitted price is a raw
+    storage value — no float canonicalization needed anywhere.
+
+    Scale shape: one (flag, price)-keyed collapse of the fact scan
+    (map-side partial), then group-partitioned cumulative/rank windows
+    over the distinct-price domain and a first-hit filter. The 2·cum ≥
+    total form avoids division entirely.
+    """
+    li = spread(table(spark, sf_dir, "lineitem"))
+    pw = li.groupBy(
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_extendedprice").alias("price"),
+    ).agg(F.sum("l_quantity").alias("w"))
+    wcum = (
+        Window.partitionBy("flag")
+        .orderBy("price")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wtot = Window.partitionBy("flag")
+    cum = pw.select(
+        "flag",
+        "price",
+        F.sum("w").over(wcum).alias("cw"),
+        F.sum("w").over(wtot).alias("tw"),
+    )
+    first = Window.partitionBy("flag").orderBy("price")
+    return (
+        cum.filter(2 * F.col("cw") >= F.col("tw"))
+        .withColumn("rn", F.row_number().over(first))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("flag").alias("l_returnflag"),
+            F.col("price").alias("weighted_median_price"),
+            F.col("tw").cast("long").alias("total_weight"),
+        )
+    )
+
+
+DRAFTS["f16_weighted_median_price"] = (f16_weighted_median_price, WMEDIAN_ORACLE)
