@@ -618,3 +618,65 @@ def test_weighted_median_constructed(spark, tmp_path_factory):
     # total weight 14, half 7 -> first cum >= 7 is price 50 (cum 14)
     assert r.weighted_median_price == 50.0
     assert r.total_weight == 14
+
+
+# ---------------------------------------------------------------------------
+# Heaps' law: monotone curve, vocab bounded by tokens, full decile grid.
+
+
+def test_heaps_curve_shape(spark):
+    rows = sorted(_rows(spark, "diag_heaps_vocab_growth"), key=lambda r: r.decile)
+    assert [r.decile for r in rows] == list(range(1, 11))
+    prev_t, prev_v = 0, 0
+    for r in rows:
+        assert r.cum_tokens >= prev_t and r.cum_vocab >= prev_v
+        assert r.cum_vocab <= r.cum_tokens
+        prev_t, prev_v = r.cum_tokens, r.cum_vocab
+    betas = {r.heaps_beta for r in rows}
+    assert len(betas) == 1
+    (beta,) = betas
+    # the sf corpus has a CLOSED ~31-token vocabulary: the whole vocab
+    # appears in decile 1, so the fitted exponent is exactly 0 — the
+    # "tokenizer pathology" the docstring describes, detected correctly
+    assert 0 <= beta <= 1.0
+
+
+def test_heaps_beta_near_one_on_open_vocab(spark, tmp_path_factory):
+    # every doc contributes brand-new tokens -> vocab grows linearly with
+    # tokens -> fitted exponent ~1
+    texts = [
+        " ".join(f"tok{i}_{j}" for j in range(10)) for i in range(50)
+    ]
+    d = _synth_dir(
+        tmp_path_factory,
+        {
+            "documents": {
+                "doc_id": list(range(50)),
+                "text": texts,
+                "lang": ["en"] * 50,
+                "source": ["s"] * 50,
+                "n_chars": [len(t) for t in texts],
+            }
+        },
+    )
+    rows = _rows(spark, "diag_heaps_vocab_growth", d)
+    assert rows
+    (beta,) = {r.heaps_beta for r in rows}
+    assert 0.98 <= beta <= 1.0
+    for r in rows:
+        assert r.cum_vocab == r.cum_tokens, "all-unique corpus: V == N"
+
+
+# ---------------------------------------------------------------------------
+# boosting: round 1 equals the standalone stump; upweighting is non-empty
+# on imperfect data; both impurities well-formed.
+
+
+def test_boosting_round_consistency(spark):
+    (b,) = _rows(spark, "ml_boosting_round_stumps")
+    (s,) = _rows(spark, "ml_decision_stump_returns")
+    assert b.r1_threshold == s.threshold
+    assert abs(b.r1_gini - s.split_gini) < 1e-9
+    assert b.n_upweighted > 0, "sf data is not perfectly separable"
+    assert 0 <= b.r2_weighted_gini <= 0.5
+    assert b.r1_left_label in ("R", "N") and b.r1_right_label in ("R", "N")

@@ -364,3 +364,52 @@ def test_kalman_matches_python_recurrence(spark, random_revenue_dir):
         assert abs(r.level_estimate - _r2(xe)) < 1e-9
         assert abs(r.error_variance - _r2(pe)) < 1e-9
         assert abs(r.kalman_gain - math.floor(ke * 1e6 + 0.5) / 1e6) < 1e-9
+
+
+def test_boosting_round_matches_python_model(spark, random_stump_dir):
+    sf_dir, rows = random_stump_dir
+    (got,) = DRAFTS["ml_boosting_round_stumps"][0](spark, sf_dir).collect()
+
+    def weighted_best(wrows):
+        best = None
+        n = sum(w for _, _, w in wrows)
+        for t in sorted({q for q, _, _ in wrows}):
+            left = [(f, w) for q, f, w in wrows if q <= t]
+            right = [(f, w) for q, f, w in wrows if q > t]
+            nl = sum(w for _, w in left)
+            nr = sum(w for _, w in right)
+            if nr == 0 or nl == 0:
+                continue
+
+            def gini(part, tot):
+                p = sum(w for f, w in part if f == "R") / tot
+                return 1 - p * p - (1 - p) * (1 - p)
+
+            g = nl / n * gini(left, nl) + nr / n * gini(right, nr)
+            key = (math.floor(g * 1e6 + 0.5), t)
+            if best is None or key < best[0]:
+                best = (key, t, g, left, right)
+        return best
+
+    w1 = [(q, f, 1) for q, f in rows]
+    _, t1, g1, left, right = weighted_best(w1)
+    left_r = 2 * sum(w for f, w in left if f == "R") >= sum(w for _, w in left)
+    right_r = 2 * sum(w for f, w in right if f == "R") >= sum(w for _, w in right)
+    mis = [
+        (q, f)
+        for q, f in rows
+        if (q <= t1 and (f == "R") != left_r) or (q > t1 and (f == "R") != right_r)
+    ]
+    w2 = [
+        (q, f, 2 if ((q <= t1 and (f == "R") != left_r)
+                     or (q > t1 and (f == "R") != right_r)) else 1)
+        for q, f in rows
+    ]
+    _, t2, g2, _, _ = weighted_best(w2)
+    assert got.r1_threshold == t1
+    assert abs(got.r1_gini - math.floor(g1 * 1e6 + 0.5) / 1e6) < 1e-9
+    assert got.r1_left_label == ("R" if left_r else "N")
+    assert got.r1_right_label == ("R" if right_r else "N")
+    assert got.n_upweighted == len(mis)
+    assert got.r2_threshold == t2
+    assert abs(got.r2_weighted_gini - math.floor(g2 * 1e6 + 0.5) / 1e6) < 1e-9

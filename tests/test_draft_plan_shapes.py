@@ -103,6 +103,12 @@ _SHAPES = {
     "text_ks_length_drift": (3, 3, 1, 1),
     # one (flag, price) collapse; group-partitioned cumulative windows
     "f16_weighted_median_price": (2, 0, 3, 0),
+    # token-keyed first-seen + count aggregates; decile-row windows; the
+    # doc dense-rank runs on the id dimension
+    "diag_heaps_vocab_growth": (3, 9, 5, 1),
+    # two stump passes; stump-1 scalars broadcast over the second scan;
+    # value-domain-bounded windows only
+    "ml_boosting_round_stumps": (2, 7, 6, 0),
 }
 
 

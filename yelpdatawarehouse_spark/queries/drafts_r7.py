@@ -1969,3 +1969,306 @@ def f16_weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 DRAFTS["f16_weighted_median_price"] = (f16_weighted_median_price, WMEDIAN_ORACLE)
+
+
+# ---------------------------------------------------------------------------
+# Heaps'-law vocabulary growth: cumulative distinct-token count at each
+# corpus decile WITHOUT re-scanning prefixes — a token's first occurrence
+# (min doc_id) decides the decile where it becomes "new", so one aggregate
+# per token yields the whole curve; an inline OLS fit in log space
+# estimates the Heaps exponent.
+
+HEAPS_BUCKETS = 10
+
+HEAPS_ORACLE = f"""
+WITH toks AS (
+    SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM documents
+),
+nd AS (SELECT count(*)::DOUBLE AS n_docs FROM toks),
+tok AS (
+    SELECT doc_id, t[CAST(idx.i AS INT)] AS w
+    FROM toks, (SELECT unnest(range(1, 4097)) AS i) idx
+    WHERE idx.i <= len(t)
+),
+rankd AS (
+    SELECT doc_id, dense_rank() OVER (ORDER BY doc_id) AS dr FROM (SELECT DISTINCT doc_id FROM toks)
+),
+bucketed AS (
+    SELECT t.doc_id, t.w,
+           least(CAST(ceil(r.dr * {HEAPS_BUCKETS} / (SELECT n_docs FROM nd)) AS BIGINT),
+                 {HEAPS_BUCKETS}) AS b
+    FROM tok t JOIN rankd r ON r.doc_id = t.doc_id
+),
+first_seen AS (SELECT w, min(b) AS fb FROM bucketed GROUP BY w),
+newv AS (SELECT fb AS b, count(*)::DOUBLE AS new_tokens FROM first_seen GROUP BY fb),
+tokcnt AS (SELECT b, count(*)::DOUBLE AS n_tokens FROM bucketed GROUP BY b),
+curve AS (
+    SELECT tc.b,
+           sum(tc.n_tokens) OVER (ORDER BY tc.b ROWS UNBOUNDED PRECEDING) AS cum_tokens,
+           sum(coalesce(nv.new_tokens, 0)) OVER (ORDER BY tc.b ROWS UNBOUNDED PRECEDING)
+               AS cum_vocab
+    FROM tokcnt tc LEFT JOIN newv nv ON nv.b = tc.b
+),
+pts AS (SELECT b, cum_tokens, cum_vocab, ln(cum_tokens) AS lx, ln(cum_vocab) AS ly
+        FROM curve WHERE cum_tokens > 0 AND cum_vocab > 0),
+fit AS (
+    SELECT count(*)::DOUBLE AS n, sum(lx) AS sx, sum(ly) AS sy,
+           sum(lx * lx) AS sxx, sum(lx * ly) AS sxy
+    FROM pts
+)
+SELECT CAST(p.b AS BIGINT) AS decile,
+       CAST(p.cum_tokens AS BIGINT) AS cum_tokens,
+       CAST(p.cum_vocab AS BIGINT) AS cum_vocab,
+       CASE WHEN f.n >= 2 AND f.n * f.sxx - f.sx * f.sx > 0
+            THEN {rfix_sql('(f.n * f.sxy - f.sx * f.sy) / (f.n * f.sxx - f.sx * f.sx)', 4)}
+       END AS heaps_beta
+FROM pts p CROSS JOIN fit f
+"""
+
+
+def diag_heaps_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary growth curve: cumulative token and distinct-
+    vocabulary counts at each corpus decile (documents ordered by id and
+    dense-ranked into {HEAPS_BUCKETS} equal slices), plus the fitted
+    Heaps exponent β from an inline OLS of ln V on ln N (guarded moment
+    slope — the a_stats_aggregates discipline). β ∈ (0,1) on natural
+    corpora; a β near 1 means near-unbounded vocabulary (tokenizer or
+    ingest pathology), the triage a BPE-training pipeline runs first.
+
+    Scale shape: the cumulative-distinct curve needs NO prefix rescans —
+    a token's FIRST bucket (one min per token, map-side partial) decides
+    where it increments the curve, so the whole thing is two token-keyed
+    aggregates plus {HEAPS_BUCKETS}-row windows and a broadcast 1-row
+    OLS fit. The doc dense-rank runs on the doc-id DIMENSION, not the
+    token stream.
+    """
+    from ..functions import text as T
+
+    d = spread(table(spark, sf_dir, "documents"))
+    nd = F.broadcast(
+        d.agg(F.count("*").cast("double").alias("n_docs"))
+    )
+    ids = d.select("doc_id").distinct()
+    rankd = ids.select(
+        "doc_id", F.dense_rank().over(Window.orderBy("doc_id")).alias("dr")
+    )
+    tok = d.select("doc_id", F.explode(T.tokens("text")).alias("w"))
+    bucketed = (
+        tok.join(rankd, "doc_id")
+        .crossJoin(nd)
+        .select(
+            "w",
+            F.least(
+                F.ceil(F.col("dr") * HEAPS_BUCKETS / F.col("n_docs")).cast("long"),
+                F.lit(HEAPS_BUCKETS),
+            ).alias("b"),
+        )
+    )
+    first_seen = bucketed.groupBy("w").agg(F.min("b").alias("fb"))
+    newv = first_seen.groupBy(F.col("fb").alias("b")).agg(
+        F.count("*").cast("double").alias("new_tokens")
+    )
+    tokcnt = bucketed.groupBy("b").agg(F.count("*").cast("double").alias("n_tokens"))
+    wcum = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, 0)
+    curve = (
+        tokcnt.join(newv, "b", "left")
+        .select(
+            "b",
+            F.sum("n_tokens").over(wcum).alias("cum_tokens"),
+            F.sum(F.coalesce("new_tokens", F.lit(0.0))).over(wcum).alias("cum_vocab"),
+        )
+    )
+    pts = curve.filter((F.col("cum_tokens") > 0) & (F.col("cum_vocab") > 0)).select(
+        "b",
+        "cum_tokens",
+        "cum_vocab",
+        F.log("cum_tokens").alias("lx"),
+        F.log("cum_vocab").alias("ly"),
+    )
+    n = F.count("*").cast("double")
+    sx, sy = F.sum("lx"), F.sum("ly")
+    sxx, sxy = F.sum(F.col("lx") * F.col("lx")), F.sum(F.col("lx") * F.col("ly"))
+    vx = n * sxx - sx * sx
+    fit = F.broadcast(
+        pts.agg(
+            F.when((n >= 2) & (vx > 0), (n * sxy - sx * sy) / vx).alias("beta")
+        )
+    )
+    return pts.crossJoin(fit).select(
+        F.col("b").cast("long").alias("decile"),
+        F.col("cum_tokens").cast("long").alias("cum_tokens"),
+        F.col("cum_vocab").cast("long").alias("cum_vocab"),
+        rfix(F.col("beta"), 4).alias("heaps_beta"),
+    )
+
+
+DRAFTS["diag_heaps_vocab_growth"] = (diag_heaps_vocab_growth, HEAPS_ORACLE)
+
+
+# ---------------------------------------------------------------------------
+# One boosting round over decision stumps: train stump 1, DOUBLE the
+# weight of its misclassified rows (integer reweighting keeps every
+# impurity an exact rational), train stump 2 on the reweighted sample —
+# AdaBoost's inner loop as two aggregation passes.
+
+
+def _wstump_sql(w_expr: str, out: str) -> str:
+    """Weighted-stump CTE chain: per-quantity weighted class counts ->
+    cumulative split stats -> weighted Gini -> canonicalized argmin."""
+    return f"""
+pts_{out} AS (
+    SELECT l_quantity AS q,
+           sum({w_expr})::DOUBLE AS n,
+           sum(CASE WHEN l_returnflag = 'R' THEN {w_expr} ELSE 0 END)::DOUBLE
+               AS pos
+    FROM lineitem GROUP BY 1
+),
+cum_{out} AS (
+    SELECT q,
+           sum(n) OVER (ORDER BY q ROWS UNBOUNDED PRECEDING) AS n_le,
+           sum(pos) OVER (ORDER BY q ROWS UNBOUNDED PRECEDING) AS pos_le,
+           (SELECT sum(n) FROM pts_{out}) AS nn,
+           (SELECT sum(pos) FROM pts_{out}) AS pp
+    FROM pts_{out}
+),
+split_{out} AS (
+    SELECT q, n_le, pos_le, nn - n_le AS n_gt, pp - pos_le AS pos_gt,
+           (n_le / nn) * (1 - pow(pos_le / n_le, 2)
+                            - pow((n_le - pos_le) / n_le, 2))
+           + ((nn - n_le) / nn) * (1 - pow((pp - pos_le) / (nn - n_le), 2)
+                                     - pow((nn - n_le - (pp - pos_le)) / (nn - n_le), 2))
+               AS gini
+    FROM cum_{out} WHERE nn - n_le > 0 AND n_le > 0
+),
+{out} AS (
+    SELECT q, gini, n_le, pos_le, n_gt, pos_gt,
+           row_number() OVER (ORDER BY floor(gini * 1e6 + 0.5) ASC, q ASC) AS rn
+    FROM split_{out}
+)"""
+
+
+BOOST_ORACLE = f"""
+WITH {_wstump_sql('1', 'best1')},
+s1 AS (
+    SELECT q AS t1,
+           (2 * pos_le >= n_le) AS left_r,
+           (2 * pos_gt >= n_gt) AS right_r,
+           gini AS g1
+    FROM best1 WHERE rn = 1
+),
+{_wstump_sql('''CASE WHEN (l_quantity <= (SELECT t1 FROM s1)
+                      AND (l_returnflag = 'R') <> (SELECT left_r FROM s1))
+                  OR (l_quantity > (SELECT t1 FROM s1)
+                      AND (l_returnflag = 'R') <> (SELECT right_r FROM s1))
+             THEN 2 ELSE 1 END''', 'best2')},
+upw AS (
+    SELECT count(*)::BIGINT AS n_up
+    FROM lineitem
+    WHERE (l_quantity <= (SELECT t1 FROM s1)
+           AND (l_returnflag = 'R') <> (SELECT left_r FROM s1))
+       OR (l_quantity > (SELECT t1 FROM s1)
+           AND (l_returnflag = 'R') <> (SELECT right_r FROM s1))
+)
+SELECT CAST(s1.t1 AS BIGINT) AS r1_threshold,
+       {rfix_sql('s1.g1', 6)} AS r1_gini,
+       CASE WHEN s1.left_r THEN 'R' ELSE 'N' END AS r1_left_label,
+       CASE WHEN s1.right_r THEN 'R' ELSE 'N' END AS r1_right_label,
+       (SELECT n_up FROM upw) AS n_upweighted,
+       CAST(b2.q AS BIGINT) AS r2_threshold,
+       {rfix_sql('b2.gini', 6)} AS r2_weighted_gini
+FROM s1, best2 b2 WHERE b2.rn = 1
+"""
+
+
+def ml_boosting_round_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One boosting round: stump 1 on uniform weights (branch labels =
+    weighted majorities, ties to 'R' via 2·pos ≥ n on both sides), its
+    misclassified rows upweighted ×2 (INTEGER reweighting — every Gini
+    stays an exact rational of integer sums, so cross-engine parity is
+    exact), stump 2 trained on the reweighted sample. Splits with an
+    empty side are excluded from both rounds' argmin.
+
+    Scale shape: two passes of the stump collapse (value-domain
+    aggregate + domain-bounded windows, ml_decision_stump_returns'
+    argument); stump 1's three scalars ride back over the second scan
+    as a broadcast 1-row frame. The fact scan runs twice — the classic
+    boosting trade, each pass map-side-partial.
+    """
+    li = spread(table(spark, sf_dir, "lineitem")).select(
+        "l_quantity", "l_returnflag"
+    )
+    is_pos = (F.col("l_returnflag") == "R").cast("int")
+
+    def weighted_stump(df, w):
+        pts = df.groupBy(F.col("l_quantity").alias("q")).agg(
+            F.sum(w).cast("double").alias("n"),
+            F.sum(w * is_pos).cast("double").alias("pos"),
+        )
+        win = Window.orderBy("q").rowsBetween(Window.unboundedPreceding, 0)
+        totals = F.broadcast(
+            pts.agg(F.sum("n").alias("nn"), F.sum("pos").alias("pp"))
+        )
+        cum = pts.select(
+            "q",
+            F.sum("n").over(win).alias("n_le"),
+            F.sum("pos").over(win).alias("pos_le"),
+        ).crossJoin(totals)
+        n_gt = F.col("nn") - F.col("n_le")
+        pos_gt = F.col("pp") - F.col("pos_le")
+        gini = (F.col("n_le") / F.col("nn")) * (
+            1
+            - F.pow(F.col("pos_le") / F.col("n_le"), 2)
+            - F.pow((F.col("n_le") - F.col("pos_le")) / F.col("n_le"), 2)
+        ) + (n_gt / F.col("nn")) * (
+            1 - F.pow(pos_gt / n_gt, 2) - F.pow((n_gt - pos_gt) / n_gt, 2)
+        )
+        split = cum.filter((n_gt > 0) & (F.col("n_le") > 0)).select(
+            "q", "n_le", "pos_le", n_gt.alias("n_gt"), pos_gt.alias("pos_gt"),
+            gini.alias("gini"),
+        )
+        rank_w = Window.orderBy(
+            F.floor(F.col("gini") * 1e6 + 0.5).asc(), F.col("q").asc()
+        )
+        return (
+            split.withColumn("rn", F.row_number().over(rank_w))
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+        )
+
+    s1 = F.broadcast(
+        weighted_stump(li, F.lit(1)).select(
+            F.col("q").alias("t1"),
+            (2 * F.col("pos_le") >= F.col("n_le")).alias("left_r"),
+            (2 * F.col("pos_gt") >= F.col("n_gt")).alias("right_r"),
+            F.col("gini").alias("g1"),
+        )
+    )
+    li1 = li.crossJoin(s1)
+    mis = (
+        (F.col("l_quantity") <= F.col("t1"))
+        & ((F.col("l_returnflag") == "R") != F.col("left_r"))
+    ) | (
+        (F.col("l_quantity") > F.col("t1"))
+        & ((F.col("l_returnflag") == "R") != F.col("right_r"))
+    )
+    w2 = F.when(mis, 2).otherwise(1)
+    upw = F.broadcast(
+        li1.filter(mis).agg(F.count("*").cast("long").alias("n_up"))
+    )
+    s2 = weighted_stump(li1, w2)
+    return (
+        s2.crossJoin(s1)
+        .crossJoin(upw)
+        .select(
+            F.col("t1").cast("long").alias("r1_threshold"),
+            rfix(F.col("g1"), 6).alias("r1_gini"),
+            F.when(F.col("left_r"), "R").otherwise("N").alias("r1_left_label"),
+            F.when(F.col("right_r"), "R").otherwise("N").alias("r1_right_label"),
+            F.col("n_up").alias("n_upweighted"),
+            F.col("q").cast("long").alias("r2_threshold"),
+            rfix(F.col("gini"), 6).alias("r2_weighted_gini"),
+        )
+    )
+
+
+DRAFTS["ml_boosting_round_stumps"] = (ml_boosting_round_stumps, BOOST_ORACLE)
