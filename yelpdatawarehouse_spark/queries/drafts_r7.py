@@ -2272,3 +2272,117 @@ def ml_boosting_round_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 DRAFTS["ml_boosting_round_stumps"] = (ml_boosting_round_stumps, BOOST_ORACLE)
+
+
+# ---------------------------------------------------------------------------
+# Welch's unequal-variance t-test: do URGENT and LOW priority orders have
+# different mean order values? The classic two-sample location test every
+# experimentation warehouse ships (and the degrees-of-freedom formula is
+# the part everyone gets wrong). One conditional-aggregate pass.
+
+WELCH_A = "1-URGENT"
+WELCH_B = "5-LOW"
+_W_SCALE = 1e5  # o_totalprice / 1e5 keeps every moment O(1..10^4)
+
+WELCH_ORACLE = f"""
+WITH m AS (
+    SELECT
+        sum(CASE WHEN o_orderpriority = '{WELCH_A}' THEN 1 ELSE 0 END)::DOUBLE AS n1,
+        {rfix_sql(f"sum(CASE WHEN o_orderpriority = '{WELCH_A}' THEN o_totalprice / {_W_SCALE} END)", 6)} AS s1,
+        {rfix_sql(f"sum(CASE WHEN o_orderpriority = '{WELCH_A}' THEN o_totalprice * o_totalprice / ({_W_SCALE} * {_W_SCALE}) END)", 6)} AS q1,
+        sum(CASE WHEN o_orderpriority = '{WELCH_B}' THEN 1 ELSE 0 END)::DOUBLE AS n2,
+        {rfix_sql(f"sum(CASE WHEN o_orderpriority = '{WELCH_B}' THEN o_totalprice / {_W_SCALE} END)", 6)} AS s2,
+        {rfix_sql(f"sum(CASE WHEN o_orderpriority = '{WELCH_B}' THEN o_totalprice * o_totalprice / ({_W_SCALE} * {_W_SCALE}) END)", 6)} AS q2
+    FROM orders
+    WHERE o_orderpriority IN ('{WELCH_A}', '{WELCH_B}')
+),
+d AS (
+    SELECT n1, n2, s1 / n1 AS m1, s2 / n2 AS m2,
+           (q1 - s1 * s1 / n1) / (n1 - 1) AS v1,
+           (q2 - s2 * s2 / n2) / (n2 - 1) AS v2
+    FROM m WHERE n1 >= 2 AND n2 >= 2
+)
+SELECT CAST(n1 AS BIGINT) AS n_urgent,
+       CAST(n2 AS BIGINT) AS n_low,
+       {rfix_sql(f"m1 * {_W_SCALE}", 2)} AS mean_urgent,
+       {rfix_sql(f"m2 * {_W_SCALE}", 2)} AS mean_low,
+       CASE WHEN v1 / n1 + v2 / n2 > 0 THEN
+           {rfix_sql("(m1 - m2) / sqrt(v1 / n1 + v2 / n2)", 4)}
+       END AS t_stat,
+       CASE WHEN v1 > 0 AND v2 > 0 THEN
+           {rfix_sql(
+               "pow(v1 / n1 + v2 / n2, 2)"
+               " / (pow(v1 / n1, 2) / (n1 - 1) + pow(v2 / n2, 2) / (n2 - 1))",
+               2)}
+       END AS welch_df
+FROM d
+"""
+
+
+def a_welch_ttest_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance two-sample t-test between URGENT and LOW
+    priority order values: group moments in ONE conditional-aggregate
+    pass, then the t statistic and the Welch–Satterthwaite degrees of
+    freedom from the canonicalized moments.
+
+    Float discipline (the t22 model): the ONLY unordered reductions are
+    the four sums, each canonicalized (rfix 6dp) on a /1e5-scaled
+    variable so every moment stays O(1e4) — far inside exact-decimal
+    double range at any SF; all downstream arithmetic (means, variances,
+    t, df) then runs on bit-identical doubles in both engines. Variances
+    come from guarded raw moments, not var_samp: ANSI Spark throws on
+    the n=1 group where DuckDB returns NULL, and the engines' streaming
+    co-moment merges differ in association order (the a_stats_aggregates
+    rule).
+
+    Scale shape: one pushed-filter scan, map-side partial aggregation of
+    six fixed-width accumulators, a single 1-row reduce — no joins, no
+    windows; the same shape at 100 TB.
+    Reference analog: none (reference computes plain AVGs,
+    webapp/mysql_routes.py:434-441); beyond-reference stats surface.
+    """
+    o = spread(table(spark, sf_dir, "orders"))
+    x = F.col("o_totalprice") / _W_SCALE
+    in_a = F.col("o_orderpriority") == WELCH_A
+    in_b = F.col("o_orderpriority") == WELCH_B
+    m = o.filter(in_a | in_b).agg(
+        F.sum(in_a.cast("int")).cast("double").alias("n1"),
+        rfix(F.sum(F.when(in_a, x)), 6).alias("s1"),
+        rfix(F.sum(F.when(in_a, x * x)), 6).alias("q1"),
+        F.sum(in_b.cast("int")).cast("double").alias("n2"),
+        rfix(F.sum(F.when(in_b, x)), 6).alias("s2"),
+        rfix(F.sum(F.when(in_b, x * x)), 6).alias("q2"),
+    )
+    n1, n2 = F.col("n1"), F.col("n2")
+    d = m.filter((n1 >= 2) & (n2 >= 2)).select(
+        n1,
+        n2,
+        (F.col("s1") / n1).alias("m1"),
+        (F.col("s2") / n2).alias("m2"),
+        ((F.col("q1") - F.col("s1") * F.col("s1") / n1) / (n1 - 1)).alias("v1"),
+        ((F.col("q2") - F.col("s2") * F.col("s2") / n2) / (n2 - 1)).alias("v2"),
+    )
+    se2 = F.col("v1") / n1 + F.col("v2") / n2
+    return d.select(
+        n1.cast("long").alias("n_urgent"),
+        n2.cast("long").alias("n_low"),
+        rfix(F.col("m1") * _W_SCALE, 2).alias("mean_urgent"),
+        rfix(F.col("m2") * _W_SCALE, 2).alias("mean_low"),
+        F.when(se2 > 0, rfix((F.col("m1") - F.col("m2")) / F.sqrt(se2), 4)).alias(
+            "t_stat"
+        ),
+        F.when(
+            (F.col("v1") > 0) & (F.col("v2") > 0),
+            rfix(
+                F.pow(se2, 2)
+                / (
+                    F.pow(F.col("v1") / n1, 2) / (n1 - 1)
+                    + F.pow(F.col("v2") / n2, 2) / (n2 - 1)
+                ),
+                2,
+            ),
+        ).alias("welch_df"),
+    )
+
+
+DRAFTS["a_welch_ttest_priorities"] = (a_welch_ttest_priorities, WELCH_ORACLE)
