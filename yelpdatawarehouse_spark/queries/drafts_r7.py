@@ -2039,19 +2039,21 @@ def diag_heaps_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     a token's FIRST bucket (one min per token, map-side partial) decides
     where it increments the curve, so the whole thing is two token-keyed
     aggregates plus {HEAPS_BUCKETS}-row windows and a broadcast 1-row
-    OLS fit. The doc dense-rank runs on the doc-id DIMENSION, not the
-    token stream.
+    OLS fit. The doc rank runs on the doc-id DIMENSION via
+    operators/ranks.exact_global_rank (range-partitioned local
+    row_number + broadcast partition-count offsets) — no un-partitioned
+    window anywhere, so no single task ever sorts the whole dimension.
+    doc_id is unique after the distinct, so row_number == dense_rank.
     """
     from ..functions import text as T
+    from ..operators.ranks import exact_global_rank
 
     d = spread(table(spark, sf_dir, "documents"))
     nd = F.broadcast(
         d.agg(F.count("*").cast("double").alias("n_docs"))
     )
     ids = d.select("doc_id").distinct()
-    rankd = ids.select(
-        "doc_id", F.dense_rank().over(Window.orderBy("doc_id")).alias("dr")
-    )
+    rankd = exact_global_rank(ids, "doc_id", rank_col="dr")
     tok = d.select("doc_id", F.explode(T.tokens("text")).alias("w"))
     bucketed = (
         tok.join(rankd, "doc_id")
