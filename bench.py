@@ -39,74 +39,13 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     # Headline set: the heavy/representative operators (joins that shuffle,
-    # exact distincts, windows, dedup/similarity). Everything else in the
-    # registry is dominated by these shapes.
-    headline = [
-        "j1_multiway_revenue",
-        "j5_copurchase_pairs",
-        "j6_two_hop_supplier_pairs",
-        "a8_distinct_parts_per_customer",
-        "a14_customer_summary_rebuild",
-        "w3_running_avg_per_customer",
-        "t7_hourly_tumbling_window",
-        "j9_date_spine_join",
-    ]
-    # include event-time + LLM-pipeline ops when present
-    for opt in (
-        "g_pagerank_nations",
-        "a_funnel_signup_view_purchase",
-        "t8_sessionization",
-        "j11_asof_join_last_view",
-        "j12_range_join_bucketed",
-        "dedup_minhash_lsh_candidates",
-        "dedup_ngram_jaccard_pairs",
-        "ann_topk_cosine",
-        "ann_ivf_topk",
-        "ann_lsh_bucket_topk",
-        "text_quality_scores",
-        "text_tfidf_top_terms",
-        "text_chunk_sliding",
-        "emb_kmeans_assign_stats",
-        "dedup_cross_split_contamination",
-        "j13_local_supplier_volume",
-        "j14_unshipped_value_topk",
-        "g_triangle_support",
-        "a_sketch_rollup_regions",
-        "mm_frame_sample",
-        "j15_asof_next_purchase",
-        "text_pack_bins",
-        "q1_pricing_summary",
-        "w7_activity_islands",
-        "text_token_stats",
-        "text_dup_shingle_coverage",
-        "sample_temperature_mix",
-        "scd2_state_intervals",
-        "j16_bloom_semi_filter",
-        "text_unigram_logprob",
-        "mm_png_decode_roundtrip",
-        "sample_token_budget_fill",
-        "pipeline_corpus_curation",
-        "emb_power_iteration_step",
-        "ann_recall_eval",
-        "dedup_fuzzy_name_pairs",
-        "text_bpe_pair_counts",
-        "sample_domain_cap",
-        "dedup_span_first_occurrence",
-        "emb_matryoshka_fidelity",
-        "ml_logreg_grad_step",
-        "text_bpe_one_merge_compression",
-        "mm_wav_decode_features",
-        "a_sketch_vocab_overlap",
-        "j17_small_quantity_revenue",
-        "emb_kmeans_train_stats",
-        "t9_session_window_native",
-        "j18_sole_blame_supplier",
-        "text_entropy_by_source",
-        "a_conversion_lag_quantiles",
-        "ann_ivf_recall_eval",
-    ):
-        if opt in registry:
-            headline.append(opt)
+    # exact distincts, windows, dedup/similarity, iterative graph). Single-
+    # sourced with the PLANS.md audit so every timed query also has a plan
+    # row of record.
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from tools.plan_report import HEADLINE
+
+    headline = [name for name in HEADLINE if name in registry]
 
     timings: dict[str, float] = {}
     # one warm-up action so JVM/codegen startup isn't billed to the first query

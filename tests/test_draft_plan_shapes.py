@@ -25,8 +25,6 @@ DRAFTS = all_drafts()
 SF = "/root/testdata/sf0.001"
 
 _SHAPES = {
-    # prefix tokens + sizes ride vocab/doc-sized joins; both doc scans pruned
-    "dedup_prefix_filter_jaccard": (3, 5, 0, 2),
     # two counting collapses; unigram sides + totals broadcast onto pairs
     "text_pmi_collocations": (2, 4, 0, 0),
     # two percentile reductions broadcast back; outlier filter is scan-side
@@ -53,20 +51,9 @@ _SHAPES = {
     "ml_bootstrap_mean_ci": (0, 0, 0, 0),
     # decile edges + totals broadcast; pushed reference-priority filter
     "diag_psi_priority_drift": (1, 2, 0, 1),
-    # skyline via day-collapse + day-spine suffix-max + broadcast join —
-    # the pin that keeps the x35-at-20x two-phase row-window form out
-    "o7_pareto_front_orders": (1, 1, 1, 0),
     # --- round-7 drafts ---
     # pushed ship-date scan, one supplier rollup; max + dim broadcast
     "j22_top_supplier_q15": (2, 2, 0, 3),
-    # the edge set is eagerly checkpoint-pinned (unpinned, each of its
-    # four consumers re-plans the 4-way fact join: 64 FileScans); the
-    # final plan is node-scale wedge/degree/anti joins only
-    "g_adamic_adar_nations": (6, 0, 0, 0),
-    # peel rounds are eagerly checkpoint-pinned (an unpinned loop
-    # triples the subtree per round: ~500 FileScans, 13s at sf0.1), so
-    # the FINAL plan is one degree aggregate over the pinned edge set
-    "g_kcore_parts": (1, 0, 0, 0),
     # model aggregates + token-keyed scoring join; class dim broadcast;
     # one bounded per-doc argmax window
     "ml_naive_bayes_confusion": (9, 4, 1, 6),
@@ -77,8 +64,6 @@ _SHAPES = {
     "ml_ridge_normal_eq": (0, 0, 0, 0),
     # day-spine collapse then a single fold — one exchange total
     "t21_holt_linear_daily": (1, 0, 0, 0),
-    # kernel fingerprints, band-keyed candidate join, hamming verify
-    "mm_ahash_near_dup_pairs": (2, 1, 0, 1),
     # token-keyed joins; doc-partitioned run-id window re-planned per
     # branch (4x); top-k is TakeOrdered, never a global sort
     "text_rake_keywords": (4, 3, 4, 1),

@@ -119,6 +119,37 @@ _SHAPES = {
     # panel-bounded eval mirroring ann_recall_eval for the IVF index:
     # centroids/panel/rollups ride broadcasts, truth window + small aggs
     "ann_ivf_recall_eval": (5, 4, 1, 2),
+    # --- round-6 headline promotions (former draft layer) ---
+    # peel rounds are eagerly checkpoint-pinned (an unpinned loop
+    # triples the subtree per round: ~500 FileScans, 13s at sf0.1), so
+    # the FINAL plan is one degree aggregate over the pinned edge set
+    "g_kcore_parts": (1, 0, 0, 0),
+    # the edge set is eagerly checkpoint-pinned (unpinned, each of its
+    # four consumers re-plans the 4-way fact join: 64 FileScans); the
+    # final plan is node-scale wedge/degree/anti joins only
+    "g_adamic_adar_nations": (6, 0, 0, 0),
+    # tf + df collapses; idf/len dims broadcast onto the scoring join;
+    # top-k is TakeOrdered
+    "text_bm25_topk": (4, 3, 0, 2),
+    # BM25 arm + title arm fused post-limit: the rank windows run over
+    # RRF_DEPTH-bounded frames only
+    "text_rrf_hybrid_topk": (4, 4, 2, 3),
+    # prefix tokens + sizes ride vocab/doc-sized joins; both doc scans pruned
+    "dedup_prefix_filter_jaccard": (3, 5, 0, 2),
+    # skyline via day-collapse + day-spine suffix-max + broadcast join —
+    # the pin that keeps the x35-at-20x two-phase row-window form out
+    "o7_pareto_front_orders": (1, 1, 1, 0),
+    # kernel fingerprints, band-keyed candidate join, hamming verify
+    "mm_ahash_near_dup_pairs": (2, 1, 0, 1),
+    # multi-stage curation funnel: quality/langid/dedup/pack stages each
+    # keyed on their own column — 9 exchanges is the honest price, every
+    # small side broadcast
+    "pipeline_curation_v2": (9, 6, 2, 2),
+    # codebook broadcast onto the ADC scan; per-query top-k window
+    "ann_pq_adc_topk": (2, 1, 1, 2),
+    # candidate/truth panels and per-band dims ride broadcasts;
+    # precision/recall rollups are key-sized
+    "dedup_minhash_pr_eval": (4, 9, 0, 6),
 }
 
 

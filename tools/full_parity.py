@@ -1,20 +1,19 @@
 """Full-registry (and draft-layer) DuckDB-oracle parity sweep at sf0.01 —
 a local dress rehearsal of the external driver's correctness gate.
 
-The CI suite (tests/test_parity.py, tests/test_drafts_r6.py) runs the
-same compare at sf0.001 for speed; the driver runs sf0.01, where
-data-dependent edges (ties at a top-k cutoff, groups that exist only at
-the larger scale, rounding boundaries) can differ. This sweep runs every
-oracled query — registered and drafted — at the driver's own scale and
-prints one line per query plus a failure summary.
+The CI suite (tests/test_parity.py) runs the same compare at sf0.001 for
+speed; the driver runs sf0.01, where data-dependent edges (ties at a
+top-k cutoff, groups that exist only at the larger scale, rounding
+boundaries) can differ. This sweep runs every oracled query at the
+driver's own scale and prints one line per query plus a failure summary.
 
-    python tools/full_parity.py              # registry + drafts (~2.5 min)
-    python tools/full_parity.py registry     # registry only
-    python tools/full_parity.py drafts       # drafts only
+    python tools/full_parity.py              # whole registry (~4 min)
+    python tools/full_parity.py registry     # same (alias)
+    python tools/full_parity.py drafts       # draft-layer names only
 
-Round-5 result of record (round close): 193/193 OK at sf0.01 — every
-registered query (145) and every staged draft (48) — zero failures on
-any sweep this round.
+Since round 6 the draft layer registers into the registry, so "all" no
+longer double-runs drafts; "drafts" sweeps just the names that entered
+through the draft layer (useful while staging a new round's module).
 """
 
 from __future__ import annotations
@@ -49,12 +48,10 @@ def main() -> None:
         for name, qd in sorted(all_queries().items()):
             if qd.oracle is not None:
                 targets.append((name, qd.fn, qd.oracle))
-    if which in ("all", "drafts"):
+    elif which == "drafts":
         from yelpdatawarehouse_spark.queries.draft_layer import all_drafts
 
-        DRAFTS = all_drafts()
-
-        for name, (fn, oracle) in sorted(DRAFTS.items()):
+        for name, (fn, oracle) in sorted(all_drafts().items()):
             targets.append((f"draft:{name}", fn, oracle))
 
     t0 = time.time()

@@ -22,7 +22,9 @@ def all_queries():
         llmops,
         mmops,
     )
+    from . import draft_layer
 
+    draft_layer.register_all()
     _prioritize()
     return REGISTRY
 
@@ -111,6 +113,13 @@ def _prioritize() -> None:
     its prior rows-only rows are not hash evidence), while an oracle-less
     registration counts its rows-only completions (all the driver can
     record for it; otherwise it would hog the front of the window forever).
+
+    Rotation-honesty reserve: never-verified queries are capped at
+    ``_WINDOW - _RESERVE`` per window, so even a large registration influx
+    (round 6 registered 69 drafts at once) leaves ``_RESERVE`` slots for
+    the stalest already-verified queries — regressions in old greens keep
+    getting re-checked externally while the new cohort burns down over
+    two rounds instead of one.
     """
     last = _last_green_rounds()
     if last is None:
@@ -124,6 +133,12 @@ def _prioritize() -> None:
         return (evidence.get(n, 0), index[n])
 
     ordered = sorted(REGISTRY, key=key)
+    _WINDOW, _RESERVE = 50, 5
+    never = [n for n in ordered if key(n)[0] == 0]
+    seen = [n for n in ordered if key(n)[0] > 0]
+    cap = _WINDOW - _RESERVE
+    if len(never) > cap and seen:
+        ordered = never[:cap] + seen[:_RESERVE] + never[cap:] + seen[_RESERVE:]
     snapshot = dict(REGISTRY)
     REGISTRY.clear()
     for n in ordered:

@@ -1,9 +1,12 @@
-"""Union view over the staged (unregistered) draft layers.
+"""Union view over the per-round draft layers (`drafts_r6`, `drafts_r7`, …).
 
-Each round's drafts live in their own module (`drafts_r6`, `drafts_r7`, …)
-so registration stays a per-round move; every draft gate test sweeps the
-UNION so a newly staged round inherits the full battery (oracle parity,
-plan hygiene, determinism, empty input) the day it is written."""
+Each round's queries are WRITTEN into a draft module first, where the full
+gate battery (oracle parity, plan hygiene, determinism, empty input,
+timezone, invariants, scale probes) sweeps them from day one; the round
+AFTER they are written, `register_all()` flips the whole union into the
+registry (round 6 did this for the r6+r7 layers). The two-step exists so
+a fresh cohort never displaces stale re-verifications from the external
+verifier's bounded window in the round it is staged."""
 
 from __future__ import annotations
 
@@ -11,6 +14,9 @@ from typing import Callable, Dict, Tuple
 
 from .drafts_r6 import DRAFTS as _R6
 from .drafts_r7 import DRAFTS as _R7
+from .registry import register
+
+_REGISTERED = False
 
 
 def all_drafts() -> Dict[str, Tuple[Callable, str]]:
@@ -20,3 +26,14 @@ def all_drafts() -> Dict[str, Tuple[Callable, str]]:
             assert name not in merged, f"duplicate draft name: {name}"
             merged[name] = pair
     return merged
+
+
+def register_all() -> None:
+    """Register every staged draft (idempotent; called by
+    queries.all_queries after the core modules import)."""
+    global _REGISTERED
+    if _REGISTERED:
+        return
+    for name, (fn, oracle) in all_drafts().items():
+        register(name, oracle=oracle)(fn)
+    _REGISTERED = True
