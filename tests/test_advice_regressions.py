@@ -92,3 +92,121 @@ def test_vocab_overlap_diag_err_consistent_with_envelope(spark):
         inside = abs(r.est_signed_err) <= 0.05 * exact_union + 0.005
         if r.inter_in_envelope:
             assert inside, f"flag says inside but err={r.est_signed_err}"
+
+
+# ---------------------------------------------------------------------------
+# Round-5 ADVICE items
+
+
+def test_cms_fold_replay_is_noop(spark, tmp_path):
+    """foreachBatch is at-least-once: re-delivering an already-folded
+    batch_id must not re-add its counters (the fold is associative but
+    not idempotent — the pointer file's batch_id dedupe is what makes
+    the exactly-once claim true)."""
+    from yelpdatawarehouse_spark.operators.cms import cms_build, cms_merge
+    from yelpdatawarehouse_spark.streaming.pipeline import (
+        _fold_versioned,
+        _read_state,
+    )
+
+    keys = spark.range(0, 50).select(F.col("id").alias("k"))
+    delta = cms_build(keys, "k")
+    state_dir = str(tmp_path / "state")
+    os.makedirs(state_dir)
+
+    def fold(state):
+        return delta if state is None else cms_merge(state, delta)
+
+    _fold_versioned(spark, state_dir, 0, fold)
+    first = {
+        (r.seed, r.bucket): r.c for r in _read_state(spark, state_dir).collect()
+    }
+    _fold_versioned(spark, state_dir, 0, fold)  # replay: must no-op
+    replayed = {
+        (r.seed, r.bucket): r.c for r in _read_state(spark, state_dir).collect()
+    }
+    assert replayed == first, "replay of batch 0 double-counted"
+    _fold_versioned(spark, state_dir, 1, fold)  # a NEW batch still folds
+    second = {
+        (r.seed, r.bucket): r.c for r in _read_state(spark, state_dir).collect()
+    }
+    assert second == {k: 2 * v for k, v in first.items()}
+
+
+def test_gated_ingest_replay_moves_batch_across_destinations(spark, tmp_path):
+    """If a batch's routing outcome changes between the original delivery
+    and a replay (rule suite edited / data repaired), the replay must MOVE
+    the batch, not leave a stale copy in the other destination."""
+    import json
+
+    from yelpdatawarehouse_spark.operators.quality import bounds
+    from yelpdatawarehouse_spark.streaming.pipeline import run_gated_ingest
+
+    src = tmp_path / "incoming"
+    src.mkdir()
+    with open(src / "chunk.json", "w") as fh:
+        for i in range(10):
+            fh.write(json.dumps({"k": i, "v": 100 + i}) + "\n")
+
+    out_dir, quarantine = str(tmp_path / "out"), str(tmp_path / "quarantine")
+
+    def run(rules, ckpt):
+        stream = (
+            spark.readStream.schema("k long, v long")
+            .json(str(src))
+        )
+        q = run_gated_ingest(
+            spark, stream, rules, out_dir, quarantine, str(tmp_path / ckpt)
+        )
+        q.awaitTermination(120)
+
+    # Delivery 1: rule fails (v <= 50 violated) -> quarantine/batch_0.
+    run([bounds("v_small", "v", hi=50)], "ckpt1")
+    assert os.path.exists(os.path.join(quarantine, "batch_0"))
+    # Replay with a repaired rule suite (fresh checkpoint re-delivers the
+    # same data as batch_0): must land in out AND clear the quarantine copy.
+    run([bounds("v_ok", "v", hi=500)], "ckpt2")
+    assert os.path.exists(os.path.join(out_dir, "batch_0"))
+    assert not os.path.exists(
+        os.path.join(quarantine, "batch_0")
+    ), "stale quarantine copy survived the replay — duplicated rows"
+
+
+def test_rule_names_are_validated():
+    """Rule names are interpolated into stack() SQL and used as metric
+    keys: quotes/backticks and the reserved 'n_rows' must be rejected at
+    construction, and an empty suite must raise instead of stack(0,)."""
+    from yelpdatawarehouse_spark.operators.quality import Rule, check_rules
+
+    for bad in ("it's", "a`b", "n_rows", "_n", "a-b", "", "1x"):
+        with pytest.raises(ValueError):
+            Rule(bad, F.lit(True))
+
+
+def test_check_rules_empty_suite_raises(spark):
+    from yelpdatawarehouse_spark.operators.quality import check_rules
+
+    df = spark.range(3)
+    with pytest.raises(ValueError):
+        check_rules(df, [], unique_key=None)
+
+
+def test_wav_encoder_rejects_non_integer_samples():
+    """np.asarray(dtype=int64) silently truncates floats — the encoder
+    must raise (struct.pack parity), not corrupt audio."""
+    import struct
+
+    from yelpdatawarehouse_spark.multimodal.wav import (
+        decode_wav_pcm16,
+        encode_wav_pcm16,
+    )
+
+    with pytest.raises(struct.error):
+        encode_wav_pcm16([1.5, 2.0, 3.25])
+    with pytest.raises(struct.error):
+        encode_wav_pcm16(["1", "2"])
+    with pytest.raises(struct.error):
+        encode_wav_pcm16([0, 40000])  # out of int16 range, still raises
+    rate, samples = decode_wav_pcm16(encode_wav_pcm16([0, -5, 7]))
+    assert samples == [0, -5, 7]
+    assert encode_wav_pcm16([]) == encode_wav_pcm16([])  # empty OK

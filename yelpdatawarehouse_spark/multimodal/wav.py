@@ -27,13 +27,20 @@ def encode_wav_pcm16(samples: Sequence[int], sample_rate: int = 8000) -> bytes:
 
     The frame buffer is built with numpy (one ``tobytes`` instead of
     ``struct.pack`` unpacking every sample as a Python argument — the
-    encode hot spot at 60k payloads/bench); the explicit range check
-    preserves struct.pack's out-of-range error instead of numpy's silent
-    int16 wraparound.
+    encode hot spot at 60k payloads/bench); the explicit checks preserve
+    struct.pack('<Nh')'s error behavior instead of numpy's silent
+    coercions: non-integer input raises (asarray(dtype=int64) would
+    silently TRUNCATE floats — corrupted audio, not an error) and
+    out-of-range values raise instead of int16 wraparound.
     """
     import numpy as np
 
-    arr = np.asarray(samples, dtype=np.int64)
+    arr = np.asarray(samples)
+    if arr.size and not np.issubdtype(arr.dtype, np.integer):
+        raise struct.error(
+            f"required argument is not an integer (got dtype {arr.dtype})"
+        )
+    arr = arr.astype(np.int64, copy=False)
     if arr.size and (arr.max() > 32767 or arr.min() < -32768):
         raise struct.error("short format requires -32768 <= number <= 32767")
     buf = io.BytesIO()

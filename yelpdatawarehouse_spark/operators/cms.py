@@ -28,7 +28,13 @@ tiny and broadcastable at any input scale, which is the whole point:
 Hashing is the portable seeded-md5 family (functions/hashing.seeded), so
 an oracle engine can rebuild the EXACT same counter matrix and estimates
 in SQL — the draft query's gate is a full hash comparison, not an
-envelope.
+envelope. ORACLE CONTRACT: ``cms_build`` drops NULL keys (they would
+occupy d unreachable counter rows), so a SQL rebuild on a NULLABLE key
+column must add ``WHERE key IS NOT NULL`` before grouping — without it
+the rebuilt counter table carries d NULL-bucket rows the sketch never
+has, and a hash-compare gate fails. (The registered
+a_cms_frequency_check runs on non-null l_partkey, where the filter is a
+no-op; any future draft on a nullable key needs it.)
 """
 
 from __future__ import annotations

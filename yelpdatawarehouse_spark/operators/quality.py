@@ -28,21 +28,48 @@ reproduce it bit-for-bit (see the ``diag_quality_report`` draft).
 
 from __future__ import annotations
 
+import re
 from dataclasses import dataclass
 from functools import reduce
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+# Rule names are interpolated into a stack() SQL expression and become
+# report/observation metric keys, so they must be safe identifiers and
+# must not collide with the reserved row-count metric.
+_NAME_RE = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
+_RESERVED = frozenset({"n_rows", "_n"})
+
+
+def _validate_rule_name(name: str) -> str:
+    if not _NAME_RE.match(name):
+        raise ValueError(
+            f"rule name {name!r} is not a safe identifier "
+            "([A-Za-z_][A-Za-z0-9_]*) — it would be interpolated into SQL"
+        )
+    if name in _RESERVED:
+        raise ValueError(
+            f"rule name {name!r} is reserved (the row-count metric); "
+            "pick another name"
+        )
+    return name
+
 
 @dataclass(frozen=True)
 class Rule:
     """A named row-level predicate: rows where ``cond`` is FALSE or NULL
     count as violations (NULL-hostile on purpose — an unknown is not a
-    pass)."""
+    pass). Names must match ``[A-Za-z_][A-Za-z0-9_]*`` and may not be the
+    reserved metric name ``n_rows``/``_n`` (enforced at construction —
+    they are interpolated into a stack() expression and used as
+    observation metric keys)."""
 
     name: str
     cond: Column
+
+    def __post_init__(self) -> None:
+        _validate_rule_name(self.name)
 
 
 def not_null(name: str, col: str) -> Rule:
@@ -69,7 +96,13 @@ def check_rules(
     unique_key: str | None = None,
 ) -> DataFrame:
     """Evaluate all rules in one aggregate; returns one row per rule:
-    (rule STRING, n_rows BIGINT, n_violations BIGINT, passed BOOLEAN)."""
+    (rule STRING, n_rows BIGINT, n_violations BIGINT, passed BOOLEAN).
+
+    Raises ValueError on an empty suite (no rules AND no unique_key) —
+    stack(0) is not valid SQL, and a silent empty report would read as
+    "all checks passed" to a gate."""
+    if not rules and unique_key is None:
+        raise ValueError("check_rules needs at least one rule or a unique_key")
     aggs = [F.count("*").alias("_n")]
     for r in rules:
         aggs.append(

@@ -141,6 +141,65 @@ def _fold_state(state: DataFrame, delta: DataFrame) -> DataFrame:
     )
 
 
+def _read_state_pointer(state_dir: str) -> tuple[int, str] | None:
+    """(last folded batch_id, absolute path of its state dir), or None."""
+    ptr = os.path.join(state_dir, "CURRENT")
+    try:
+        with open(ptr) as fh:
+            bid, name = fh.read().split("\n")[:2]
+        return int(bid), os.path.join(state_dir, name)
+    except (OSError, ValueError):
+        return None
+
+
+def _swap_state_pointer(state_dir: str, batch_id: int, name: str) -> None:
+    """Atomically point CURRENT at a fully-written version dir
+    (write-tmp + os.replace — a crash leaves either the old or the new
+    pointer, never a torn one), then best-effort-drop orphaned versions."""
+    ptr = os.path.join(state_dir, "CURRENT")
+    tmp = ptr + ".tmp"
+    with open(tmp, "w") as fh:
+        fh.write(f"{batch_id}\n{name}\n")
+    os.replace(tmp, ptr)
+    for entry in os.listdir(state_dir):
+        if entry.startswith("state_v") and entry != name:
+            shutil.rmtree(os.path.join(state_dir, entry), ignore_errors=True)
+
+
+def _fold_versioned(spark, state_dir: str, batch_id: int, fold) -> None:
+    """Exactly-once foreachBatch fold under a versioned-dir + pointer-file
+    protocol.
+
+    foreachBatch is AT-LEAST-once: if the process dies after the state
+    swap but before the streaming checkpoint commits, restart re-delivers
+    the same batch_id. Counter addition is associative/commutative but
+    NOT idempotent, so the fold must dedupe on batch_id itself: the
+    pointer file records the last folded id, and a replay of
+    ``batch_id <= last`` is a no-op. Crash-atomicity: the new state is
+    fully written to ``state_v{batch_id}`` BEFORE one atomic
+    ``os.replace`` of the pointer — a crash at any instant leaves a
+    readable state (old or new), never the rmtree+rename gap of the
+    previous two-dir swap. A replayed batch that crashed mid-write
+    simply overwrites its own version dir.
+
+    ``fold(prev_state_df_or_None) -> DataFrame`` builds the new state.
+    """
+    prev = _read_state_pointer(state_dir)
+    if prev is not None and batch_id <= prev[0]:
+        return  # at-least-once replay of an already-folded batch
+    folded = fold(spark.read.parquet(prev[1]) if prev is not None else None)
+    name = f"state_v{batch_id}"
+    folded.write.mode("overwrite").parquet(os.path.join(state_dir, name))
+    _swap_state_pointer(state_dir, batch_id, name)
+
+
+def _read_state(spark: SparkSession, state_dir: str) -> DataFrame:
+    ptr = _read_state_pointer(state_dir)
+    if ptr is None:
+        raise FileNotFoundError(f"no committed state under {state_dir}")
+    return spark.read.parquet(ptr[1])
+
+
 def run_incremental_summary(
     spark: SparkSession,
     stream: DataFrame,
@@ -149,25 +208,20 @@ def run_incremental_summary(
 ):
     """Maintain a per-user summary table from a stream via foreachBatch.
 
-    Exactly-once effect: the checkpoint makes batch ids durable; a replayed
-    batch overwrites the same fold (we swap the state dir atomically per
-    batch), so restarts neither drop nor double-count — unlike the
-    reference's auto_offset_reset='latest' consumer (SURVEY §2.9).
+    Exactly-once effect via ``_fold_versioned``: the pointer file makes
+    the fold idempotent per batch_id (an at-least-once replay no-ops) and
+    the single os.replace makes the state swap crash-atomic — restarts
+    neither drop nor double-count, unlike the reference's
+    auto_offset_reset='latest' consumer (SURVEY §2.9).
     """
-    cur = os.path.join(state_dir, "current")
-    nxt = os.path.join(state_dir, "next")
 
     def fold_batch(batch_df: DataFrame, batch_id: int) -> None:
         delta = batch_df.groupBy("user_id").agg(*_SUMMARY_AGGS())
-        if os.path.exists(cur):
-            state = spark.read.parquet(cur)
-            folded = _fold_state(state, delta)
-        else:
-            folded = delta
-        folded.write.mode("overwrite").parquet(nxt)
-        if os.path.exists(cur):
-            shutil.rmtree(cur)
-        os.rename(nxt, cur)
+
+        def fold(state):
+            return delta if state is None else _fold_state(state, delta)
+
+        _fold_versioned(spark, state_dir, batch_id, fold)
 
     return (
         stream.writeStream.foreachBatch(fold_batch)
@@ -178,7 +232,7 @@ def run_incremental_summary(
 
 
 def read_summary(spark: SparkSession, state_dir: str) -> DataFrame:
-    state = spark.read.parquet(os.path.join(state_dir, "current"))
+    state = _read_state(spark, state_dir)
     return state.withColumn("value_avg", F.col("value_sum") / F.col("event_cnt"))
 
 
@@ -198,27 +252,24 @@ def run_incremental_cms(
     high-cardinality key; the sketch is the bounded-state alternative).
 
     Each micro-batch is sketched with ``cms_build`` and folded into the
-    persisted sketch by counter addition (``cms_merge``) under the same
-    atomic state-dir swap as ``run_incremental_summary`` — the fold is
-    associative and commutative, so replays and batch boundaries cannot
-    change the final counters, and the suite pins stream-final ≡
-    batch-built sketch equality (tests/test_cms.py).
+    persisted sketch by counter addition (``cms_merge``) under the
+    ``_fold_versioned`` protocol. Addition is associative/commutative but
+    NOT idempotent — batch boundaries cannot change the final counters,
+    but an at-least-once REPLAY would double-count without the pointer
+    file's batch_id dedupe (pinned by
+    tests/test_advice_regressions.py::test_cms_fold_replay_is_noop); the
+    suite also pins stream-final ≡ batch-built sketch equality
+    (tests/test_cms.py).
     """
     from ..operators.cms import cms_build, cms_merge
 
-    cur = os.path.join(state_dir, "current")
-    nxt = os.path.join(state_dir, "next")
-
     def fold_batch(batch_df: DataFrame, batch_id: int) -> None:
         delta = cms_build(batch_df, key, depth=depth, width=width)
-        if os.path.exists(cur):
-            folded = cms_merge(spark.read.parquet(cur), delta)
-        else:
-            folded = delta
-        folded.write.mode("overwrite").parquet(nxt)
-        if os.path.exists(cur):
-            shutil.rmtree(cur)
-        os.rename(nxt, cur)
+
+        def fold(state):
+            return delta if state is None else cms_merge(state, delta)
+
+        _fold_versioned(spark, state_dir, batch_id, fold)
 
     return (
         stream.writeStream.foreachBatch(fold_batch)
@@ -229,7 +280,7 @@ def run_incremental_cms(
 
 
 def read_cms(spark: SparkSession, state_dir: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(state_dir, "current"))
+    return _read_state(spark, state_dir)
 
 
 def run_gated_ingest(
@@ -252,8 +303,14 @@ def run_gated_ingest(
     Write-then-audit ordering: the batch lands in a staging dir first
     (the observation is collected by that write — zero extra pass), then
     one directory rename routes it. Batch id in the staging path makes a
-    replayed batch overwrite its own staging, so restarts stay
-    idempotent; the checkpoint makes ids durable.
+    replayed batch overwrite its own staging, and a replay clears the
+    batch's previous copy from BOTH routing destinations before the
+    rename — a batch whose routing outcome changed between runs (rule
+    suite edited, upstream data repaired) moves rather than duplicates
+    across out/quarantine. A crash between that cleanup and the rename
+    leaves the batch absent from both tables but still intact in
+    staging; the next replay re-routes it, so data is delayed, never
+    lost or doubled.
 
     At 100 TB the audit costs a few counters per task; the routing cost
     is a metadata move. The convergence + routing invariants are pinned
@@ -269,9 +326,15 @@ def run_gated_ingest(
         violations = sum(v for k, v in metrics.items() if k != "n_rows")
         dest_root = out_dir if violations == 0 else quarantine_dir
         os.makedirs(dest_root, exist_ok=True)
+        # Replay hygiene: clear this batch from BOTH destinations, not just
+        # the one it routes to now — if the routing outcome changed since
+        # the previous delivery, the stale copy in the other table would
+        # otherwise survive as a duplicate.
+        for root in (out_dir, quarantine_dir):
+            stale = os.path.join(root, f"batch_{batch_id}")
+            if os.path.exists(stale):
+                shutil.rmtree(stale)
         dest = os.path.join(dest_root, f"batch_{batch_id}")
-        if os.path.exists(dest):
-            shutil.rmtree(dest)
         os.rename(staging, dest)
 
     return (
