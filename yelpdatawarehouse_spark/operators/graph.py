@@ -122,35 +122,37 @@ def min_label_components(edges: DataFrame, max_rounds: int = 15) -> DataFrame:
 
     Each round is one distributed join + aggregate over the cached edge
     list — O(diameter) rounds, state O(nodes), no driver-side data beyond
-    the convergence counter. Labels are pinned per round with an eager
-    localCheckpoint so plans stay flat instead of nesting geometrically.
+    the convergence counter. Labels are pinned per round via
+    operators/iterative.checkpointed_loop so plans stay flat instead of
+    nesting geometrically.
     """
+    from .iterative import checkpointed_loop
+
     edges = edges.select("src", "dst").distinct().cache()
     labels = edges.select(F.col("src").alias("node")).distinct().select(
         "node", F.col("node").alias("label")
     )
-    for _ in range(max_rounds):
+
+    def propagate(lbl: DataFrame, _round: int) -> DataFrame:
         neighbor_min = (
-            edges.join(labels, edges.dst == labels.node)
+            edges.join(lbl, edges.dst == lbl.node)
             .groupBy(F.col("src").alias("node"))
             .agg(F.min("label").alias("nbr_label"))
         )
-        new_labels = (
-            labels.join(neighbor_min, "node", "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("label"), F.coalesce("nbr_label", F.col("label"))
-                ).alias("label"),
-            )
-        ).localCheckpoint()
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
+        return lbl.join(neighbor_min, "node", "left").select(
+            "node",
+            F.least(
+                F.col("label"), F.coalesce("nbr_label", F.col("label"))
+            ).alias("label"),
+        )
+
+    def converged(new: DataFrame, old: DataFrame) -> bool:
+        return (
+            new.alias("n")
+            .join(old.alias("o"), "node")
             .filter(F.col("n.label") != F.col("o.label"))
             .count()
+            == 0
         )
-        labels = new_labels
-        if changed == 0:
-            break
-    return labels
+
+    return checkpointed_loop(labels, propagate, max_rounds, stop=converged)

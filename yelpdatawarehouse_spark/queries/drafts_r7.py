@@ -169,15 +169,17 @@ def g_adamic_adar_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     mu = F.broadcast(w.agg(F.avg("wt").alias("m")))
     strong = w.crossJoin(mu).filter(F.col("wt") >= F.col("m")).select("wa", "wb")
+    from ..operators.iterative import pin
+
     # eager pin: edges feed deg + both wedge sides + the anti-join — the
     # node-scale edge set is tiny, but unpinned each reference re-plans
     # the whole 4-way fact join (64 FileScans measured). Same flat-plan
     # discipline as g_pagerank_nations / g_kcore_parts.
-    edges = (
+    edges = pin(
         strong.select(F.col("wa").alias("src"), F.col("wb").alias("dst"))
         .union(strong.select(F.col("wb").alias("src"), F.col("wa").alias("dst")))
-        .distinct()
-        .localCheckpoint(eager=True)
+        .distinct(),
+        label="aa_edges",
     )
     deg = edges.groupBy("src").agg(F.count("*").cast("double").alias("d"))
     e1 = edges.select(F.col("src").alias("a"), F.col("dst").alias("z"))
@@ -284,23 +286,26 @@ def g_kcore_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("c") >= KCORE_MIN_TOGETHER)
         .select("pa", "pb")
     )
+    from ..operators.iterative import checkpointed_loop, pin
+
     # eager pin: the basket expansion feeds deg + BOTH semi-joins in every
     # round — unpinned, each round TRIPLES the subtree and the executed
     # plan reaches ~500 FileScans (measured 13s at sf0.1; 2s pinned).
-    # Same flat-plan move as g_pagerank_nations / operators/graph.bfs.
-    edges = (
+    # checkpointed_loop pins each peel round and asserts the plan stays flat.
+    edges = pin(
         pairs.select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
-        .union(pairs.select(F.col("pb").alias("src"), F.col("pa").alias("dst")))
-        .localCheckpoint(eager=True)
+        .union(pairs.select(F.col("pb").alias("src"), F.col("pa").alias("dst"))),
+        label="kcore_edges",
     )
-    for _ in range(KCORE_ROUNDS):
-        deg = edges.groupBy("src").agg(F.count("*").alias("d"))
+
+    def peel(e: DataFrame, _round: int) -> DataFrame:
+        deg = e.groupBy("src").agg(F.count("*").alias("d"))
         keep = deg.filter(F.col("d") >= KCORE_K).select(F.col("src").alias("node"))
-        edges = (
-            edges.join(keep, edges.src == keep.node, "left_semi")
-            .join(keep, F.col("dst") == keep.node, "left_semi")
-            .localCheckpoint(eager=True)
+        return e.join(keep, e.src == keep.node, "left_semi").join(
+            keep, F.col("dst") == keep.node, "left_semi"
         )
+
+    edges = checkpointed_loop(edges, peel, KCORE_ROUNDS)
     return edges.groupBy("src").agg(
         F.count("*").cast("long").alias("residual_degree")
     ).select(F.col("src").cast("long").alias("part"), "residual_degree")

@@ -157,11 +157,13 @@ def g_pagerank_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exchange (measured 2.32s → 2.1s at sf0.1 value-identical; a
     # single-checkpoint variant hits 1.80s here but re-derives the
     # fact-scale edges twice inside the pin job — the wrong trade at scale).
-    edges = trade_edges(spark, sf_dir).localCheckpoint(eager=True)
+    from ..operators.iterative import pin
+
+    edges = pin(trade_edges(spark, sf_dir), label="pr_edges")
     nodes = table(spark, sf_dir, "nation").select(F.col("n_nationkey").alias("node"))
     ncnt = F.broadcast(nodes.agg(F.count("*").cast("double").alias("n")))
     outdeg = edges.groupBy("src").agg(F.count("*").cast("double").alias("od"))
-    ew = edges.join(outdeg, "src").localCheckpoint(eager=True)
+    ew = pin(edges.join(outdeg, "src"), label="pr_edge_weights")
     base = nodes.crossJoin(ncnt)
     ranks = base.select("node", (F.lit(1.0) / F.col("n")).alias("rank"))
     for _ in range(5):
