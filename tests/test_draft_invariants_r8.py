@@ -1,0 +1,176 @@
+"""Semantic invariants for the round-8 drafts — properties the oracle hash
+can't state (mass conservation, monotonicity, convexity, no-false-negative
+guarantees), same spirit as test_draft_invariants_r7.py."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from tests.parity import SF_TEST_DIR
+from yelpdatawarehouse_spark.queries.drafts_r8 import (
+    BLOOM_K,
+    BLOOM_M,
+    DRAFTS,
+    GRID_MINPTS,
+    KNN_PANEL,
+    TRIM_FRAC,
+    _BLOOM_SEGMENT,
+)
+from yelpdatawarehouse_spark.sources.tables import table
+
+
+def _rows(spark, name, sf_dir=SF_TEST_DIR):
+    fn, _ = DRAFTS[name]
+    return fn(spark, sf_dir).collect()
+
+
+def test_hits_shares_sum_to_one(spark):
+    rows = _rows(spark, "g_hits_two_rounds")
+    assert rows
+    assert all(r.hub_score >= 0 and r.auth_score >= 0 for r in rows)
+    assert abs(sum(r.hub_score for r in rows) - 1.0) < 1e-5
+    assert abs(sum(r.auth_score for r in rows) - 1.0) < 1e-5
+
+
+def test_survival_hazard_monotone(spark):
+    rows = sorted(_rows(spark, "a_survival_hazard_curve"), key=lambda r: r.gap_days)
+    assert rows
+    # cumulative hazard non-decreasing; at-risk non-increasing; every
+    # event row has at least as many at risk as events
+    for a, b in zip(rows, rows[1:]):
+        assert b.cum_hazard >= a.cum_hazard - 1e-9
+        assert b.n_at_risk <= a.n_at_risk
+    assert all(r.n_at_risk >= r.n_events > 0 for r in rows)
+
+
+def test_loo_delta_sign_matches_source_mean(spark):
+    """Removing a below-average source must RAISE the corpus mean
+    (loo_delta > 0) and vice versa — checked against a direct
+    per-source mean computed independently."""
+    from yelpdatawarehouse_spark.functions import text as T
+
+    rows = {r.source: r for r in _rows(spark, "diag_loo_source_value")}
+    d = table(spark, SF_TEST_DIR, "documents")
+    means = {
+        r.source: r.m
+        for r in d.groupBy("source")
+        .agg(F.avg(F.size(T.tokens("text"))).alias("m"))
+        .collect()
+    }
+    corpus_mean = next(iter(rows.values())).corpus_mean_tokens
+    for src, row in rows.items():
+        if row.loo_delta is None:
+            continue
+        if means[src] < corpus_mean - 0.01:
+            assert row.loo_delta > 0, f"{src}: below-avg source must raise mean"
+        if means[src] > corpus_mean + 0.01:
+            assert row.loo_delta < 0, f"{src}: above-avg source must drag mean"
+
+
+def test_trimmed_mean_bounds_and_kept_count(spark):
+    rows = _rows(spark, "a_trimmed_mean_quantity")
+    li = table(spark, SF_TEST_DIR, "lineitem")
+    bounds = {
+        r.f: (r.lo, r.hi, r.n)
+        for r in li.groupBy(F.col("l_returnflag").alias("f"))
+        .agg(
+            F.min("l_quantity").alias("lo"),
+            F.max("l_quantity").alias("hi"),
+            F.count("*").alias("n"),
+        )
+        .collect()
+    }
+    for r in rows:
+        lo, hi, n = bounds[r.l_returnflag]
+        k = math.floor(n * TRIM_FRAC)
+        assert r.n_rows == n
+        assert r.n_kept == n - 2 * k
+        assert lo <= r.trimmed_mean_qty <= hi
+
+
+def test_bloom_has_no_false_negatives(spark):
+    """The Bloom guarantee the FPR eval rides on: probing the MEMBERS
+    against their own bitmap answers 'maybe' for every one of them."""
+    from yelpdatawarehouse_spark.functions.hashing import seeded
+
+    c = table(spark, SF_TEST_DIR, "customer").select(
+        F.col("c_custkey").cast("string").alias("key"), "c_mktsegment"
+    )
+    members = c.filter(F.col("c_mktsegment") == _BLOOM_SEGMENT).select("key")
+    pos = F.explode(
+        F.array(*[seeded("key", s) % BLOOM_M for s in range(BLOOM_K)])
+    ).alias("pos")
+    bits = members.select(pos).distinct()
+    hits = (
+        members.select("key", pos)
+        .join(bits, "pos")
+        .groupBy("key")
+        .agg(F.count("*").alias("h"))
+        .filter(F.col("h") == BLOOM_K)
+        .count()
+    )
+    assert hits == members.count()
+    row = _rows(spark, "diag_bloom_fpr_eval")[0]
+    assert 0.0 <= row.fpr_measured <= 1.0
+    assert row.n_bits_set <= min(BLOOM_M, BLOOM_K * row.n_members)
+
+
+def test_trigrams_are_well_formed(spark):
+    rows = _rows(spark, "t26_event_trigrams_topk")
+    assert 0 < len(rows) <= 10
+    counts = [r.cnt for r in rows]
+    assert counts == sorted(counts, reverse=True)
+    assert all(len(r.trigram.split(">")) == 3 for r in rows)
+
+
+def test_open_orders_sweep_closes(spark):
+    """Mass conservation of the sweep line: every +1 has a matching -1,
+    so the final spine day (max end + 1) must show ZERO open orders, and
+    the curve never goes negative."""
+    rows = sorted(_rows(spark, "a_open_orders_per_day"), key=lambda r: r.day)
+    assert rows
+    assert all(r.open_orders >= 0 for r in rows)
+    assert rows[-1].open_orders == 0
+
+
+def test_geometric_median_step_is_convex_combination(spark):
+    """One Weiszfeld step is a positively-weighted average of the data, so
+    every coordinate must stay inside the per-dimension data range."""
+    e = table(spark, SF_TEST_DIR, "embeddings").select(
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("dim", "x")
+    )
+    rng = {
+        r.dim: (r.lo, r.hi)
+        for r in e.groupBy("dim")
+        .agg(F.min("x").alias("lo"), F.max("x").alias("hi"))
+        .collect()
+    }
+    for r in _rows(spark, "emb_geometric_median_step"):
+        lo, hi = rng[r.dim]
+        assert lo - 1e-6 <= r.median_step_coord <= hi + 1e-6
+        assert lo - 1e-6 <= r.mean_coord <= hi + 1e-6
+
+
+def test_density_grid_conserves_mass(spark):
+    rows = _rows(spark, "emb_density_grid_cores")
+    n = table(spark, SF_TEST_DIR, "embeddings").count()
+    assert sum(r.cnt for r in rows) == n
+    for r in rows:
+        assert r.is_core == (r.cnt >= GRID_MINPTS)
+        assert 0 <= r.n_core_adj <= 8
+
+
+def test_knn_confusion_covers_panel(spark):
+    rows = _rows(spark, "ml_knn_label_eval")
+    assert sum(r.n for r in rows) == KNN_PANEL
+
+
+def test_mmr_scores_nonincreasing_and_distinct(spark):
+    rows = sorted(_rows(spark, "text_mmr_diverse_topk"), key=lambda r: r.rank)
+    assert [r.rank for r in rows] == [1, 2, 3]
+    assert len({r.doc_id for r in rows}) == 3
+    # greedy MMR: each later pick scored no higher than the one before
+    assert rows[0].mmr_score >= rows[1].mmr_score - 1e-9
+    assert rows[1].mmr_score >= rows[2].mmr_score - 1e-9

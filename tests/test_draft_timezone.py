@@ -35,6 +35,10 @@ _TS_DRAFTS = (
     "t17_interarrival_profile",
     "t19_acf_daily_orders",
     "t20_cusum_daily_revenue",
+    # round-8 drafts touching o_orderdate / l_shipdate / events.ts
+    "a_survival_hazard_curve",
+    "a_open_orders_per_day",
+    "t26_event_trigrams_topk",
 )
 
 

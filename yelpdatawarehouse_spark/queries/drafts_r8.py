@@ -1,0 +1,1220 @@
+"""Round-8 drafts: query + oracle pairs written in round 6, registered the
+same round through queries/draft_layer.register_all (the _prioritize
+window reserve caps never-verified entries at 45 per round, so these
+queue safely behind the round-7 spill instead of displacing stale
+re-verifications — the old stage-one-round discipline is now enforced
+structurally rather than by keeping code out of the registry).
+
+Every function follows the registry contract (column aliases identical on
+both sides, ints cast long/BIGINT, floats through rfix; unordered float
+sums canonicalized immediately; argmax over floats ranked on
+floor(x*10^n+0.5) on BOTH sides)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.hashing import seeded, seeded_sql
+from ..functions.presentation import rfix, rfix_sql
+from ..sources.tables import spread, table
+
+DRAFTS: dict = {}
+
+_TOKS = "string_split_regex(text, '\\s+')"
+
+
+# ---------------------------------------------------------------------------
+# HITS hubs & authorities, two unrolled rounds over the directed
+# cross-nation trade graph — the OTHER classic link-analysis fixed point
+# next to g_pagerank_nations, with a twist that makes it hash-checkable:
+# both rounds run in EXACT integer arithmetic (weights and scores are
+# counts; round-2 sums ride decimal(38,0)/HUGEINT so no overflow and no
+# order-dependent float addition), normalized only at the very end.
+
+HITS_ORACLE = """
+WITH e AS (
+    SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
+           count(*)::BIGINT AS w
+    FROM orders o
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    WHERE c.c_nationkey <> s.s_nationkey
+    GROUP BY 1, 2
+),
+auth1 AS (SELECT dst AS node, sum(w)::BIGINT AS a1 FROM e GROUP BY dst),
+hub1 AS (
+    SELECT e.src AS node, sum(e.w * a.a1)::BIGINT AS h1
+    FROM e JOIN auth1 a ON a.node = e.dst GROUP BY e.src
+),
+auth2 AS (
+    SELECT e.dst AS node, sum(e.w::HUGEINT * h.h1::HUGEINT) AS a2
+    FROM e JOIN hub1 h ON h.node = e.src GROUP BY e.dst
+),
+tot AS (
+    SELECT (SELECT sum(h1::HUGEINT) FROM hub1) AS th,
+           (SELECT sum(a2) FROM auth2) AS ta
+)
+SELECT CAST(coalesce(h.node, a.node) AS BIGINT) AS nation,
+       {hub} AS hub_score,
+       {auth} AS auth_score
+FROM hub1 h FULL OUTER JOIN auth2 a ON a.node = h.node, tot
+""".format(
+    hub=rfix_sql("coalesce(h.h1, 0)::DOUBLE / (SELECT th FROM tot)::DOUBLE", 8),
+    auth=rfix_sql("coalesce(a.a2, 0)::DOUBLE / (SELECT ta FROM tot)::DOUBLE", 8),
+)
+
+
+def g_hits_two_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS (Kleinberg hubs/authorities), two unrolled iterations over
+    the directed customer-nation → supplier-nation trade graph (edge
+    weight = cross-nation order-line count). auth1 = weighted in-degree;
+    hub1(u) = Σ w(u,v)·auth1(v); auth2(v) = Σ w(u,v)·hub1(u); the
+    registered output is each nation's hub and authority MASS SHARE
+    (score / total), the bounded-iteration contract used by
+    g_pagerank_nations.
+
+    Float discipline: every score is an exact integer until the final
+    division — round-2 products reach ~1e19 at sf0.1 so they accumulate
+    in decimal(38,0) (HUGEINT on the oracle side), which is exact AND
+    order-independent where a double sum is neither.
+
+    Scale shape: one fact-scale exchange builds the node-keyed edge list
+    (dimension-bounded: nations²); both HITS rounds are node-scale joins
+    + aggregates. Reference analog: none (its graph store has no GDS
+    plugin — docker-compose.yml:51-58); this is the link-analysis family
+    beyond the reference.
+    """
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    li = spread(table(spark, sf_dir, "lineitem"))
+    s = table(spark, sf_dir, "supplier")
+    e = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .filter(F.col("c_nationkey") != F.col("s_nationkey"))
+        .groupBy(
+            F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst")
+        )
+        .agg(F.count("*").alias("w"))
+    )
+    from ..operators.iterative import pin
+
+    e = pin(e, label="hits_edges")  # feeds 3 aggregates + 2 joins below
+    auth1 = e.groupBy(F.col("dst").alias("node")).agg(F.sum("w").alias("a1"))
+    # score frames are node-sized: broadcast them into the edge joins so
+    # each HITS round is broadcast-join -> map-side partial agg -> one
+    # node-keyed exchange (the g_pagerank_nations iteration shape)
+    hub1 = (
+        e.join(F.broadcast(auth1), e.dst == auth1.node)
+        .groupBy(F.col("src").alias("node"))
+        .agg(F.sum(F.col("w") * F.col("a1")).alias("h1"))
+    )
+    dec = "decimal(38,0)"
+    auth2 = (
+        e.join(F.broadcast(hub1), e.src == hub1.node)
+        .groupBy(F.col("dst").alias("node"))
+        .agg(
+            F.sum(F.col("w").cast(dec) * F.col("h1").cast(dec)).alias("a2")
+        )
+    )
+    tot = F.broadcast(
+        hub1.agg(F.sum(F.col("h1").cast(dec)).alias("th")).crossJoin(
+            auth2.agg(F.sum("a2").alias("ta"))
+        )
+    )
+    return (
+        hub1.join(auth2, "node", "full_outer")
+        .crossJoin(tot)
+        .select(
+            F.col("node").cast("long").alias("nation"),
+            rfix(
+                F.coalesce(F.col("h1"), F.lit(0)).cast("double")
+                / F.col("th").cast("double"),
+                8,
+            ).alias("hub_score"),
+            rfix(
+                F.coalesce(F.col("a2"), F.lit(0)).cast("double")
+                / F.col("ta").cast("double"),
+                8,
+            ).alias("auth_score"),
+        )
+    )
+
+
+DRAFTS["g_hits_two_rounds"] = (g_hits_two_rounds, HITS_ORACLE)
+
+
+# ---------------------------------------------------------------------------
+# Nelson-Aalen cumulative hazard for "time to second purchase" with
+# right-censoring — survival analysis as pure integer risk-set counting
+# plus an ordered (hence deterministic) cumulative sum, no transcendentals.
+
+SURVIVAL_ORACLE = """
+WITH firsts AS (
+    SELECT o_custkey,
+           min(CAST(o_orderdate AS DATE)) AS d1,
+           count(*) AS n_orders
+    FROM orders GROUP BY o_custkey
+),
+second AS (
+    SELECT o.o_custkey, min(CAST(o.o_orderdate AS DATE)) AS d2
+    FROM orders o JOIN firsts f ON f.o_custkey = o.o_custkey
+    WHERE CAST(o.o_orderdate AS DATE) > f.d1
+    GROUP BY o.o_custkey
+),
+horizon AS (SELECT max(CAST(o_orderdate AS DATE)) AS h FROM orders),
+durations AS (
+    SELECT f.o_custkey,
+           CASE WHEN s.d2 IS NOT NULL THEN date_diff('day', f.d1, s.d2)
+                ELSE date_diff('day', f.d1, (SELECT h FROM horizon)) END AS t,
+           (s.d2 IS NOT NULL)::INT AS is_event
+    FROM firsts f LEFT JOIN second s ON s.o_custkey = f.o_custkey
+),
+by_t AS (
+    SELECT t, sum(is_event)::BIGINT AS d,
+           sum(1 - is_event)::BIGINT AS c
+    FROM durations GROUP BY t
+),
+spine AS (
+    SELECT t, d, c,
+           (SELECT count(*) FROM durations)::BIGINT
+             - coalesce(sum(d + c) OVER (ORDER BY t
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS n_risk
+    FROM by_t
+)
+SELECT CAST(t AS BIGINT) AS gap_days,
+       CAST(n_risk AS BIGINT) AS n_at_risk,
+       CAST(d AS BIGINT) AS n_events,
+       {hz} AS cum_hazard
+FROM (
+    SELECT t, n_risk, d,
+           sum(d::DOUBLE / n_risk::DOUBLE) OVER (ORDER BY t) AS hz_raw
+    FROM spine WHERE d > 0
+)
+""".format(hz=rfix_sql("hz_raw", 6))
+
+
+def a_survival_hazard_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nelson-Aalen cumulative-hazard curve for time-to-second-purchase:
+    each customer contributes one duration (days from first to second
+    order date, right-CENSORED at the corpus horizon if no second order
+    exists), and H(t) = Σ_{s≤t} d_s/n_s over event times with exact
+    integer death/at-risk counts. The survival-analysis member of the
+    stats family (KS drift, Welch t, runs test, …) — churn/retention
+    modeling over the same table the cohort queries read.
+
+    Float discipline: d_s/n_s divides exact integers (deterministic per
+    row); the cumulative sum runs over the ORDERED gap-day spine, so both
+    engines add the same doubles in the same sequence — no unordered
+    float accumulation anywhere (this is why the estimator is
+    Nelson-Aalen rather than Kaplan-Meier: no exp/ln of products).
+
+    Scale shape: one customer-keyed aggregate pair builds durations (two
+    fact exchanges); everything after runs on the gap-day SPINE
+    (calendar-bounded), including the single-partition cumulative window.
+    """
+    o = spread(table(spark, sf_dir, "orders"))
+    d1 = o.groupBy("o_custkey").agg(
+        F.min(F.to_date("o_orderdate")).alias("d1")
+    )
+    second = (
+        o.join(d1, "o_custkey")
+        .filter(F.to_date("o_orderdate") > F.col("d1"))
+        .groupBy("o_custkey")
+        .agg(F.min(F.to_date("o_orderdate")).alias("d2"))
+    )
+    horizon = F.broadcast(
+        o.agg(F.max(F.to_date("o_orderdate")).alias("h"))
+    )
+    durations = (
+        d1.join(second, "o_custkey", "left")
+        .crossJoin(horizon)
+        .select(
+            F.when(
+                F.col("d2").isNotNull(), F.datediff("d2", "d1")
+            )
+            .otherwise(F.datediff("h", "d1"))
+            .alias("t"),
+            F.col("d2").isNotNull().cast("int").alias("is_event"),
+        )
+    )
+    by_t = durations.groupBy("t").agg(
+        F.sum("is_event").alias("d"),
+        F.sum(F.lit(1) - F.col("is_event")).alias("c"),
+    )
+    n_total = F.broadcast(durations.agg(F.count("*").alias("n")))
+    w_prev = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    spine = by_t.crossJoin(n_total).select(
+        "t",
+        "d",
+        (F.col("n") - F.coalesce(F.sum(F.col("d") + F.col("c")).over(w_prev), F.lit(0))).alias(
+            "n_risk"
+        ),
+    )
+    w_cum = Window.orderBy("t")
+    return (
+        spine.filter(F.col("d") > 0)
+        .select(
+            "t",
+            "n_risk",
+            "d",
+            F.sum(
+                F.col("d").cast("double") / F.col("n_risk").cast("double")
+            )
+            .over(w_cum)
+            .alias("hz_raw"),
+        )
+        .select(
+            F.col("t").cast("long").alias("gap_days"),
+            F.col("n_risk").cast("long").alias("n_at_risk"),
+            F.col("d").cast("long").alias("n_events"),
+            rfix("hz_raw", 6).alias("cum_hazard"),
+        )
+    )
+
+
+DRAFTS["a_survival_hazard_curve"] = (a_survival_hazard_curve, SURVIVAL_ORACLE)
+
+
+# ---------------------------------------------------------------------------
+# Leave-one-out source valuation: how much does each source move the
+# corpus-level quality metric? Exact integer totals, one scan.
+
+LOO_ORACLE = f"""
+WITH per_source AS (
+    SELECT source,
+           count(*)::BIGINT AS n_docs,
+           sum(len({_TOKS}))::BIGINT AS n_tokens
+    FROM documents GROUP BY source
+),
+tot AS (
+    SELECT sum(n_docs)::BIGINT AS nd, sum(n_tokens)::BIGINT AS nt
+    FROM per_source
+)
+SELECT source,
+       CAST(n_docs AS BIGINT) AS n_docs,
+       {rfix_sql("nt::DOUBLE / nd::DOUBLE", 6)} AS corpus_mean_tokens,
+       CASE WHEN nd - n_docs > 0 THEN
+         {rfix_sql("(nt - n_tokens)::DOUBLE / (nd - n_docs)::DOUBLE"
+                   " - nt::DOUBLE / nd::DOUBLE", 6)}
+       END AS loo_delta
+FROM per_source, tot
+"""
+
+
+def diag_loo_source_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out source valuation (Shapley-lite data attribution):
+    for each source, the change in the corpus mean tokens-per-document if
+    that source were REMOVED — the cheapest member of the data-valuation
+    family a curation pipeline uses to rank ingest feeds (negative delta
+    = the source drags the metric down). Exact: totals are integers, the
+    two divisions are the only float ops, and the single-source corpus
+    degenerates to NULL (guarded division — the a_stats_aggregates ANSI
+    rule).
+
+    Scale shape: ONE source-keyed aggregate over the scan (token counts
+    are per-row expressions), a 1-row total broadcast, zero further
+    exchanges. At 100 TB this is a single pass regardless of the number
+    of sources.
+    """
+    from ..functions import text as T
+
+    d = spread(table(spark, sf_dir, "documents"))
+    per_source = d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(T.tokens("text"))).alias("n_tokens"),
+    )
+    tot = F.broadcast(
+        per_source.agg(
+            F.sum("n_docs").alias("nd"), F.sum("n_tokens").alias("nt")
+        )
+    )
+    nd, nt = F.col("nd"), F.col("nt")
+    ndocs, ntok = F.col("n_docs"), F.col("n_tokens")
+    return per_source.crossJoin(tot).select(
+        "source",
+        ndocs.cast("long").alias("n_docs"),
+        rfix(nt.cast("double") / nd.cast("double"), 6).alias(
+            "corpus_mean_tokens"
+        ),
+        F.when(
+            nd - ndocs > 0,
+            rfix(
+                (nt - ntok).cast("double") / (nd - ndocs).cast("double")
+                - nt.cast("double") / nd.cast("double"),
+                6,
+            ),
+        ).alias("loo_delta"),
+    )
+
+
+DRAFTS["diag_loo_source_value"] = (diag_loo_source_value, LOO_ORACLE)
+
+
+# ---------------------------------------------------------------------------
+# Two-sided trimmed mean over a VALUE-DOMAIN collapse — robust statistics
+# without a fact-scale sort: the quantity histogram (≤50 values per
+# group) carries exact counts, and the trim is arithmetic on cumulative
+# weights, the f16_weighted_median_price/decision-stump move.
+
+TRIM_FRAC = 0.05
+
+TRIMMED_ORACLE = f"""
+WITH hist AS (
+    SELECT l_returnflag AS flag, CAST(l_quantity AS BIGINT) AS q,
+           count(*)::BIGINT AS cnt
+    FROM lineitem GROUP BY 1, 2
+),
+cum AS (
+    SELECT flag, q, cnt,
+           sum(cnt) OVER (PARTITION BY flag ORDER BY q
+               ROWS UNBOUNDED PRECEDING) AS cum_n,
+           sum(cnt) OVER (PARTITION BY flag) AS n
+    FROM hist
+),
+kept AS (
+    SELECT flag, q, n,
+           greatest(0::BIGINT,
+             least(cum_n, n - CAST(floor(n * {TRIM_FRAC}) AS BIGINT))
+             - greatest(cum_n - cnt, CAST(floor(n * {TRIM_FRAC}) AS BIGINT))
+           ) AS k
+    FROM cum
+)
+SELECT flag AS l_returnflag,
+       CAST(max(n) AS BIGINT) AS n_rows,
+       CAST(sum(k) AS BIGINT) AS n_kept,
+       {rfix_sql("sum(q * k)::DOUBLE / sum(k)::DOUBLE", 6)} AS trimmed_mean_qty
+FROM kept GROUP BY flag
+"""
+
+
+def a_trimmed_mean_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-returnflag 5%-two-sided TRIMMED mean of l_quantity — the
+    robust-location member of the stats family, computed over the value-
+    domain histogram instead of a fact-scale per-group sort: each
+    quantity value keeps ``min(cum, n-k) - max(cum_prev, k)`` of its
+    occurrences (k = floor(0.05·n) trimmed from each tail), so the whole
+    trim is exact integer arithmetic over ≤50 rows per group.
+
+    Scale shape: ONE (flag, quantity) collapse with map-side combine is
+    the only fact-scale exchange; the cumulative windows run on the
+    value domain (≤50 rows per flag — same discipline as
+    ml_decision_stump_returns / f16_weighted_median_price). A naive
+    row_number trim would instead sort the full fact table through 3
+    flag partitions — unbounded skew at 100 TB.
+    """
+    li = spread(table(spark, sf_dir, "lineitem"))
+    hist = li.groupBy(
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_quantity").cast("long").alias("q"),
+    ).agg(F.count("*").alias("cnt"))
+    w_cum = Window.partitionBy("flag").orderBy("q").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    w_all = Window.partitionBy("flag")
+    cum = hist.select(
+        "flag",
+        "q",
+        "cnt",
+        F.sum("cnt").over(w_cum).alias("cum_n"),
+        F.sum("cnt").over(w_all).alias("n"),
+    )
+    k_tail = F.floor(F.col("n") * TRIM_FRAC).cast("long")
+    kept = cum.select(
+        "flag",
+        "q",
+        "n",
+        F.greatest(
+            F.lit(0).cast("long"),
+            F.least(F.col("cum_n"), F.col("n") - k_tail)
+            - F.greatest(F.col("cum_n") - F.col("cnt"), k_tail),
+        ).alias("k"),
+    )
+    return kept.groupBy(F.col("flag").alias("l_returnflag")).agg(
+        F.max("n").cast("long").alias("n_rows"),
+        F.sum("k").cast("long").alias("n_kept"),
+        rfix(
+            F.sum(F.col("q") * F.col("k")).cast("double")
+            / F.sum("k").cast("double"),
+            6,
+        ).alias("trimmed_mean_qty"),
+    )
+
+
+DRAFTS["a_trimmed_mean_quantity"] = (a_trimmed_mean_quantity, TRIMMED_ORACLE)
+
+
+# ---------------------------------------------------------------------------
+# Measured Bloom false-positive rate — the eval twin of the
+# j16_bloom_semi_filter OPERATOR: build the bitmap from one membership
+# set with the portable seeded-md5 hash family, probe with true
+# negatives, report the observed FPR next to the theoretical bound.
+
+BLOOM_M = 4096  # bits
+BLOOM_K = 3  # hash functions
+_BLOOM_SEGMENT = "BUILDING"
+
+
+def _bloom_pos_sql(expr: str, seed: int) -> str:
+    return f"({seeded_sql(expr, seed)} % {BLOOM_M})"
+
+
+BLOOM_FPR_ORACLE = f"""
+WITH members AS (
+    SELECT CAST(c_custkey AS VARCHAR) AS key FROM customer
+    WHERE c_mktsegment = '{_BLOOM_SEGMENT}'
+),
+negatives AS (
+    SELECT CAST(c_custkey AS VARCHAR) AS key FROM customer
+    WHERE c_mktsegment <> '{_BLOOM_SEGMENT}'
+),
+bits AS (
+    SELECT DISTINCT pos FROM (
+        {" UNION ALL ".join(
+            f"SELECT {_bloom_pos_sql('key', s)} AS pos FROM members"
+            for s in range(BLOOM_K)
+        )}
+    )
+),
+probes AS (
+    {" UNION ALL ".join(
+        f"SELECT key, {_bloom_pos_sql('key', s)} AS pos FROM negatives"
+        for s in range(BLOOM_K)
+    )}
+),
+fp AS (
+    SELECT p.key
+    FROM probes p JOIN bits b ON b.pos = p.pos
+    GROUP BY p.key
+    HAVING count(*) = {BLOOM_K}
+),
+stats AS (
+    SELECT (SELECT count(*) FROM members)::BIGINT AS n_members,
+           (SELECT count(*) FROM negatives)::BIGINT AS n_negatives,
+           (SELECT count(*) FROM bits)::BIGINT AS n_bits_set,
+           (SELECT count(*) FROM fp)::BIGINT AS n_false_positives
+)
+SELECT n_members, n_negatives, n_bits_set, n_false_positives,
+       CASE WHEN n_negatives > 0 THEN
+         {rfix_sql("n_false_positives::DOUBLE / n_negatives::DOUBLE", 6)}
+       END AS fpr_measured,
+       {rfix_sql(
+           f"pow(n_bits_set::DOUBLE / {BLOOM_M}.0, {BLOOM_K}.0)", 6
+       )} AS fpr_predicted
+FROM stats
+"""
+
+
+def diag_bloom_fpr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured vs predicted Bloom-filter false-positive rate: build a
+    {BLOOM_M}-bit / {BLOOM_K}-hash bitmap over one customer segment with
+    the PORTABLE seeded-md5 family (operators/bloom's xxhash64 family is
+    faster but not oracle-reproducible — j16 gets away with it because
+    its exact verify join erases FPs; an FPR EVAL is about the bits
+    themselves), probe every out-of-segment customer, and report the
+    observed FPR next to the occupancy-based prediction (set_bits/m)^k.
+    The eval twin every production Bloom deployment wants next to the
+    filter itself (same role as ann_recall_eval for the ANN indexes).
+
+    Scale shape: the bitmap is a DISTINCT over ≤m integers (map-side
+    combinable); probes explode k positions per negative and join the
+    broadcast-sized bit set; the HAVING count(*)=k is a key-sized
+    aggregate. No fact-scale sort, no driver collect.
+    """
+    c = table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").cast("string").alias("key"), "c_mktsegment"
+    )
+    members = c.filter(F.col("c_mktsegment") == _BLOOM_SEGMENT).select("key")
+    negatives = c.filter(F.col("c_mktsegment") != _BLOOM_SEGMENT).select("key")
+
+    def pos(seed: int) -> F.Column:
+        return seeded("key", seed) % BLOOM_M
+
+    bits = (
+        members.select(
+            F.explode(F.array(*[pos(s) for s in range(BLOOM_K)])).alias("pos")
+        )
+        .distinct()
+    )
+    probes = negatives.select(
+        "key", F.explode(F.array(*[pos(s) for s in range(BLOOM_K)])).alias("pos")
+    )
+    fp = (
+        probes.join(F.broadcast(bits), "pos")
+        .groupBy("key")
+        .agg(F.count("*").alias("hits"))
+        .filter(F.col("hits") == BLOOM_K)
+    )
+    stats = (
+        F.broadcast(members.agg(F.count("*").alias("n_members")))
+        .crossJoin(F.broadcast(negatives.agg(F.count("*").alias("n_negatives"))))
+        .crossJoin(F.broadcast(bits.agg(F.count("*").alias("n_bits_set"))))
+        .crossJoin(F.broadcast(fp.agg(F.count("*").alias("n_false_positives"))))
+    )
+    return stats.select(
+        F.col("n_members").cast("long").alias("n_members"),
+        F.col("n_negatives").cast("long").alias("n_negatives"),
+        F.col("n_bits_set").cast("long").alias("n_bits_set"),
+        F.col("n_false_positives").cast("long").alias("n_false_positives"),
+        F.when(  # empty probe set: NULL, not a DIVIDE_BY_ZERO (ANSI rule)
+            F.col("n_negatives") > 0,
+            rfix(
+                F.col("n_false_positives").cast("double")
+                / F.col("n_negatives").cast("double"),
+                6,
+            ),
+        ).alias("fpr_measured"),
+        rfix(
+            F.pow(
+                F.col("n_bits_set").cast("double") / F.lit(float(BLOOM_M)),
+                F.lit(float(BLOOM_K)),
+            ),
+            6,
+        ).alias("fpr_predicted"),
+    )
+
+
+DRAFTS["diag_bloom_fpr_eval"] = (diag_bloom_fpr_eval, BLOOM_FPR_ORACLE)
+
+
+# ---------------------------------------------------------------------------
+# Top event-type trigrams: the sequential-pattern rollup one step beyond
+# t13's transition (bigram) matrix — per-user ordered windows, global
+# counts, deterministic top-k.
+
+TRIGRAM_TOPK = 10
+
+TRIGRAM_ORACLE = f"""
+WITH seq AS (
+    SELECT user_id, event_type AS t0,
+           lead(event_type, 1) OVER w AS t1,
+           lead(event_type, 2) OVER w AS t2
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+tri AS (
+    SELECT t0 || '>' || t1 || '>' || t2 AS trigram, count(*)::BIGINT AS cnt
+    FROM seq WHERE t1 IS NOT NULL AND t2 IS NOT NULL
+    GROUP BY 1
+)
+SELECT trigram, cnt FROM tri
+ORDER BY cnt DESC, trigram
+LIMIT {TRIGRAM_TOPK}
+"""
+
+
+def t26_event_trigrams_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{TRIGRAM_TOPK} event-type TRIGRAMS across all user streams —
+    the order-3 sequential pattern mine (t13_event_transition_matrix is
+    order 2): two leads over each user's (ts, event_id)-ordered stream,
+    concatenate, count, deterministic top-k (count desc, trigram asc —
+    TakeOrdered, never a global sort).
+
+    Scale shape: ONE user_id exchange feeds both lead windows (same
+    partitioning, one shuffle); the trigram count is map-side
+    combinable over a |event_types|^3-bounded key domain; top-k is
+    orderBy+limit.
+    """
+    e = spread(table(spark, sf_dir, "events"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        F.col("event_type").alias("t0"),
+        F.lead("event_type", 1).over(w).alias("t1"),
+        F.lead("event_type", 2).over(w).alias("t2"),
+    )
+    return (
+        seq.filter(F.col("t1").isNotNull() & F.col("t2").isNotNull())
+        .select(
+            F.concat_ws(">", "t0", "t1", "t2").alias("trigram")
+        )
+        .groupBy("trigram")
+        .agg(F.count("*").cast("long").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("trigram"))
+        .limit(TRIGRAM_TOPK)
+    )
+
+
+DRAFTS["t26_event_trigrams_topk"] = (t26_event_trigrams_topk, TRIGRAM_ORACLE)
+
+
+# ---------------------------------------------------------------------------
+# Sweep-line interval coverage: concurrent open orders per day. The
+# classic +1/-1 delta trick — interval containment WITHOUT a range join:
+# fact-scale work collapses to two deltas per order, and the coverage
+# curve is a prefix sum over the calendar spine.
+
+OPEN_ORDERS_ORACLE = """
+WITH intervals AS (
+    SELECT o.o_orderkey,
+           CAST(o.o_orderdate AS DATE) AS d_start,
+           max(CAST(l.l_shipdate AS DATE)) AS d_end
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderkey, CAST(o.o_orderdate AS DATE)
+),
+deltas AS (
+    SELECT d_start AS d, 1 AS delta FROM intervals
+    UNION ALL
+    SELECT d_end + 1 AS d, -1 AS delta FROM intervals
+),
+by_day AS (SELECT d, sum(delta)::BIGINT AS delta FROM deltas GROUP BY d),
+spine AS (
+    SELECT unnest(generate_series((SELECT min(d) FROM by_day),
+                                  (SELECT max(d) FROM by_day),
+                                  INTERVAL 1 DAY))::DATE AS d
+)
+SELECT strftime(s.d, '%Y-%m-%d') AS day,
+       CAST(sum(coalesce(b.delta, 0))
+                OVER (ORDER BY s.d ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS open_orders
+FROM spine s LEFT JOIN by_day b ON b.d = s.d
+"""
+
+
+def a_open_orders_per_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concurrent OPEN orders per calendar day (an order is open from its
+    order date to its last line's ship date) — interval coverage by
+    sweep line: every order contributes +1 at its start day and -1 the
+    day after its end, and the per-day open count is the running sum of
+    day deltas over the calendar spine. The operator family behind
+    concurrency/occupancy analytics (open tickets, active sessions,
+    concurrent jobs) that a naive point-in-interval range join computes
+    in O(days x orders).
+
+    Scale shape: one order-keyed aggregate (the interval build) and one
+    day-keyed delta collapse are the only fact-scale exchanges; the
+    prefix-sum window runs on the CALENDAR spine (~2.4k rows here,
+    bounded by date span, never by order count). Orders with no
+    lineitems have no ship date and are excluded by the inner join —
+    documented contract.
+    """
+    o = table(spark, sf_dir, "orders")
+    li = spread(table(spark, sf_dir, "lineitem"))
+    intervals = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey", F.to_date("o_orderdate").alias("d_start"))
+        .agg(F.max(F.to_date("l_shipdate")).alias("d_end"))
+    )
+    deltas = intervals.select(
+        F.col("d_start").alias("d"), F.lit(1).alias("delta")
+    ).unionByName(
+        intervals.select(
+            F.date_add("d_end", 1).alias("d"), F.lit(-1).alias("delta")
+        )
+    )
+    by_day = deltas.groupBy("d").agg(F.sum("delta").alias("delta"))
+    bounds = F.broadcast(
+        by_day.agg(F.min("d").alias("dmin"), F.max("d").alias("dmax"))
+    )
+    spine = bounds.select(
+        F.explode(
+            F.sequence(F.col("dmin"), F.col("dmax"), F.expr("interval 1 day"))
+        ).alias("d")
+    )
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        spine.join(F.broadcast(by_day), "d", "left")
+        .select("d", F.coalesce("delta", F.lit(0)).alias("delta"))
+        .select(
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            F.sum("delta").over(w).cast("long").alias("open_orders"),
+        )
+    )
+
+
+DRAFTS["a_open_orders_per_day"] = (a_open_orders_per_day, OPEN_ORDERS_ORACLE)
+
+
+# ---------------------------------------------------------------------------
+# One Weiszfeld step toward the geometric median of the embedding corpus
+# — the robust centroid (minimizes Σ‖x−m‖, not Σ‖x−m‖²), the estimator a
+# contaminated corpus needs where the mean chases outliers.
+
+GEOMED_EPS = 1e-9
+
+GEOMED_ORACLE = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+x AS (
+    SELECT vec_id, idx.i, v[CAST(idx.i AS INT)] AS x
+    FROM e, (SELECT unnest(range(1, 4097)) AS i) idx
+    WHERE idx.i <= len(v)
+),
+mu AS (SELECT i, avg(x) AS mu FROM x GROUP BY i),
+dist AS (
+    SELECT x.vec_id,
+           sqrt(sum((x.x - mu.mu) * (x.x - mu.mu))) AS dst
+    FROM x JOIN mu ON mu.i = x.i
+    GROUP BY x.vec_id
+),
+wx AS (
+    SELECT x.i,
+           sum(x.x / greatest(d.dst, {GEOMED_EPS})) AS num,
+           sum(1.0 / greatest(d.dst, {GEOMED_EPS})) AS den
+    FROM x JOIN dist d ON d.vec_id = x.vec_id
+    GROUP BY x.i
+)
+SELECT CAST(wx.i - 1 AS BIGINT) AS dim,
+       {rfix_sql('mu.mu', 6)} AS mean_coord,
+       {rfix_sql('wx.num / wx.den', 6)} AS median_step_coord
+FROM wx JOIN mu ON mu.i = wx.i
+"""
+
+
+def emb_geometric_median_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One Weiszfeld iteration toward the GEOMETRIC MEDIAN of the
+    embedding corpus, seeded at the mean: m₁ = Σ(xᵢ/dᵢ) / Σ(1/dᵢ) with
+    dᵢ = ‖xᵢ − mean‖ (clamped at {GEOMED_EPS} so a vector sitting exactly
+    on the seed cannot divide by zero). The geometric median is the
+    robust centroid — contamination moves the mean linearly but the
+    median almost not at all — and one Weiszfeld step is the whole
+    fixed-point loop's cost model: run it T times for the full estimator
+    (emb_kmeans_train_stats unrolls Lloyd the same way).
+
+    Scale shape: two dimension-keyed aggregates (d fixed-width rows) and
+    one vector-keyed distance sum; the d-row moment frame rides a
+    broadcast onto the exploded vectors — never a d×d object, never a
+    driver collect. Per-dimension sums are unordered float adds,
+    canonicalized at the output boundary (rfix 6) like every emb_*
+    digest.
+    """
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    x = e.select("vec_id", F.posexplode("v").alias("i", "x"))
+    mu = F.broadcast(x.groupBy("i").agg(F.avg("x").alias("mu")))
+    dist = (
+        x.join(mu, "i")
+        .groupBy("vec_id")
+        .agg(
+            F.sqrt(
+                F.sum((F.col("x") - F.col("mu")) * (F.col("x") - F.col("mu")))
+            ).alias("dst")
+        )
+    )
+    wx = (
+        x.join(dist, "vec_id")
+        .groupBy("i")
+        .agg(
+            F.sum(
+                F.col("x") / F.greatest(F.col("dst"), F.lit(GEOMED_EPS))
+            ).alias("num"),
+            F.sum(
+                F.lit(1.0) / F.greatest(F.col("dst"), F.lit(GEOMED_EPS))
+            ).alias("den"),
+        )
+    )
+    return wx.join(mu, "i").select(
+        F.col("i").cast("long").alias("dim"),
+        rfix("mu", 6).alias("mean_coord"),
+        rfix(F.col("num") / F.col("den"), 6).alias("median_step_coord"),
+    )
+
+
+DRAFTS["emb_geometric_median_step"] = (emb_geometric_median_step, GEOMED_ORACLE)
+
+
+# ---------------------------------------------------------------------------
+# Grid-density clustering cores (DBSCAN-lite): quantize the first two
+# embedding dimensions to a fixed grid, count per cell, mark dense cells
+# as cores and count each cell's adjacent cores — the density structure
+# without any pairwise distance join.
+
+GRID_SCALE = 8  # cells per unit: cell = floor(coord * 8)
+GRID_MINPTS = 10
+
+DENSITY_ORACLE = f"""
+WITH cells AS (
+    SELECT CAST(floor(embedding[1] * {GRID_SCALE}) AS BIGINT) AS cx,
+           CAST(floor(embedding[2] * {GRID_SCALE}) AS BIGINT) AS cy,
+           count(*)::BIGINT AS cnt
+    FROM embeddings GROUP BY 1, 2
+),
+cores AS (SELECT cx, cy FROM cells WHERE cnt >= {GRID_MINPTS}),
+offsets AS (
+    SELECT dx.d AS dx, dy.d AS dy
+    FROM (SELECT unnest([-1, 0, 1]) AS d) dx,
+         (SELECT unnest([-1, 0, 1]) AS d) dy
+    WHERE NOT (dx.d = 0 AND dy.d = 0)
+),
+adj AS (
+    SELECT c.cx, c.cy, count(*)::BIGINT AS n_core_adj
+    FROM cells c
+    JOIN offsets o ON TRUE
+    JOIN cores k ON k.cx = c.cx + o.dx AND k.cy = c.cy + o.dy
+    GROUP BY c.cx, c.cy
+)
+SELECT c.cx, c.cy, c.cnt,
+       (c.cnt >= {GRID_MINPTS}) AS is_core,
+       coalesce(a.n_core_adj, 0) AS n_core_adj
+FROM cells c LEFT JOIN adj a ON a.cx = c.cx AND a.cy = c.cy
+"""
+
+
+def emb_density_grid_cores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-density clustering structure (DBSCAN-lite) over the first two
+    embedding dimensions: quantize to a 1/{GRID_SCALE}-unit grid, count
+    points per cell, mark cells with ≥{GRID_MINPTS} points as CORES, and
+    report each cell's count of adjacent (8-neighborhood) core cells —
+    the density-reachability skeleton from which DBSCAN clusters are the
+    connected components (dedup_clusters supplies that CC pass). Density
+    estimation by grid is THE at-scale substitute for pairwise ε-range
+    queries: membership is a floor(), not a distance join.
+
+    Scale shape: ONE cell-keyed collapse over the scan (map-side
+    combinable, grid-bounded output), then cell-sized joins — the
+    9-offset expansion rides a broadcast against the core set. Floor of
+    float×constant is bit-deterministic on both engines.
+
+    Operates on 2 of the 64 dims (a visualization/bucketing projection);
+    the full-dimensional variant is the same plan with a composite cell
+    key (d floors instead of 2).
+    """
+    e = table(spark, sf_dir, "embeddings")
+    cells = e.groupBy(
+        F.floor(F.element_at("embedding", 1) * GRID_SCALE)
+        .cast("long")
+        .alias("cx"),
+        F.floor(F.element_at("embedding", 2) * GRID_SCALE)
+        .cast("long")
+        .alias("cy"),
+    ).agg(F.count("*").alias("cnt"))
+    cores = cells.filter(F.col("cnt") >= GRID_MINPTS).select("cx", "cy")
+    offsets = spark.createDataFrame(
+        [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1) if (dx, dy) != (0, 0)],
+        "dx long, dy long",
+    )
+    adj = (
+        cells.select("cx", "cy")
+        .join(F.broadcast(offsets))
+        .join(
+            F.broadcast(cores).select(
+                F.col("cx").alias("kx"), F.col("cy").alias("ky")
+            ),
+            (F.col("kx") == F.col("cx") + F.col("dx"))
+            & (F.col("ky") == F.col("cy") + F.col("dy")),
+        )
+        .groupBy("cx", "cy")
+        .agg(F.count("*").alias("n_core_adj"))
+    )
+    return (
+        cells.join(adj, ["cx", "cy"], "left")
+        .select(
+            F.col("cx").cast("long").alias("cx"),
+            F.col("cy").cast("long").alias("cy"),
+            F.col("cnt").cast("long").alias("cnt"),
+            (F.col("cnt") >= GRID_MINPTS).alias("is_core"),
+            F.coalesce("n_core_adj", F.lit(0)).cast("long").alias("n_core_adj"),
+        )
+    )
+
+
+DRAFTS["emb_density_grid_cores"] = (emb_density_grid_cores, DENSITY_ORACLE)
+
+
+# ---------------------------------------------------------------------------
+# kNN classifier evaluation on the embedding table: hash-split
+# train/test, panel-bounded brute-force neighbors, majority label vote,
+# confusion rollup — the lazy-learner eval next to ml_nearest_centroid_eval
+# (parametric) and ml_naive_bayes_confusion (generative).
+
+KNN_K = 5
+KNN_PANEL = 20
+
+KNN_ORACLE = f"""
+WITH test AS (
+    SELECT vec_id, embedding, label FROM embeddings
+    WHERE vec_id % 5 = 0 ORDER BY vec_id LIMIT {KNN_PANEL}
+),
+train AS (SELECT vec_id, embedding, label FROM embeddings WHERE vec_id % 5 <> 0),
+scored AS (
+    SELECT t.vec_id AS qid, t.label AS true_label, r.label AS nbr_label,
+           row_number() OVER (
+               PARTITION BY t.vec_id
+               ORDER BY floor({{cos}} * 1e6 + 0.5) DESC, r.vec_id
+           ) AS rn
+    FROM test t CROSS JOIN train r
+),
+votes AS (
+    SELECT qid, true_label, nbr_label, count(*) AS v
+    FROM scored WHERE rn <= {KNN_K}
+    GROUP BY qid, true_label, nbr_label
+),
+pred AS (
+    SELECT qid, true_label, nbr_label AS pred_label
+    FROM (SELECT *, row_number() OVER (
+              PARTITION BY qid ORDER BY v DESC, nbr_label) AS pr
+          FROM votes)
+    WHERE pr = 1
+)
+SELECT CAST(true_label AS BIGINT) AS true_label,
+       CAST(pred_label AS BIGINT) AS pred_label,
+       count(*)::BIGINT AS n
+FROM pred GROUP BY 1, 2
+""".format(cos="__COS__").replace(
+    "__COS__", "(list_inner_product(t.embedding::DOUBLE[], r.embedding::DOUBLE[]) / "
+    "(sqrt(list_inner_product(t.embedding::DOUBLE[], t.embedding::DOUBLE[])) * "
+    "sqrt(list_inner_product(r.embedding::DOUBLE[], r.embedding::DOUBLE[]))))"
+)
+
+
+def ml_knn_label_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN classifier evaluation (k={KNN_K}) on the embedding corpus: a
+    deterministic hash split (vec_id % 5) carves test from train, a
+    {KNN_PANEL}-query evaluation panel scores against every train vector
+    by cosine (neighbor rank on the floor(cos·1e6+0.5) canonicalization,
+    id tie-break — the argmax-over-floats discipline), the top-{KNN_K}
+    labels vote with ties to the smaller label, and the output is the
+    confusion-matrix rollup. Completes the classifier-eval family:
+    nearest-centroid (parametric), naive Bayes (generative), kNN (lazy).
+
+    Scale shape: the PANEL (constant rows) rides a broadcast against one
+    corpus scan — per-query cost is one pass, the same contract as
+    ann_topk_cosine; votes and the confusion rollup are panel-sized. A
+    full-corpus kNN eval (every vector a query) is the all-pairs regime —
+    that path goes through the IVF/LSH candidate indexes instead
+    (ann_ivf_topk's blocking), not through this query.
+    """
+    from ..functions import vectors as V
+
+    e = table(spark, sf_dir, "embeddings")
+    test = (
+        e.filter(F.col("vec_id") % 5 == 0)
+        .orderBy("vec_id")
+        .limit(KNN_PANEL)
+        .select(
+            F.col("vec_id").alias("qid"),
+            F.col("embedding").alias("qe"),
+            F.col("label").alias("true_label"),
+        )
+    )
+    train = e.filter(F.col("vec_id") % 5 != 0)
+    cos = V.cosine(F.col("qe"), F.col("embedding"))
+    w_nbr = Window.partitionBy("qid").orderBy(
+        F.floor(cos * 1e6 + 0.5).desc(), F.col("vec_id").asc()
+    )
+    scored = train.join(F.broadcast(test)).select(
+        "qid",
+        "true_label",
+        F.col("label").alias("nbr_label"),
+        F.row_number().over(w_nbr).alias("rn"),
+    )
+    votes = (
+        scored.filter(F.col("rn") <= KNN_K)
+        .groupBy("qid", "true_label", "nbr_label")
+        .agg(F.count("*").alias("v"))
+    )
+    w_vote = Window.partitionBy("qid").orderBy(
+        F.desc("v"), F.asc("nbr_label")
+    )
+    pred = (
+        votes.select(
+            "qid",
+            "true_label",
+            F.col("nbr_label").alias("pred_label"),
+            F.row_number().over(w_vote).alias("pr"),
+        )
+        .filter(F.col("pr") == 1)
+    )
+    return pred.groupBy(
+        F.col("true_label").cast("long").alias("true_label"),
+        F.col("pred_label").cast("long").alias("pred_label"),
+    ).agg(F.count("*").cast("long").alias("n"))
+
+
+DRAFTS["ml_knn_label_eval"] = (ml_knn_label_eval, KNN_ORACLE)
+
+
+# ---------------------------------------------------------------------------
+# Maximal Marginal Relevance (MMR) diversified top-k, 3 greedy rounds
+# unrolled: relevance = query-term hits, redundancy penalty = token
+# Jaccard against the already-selected set. The retrieval-diversification
+# operator a RAG/training-data pipeline runs between "score" and "take" —
+# plain top-k returns near-duplicates; MMR trades relevance for coverage.
+
+MMR_TERMS = ("spark", "join", "window")
+MMR_LAMBDA = 4.0
+
+_MMR_REL = " + ".join(
+    f"len(list_filter({_TOKS}, t -> t = '{w}'))" for w in MMR_TERMS
+)
+
+MMR_ORACLE = f"""
+WITH rel AS (
+    SELECT doc_id, ({_MMR_REL})::BIGINT AS rel FROM documents
+),
+pool AS (SELECT doc_id, rel FROM rel WHERE rel >= 1),
+toks AS (
+    SELECT DISTINCT d.doc_id, t.tok
+    FROM documents d, unnest(string_split_regex(d.text, '\\s+')) AS t(tok)
+    WHERE d.doc_id IN (SELECT doc_id FROM pool)
+),
+sz AS (SELECT doc_id, count(*)::BIGINT AS sz FROM toks GROUP BY doc_id),
+s1 AS (
+    SELECT doc_id, rel FROM pool ORDER BY rel DESC, doc_id LIMIT 1
+),
+sim1 AS (
+    SELECT p.doc_id, p.rel,
+           coalesce(i.inter, 0)::DOUBLE
+             / (z.sz + (SELECT sz FROM sz WHERE doc_id = (SELECT doc_id FROM s1))
+                - coalesce(i.inter, 0))::DOUBLE AS j1
+    FROM pool p
+    JOIN sz z ON z.doc_id = p.doc_id
+    LEFT JOIN (
+        SELECT a.doc_id, count(*)::BIGINT AS inter
+        FROM toks a JOIN toks b ON b.tok = a.tok
+        WHERE b.doc_id = (SELECT doc_id FROM s1)
+        GROUP BY a.doc_id
+    ) i ON i.doc_id = p.doc_id
+    WHERE p.doc_id <> (SELECT doc_id FROM s1)
+),
+s2 AS (
+    SELECT doc_id, rel, rel - {MMR_LAMBDA} * j1 AS score
+    FROM sim1
+    ORDER BY floor((rel - {MMR_LAMBDA} * j1) * 1e6 + 0.5) DESC, doc_id
+    LIMIT 1
+),
+sim2 AS (
+    SELECT s.doc_id, s.rel, s.j1,
+           coalesce(i.inter, 0)::DOUBLE
+             / (z.sz + (SELECT sz FROM sz WHERE doc_id = (SELECT doc_id FROM s2))
+                - coalesce(i.inter, 0))::DOUBLE AS j2
+    FROM sim1 s
+    JOIN sz z ON z.doc_id = s.doc_id
+    LEFT JOIN (
+        SELECT a.doc_id, count(*)::BIGINT AS inter
+        FROM toks a JOIN toks b ON b.tok = a.tok
+        WHERE b.doc_id = (SELECT doc_id FROM s2)
+        GROUP BY a.doc_id
+    ) i ON i.doc_id = s.doc_id
+    WHERE s.doc_id <> (SELECT doc_id FROM s2)
+),
+s3 AS (
+    SELECT doc_id, rel,
+           rel - {MMR_LAMBDA} * greatest(j1, j2) AS score
+    FROM sim2
+    ORDER BY floor((rel - {MMR_LAMBDA} * greatest(j1, j2)) * 1e6 + 0.5) DESC,
+             doc_id
+    LIMIT 1
+)
+SELECT 1::BIGINT AS rank, CAST(doc_id AS BIGINT) AS doc_id,
+       rel, {rfix_sql('rel::DOUBLE', 6)} AS mmr_score
+FROM s1
+UNION ALL
+SELECT 2::BIGINT, CAST(doc_id AS BIGINT), rel, {rfix_sql('score', 6)} FROM s2
+UNION ALL
+SELECT 3::BIGINT, CAST(doc_id AS BIGINT), rel, {rfix_sql('score', 6)} FROM s3
+"""
+
+
+def text_mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance diversified retrieval, three greedy
+    rounds unrolled: relevance = occurrences of the query terms
+    {MMR_TERMS}; each round picks argmax(rel − λ·max Jaccard(d, selected))
+    with λ={MMR_LAMBDA}, ranked on the floor(score·1e6+0.5)
+    canonicalization with doc_id tie-break (the argmax-over-floats
+    discipline — Jaccard is a ratio of exact integers, so the score is
+    bit-identical cross-engine). The diversification pass between
+    retrieval and selection that keeps a RAG context window or a
+    few-shot set from filling with near-duplicates of hit #1; the
+    bounded-unroll contract of emb_kmeans_train_stats/ml_boosting_round.
+
+    Scale shape: the candidate pool is relevance-filtered at the scan;
+    each greedy round joins the pool's token sets against ONE selected
+    document's token set (a 1-row-driven broadcast semi-join), so k
+    rounds cost k token-set passes — never a pool×pool similarity join
+    (that all-pairs regime belongs to dedup_prefix_filter_jaccard's
+    blocked join).
+    """
+    from ..functions import text as T
+
+    d = spread(table(spark, sf_dir, "documents"))
+
+    def _eq(word: str):
+        # single-arg lambda on purpose: a 2-arg lambda makes F.filter pass
+        # the ARRAY INDEX as the second argument (PySpark HOF convention)
+        return lambda t: t == F.lit(word)
+
+    rel_expr = sum(
+        F.size(F.filter(T.tokens("text"), _eq(w))) for w in MMR_TERMS
+    )
+    pool = d.select("doc_id", rel_expr.cast("long").alias("rel")).filter(
+        F.col("rel") >= 1
+    )
+    toks = (
+        d.join(pool.select("doc_id"), "doc_id", "left_semi")
+        .select("doc_id", F.explode(T.tokens("text")).alias("tok"))
+        .distinct()
+    )
+    sz = toks.groupBy("doc_id").agg(F.count("*").alias("sz"))
+
+    def jacc_vs(cands: DataFrame, sel: DataFrame, out: str) -> DataFrame:
+        """Jaccard of every candidate against the ONE selected doc."""
+        sel_toks = toks.join(
+            F.broadcast(sel.select("doc_id")), "doc_id", "left_semi"
+        ).select("tok")
+        sel_sz = F.broadcast(
+            sz.join(F.broadcast(sel.select("doc_id")), "doc_id", "left_semi")
+            .select(F.col("sz").alias("sel_sz"))
+        )
+        inter = (
+            toks.join(F.broadcast(sel_toks), "tok")
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("inter"))
+        )
+        return (
+            cands.join(sz, "doc_id")
+            .join(inter, "doc_id", "left")
+            .crossJoin(sel_sz)
+            .withColumn(
+                out,
+                F.coalesce("inter", F.lit(0)).cast("double")
+                / (
+                    F.col("sz") + F.col("sel_sz") - F.coalesce("inter", F.lit(0))
+                ).cast("double"),
+            )
+            .drop("sz", "inter", "sel_sz")
+        )
+
+    def pick(df: DataFrame, score) -> DataFrame:
+        return (
+            df.withColumn("score", score)
+            .orderBy(
+                F.floor(F.col("score") * 1e6 + 0.5).desc(), F.col("doc_id").asc()
+            )
+            .limit(1)
+        )
+
+    s1 = pool.orderBy(F.desc("rel"), F.asc("doc_id")).limit(1)
+    rest1 = pool.join(F.broadcast(s1.select("doc_id")), "doc_id", "left_anti")
+    sim1 = jacc_vs(rest1, s1, "j1")
+    s2 = pick(sim1, F.col("rel") - MMR_LAMBDA * F.col("j1"))
+    rest2 = sim1.join(F.broadcast(s2.select("doc_id")), "doc_id", "left_anti")
+    sim2 = jacc_vs(rest2, s2, "j2")
+    s3 = pick(
+        sim2, F.col("rel") - MMR_LAMBDA * F.greatest("j1", "j2")
+    )
+    out1 = s1.select(
+        F.lit(1).cast("long").alias("rank"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("rel").cast("long").alias("rel"),
+        rfix(F.col("rel").cast("double"), 6).alias("mmr_score"),
+    )
+    out2 = s2.select(
+        F.lit(2).cast("long").alias("rank"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("rel").cast("long").alias("rel"),
+        rfix("score", 6).alias("mmr_score"),
+    )
+    out3 = s3.select(
+        F.lit(3).cast("long").alias("rank"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("rel").cast("long").alias("rel"),
+        rfix("score", 6).alias("mmr_score"),
+    )
+    return out1.unionByName(out2).unionByName(out3)
+
+
+DRAFTS["text_mmr_diverse_topk"] = (text_mmr_diverse_topk, MMR_ORACLE)
