@@ -134,8 +134,12 @@ _SHAPES = {
     # BM25 arm + title arm fused post-limit: the rank windows run over
     # RRF_DEPTH-bounded frames only
     "text_rrf_hybrid_topk": (4, 4, 2, 3),
-    # prefix tokens + sizes ride vocab/doc-sized joins; both doc scans pruned
-    "dedup_prefix_filter_jaccard": (3, 5, 0, 2),
+    # exact-clone groups collapse BEFORE the prefix join (duplicate-robust
+    # PPJoin: the similarity join sees distinct token sets only, member
+    # pairs expand back afterwards) — +group/expansion exchanges, all
+    # group- or answer-sized, in exchange for removing the k²-per-token
+    # straggler a duplicated corpus creates
+    "dedup_prefix_filter_jaccard": (10, 5, 0, 3),
     # skyline via day-collapse + day-spine suffix-max + broadcast join —
     # the pin that keeps the x35-at-20x two-phase row-window form out
     "o7_pareto_front_orders": (1, 1, 1, 0),

@@ -2716,19 +2716,43 @@ def dedup_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     a vocab-sized aggregate broadcast back onto a doc-local sort;
     ceil(τ|T|) is exact integer arithmetic (floor((3n+4)/5)) on both
     engines; verification joins candidate pairs only.
+
+    Duplicate-robustness (the 20x probe's lesson): a corpus WITH exact
+    duplicates — the very corpus a dedup pass exists for — clones every
+    rare token k-fold, so even the prefix join funnels k² candidate rows
+    per token through ONE join task (measured: the 20x replicated probe
+    stalled in a single straggler). The similarity join therefore runs
+    on DISTINCT TOKEN SETS: exact-clone groups collapse to one
+    representative each (a hash groupBy — the dedup_exact_groups move),
+    and member pairs are EXPANDED back afterwards — within-group pairs
+    at J = 1.0 exactly, cross-group pairs inheriting their
+    representatives' J (identical sets ⇒ identical Jaccard). The
+    expansion is embarrassingly parallel output generation (the inherent
+    answer size); the skewed k² candidate work disappears entirely.
     """
     d = spread(table(spark, sf_dir, "documents")).filter(
         F.col("doc_id") % PPJ_MOD == 0
     )
-    tok = d.select(
+    docs = d.select(
         F.col("doc_id").cast("long").alias("doc_id"),
-        F.explode(F.array_distinct(T.tokens("text"))).alias("t"),
+        F.array_sort(F.array_distinct(T.tokens("text"))).alias("set_lex"),
     )
+    # Exact-clone collapse: identical token SETS share one group; the
+    # similarity join sees one representative per group.
+    groups = docs.select(
+        "doc_id", H.md5_long(F.array_join("set_lex", " ")).alias("gid")
+    )
+    reps = groups.groupBy("gid").agg(F.min("doc_id").alias("rep"))
+    rep_docs = docs.join(
+        reps.select(F.col("rep").alias("doc_id"), "gid"), "doc_id"
+    )
+    tok = rep_docs.select("gid", F.explode("set_lex").alias("t"))
     freq = tok.groupBy("t").agg(F.count("*").cast("long").alias("f"))
-    # Per-doc token set sorted by (corpus frequency, token): rarest first.
+    # Per-representative token set sorted by (corpus frequency, token):
+    # rarest first.
     by_doc = (
         tok.join(freq, "t")
-        .groupBy("doc_id")
+        .groupBy("gid")
         .agg(
             F.array_sort(
                 F.collect_list(F.struct(F.col("f"), F.col("t")))
@@ -2736,7 +2760,7 @@ def dedup_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").cast("long").alias("n"),
         )
         .select(
-            "doc_id",
+            "gid",
             "n",
             F.transform(F.col("st"), lambda s: s.getField("t")).alias("toks"),
             # prefix length = n - ceil(tau*n) + 1, exact in integers for tau=3/5
@@ -2746,7 +2770,7 @@ def dedup_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     pref = by_doc.select(
-        "doc_id", "n", F.explode(F.slice("toks", 1, F.col("p"))).alias("t")
+        "gid", "n", F.explode(F.slice("toks", 1, F.col("p"))).alias("t")
     )
     # PPJoin's LENGTH filter: J(A,B) <= min(|A|,|B|)/max(|A|,|B|), so
     # J >= 3/5 requires 5*min >= 3*max — a necessary condition checked in
@@ -2757,36 +2781,34 @@ def dedup_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(
             pref.alias("b"),
             (F.col("a.t") == F.col("b.t"))
-            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (F.col("a.gid") < F.col("b.gid"))
             & (5 * F.col("a.n") >= 3 * F.col("b.n"))
             & (5 * F.col("b.n") >= 3 * F.col("a.n")),
         )
-        .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
+        .select(F.col("a.gid").alias("ga"), F.col("b.gid").alias("gb"))
         .distinct()
     )
-    sets = by_doc.select("doc_id", "n", "toks")
-    scored = (
+    sets = by_doc.select("gid", "n", "toks")
+    rep_pairs = (
         cand.join(
             sets.select(
-                F.col("doc_id").alias("doc_a"),
+                F.col("gid").alias("ga"),
                 F.col("n").alias("na"),
                 F.col("toks").alias("ta"),
             ),
-            "doc_a",
+            "ga",
         )
         .join(
             sets.select(
-                F.col("doc_id").alias("doc_b"),
+                F.col("gid").alias("gb"),
                 F.col("n").alias("nb"),
                 F.col("toks").alias("tb"),
             ),
-            "doc_b",
+            "gb",
         )
         .select(
-            "doc_a",
-            "doc_b",
+            "ga",
+            "gb",
             (
                 F.size(F.array_intersect("ta", "tb")).cast("double")
                 / (
@@ -2796,8 +2818,42 @@ def dedup_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ).alias("_j"),
         )
+        .filter(F.col("_j") >= PPJ_TAU)
     )
-    return scored.filter(F.col("_j") >= PPJ_TAU).select(
+    members = groups.select("gid", "doc_id")
+    # Expansion 1: cross-group member pairs inherit the representative J
+    # (identical token sets => identical Jaccard).
+    cross = (
+        rep_pairs.join(
+            members.select(F.col("gid").alias("ga"), F.col("doc_id").alias("ia")),
+            "ga",
+        )
+        .join(
+            members.select(F.col("gid").alias("gb"), F.col("doc_id").alias("ib")),
+            "gb",
+        )
+        .select(
+            F.least("ia", "ib").alias("doc_a"),
+            F.greatest("ia", "ib").alias("doc_b"),
+            F.col("_j"),
+        )
+    )
+    # Expansion 2: within-group pairs are exact clones — J = 1.0 by
+    # construction, no verification needed.
+    within = (
+        members.alias("a")
+        .join(
+            members.alias("b"),
+            (F.col("a.gid") == F.col("b.gid"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.lit(1.0).alias("_j"),
+        )
+    )
+    return cross.unionByName(within).select(
         "doc_a", "doc_b", rfix(F.col("_j"), 6).alias("jaccard")
     )
 
