@@ -174,3 +174,69 @@ def test_mmr_scores_nonincreasing_and_distinct(spark):
     # greedy MMR: each later pick scored no higher than the one before
     assert rows[0].mmr_score >= rows[1].mmr_score - 1e-9
     assert rows[1].mmr_score >= rows[2].mmr_score - 1e-9
+
+
+# ---------------------------------------------------------------------------
+# batch-2 drafts
+
+
+def test_changepoint_split_partitions_spine(spark):
+    r = _rows(spark, "t29_binary_segmentation_split")
+    assert len(r) == 1
+    row = r[0]
+    assert row.n_days_before >= 1 and row.n_days_after >= 1
+    assert row.sse_reduction >= -1e-9  # SSE can only fall when splitting
+
+
+def test_farthest_point_seeds_are_spread(spark):
+    rows = sorted(_rows(spark, "emb_farthest_point_seeds"), key=lambda r: r.seed_rank)
+    assert [r.seed_rank for r in rows] == [1, 2, 3]
+    assert len({r.vec_id for r in rows}) == 3
+    # seed 3 maximizes the MIN distance to seeds 1-2, which cannot exceed
+    # seed 2's distance to seed 1 (greedy k-center invariant)
+    assert rows[2].score <= rows[1].score + 1e-6
+
+
+def test_label_propagation_conserves_nodes(spark):
+    from yelpdatawarehouse_spark.sources.tables import table
+
+    rows = _rows(spark, "g_label_propagation_communities")
+    # community labels are node ids; membership covers every graph node
+    n_nodes = sum(r.n_members for r in rows)
+    assert n_nodes > 0
+    assert all(r.n_members >= 1 for r in rows)
+    assert all(r.min_node >= 0 for r in rows)
+    # fewer (or equal) communities than nodes — propagation only merges
+    assert len(rows) <= n_nodes
+
+
+def test_simpsons_flag_consistent_with_slopes(spark):
+    rows = _rows(spark, "diag_simpsons_slope_flip")
+    for r in rows:
+        if r.sign_flipped is None:
+            continue
+        if r.group_slope is not None and r.pooled_slope is not None:
+            # the flag is computed on exact numerators; the rounded slopes
+            # must not CONTRADICT it when both are decisively nonzero
+            if abs(r.group_slope) > 1e-3 and abs(r.pooled_slope) > 1e-3:
+                assert r.sign_flipped == (
+                    (r.group_slope > 0) != (r.pooled_slope > 0)
+                )
+
+
+def test_hhi_bounds(spark):
+    rows = _rows(spark, "a_hhi_supplier_concentration")
+    assert rows
+    for r in rows:
+        # 1/n (perfect competition) <= HHI <= 1 (monopoly)
+        assert 1.0 / r.n_suppliers - 1e-6 <= r.hhi <= 1.0 + 1e-9
+
+
+def test_wav_silence_runs_consistent(spark):
+    rows = _rows(spark, "mm_wav_silence_segments")
+    assert rows
+    for r in rows:
+        assert 0 <= r.n_quiet <= r.n_frames
+        assert r.n_quiet_runs <= r.n_quiet  # each run holds >=1 frame
+        assert r.max_quiet_run <= r.n_quiet
+        assert (r.n_quiet == 0) == (r.n_quiet_runs == 0) == (r.max_quiet_run == 0)

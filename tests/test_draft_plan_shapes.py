@@ -124,6 +124,19 @@ _SHAPES = {
     # 3 greedy rounds: token-set joins against 1-doc broadcasts only —
     # never a pool×pool similarity join
     "text_mmr_diverse_topk": (9, 15, 0, 5),
+    # one day-keyed collapse; calendar-spine prefix windows; TakeOrdered
+    "t29_binary_segmentation_split": (1, 0, 2, 0),
+    # k corpus scans against broadcast 1-row seeds; argmax is TakeOrdered
+    "emb_farthest_point_seeds": (0, 4, 0, 3),
+    # rounds are checkpoint-pinned (labels broadcast inside each round);
+    # the final plan is one node-keyed rollup over the pinned labels
+    "g_label_propagation_communities": (1, 0, 0, 0),
+    # ONE group-moment collapse; pooled moments broadcast back
+    "diag_simpsons_slope_flip": (1, 1, 0, 0),
+    # (nation, supplier) collapse + supplier-dim-sized total join
+    "a_hhi_supplier_concentration": (4, 1, 0, 2),
+    # per-row Arrow kernel: encode→decode→gate→runs, zero exchanges
+    "mm_wav_silence_segments": (0, 0, 0, 0),
 }
 
 

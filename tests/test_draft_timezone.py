@@ -39,6 +39,7 @@ _TS_DRAFTS = (
     "a_survival_hazard_curve",
     "a_open_orders_per_day",
     "t26_event_trigrams_topk",
+    "t29_binary_segmentation_split",
 )
 
 

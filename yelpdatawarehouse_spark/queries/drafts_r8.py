@@ -1218,3 +1218,659 @@ def text_mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 DRAFTS["text_mmr_diverse_topk"] = (text_mmr_diverse_topk, MMR_ORACLE)
+
+
+# ---------------------------------------------------------------------------
+# Binary-segmentation changepoint: the split day of the daily-revenue
+# series that maximizes the between-segment SSE reduction — the greedy
+# first step of binary segmentation (the offline counterpart of
+# t20_cusum_daily_revenue's sequential detector). Prefix sums over the
+# ordered day spine make every candidate split O(1).
+
+CHANGEPOINT_ORACLE = f"""
+WITH daily AS (
+    SELECT CAST(o_orderdate AS DATE) AS d,
+           {rfix_sql('sum(o_totalprice)', 2)} AS rev
+    FROM orders GROUP BY 1
+),
+spine AS (
+    SELECT d, rev,
+           row_number() OVER (ORDER BY d) AS i,
+           sum(rev) OVER (ORDER BY d) AS cs,
+           count(*) OVER () AS n,
+           sum(rev) OVER () AS tot
+    FROM daily
+),
+scored AS (
+    SELECT d, i, n,
+           cs / i AS mean_before,
+           (tot - cs) / (n - i) AS mean_after,
+           cs * cs / i + (tot - cs) * (tot - cs) / (n - i)
+             - tot * tot / n AS sse_red
+    FROM spine WHERE i < n
+)
+SELECT strftime(d, '%Y-%m-%d') AS split_day,
+       CAST(i AS BIGINT) AS n_days_before,
+       CAST(n - i AS BIGINT) AS n_days_after,
+       {rfix_sql('mean_before', 2)} AS mean_before,
+       {rfix_sql('mean_after', 2)} AS mean_after,
+       {rfix_sql('sse_red', 2)} AS sse_reduction
+FROM scored
+ORDER BY floor(sse_red * 100 + 0.5) DESC, d
+LIMIT 1
+"""
+
+
+def t29_binary_segmentation_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offline changepoint detection, first binary-segmentation round:
+    the split day of the daily-revenue series maximizing the
+    between-segment SSE reduction n₁m₁² + n₂m₂² − nm² (equivalent to the
+    two-segment least-squares fit; CUSUM's t20 twin detects the same
+    shifts ONLINE). Daily revenue is canonicalized (rfix 2) before the
+    prefix sums, so every downstream mean/score is arithmetic on
+    bit-identical doubles in both engines, and the argmax ranks on the
+    floor(·100+0.5) canonicalization with the day as tie-break.
+
+    Scale shape: one day-keyed fact collapse; ALL candidate splits are
+    scored from prefix sums over the CALENDAR spine (one ordered
+    window pass, O(days) rows) — never a per-split rescan; the argmax
+    is orderBy+limit (TakeOrdered).
+    """
+    o = spread(table(spark, sf_dir, "orders"))
+    daily = o.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+        rfix(F.sum("o_totalprice"), 2).alias("rev")
+    )
+    w_ord = Window.orderBy("d")
+    w_all = Window.partitionBy()
+    spine = daily.select(
+        "d",
+        F.row_number().over(w_ord).alias("i"),
+        F.sum("rev").over(w_ord).alias("cs"),
+        F.count("*").over(w_all).alias("n"),
+        F.sum("rev").over(w_all).alias("tot"),
+    )
+    i, cs, n, tot = F.col("i"), F.col("cs"), F.col("n"), F.col("tot")
+    scored = spine.filter(i < n).select(
+        "d",
+        i,
+        n,
+        (cs / i).alias("mean_before"),
+        ((tot - cs) / (n - i)).alias("mean_after"),
+        (
+            cs * cs / i + (tot - cs) * (tot - cs) / (n - i) - tot * tot / n
+        ).alias("sse_red"),
+    )
+    return (
+        scored.orderBy(
+            F.floor(F.col("sse_red") * 100 + 0.5).desc(), F.col("d").asc()
+        )
+        .limit(1)
+        .select(
+            F.date_format("d", "yyyy-MM-dd").alias("split_day"),
+            i.cast("long").alias("n_days_before"),
+            (n - i).cast("long").alias("n_days_after"),
+            rfix("mean_before", 2).alias("mean_before"),
+            rfix("mean_after", 2).alias("mean_after"),
+            rfix("sse_red", 2).alias("sse_reduction"),
+        )
+    )
+
+
+DRAFTS["t29_binary_segmentation_split"] = (
+    t29_binary_segmentation_split,
+    CHANGEPOINT_ORACLE,
+)
+
+
+# ---------------------------------------------------------------------------
+# Farthest-point (k-center / k-means++ style) seeding, 3 unrolled rounds:
+# a deterministic, broadcast-argmax seed selector for the clustering
+# family (emb_kmeans_* consume seeds; this picks SPREAD-OUT ones).
+
+_FPS_D2 = (
+    "(list_inner_product({a}::DOUBLE[], {a}::DOUBLE[])"
+    " - 2 * list_inner_product({a}::DOUBLE[], {b}::DOUBLE[])"
+    " + list_inner_product({b}::DOUBLE[], {b}::DOUBLE[]))"
+)
+
+FPS_ORACLE = f"""
+WITH e AS (SELECT vec_id, embedding FROM embeddings),
+s1 AS (
+    SELECT vec_id, embedding,
+           list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[]) AS sc
+    FROM e
+    ORDER BY floor(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])
+                   * 1e6 + 0.5) DESC, vec_id
+    LIMIT 1
+),
+d1 AS (
+    SELECT e.vec_id, e.embedding,
+           {_FPS_D2.format(a='e.embedding', b='(SELECT embedding FROM s1)')} AS dd
+    FROM e WHERE e.vec_id <> (SELECT vec_id FROM s1)
+),
+s2 AS (
+    SELECT vec_id, embedding, dd AS sc FROM d1
+    ORDER BY floor(dd * 1e6 + 0.5) DESC, vec_id LIMIT 1
+),
+d2 AS (
+    SELECT d1.vec_id,
+           least(d1.dd,
+                 {_FPS_D2.format(a='d1.embedding', b='(SELECT embedding FROM s2)')})
+               AS dd
+    FROM d1 WHERE d1.vec_id <> (SELECT vec_id FROM s2)
+),
+s3 AS (
+    SELECT vec_id, dd AS sc FROM d2
+    ORDER BY floor(dd * 1e6 + 0.5) DESC, vec_id LIMIT 1
+)
+SELECT 1::BIGINT AS seed_rank, CAST((SELECT vec_id FROM s1) AS BIGINT) AS vec_id,
+       {rfix_sql('(SELECT sc FROM s1)', 4)} AS score
+UNION ALL
+SELECT 2::BIGINT, CAST((SELECT vec_id FROM s2) AS BIGINT),
+       {rfix_sql('(SELECT sc FROM s2)', 4)}
+UNION ALL
+SELECT 3::BIGINT, CAST((SELECT vec_id FROM s3) AS BIGINT),
+       {rfix_sql('(SELECT sc FROM s3)', 4)}
+"""
+
+
+def emb_farthest_point_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Farthest-point seeding (the deterministic k-center / k-means++
+    ancestor), 3 rounds unrolled: seed 1 is the max-norm vector, each
+    later seed the vector maximizing its minimum squared distance to the
+    seeds so far — every argmax ranks on floor(score·1e6+0.5) with the
+    vector id as tie-break (argmax-over-floats discipline; squared
+    distances expand to inner products evaluated in index order on both
+    engines). emb_kmeans_* consume seeds; this picks spread-out ones
+    instead of the first K rows.
+
+    Scale shape: each round is ONE corpus scan against a broadcast 1-row
+    seed (TakeOrdered argmax, never a global sort); k rounds cost k
+    scans. The classic k-means++ D² SAMPLING is this plan with the
+    argmax replaced by a weighted draw (sample_weighted_topk's A-ES
+    key) — the deterministic farthest-point form is what a
+    hash-verifiable engine registers.
+    """
+    from ..functions import vectors as V
+
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+
+    def d2(a, b):
+        return V.dot(a, a) - 2 * V.dot(a, b) + V.dot(b, b)
+
+    def argmax(df, score_col):
+        return (
+            df.orderBy(
+                F.floor(F.col(score_col) * 1e6 + 0.5).desc(),
+                F.col("vec_id").asc(),
+            )
+            .limit(1)
+        )
+
+    norms = e.select("vec_id", "v", V.dot(F.col("v"), F.col("v")).alias("sc"))
+    s1 = argmax(norms, "sc")
+    d1 = (
+        e.join(
+            F.broadcast(s1.select(F.col("vec_id").alias("s1_id"), F.col("v").alias("s1_v"))),
+            F.col("vec_id") != F.col("s1_id"),
+        )
+        .select("vec_id", "v", d2(F.col("v"), F.col("s1_v")).alias("dd"))
+    )
+    s2 = argmax(d1.withColumnRenamed("dd", "sc"), "sc").withColumnRenamed("sc", "dd")
+    d2f = (
+        d1.join(
+            F.broadcast(s2.select(F.col("vec_id").alias("s2_id"), F.col("v").alias("s2_v"))),
+            F.col("vec_id") != F.col("s2_id"),
+        )
+        .select(
+            "vec_id",
+            F.least(F.col("dd"), d2(F.col("v"), F.col("s2_v"))).alias("dd"),
+        )
+    )
+    s3 = argmax(d2f.withColumnRenamed("dd", "sc"), "sc")
+    out = (
+        s1.select(F.lit(1).alias("r"), "vec_id", F.col("sc"))
+        .unionByName(s2.select(F.lit(2).alias("r"), "vec_id", F.col("dd").alias("sc")))
+        .unionByName(s3.select(F.lit(3).alias("r"), "vec_id", F.col("sc")))
+    )
+    return out.select(
+        F.col("r").cast("long").alias("seed_rank"),
+        F.col("vec_id").cast("long").alias("vec_id"),
+        rfix("sc", 4).alias("score"),
+    )
+
+
+DRAFTS["emb_farthest_point_seeds"] = (emb_farthest_point_seeds, FPS_ORACLE)
+
+
+# ---------------------------------------------------------------------------
+# Majority-label propagation communities, 2 unrolled rounds — community
+# detection next to the min-label CC operator (which finds CONNECTED
+# components; label propagation finds DENSE ones on a connected graph).
+
+_LP_EDGES = """
+    SELECT c.c_nationkey AS src, s.s_nationkey AS dst, count(*)::BIGINT AS w
+    FROM orders o
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    WHERE c.c_nationkey <> s.s_nationkey
+    GROUP BY 1, 2
+"""
+
+
+def _lp_round_sql(labels: str, out: str) -> str:
+    """One weighted-majority round: argmax_l Σ w over neighbor labels,
+    ties to the smallest label, isolated nodes keep their own."""
+    return f"""
+tally_{out} AS (
+    SELECT e.src AS node, lbl.label, sum(e.w)::BIGINT AS mass
+    FROM sym e JOIN {labels} lbl ON lbl.node = e.dst
+    GROUP BY e.src, lbl.label
+),
+win_{out} AS (
+    SELECT node, label FROM (
+        SELECT node, label,
+               row_number() OVER (PARTITION BY node
+                   ORDER BY mass DESC, label) AS rn
+        FROM tally_{out}
+    ) WHERE rn = 1
+),
+{out} AS (
+    SELECT p.node, coalesce(w.label, p.label) AS label
+    FROM {labels} p LEFT JOIN win_{out} w ON w.node = p.node
+)
+"""
+
+
+LABELPROP_ORACLE = f"""
+WITH e AS ({_LP_EDGES}),
+sym AS (
+    SELECT src, dst, w FROM e
+    UNION ALL
+    SELECT dst, src, w FROM e
+),
+l0 AS (SELECT DISTINCT src AS node, src AS label FROM sym),
+{_lp_round_sql("l0", "l1")},
+{_lp_round_sql("l1", "l2")}
+SELECT CAST(label AS BIGINT) AS community,
+       CAST(count(*) AS BIGINT) AS n_members,
+       CAST(min(node) AS BIGINT) AS min_node
+FROM l2 GROUP BY label
+"""
+
+
+def g_label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted majority label propagation (Raghavan et al. 2007), two
+    synchronous rounds unrolled over the symmetrized nation trade graph:
+    every node starts as its own label; each round it adopts the label
+    with the greatest incident edge WEIGHT among its neighbors (ties to
+    the smallest label — deterministic where classic LPA is random).
+    Communities are the surviving labels, rolled up with sizes. The
+    density-community member of the graph family: min-label CC
+    (dedup_clusters) finds connectivity, LPA finds cohesion.
+
+    Scale shape: the fact-scale edge derivation is pinned once
+    (operators/iterative.pin); each round is one node-keyed tally
+    aggregate + a bounded per-node argmax window + a left join — all
+    node-scale, integer arithmetic end to end (weights are counts, so
+    the majority vote is exact).
+    """
+    from ..operators.iterative import checkpointed_loop, pin
+
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    li = spread(table(spark, sf_dir, "lineitem"))
+    s = table(spark, sf_dir, "supplier")
+    e = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .filter(F.col("c_nationkey") != F.col("s_nationkey"))
+        .groupBy(
+            F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst")
+        )
+        .agg(F.count("*").alias("w"))
+    )
+    sym = pin(
+        e.select("src", "dst", "w").unionByName(
+            e.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst"), "w"
+            )
+        ),
+        label="lpa_edges",
+    )
+    labels0 = sym.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+
+    def lpa_round(lbl: DataFrame, _i: int) -> DataFrame:
+        tally = (
+            sym.join(F.broadcast(lbl), sym.dst == lbl.node)
+            .groupBy(F.col("src").alias("n2"), "label")
+            .agg(F.sum("w").alias("mass"))
+        )
+        w_arg = Window.partitionBy("n2").orderBy(F.desc("mass"), F.asc("label"))
+        win = (
+            tally.select("n2", "label", F.row_number().over(w_arg).alias("rn"))
+            .filter(F.col("rn") == 1)
+            .select(F.col("n2").alias("node"), F.col("label").alias("new_label"))
+        )
+        return lbl.join(win, "node", "left").select(
+            "node", F.coalesce("new_label", "label").alias("label")
+        )
+
+    l2 = checkpointed_loop(labels0, lpa_round, 2)
+    return l2.groupBy(F.col("label").cast("long").alias("community")).agg(
+        F.count("*").cast("long").alias("n_members"),
+        F.min("node").cast("long").alias("min_node"),
+    )
+
+
+DRAFTS["g_label_propagation_communities"] = (
+    g_label_propagation_communities,
+    LABELPROP_ORACLE,
+)
+
+
+# ---------------------------------------------------------------------------
+# Simpson's-paradox screen: pooled vs per-group OLS slope sign flips.
+# The aggregation-bias diagnostic every observational rollup needs before
+# anyone reads a trend off a pooled scatter.
+
+SIMPSON_ORACLE = f"""
+WITH pts AS (
+    SELECT l_returnflag AS grp, l_quantity AS x,
+           l_extendedprice * (1 - l_discount) AS y
+    FROM lineitem
+),
+per_grp AS (
+    SELECT grp, count(*)::DOUBLE AS n, sum(x) AS sx, sum(y) AS sy,
+           sum(x * x) AS sxx, sum(x * y) AS sxy
+    FROM pts GROUP BY grp
+),
+pooled AS (
+    SELECT sum(n) AS n, sum(sx) AS sx, sum(sy) AS sy,
+           sum(sxx) AS sxx, sum(sxy) AS sxy
+    FROM per_grp
+)
+SELECT g.grp AS l_returnflag,
+       CAST(g.n AS BIGINT) AS n_rows,
+       CASE WHEN g.n >= 2 AND g.n * g.sxx - g.sx * g.sx > 0 THEN
+         {rfix_sql('(g.n * g.sxy - g.sx * g.sy) / (g.n * g.sxx - g.sx * g.sx)', 4)}
+       END AS group_slope,
+       CASE WHEN p.n >= 2 AND p.n * p.sxx - p.sx * p.sx > 0 THEN
+         {rfix_sql('(p.n * p.sxy - p.sx * p.sy) / (p.n * p.sxx - p.sx * p.sx)', 4)}
+       END AS pooled_slope,
+       CASE WHEN g.n >= 2 AND g.n * g.sxx - g.sx * g.sx > 0
+                 AND p.n >= 2 AND p.n * p.sxx - p.sx * p.sx > 0 THEN
+         sign((g.n * g.sxy - g.sx * g.sy))
+           <> sign((p.n * p.sxy - p.sx * p.sy))
+       END AS sign_flipped
+FROM per_grp g, pooled p
+"""
+
+
+def diag_simpsons_slope_flip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simpson's-paradox screen: the OLS slope of net line revenue on
+    quantity, per returnflag group AND pooled, with a flag for groups
+    whose slope SIGN disagrees with the pooled trend — the
+    aggregation-bias diagnostic that catches a pooled correlation
+    reversing inside every stratum. Guarded moment arithmetic throughout
+    (zero-variance or degenerate groups yield NULL, never a division
+    error — the a_stats_aggregates ANSI rule); the flip test compares
+    the sign of the covariance NUMERATOR (denominators are positive), so
+    it is exact even where the slopes round.
+
+    Scale shape: ONE group-keyed moment aggregate over the scan; the
+    pooled moments are the SUM of the group moments (no second scan) and
+    ride a broadcast back onto the 3 group rows.
+    """
+    li = spread(table(spark, sf_dir, "lineitem"))
+    pts = li.select(
+        F.col("l_returnflag").alias("grp"),
+        F.col("l_quantity").alias("x"),
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("y"),
+    )
+    per_grp = pts.groupBy("grp").agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    pooled = F.broadcast(
+        per_grp.agg(
+            F.sum("n").alias("pn"),
+            F.sum("sx").alias("psx"),
+            F.sum("sy").alias("psy"),
+            F.sum("sxx").alias("psxx"),
+            F.sum("sxy").alias("psxy"),
+        )
+    )
+    g_num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    g_den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    p_num = F.col("pn") * F.col("psxy") - F.col("psx") * F.col("psy")
+    p_den = F.col("pn") * F.col("psxx") - F.col("psx") * F.col("psx")
+    g_ok = (F.col("n") >= 2) & (g_den > 0)
+    p_ok = (F.col("pn") >= 2) & (p_den > 0)
+    return per_grp.crossJoin(pooled).select(
+        F.col("grp").alias("l_returnflag"),
+        F.col("n").cast("long").alias("n_rows"),
+        F.when(g_ok, rfix(g_num / g_den, 4)).alias("group_slope"),
+        F.when(p_ok, rfix(p_num / p_den, 4)).alias("pooled_slope"),
+        F.when(g_ok & p_ok, F.signum(g_num) != F.signum(p_num)).alias(
+            "sign_flipped"
+        ),
+    )
+
+
+DRAFTS["diag_simpsons_slope_flip"] = (
+    diag_simpsons_slope_flip,
+    SIMPSON_ORACLE,
+)
+
+
+# ---------------------------------------------------------------------------
+# Herfindahl-Hirschman supplier concentration per nation — the market-
+# concentration index on exact line-count shares (integers end to end
+# until the final share division).
+
+HHI_ORACLE = f"""
+WITH per_supp AS (
+    SELECT s.s_nationkey AS nation, l.l_suppkey, count(*)::BIGINT AS c
+    FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    GROUP BY 1, 2
+),
+tot AS (SELECT nation, sum(c)::BIGINT AS t, count(*)::BIGINT AS n_suppliers
+        FROM per_supp GROUP BY nation)
+SELECT CAST(p.nation AS BIGINT) AS nation,
+       CAST(max(t.n_suppliers) AS BIGINT) AS n_suppliers,
+       {rfix_sql('sum((p.c::DOUBLE / t.t::DOUBLE) * (p.c::DOUBLE / t.t::DOUBLE))', 6)}
+           AS hhi
+FROM per_supp p JOIN tot t ON t.nation = p.nation
+GROUP BY p.nation
+"""
+
+
+def a_hhi_supplier_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl-Hirschman concentration of line volume across suppliers
+    within each nation: HHI = Σ share² over suppliers, share = that
+    supplier's exact line COUNT over the nation total (integer counts, so
+    each share is a deterministic division; 1/n_suppliers = perfectly
+    competitive, 1.0 = monopoly). The market-structure member of the
+    inequality family next to diag_gini_spend_by_nation (Gini ranks
+    spend inequality; HHI squares volume shares).
+
+    Scale shape: one (nation, supplier)-keyed collapse over the fact
+    scan, a nation-keyed total join (supplier-dimension-sized frames),
+    one nation rollup. No windows, no sorts.
+    """
+    li = spread(table(spark, sf_dir, "lineitem"))
+    s = table(spark, sf_dir, "supplier")
+    per_supp = (
+        li.join(s, li.l_suppkey == s.s_suppkey)
+        .groupBy(F.col("s_nationkey").alias("nation"), "l_suppkey")
+        .agg(F.count("*").alias("c"))
+    )
+    tot = per_supp.groupBy("nation").agg(
+        F.sum("c").alias("t"), F.count("*").alias("n_suppliers")
+    )
+    share = F.col("c").cast("double") / F.col("t").cast("double")
+    return (
+        per_supp.join(tot, "nation")
+        .groupBy(F.col("nation").cast("long").alias("nation"))
+        .agg(
+            F.max("n_suppliers").cast("long").alias("n_suppliers"),
+            rfix(F.sum(share * share), 6).alias("hhi"),
+        )
+    )
+
+
+DRAFTS["a_hhi_supplier_concentration"] = (
+    a_hhi_supplier_concentration,
+    HHI_ORACLE,
+)
+
+
+# ---------------------------------------------------------------------------
+# Audio silence segmentation (VAD-lite): frame-level energy gating + run
+# aggregation over REAL decoded WAV bytes — the segmentation pass between
+# "decode" and "transcribe" in an audio training pipeline. The waveform
+# is mm_wav_decode_features' closed form, so DuckDB reproduces frame
+# energies and run structure arithmetically without seeing a byte.
+
+WAV_FRAME = 16  # samples per frame
+WAV_QUIET_MEAN_ABS = 3500  # frame is quiet iff sum|v| < T * frame_len (exact ints)
+
+SILENCE_ORACLE = f"""
+WITH s AS (
+    SELECT doc_id, i,
+           abs(((doc_id * 37 + i * 25) % 256 - 128) * 64)::BIGINT AS a
+    FROM (
+        SELECT doc_id, unnest(range(0, 32 + doc_id % 97)) AS i
+        FROM documents
+    )
+),
+frames AS (
+    SELECT doc_id, i // {WAV_FRAME} AS f,
+           count(*)::BIGINT AS flen, sum(a)::BIGINT AS sa
+    FROM s GROUP BY doc_id, i // {WAV_FRAME}
+),
+flagged AS (
+    SELECT doc_id, f, (sa < {WAV_QUIET_MEAN_ABS} * flen) AS quiet
+    FROM frames
+),
+islands AS (
+    SELECT doc_id, f,
+           f - row_number() OVER (PARTITION BY doc_id ORDER BY f) AS grp
+    FROM flagged WHERE quiet
+),
+runs AS (
+    SELECT doc_id, grp, count(*)::BIGINT AS run_len
+    FROM islands GROUP BY doc_id, grp
+),
+per_doc AS (
+    SELECT fl.doc_id,
+           count(*)::BIGINT AS n_frames,
+           sum(CASE WHEN fl.quiet THEN 1 ELSE 0 END)::BIGINT AS n_quiet
+    FROM flagged fl GROUP BY fl.doc_id
+)
+SELECT CAST(p.doc_id AS BIGINT) AS doc_id,
+       p.n_frames, p.n_quiet,
+       CAST(coalesce(r.n_runs, 0) AS BIGINT) AS n_quiet_runs,
+       CAST(coalesce(r.max_run, 0) AS BIGINT) AS max_quiet_run
+FROM per_doc p
+LEFT JOIN (
+    SELECT doc_id, count(*)::BIGINT AS n_runs, max(run_len)::BIGINT AS max_run
+    FROM runs GROUP BY doc_id
+) r ON r.doc_id = p.doc_id
+"""
+
+
+def mm_wav_silence_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Silence segmentation over decoded audio (VAD-lite): synthesize each
+    document's deterministic PCM16 waveform, encode to true RIFF/WAV,
+    decode with the stdlib codec, gate {WAV_FRAME}-sample frames on an
+    EXACT integer energy test (Σ|v| < {WAV_QUIET_MEAN_ABS}·frame_len —
+    no float thresholding to disagree across engines), and aggregate the
+    quiet frames into runs: count, number of contiguous segments, and
+    the longest one. This is the segmentation stage an audio ingest
+    pipeline runs between decode and feature extraction (trim silence,
+    split on pauses); the closed-form waveform means the oracle rebuilds
+    frame energies and the gaps-and-islands run structure without ever
+    seeing a byte — the full-hash gate proves encoder, transport,
+    decoder, AND the run logic.
+
+    Scale shape: one Arrow-batched mapInPandas kernel per document row
+    (payloads never leave the executor, the per-doc run scan is a local
+    O(frames) loop — no per-frame shuffle); the registered result is one
+    fixed-width row per document, nothing else moves.
+    """
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql import types as S
+
+    from ..multimodal.wav import decode_wav_pcm16, encode_wav_pcm16
+
+    out_schema = S.StructType(
+        [
+            S.StructField("doc_id", S.LongType()),
+            S.StructField("n_frames", S.LongType()),
+            S.StructField("n_quiet", S.LongType()),
+            S.StructField("n_quiet_runs", S.LongType()),
+            S.StructField("max_quiet_run", S.LongType()),
+        ]
+    )
+
+    def segment(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = {k: [] for k in
+                    ("doc_id", "n_frames", "n_quiet", "n_quiet_runs", "max_quiet_run")}
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                n = 32 + d % 97
+                samples = (
+                    (d * 37 + np.arange(n, dtype=np.int64) * 25) % 256 - 128
+                ) * 64
+                _rate, decoded = decode_wav_pcm16(
+                    encode_wav_pcm16(samples, sample_rate=8000)
+                )
+                a = np.abs(np.asarray(decoded, dtype=np.int64))
+                n_frames = (len(a) + WAV_FRAME - 1) // WAV_FRAME
+                quiet = []
+                for f in range(n_frames):
+                    chunk = a[f * WAV_FRAME:(f + 1) * WAV_FRAME]
+                    quiet.append(
+                        int(chunk.sum()) < WAV_QUIET_MEAN_ABS * len(chunk)
+                    )
+                n_quiet = sum(quiet)
+                n_runs = sum(
+                    1 for f, q in enumerate(quiet) if q and (f == 0 or not quiet[f - 1])
+                )
+                max_run = run = 0
+                for q in quiet:
+                    run = run + 1 if q else 0
+                    max_run = max(max_run, run)
+                rows["doc_id"].append(d)
+                rows["n_frames"].append(n_frames)
+                rows["n_quiet"].append(n_quiet)
+                rows["n_quiet_runs"].append(n_runs)
+                rows["max_quiet_run"].append(max_run)
+            yield pd.DataFrame(rows)
+
+    base = table(spark, sf_dir, "documents")
+    from ..sources.tables import inherit_scan_key
+
+    docs = spread(
+        inherit_scan_key(base.select(F.col("doc_id").cast("long")), base)
+    )
+    return docs.mapInPandas(segment, out_schema)
+
+
+DRAFTS["mm_wav_silence_segments"] = (mm_wav_silence_segments, SILENCE_ORACLE)
