@@ -240,3 +240,58 @@ def test_wav_silence_runs_consistent(spark):
         assert r.n_quiet_runs <= r.n_quiet  # each run holds >=1 frame
         assert r.max_quiet_run <= r.n_quiet
         assert (r.n_quiet == 0) == (r.n_quiet_runs == 0) == (r.max_quiet_run == 0)
+
+
+# ---------------------------------------------------------------------------
+# batch-3 drafts
+
+
+def test_q4_counts_bounded_by_quarter_orders(spark):
+    from pyspark.sql import functions as F2
+    from yelpdatawarehouse_spark.queries.drafts_r8 import Q4_END, Q4_START
+
+    rows = _rows(spark, "j23_late_orders_q4")
+    o = table(spark, SF_TEST_DIR, "orders").filter(
+        (F.col("o_orderdate") >= F.lit(Q4_START).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(Q4_END).cast("timestamp"))
+    )
+    per_prio = {
+        r.p: r.n
+        for r in o.groupBy(F.col("o_orderpriority").alias("p"))
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    for r in rows:
+        assert 0 < r.order_count <= per_prio[r.o_orderpriority]
+
+
+def test_mann_whitney_u_range(spark):
+    (row,) = _rows(spark, "a_mann_whitney_u")
+    # 0 <= U_A <= na*nb, and U is a half-integer multiple
+    assert 0.0 <= row.u_a <= row.na * row.nb
+    assert abs(row.u_a * 2 - round(row.u_a * 2)) < 1e-6
+
+
+def test_margin_panel_pair_counts(spark):
+    from yelpdatawarehouse_spark.queries.drafts_r8 import MARGIN_PANEL
+
+    (row,) = _rows(spark, "emb_intra_inter_margin")
+    n = min(
+        MARGIN_PANEL,
+        table(spark, SF_TEST_DIR, "embeddings")
+        .filter(F.col("vec_id") < MARGIN_PANEL)
+        .count(),
+    )
+    assert row.n_intra_pairs + row.n_inter_pairs == n * (n - 1) // 2
+    assert -1.0 <= row.intra_cosine <= 1.0
+    assert -1.0 <= row.inter_cosine <= 1.0
+
+
+def test_jsd_bounds_and_symmetric_pairs(spark):
+    import math as m
+
+    rows = _rows(spark, "text_jsd_source_pairs")
+    assert rows
+    for r in rows:
+        assert r.s1 < r.s2  # canonical pair orientation, no duplicates
+        assert -1e-9 <= r.jsd_nats <= m.log(2) + 1e-9  # JSD in [0, ln 2]

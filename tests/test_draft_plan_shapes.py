@@ -137,6 +137,16 @@ _SHAPES = {
     "a_hhi_supplier_concentration": (4, 1, 0, 2),
     # per-row Arrow kernel: encode→decode→gate→runs, zero exchanges
     "mm_wav_silence_segments": (0, 0, 0, 0),
+    # pushed quarter scan; EXISTS = one semi join; 5-row rollup
+    "j23_late_orders_q4": (1, 1, 0, 2),
+    # value collapse + exact_prefix_sum (range exchange, pid-local
+    # window, bounded offsets window, broadcast add) — never an
+    # un-partitioned window over the value domain
+    "a_mann_whitney_u": (3, 2, 2, 1),
+    # constant panel broadcast self-join; one global rollup
+    "emb_intra_inter_margin": (0, 1, 0, 2),
+    # one (source, token) collapse; pair grid + totals ride broadcasts
+    "text_jsd_source_pairs": (6, 4, 0, 1),
 }
 
 

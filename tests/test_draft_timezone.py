@@ -40,6 +40,8 @@ _TS_DRAFTS = (
     "a_open_orders_per_day",
     "t26_event_trigrams_topk",
     "t29_binary_segmentation_split",
+    "j23_late_orders_q4",
+    "a_mann_whitney_u",
 )
 
 

@@ -55,3 +55,31 @@ def test_rank_is_dense_on_unique_keys(spark):
         key=lambda r: r.k,
     )
     assert [r.rank for r in rows] == [1, 2, 3, 4, 5]
+
+
+def test_prefix_sum_matches_naive_window(spark):
+    from yelpdatawarehouse_spark.operators.ranks import exact_prefix_sum
+
+    df = spark.createDataFrame(
+        [((i * 7919) % 500, ((i * 31) % 11) + 1) for i in range(500)],
+        "k int, v int",
+    ).groupBy("k").agg(F.sum("v").alias("v"))
+    got = {
+        (r.k, r.prefix_sum)
+        for r in exact_prefix_sum(df, "k", "v", num_partitions=5).collect()
+    }
+    w = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, -1)
+    want = {
+        (r.k, r.ps)
+        for r in df.select(
+            "k", F.coalesce(F.sum("v").over(w), F.lit(0)).alias("ps")
+        ).collect()
+    }
+    assert got == want
+
+
+def test_prefix_sum_empty(spark):
+    from yelpdatawarehouse_spark.operators.ranks import exact_prefix_sum
+
+    df = spark.createDataFrame([], "k long, v long")
+    assert exact_prefix_sum(df, "k", "v").count() == 0

@@ -64,3 +64,46 @@ def exact_global_rank(
         .withColumn(rank_col, (F.col("__off") + F.col("__lr")).cast("long"))
         .drop("__pid", "__lr", "__off")
     )
+
+
+def exact_prefix_sum(
+    df: DataFrame,
+    order_key: str,
+    value_col: str,
+    *,
+    out_col: str = "prefix_sum",
+    num_partitions: int = 32,
+) -> DataFrame:
+    """EXCLUSIVE running sum of ``value_col`` over ``ORDER BY order_key``
+    (sum of all STRICTLY-earlier keys), without an un-partitioned window —
+    the same range-partition + offset construction as
+    :func:`exact_global_rank`.
+
+    Keys must be unique (pre-aggregate to one row per key first — the
+    natural shape: this exists to scan value-domain collapses, CDFs, and
+    rank statistics whose key domain is too large for a single task but
+    whose per-key row is already aggregated). Sums are computed with
+    Spark's sum over the column's own type — use an exact type (long /
+    decimal) when cross-engine bit-equality matters.
+    """
+    ranged = df.repartitionByRange(num_partitions, F.col(order_key)).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    totals = ranged.groupBy("__pid").agg(F.sum(value_col).alias("__tot"))
+    off_w = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        "__pid", F.coalesce(F.sum("__tot").over(off_w), F.lit(0)).alias("__off")
+    )
+    local_w = (
+        Window.partitionBy("__pid")
+        .orderBy(order_key)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        ranged.withColumn(
+            "__lps", F.coalesce(F.sum(value_col).over(local_w), F.lit(0))
+        )
+        .join(F.broadcast(offsets), "__pid")
+        .withColumn(out_col, F.col("__off") + F.col("__lps"))
+        .drop("__pid", "__lps", "__off")
+    )

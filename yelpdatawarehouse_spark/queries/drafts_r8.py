@@ -1874,3 +1874,354 @@ def mm_wav_silence_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 DRAFTS["mm_wav_silence_segments"] = (mm_wav_silence_segments, SILENCE_ORACLE)
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q4 shape on this schema: order-priority checking — orders in a
+# quarter with at least one LATE line (shipped > 90 days after the order
+# date), the canonical decorrelated-EXISTS + rollup.
+
+Q4_START = "1996-01-01"
+Q4_END = "1996-04-01"
+Q4_LATE_DAYS = 90
+
+Q4_ORACLE = f"""
+SELECT o_orderpriority,
+       count(*)::BIGINT AS order_count
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '{Q4_START} 00:00:00'
+  AND o.o_orderdate <  TIMESTAMP '{Q4_END} 00:00:00'
+  AND EXISTS (
+      SELECT 1 FROM lineitem l
+      WHERE l.l_orderkey = o.o_orderkey
+        AND CAST(l.l_shipdate AS DATE)
+            > CAST(o.o_orderdate AS DATE) + {Q4_LATE_DAYS}
+  )
+GROUP BY o_orderpriority
+"""
+
+
+def j23_late_orders_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 adapted to this schema (lineitem has no commit/receipt
+    dates, so "late" = a line shipped more than {Q4_LATE_DAYS} days after
+    the order date): count the quarter's orders per priority having at
+    least one late line — the canonical correlated-EXISTS, decorrelated
+    to a LEFT SEMI join. Rounds out the TPC-H composition set
+    (Q1/Q15/Q17/Q21/Q22 shapes are j17/j18/j20/j22/q1).
+
+    Scale shape: the quarter filter is PUSHED to the orders scan; the
+    EXISTS compiles to one semi join keyed on orderkey (the lateness
+    predicate rides inside the join condition, so lineitem needs no
+    pre-aggregation); the rollup is a 5-row map-side-partial aggregate.
+    """
+    o = spread(table(spark, sf_dir, "orders")).filter(
+        (F.col("o_orderdate") >= F.lit(Q4_START).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(Q4_END).cast("timestamp"))
+    )
+    li = spread(table(spark, sf_dir, "lineitem"))
+    late = o.join(
+        li,
+        (o.o_orderkey == li.l_orderkey)
+        & (
+            F.to_date("l_shipdate")
+            > F.date_add(F.to_date("o_orderdate"), Q4_LATE_DAYS)
+        ),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count("*").cast("long").alias("order_count")
+    )
+
+
+DRAFTS["j23_late_orders_q4"] = (j23_late_orders_q4, Q4_ORACLE)
+
+
+# ---------------------------------------------------------------------------
+# Mann-Whitney U (Wilcoxon rank-sum) between two order-priority groups —
+# the nonparametric two-sample test next to Welch's t (a_welch_ttest),
+# built on EXACT midranks from a value-domain collapse scanned by the
+# distributed prefix-sum operator (operators/ranks.exact_prefix_sum), so
+# no un-partitioned window ever sees the value domain.
+
+MWU_A = "1-URGENT"
+MWU_B = "5-LOW"
+
+MWU_ORACLE = f"""
+WITH pts AS (
+    SELECT o_totalprice AS v,
+           CASE WHEN o_orderpriority = '{MWU_A}' THEN 1 ELSE 0 END AS a
+    FROM orders WHERE o_orderpriority IN ('{MWU_A}', '{MWU_B}')
+),
+byv AS (
+    SELECT v, sum(a)::BIGINT AS ca, sum(1 - a)::BIGINT AS cb
+    FROM pts GROUP BY v
+),
+cum AS (
+    SELECT v, ca, cb,
+           coalesce(sum(ca + cb) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS less
+    FROM byv
+),
+ranked AS (
+    SELECT ca, cb,
+           less + (ca + cb + 1) / 2.0 AS midrank
+    FROM cum
+),
+stats AS (
+    SELECT sum(ca * midrank) AS ra,
+           (SELECT sum(ca) FROM byv)::BIGINT AS na,
+           (SELECT sum(cb) FROM byv)::BIGINT AS nb
+    FROM ranked
+)
+SELECT na, nb,
+       {rfix_sql('ra - na * (na + 1) / 2.0', 1)} AS u_a,
+       {rfix_sql(
+           '(ra - na * (na + 1) / 2.0 - na * nb / 2.0)'
+           ' / sqrt(na::DOUBLE * nb * (na + nb + 1) / 12.0)', 4
+       )} AS z_score
+FROM stats
+"""
+
+
+def a_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum) comparing order values between
+    the '{MWU_A}' and '{MWU_B}' priorities — the nonparametric member of
+    the two-sample family (a_welch_ttest_priorities assumes normality;
+    this ranks). Midranks are exact: collapse to the VALUE domain with
+    per-group counts, get the strictly-less row count from the
+    distributed prefix-sum operator (operators/ranks.exact_prefix_sum —
+    range-partitioned, no single task ever sorts the value domain), and
+    midrank = less + (ties+1)/2, a half-integer. ΣR and U stay exactly
+    representable, so only the z-score needs rfix.
+
+    Scale shape: one value-keyed collapse over the scan, then the
+    prefix-sum pass (range exchange + pid-local window + broadcast
+    offsets) — the value domain never funnels through one partition,
+    unlike the textbook rank() OVER (ORDER BY v) formulation.
+    """
+    from ..operators.ranks import exact_prefix_sum
+
+    o = spread(table(spark, sf_dir, "orders")).filter(
+        F.col("o_orderpriority").isin([MWU_A, MWU_B])
+    )
+    byv = o.groupBy(F.col("o_totalprice").alias("v")).agg(
+        F.sum((F.col("o_orderpriority") == MWU_A).cast("long")).alias("ca"),
+        F.sum((F.col("o_orderpriority") == MWU_B).cast("long")).alias("cb"),
+    )
+    cum = exact_prefix_sum(
+        byv.withColumn("cab", F.col("ca") + F.col("cb")),
+        "v",
+        "cab",
+        out_col="less",
+    )
+    ranked = cum.select(
+        "ca",
+        "cb",
+        (F.col("less") + (F.col("ca") + F.col("cb") + 1) / 2.0).alias("midrank"),
+    )
+    tot = F.broadcast(
+        byv.agg(F.sum("ca").alias("na"), F.sum("cb").alias("nb"))
+    )
+    ra = F.sum(F.col("ca") * F.col("midrank"))
+    na, nb = F.col("na").cast("double"), F.col("nb").cast("double")
+    u_a = F.col("ra") - na * (na + 1) / 2.0
+    return (
+        ranked.agg(ra.alias("ra"))
+        .crossJoin(tot)
+        .select(
+            F.col("na").cast("long").alias("na"),
+            F.col("nb").cast("long").alias("nb"),
+            rfix(u_a, 1).alias("u_a"),
+            rfix(
+                (F.col("ra") - na * (na + 1) / 2.0 - na * nb / 2.0)
+                / F.sqrt(na * nb * (na + nb + 1) / 12.0),
+                4,
+            ).alias("z_score"),
+        )
+    )
+
+
+DRAFTS["a_mann_whitney_u"] = (a_mann_whitney_u, MWU_ORACLE)
+
+
+# ---------------------------------------------------------------------------
+# Embedding alignment margin: mean intra-label vs inter-label cosine over
+# a deterministic panel — the representation-quality eval (does the
+# embedding place same-label points closer?) that complements the
+# classifier evals (kNN / centroid / Bayes measure downstream accuracy;
+# this measures the geometry itself).
+
+MARGIN_PANEL = 64
+
+MARGIN_ORACLE = f"""
+WITH p AS (
+    SELECT vec_id, embedding, label FROM embeddings
+    WHERE vec_id < {MARGIN_PANEL}
+),
+pairs AS (
+    SELECT (a.label = b.label) AS same,
+           (list_inner_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+            (sqrt(list_inner_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+             sqrt(list_inner_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))))
+               AS c
+    FROM p a JOIN p b ON a.vec_id < b.vec_id
+)
+SELECT CAST(sum(CASE WHEN same THEN 1 ELSE 0 END) AS BIGINT) AS n_intra_pairs,
+       CAST(sum(CASE WHEN same THEN 0 ELSE 1 END) AS BIGINT) AS n_inter_pairs,
+       {rfix_sql('avg(CASE WHEN same THEN c END)', 6)} AS intra_cosine,
+       {rfix_sql('avg(CASE WHEN NOT same THEN c END)', 6)} AS inter_cosine,
+       {rfix_sql('avg(CASE WHEN same THEN c END)'
+                 ' - avg(CASE WHEN NOT same THEN c END)', 6)} AS margin
+FROM pairs
+"""
+
+
+def emb_intra_inter_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space alignment margin over a {MARGIN_PANEL}-vector
+    panel: mean cosine between SAME-label pairs minus mean cosine between
+    DIFFERENT-label pairs. Positive margin = the space clusters by label
+    (the geometric precondition the kNN / nearest-centroid evals depend
+    on); this is the alignment half of the alignment/uniformity
+    representation diagnostics, hash-checkable because it is pure pair
+    arithmetic.
+
+    Scale shape: the panel is constant-sized and rides a broadcast
+    self-join (C({MARGIN_PANEL},2) pairs — bounded, never corpus×corpus);
+    one global aggregate rolls the margins up. Per-pair cosines are
+    index-ordered inner products (deterministic); the pair averages are
+    canonicalized at the output boundary.
+    """
+    from ..functions import vectors as V
+
+    p = table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < MARGIN_PANEL
+    ).select("vec_id", F.col("embedding").cast("array<double>").alias("v"), "label")
+    a = p.select(
+        F.col("vec_id").alias("ia"), F.col("v").alias("va"), F.col("label").alias("la")
+    )
+    b = p.select(
+        F.col("vec_id").alias("ib"), F.col("v").alias("vb"), F.col("label").alias("lb")
+    )
+    pairs = a.join(F.broadcast(b), F.col("ia") < F.col("ib")).select(
+        (F.col("la") == F.col("lb")).alias("same"),
+        V.cosine(F.col("va"), F.col("vb")).alias("c"),
+    )
+    intra = F.avg(F.when(F.col("same"), F.col("c")))
+    inter = F.avg(F.when(~F.col("same"), F.col("c")))
+    return pairs.agg(
+        F.sum(F.col("same").cast("long")).alias("n_intra_pairs"),
+        F.sum((~F.col("same")).cast("long")).alias("n_inter_pairs"),
+        rfix(intra, 6).alias("intra_cosine"),
+        rfix(inter, 6).alias("inter_cosine"),
+        rfix(intra - inter, 6).alias("margin"),
+    ).select(
+        F.col("n_intra_pairs").cast("long").alias("n_intra_pairs"),
+        F.col("n_inter_pairs").cast("long").alias("n_inter_pairs"),
+        "intra_cosine",
+        "inter_cosine",
+        "margin",
+    )
+
+
+DRAFTS["emb_intra_inter_margin"] = (emb_intra_inter_margin, MARGIN_ORACLE)
+
+
+# ---------------------------------------------------------------------------
+# Jensen-Shannon divergence between source unigram distributions — the
+# symmetric, bounded distribution distance for "which ingest feeds differ
+# in CONTENT?" (text_ks_length_drift compares length SHAPES; this
+# compares token usage).
+
+JSD_ORACLE = f"""
+WITH tok AS (
+    SELECT source, unnest({_TOKS}) AS w FROM documents
+),
+cnt AS (SELECT source, w, count(*)::BIGINT AS c FROM tok GROUP BY 1, 2),
+tot AS (SELECT source, sum(c)::BIGINT AS t FROM cnt GROUP BY source),
+srcs AS (SELECT DISTINCT source FROM cnt),
+prs AS (
+    SELECT a.source AS s1, b.source AS s2
+    FROM srcs a JOIN srcs b ON a.source < b.source
+),
+grid AS (
+    SELECT p.s1, p.s2, c.w,
+           sum(CASE WHEN c.source = p.s1 THEN c.c ELSE 0 END)::BIGINT AS c1,
+           sum(CASE WHEN c.source = p.s2 THEN c.c ELSE 0 END)::BIGINT AS c2
+    FROM prs p JOIN cnt c ON c.source IN (p.s1, p.s2)
+    GROUP BY p.s1, p.s2, c.w
+),
+terms AS (
+    SELECT g.s1, g.s2,
+           g.c1::DOUBLE / t1.t AS p,
+           g.c2::DOUBLE / t2.t AS q
+    FROM grid g
+    JOIN tot t1 ON t1.source = g.s1
+    JOIN tot t2 ON t2.source = g.s2
+)
+SELECT s1, s2,
+       {rfix_sql(
+           "sum(CASE WHEN p > 0 THEN 0.5 * p * ln(2 * p / (p + q)) ELSE 0 END)"
+           " + sum(CASE WHEN q > 0 THEN 0.5 * q * ln(2 * q / (p + q)) ELSE 0 END)",
+           6,
+       )} AS jsd_nats
+FROM terms GROUP BY s1, s2
+"""
+
+
+def text_jsd_source_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Jensen-Shannon divergence (nats) between the unigram
+    distributions of every pair of sources: JSD(P,Q) = ½KL(P‖M) +
+    ½KL(Q‖M), M = ½(P+Q) — symmetric, bounded by ln 2, zero iff the
+    sources use tokens identically. The content-drift companion to
+    text_ks_length_drift (shape) and diag_psi_priority_drift (bins);
+    a curation pipeline thresholds it to detect a feed that changed
+    register or language mix.
+
+    Scale shape: ONE (source, token) collapse over the corpus; the
+    source-pair grid joins that vocab-sized frame against the broadcast
+    pair list (pairs are |sources|², sources are dimension-bounded), and
+    each pair's JSD is a map-side-combinable sum. Tokens absent from one
+    side contribute their exact ½p·ln2 term via the CASE guards — no
+    smoothing, no epsilon.
+    """
+    from ..functions import text as T
+
+    d = spread(table(spark, sf_dir, "documents"))
+    cnt = d.select("source", F.explode(T.tokens("text")).alias("w")).groupBy(
+        "source", "w"
+    ).agg(F.count("*").alias("c"))
+    tot = cnt.groupBy("source").agg(F.sum("c").alias("t"))
+    srcs = cnt.select("source").distinct()
+    prs = (
+        srcs.select(F.col("source").alias("s1"))
+        .join(srcs.select(F.col("source").alias("s2")), F.col("s1") < F.col("s2"))
+    )
+    grid = (
+        cnt.join(
+            F.broadcast(prs),
+            (F.col("source") == F.col("s1")) | (F.col("source") == F.col("s2")),
+        )
+        .groupBy("s1", "s2", "w")
+        .agg(
+            F.sum(F.when(F.col("source") == F.col("s1"), F.col("c")).otherwise(0)).alias("c1"),
+            F.sum(F.when(F.col("source") == F.col("s2"), F.col("c")).otherwise(0)).alias("c2"),
+        )
+    )
+    terms = (
+        grid.join(F.broadcast(tot.select(F.col("source").alias("s1"), F.col("t").alias("t1"))), "s1")
+        .join(F.broadcast(tot.select(F.col("source").alias("s2"), F.col("t").alias("t2"))), "s2")
+        .select(
+            "s1",
+            "s2",
+            (F.col("c1").cast("double") / F.col("t1")).alias("p"),
+            (F.col("c2").cast("double") / F.col("t2")).alias("q"),
+        )
+    )
+    p, q = F.col("p"), F.col("q")
+    jsd = F.sum(
+        F.when(p > 0, 0.5 * p * F.log(2 * p / (p + q))).otherwise(0.0)
+    ) + F.sum(F.when(q > 0, 0.5 * q * F.log(2 * q / (p + q))).otherwise(0.0))
+    return terms.groupBy("s1", "s2").agg(rfix(jsd, 6).alias("jsd_nats"))
+
+
+DRAFTS["text_jsd_source_pairs"] = (text_jsd_source_pairs, JSD_ORACLE)
