@@ -66,19 +66,30 @@ def kmeans_train(
     tol: float = 1e-3,
     emb_col: str = "embedding",
     id_col: str = "vec_id",
+    seeds: dict[int, list[float]] | None = None,
 ) -> KMeansModel:
     """Lloyd's algorithm until the max centroid shift drops below ``tol``
     (L2) or ``max_iters`` is reached. ONE action per iteration (the
     (cluster, dim) mean collect, which also carries the inertia) — the
     documented driver-loop regime; everything corpus-sized stays on the
-    executors."""
-    seed_rows = sorted(
-        emb.orderBy(id_col).limit(k).select(id_col, F.col(emb_col).cast("array<double>").alias("c")).collect(),
-        key=lambda r: r[id_col],
-    )
-    if not seed_rows:
-        return KMeansModel(centroids={})
-    centroids = {i: list(r["c"]) for i, r in enumerate(seed_rows)}
+    executors.
+
+    ``seeds`` (cid -> vector) skips the first-K seed collect — callers
+    training several codebooks over slices of ONE frame (train_pq) fetch
+    the seed rows once and slice client-side instead of running one
+    TakeOrdered job per subspace; values are identical either way."""
+    if seeds is not None:
+        centroids = {cid: list(v) for cid, v in seeds.items()}
+        if not centroids:
+            return KMeansModel(centroids={})
+    else:
+        seed_rows = sorted(
+            emb.orderBy(id_col).limit(k).select(id_col, F.col(emb_col).cast("array<double>").alias("c")).collect(),
+            key=lambda r: r[id_col],
+        )
+        if not seed_rows:
+            return KMeansModel(centroids={})
+        centroids = {i: list(r["c"]) for i, r in enumerate(seed_rows)}
     model = KMeansModel(centroids=centroids)
     for _ in range(max_iters):
         best = argmin_centroid(emb_col, model.centroids)

@@ -91,23 +91,41 @@ def train_pq(
 ) -> PQModel:
     """Train one k-means codebook per subspace. The embedding dimension
     must divide evenly by ``m`` (PQ's standard constraint). Empty input
-    yields empty codebooks (encode of the empty frame is empty)."""
-    first = emb.select(F.size(F.col(emb_col)).alias("d")).limit(1).collect()
-    if not first:
+    yields empty codebooks (encode of the empty frame is empty).
+
+    The first-K seed rows are collected ONCE and sliced client-side for
+    all m subspaces (one TakeOrdered job instead of m+1 — the seed values
+    are identical to per-subspace collects, and for max_iters=0 they ARE
+    the codebooks, so the whole seed-variant model costs one job)."""
+    seed_rows = sorted(
+        emb.orderBy(id_col)
+        .limit(k)
+        .select(id_col, F.col(emb_col).cast("array<double>").alias("c"))
+        .collect(),
+        key=lambda r: r[id_col],
+    )
+    if not seed_rows:
         return PQModel(m=m, dim=0, codebooks=[{} for _ in range(m)])
-    dim = int(first[0]["d"])
+    dim = len(seed_rows[0]["c"])
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m}")
     sub = dim // m
     books: list[dict[int, list[float]]] = []
     for j in range(m):
+        seeds = {
+            i: list(r["c"][j * sub:(j + 1) * sub])
+            for i, r in enumerate(seed_rows)
+        }
+        if max_iters == 0:
+            books.append(seeds)
+            continue
         sliced = emb.select(
             F.col(id_col),
             F.slice(F.col(emb_col), j * sub + 1, sub).alias("sub"),
         )
         model: KMeansModel = kmeans_train(
             sliced, k=k, max_iters=max_iters, tol=tol,
-            emb_col="sub", id_col=id_col,
+            emb_col="sub", id_col=id_col, seeds=seeds,
         )
         books.append(model.centroids)
     return PQModel(m=m, dim=dim, codebooks=books)
