@@ -509,3 +509,84 @@ def test_parse_events_with_dlq(spark, tmp_path):
     bad_lines = {r.raw_line for r in spark.sql("SELECT * FROM dlq_bad").collect()}
     assert good_ids == {1, 3}
     assert bad_lines == {"garbage not json", lines[2]}
+
+
+def test_incremental_coverage_converges_to_batch(spark, tmp_path, event_chunks_dir):
+    """Streaming sweep-line ≡ batch sweep-line: fold day deltas per
+    micro-batch, derive the curve at read time, compare against the same
+    +1/-1 prefix sum computed in one batch pass."""
+    from pyspark.sql import Window
+
+    from yelpdatawarehouse_spark.streaming.pipeline import (
+        read_coverage,
+        run_incremental_coverage,
+    )
+
+    state_dir = str(tmp_path / "cov_state")
+    ckpt = str(tmp_path / "cov_ckpt")
+    os.makedirs(state_dir)
+
+    q = run_incremental_coverage(
+        spark, event_file_stream(spark, event_chunks_dir), state_dir, ckpt
+    )
+    q.awaitTermination(120)
+
+    got = {r["day"]: r["open_intervals"] for r in read_coverage(spark, state_dir).collect()}
+
+    ev = table(spark, SF, "events")
+    dur = F.greatest(F.coalesce(F.col("value").cast("long"), F.lit(0)), F.lit(0))
+    iv = ev.select(
+        F.to_date("ts").alias("d_start"),
+        F.date_add(F.to_date("ts"), dur.cast("int")).alias("d_end"),
+    )
+    deltas = (
+        iv.select(F.col("d_start").alias("d"), F.lit(1).alias("delta"))
+        .unionByName(
+            iv.select(F.date_add("d_end", 1).alias("d"), F.lit(-1).alias("delta"))
+        )
+        .groupBy("d")
+        .agg(F.sum("delta").alias("delta"))
+    )
+    bounds = deltas.agg(F.min("d").alias("lo"), F.max("d").alias("hi")).collect()[0]
+    spine = spark.sql(
+        f"SELECT explode(sequence(DATE '{bounds['lo']}', DATE '{bounds['hi']}', "
+        "interval 1 day)) AS d"
+    )
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    want = {
+        r["day"]: r["n"]
+        for r in spine.join(deltas, "d", "left")
+        .select("d", F.coalesce("delta", F.lit(0)).alias("delta"))
+        .select(
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            F.sum("delta").over(w).cast("long").alias("n"),
+        )
+        .collect()
+    }
+    assert got == want
+    assert list(got.values())[-1] == 0 or min(got.values()) >= 0
+
+
+def test_incremental_coverage_restart_is_noop(spark, tmp_path, event_chunks_dir):
+    from yelpdatawarehouse_spark.streaming.pipeline import (
+        read_coverage,
+        run_incremental_coverage,
+    )
+
+    state_dir = str(tmp_path / "cov_state2")
+    ckpt = str(tmp_path / "cov_ckpt2")
+    os.makedirs(state_dir)
+
+    q = run_incremental_coverage(
+        spark, event_file_stream(spark, event_chunks_dir), state_dir, ckpt
+    )
+    q.awaitTermination(120)
+    first = {r["day"]: r["open_intervals"] for r in read_coverage(spark, state_dir).collect()}
+
+    # restart with the same checkpoint and no new data: curve unchanged
+    q2 = run_incremental_coverage(
+        spark, event_file_stream(spark, event_chunks_dir), state_dir, ckpt
+    )
+    q2.awaitTermination(120)
+    second = {r["day"]: r["open_intervals"] for r in read_coverage(spark, state_dir).collect()}
+    assert second == first

@@ -283,6 +283,88 @@ def read_cms(spark: SparkSession, state_dir: str) -> DataFrame:
     return _read_state(spark, state_dir)
 
 
+def run_incremental_coverage(
+    spark: SparkSession,
+    stream: DataFrame,
+    state_dir: str,
+    checkpoint_dir: str,
+    duration_col: str = "value",
+):
+    """Streaming sweep-line interval coverage (the incremental twin of
+    a_open_orders_per_day): each event opens an interval at to_date(ts)
+    lasting ``duration_col`` whole days, folded into a persisted
+    per-day DELTA table (+1 at the start day, -1 the day after the end)
+    under the ``_fold_versioned`` exactly-once protocol. The coverage
+    curve itself is DERIVED at read time by a prefix sum over the
+    calendar spine (``read_coverage``) — state stays day-keyed deltas
+    (calendar-bounded, mergeable, idempotent per batch_id), never the
+    materialized curve, so folds are pure counter addition like the CMS.
+    """
+
+    def fold_batch(batch_df: DataFrame, batch_id: int) -> None:
+        dur = F.greatest(
+            F.coalesce(F.col(duration_col).cast("long"), F.lit(0)), F.lit(0)
+        )
+        iv = batch_df.select(
+            F.to_date("ts").alias("d_start"),
+            F.date_add(F.to_date("ts"), dur.cast("int")).alias("d_end"),
+        )
+        delta = (
+            iv.select(F.col("d_start").alias("d"), F.lit(1).alias("delta"))
+            .unionByName(
+                iv.select(
+                    F.date_add("d_end", 1).alias("d"), F.lit(-1).alias("delta")
+                )
+            )
+            .groupBy("d")
+            .agg(F.sum("delta").alias("delta"))
+        )
+
+        def fold(state):
+            if state is None:
+                return delta
+            return (
+                state.unionByName(delta)
+                .groupBy("d")
+                .agg(F.sum("delta").alias("delta"))
+            )
+
+        _fold_versioned(spark, state_dir, batch_id, fold)
+
+    return (
+        stream.writeStream.foreachBatch(fold_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_coverage(spark: SparkSession, state_dir: str) -> DataFrame:
+    """(day STRING, open_intervals BIGINT): the coverage curve derived
+    from the persisted day deltas by a calendar-spine prefix sum —
+    identical arithmetic to a_open_orders_per_day's batch form."""
+    from pyspark.sql import Window
+
+    by_day = _read_state(spark, state_dir)
+    bounds = F.broadcast(
+        by_day.agg(F.min("d").alias("dmin"), F.max("d").alias("dmax"))
+    )
+    spine = bounds.select(
+        F.explode(
+            F.sequence(F.col("dmin"), F.col("dmax"), F.expr("interval 1 day"))
+        ).alias("d")
+    )
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        spine.join(F.broadcast(by_day), "d", "left")
+        .select("d", F.coalesce("delta", F.lit(0)).alias("delta"))
+        .select(
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            F.sum("delta").over(w).cast("long").alias("open_intervals"),
+        )
+    )
+
+
 def run_gated_ingest(
     spark: SparkSession,
     stream: DataFrame,
