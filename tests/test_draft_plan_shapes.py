@@ -99,11 +99,6 @@ _SHAPES = {
     # value-domain-bounded windows only
     "ml_boosting_round_stumps": (2, 7, 6, 0),
     # --- round-8 drafts ---
-    # fact join is inside the eager edge pin; every post-pin exchange is
-    # node-sized (nations²), score frames broadcast into the edge joins
-    "g_hits_two_rounds": (10, 8, 0, 0),
-    # two custkey aggs build durations; gap-day-spine windows only
-    "a_survival_hazard_curve": (5, 5, 2, 2),
     # ONE source rollup + 1-row total broadcast — single-pass valuation
     "diag_loo_source_value": (1, 1, 0, 0),
     # one (flag, qty) collapse; value-domain cumulative windows (≤50 rows)
@@ -112,25 +107,16 @@ _SHAPES = {
     "diag_bloom_fpr_eval": (3, 4, 0, 5),
     # ONE user_id exchange feeds both lead windows; trigram-domain count
     "t26_event_trigrams_topk": (2, 0, 1, 0),
-    # interval agg + delta collapse are the fact exchanges; day-spine
-    # prefix window; by_day broadcast onto the spine
-    "a_open_orders_per_day": (4, 4, 1, 4),
     # two d-row dimension aggregates, moments broadcast onto the explode
     "emb_geometric_median_step": (3, 3, 0, 2),
     # one cell collapse; 9-offset and core set ride broadcasts
     "emb_density_grid_cores": (3, 2, 0, 0),
     # panel broadcast onto one corpus scan; panel-sized vote windows
     "ml_knn_label_eval": (2, 1, 2, 2),
-    # 3 greedy rounds: token-set joins against 1-doc broadcasts only —
-    # never a pool×pool similarity join
-    "text_mmr_diverse_topk": (9, 15, 0, 5),
     # one day-keyed collapse; calendar-spine prefix windows; TakeOrdered
     "t29_binary_segmentation_split": (1, 0, 2, 0),
     # k corpus scans against broadcast 1-row seeds; argmax is TakeOrdered
     "emb_farthest_point_seeds": (0, 4, 0, 3),
-    # rounds are checkpoint-pinned (labels broadcast inside each round);
-    # the final plan is one node-keyed rollup over the pinned labels
-    "g_label_propagation_communities": (1, 0, 0, 0),
     # ONE group-moment collapse; pooled moments broadcast back
     "diag_simpsons_slope_flip": (1, 1, 0, 0),
     # (nation, supplier) collapse + supplier-dim-sized total join

@@ -154,6 +154,21 @@ _SHAPES = {
     # candidate/truth panels and per-band dims ride broadcasts;
     # precision/recall rollups are key-sized
     "dedup_minhash_pr_eval": (4, 9, 0, 6),
+    # --- round-8 headline promotions ---
+    # 3 greedy rounds: token-set joins against 1-doc broadcasts only —
+    # never a pool×pool similarity join
+    "text_mmr_diverse_topk": (9, 15, 0, 5),
+    # fact join is inside the eager edge pin; every post-pin exchange is
+    # node-sized (nations²), score frames broadcast into the edge joins
+    "g_hits_two_rounds": (10, 8, 0, 0),
+    # two custkey aggs build durations; gap-day-spine windows only
+    "a_survival_hazard_curve": (5, 5, 2, 2),
+    # interval agg + delta collapse are the fact exchanges; day-spine
+    # prefix window; by_day broadcast onto the spine
+    "a_open_orders_per_day": (4, 4, 1, 4),
+    # rounds are checkpoint-pinned (labels broadcast inside each round);
+    # the final plan is one node-keyed rollup over the pinned labels
+    "g_label_propagation_communities": (1, 0, 0, 0),
 }
 
 
