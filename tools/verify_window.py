@@ -37,15 +37,24 @@ def main() -> None:
         }
     names = list(reg)
     never = [n for n in names if n not in last]
+    in_window_new = sum(1 for n in names[:WINDOW] if n not in last)
     print(f"registry: {len(names)} queries; never driver-verified: {len(never)}")
-    print(f"window headroom for new queries: {WINDOW - len(never)}")
+    print(
+        f"window composition: {in_window_new} new + "
+        f"{WINDOW - in_window_new} stale re-verifications "
+        "(_prioritize reserves >=5 stale slots per round)"
+    )
     print("\n-- window (first 50) --")
     for i, n in enumerate(names[:WINDOW]):
         tag = "NEW" if n not in last else f"r{last[n]}"
         print(f"{i:3d} [{tag:>3}] {n}")
     outside = [n for n in never if n not in names[:WINDOW]]
     if outside:
-        print(f"\nWARNING: {len(outside)} never-verified queries FELL OUT of the window:")
+        rounds = (len(outside) + (WINDOW - 5) - 1) // (WINDOW - 5)
+        print(
+            f"\n{len(outside)} never-verified queries queue BEHIND this "
+            f"window (registry-ordered; ~{rounds} more round(s) to drain):"
+        )
         for n in outside:
             print(f"  {n}")
 
