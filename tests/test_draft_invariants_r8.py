@@ -295,3 +295,43 @@ def test_jsd_bounds_and_symmetric_pairs(spark):
     for r in rows:
         assert r.s1 < r.s2  # canonical pair orientation, no duplicates
         assert -1e-9 <= r.jsd_nats <= m.log(2) + 1e-9  # JSD in [0, ln 2]
+
+
+# ---------------------------------------------------------------------------
+# round-9 drafts (same gate home — the r8/r9 cohorts share a round)
+
+
+def test_rolling_correlation_in_range(spark):
+    from yelpdatawarehouse_spark.queries.drafts_r9 import DRAFTS as R9
+
+    rows = R9["t32_rolling_correlation"][0](spark, SF_TEST_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r.n_days <= 7
+        if r.roll_corr is not None:
+            assert -1.0 - 1e-9 <= r.roll_corr <= 1.0 + 1e-9
+
+
+def test_clustering_coefficient_bounds(spark):
+    from yelpdatawarehouse_spark.queries.drafts_r9 import DRAFTS as R9
+
+    rows = R9["g_clustering_coefficient"][0](spark, SF_TEST_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r.triangles <= r.degree * (r.degree - 1) // 2
+        if r.clustering_coef is not None:
+            assert 0.0 <= r.clustering_coef <= 1.0
+        else:
+            assert r.degree < 2
+
+
+def test_class_weights_average_to_one(spark):
+    from yelpdatawarehouse_spark.queries.drafts_r9 import DRAFTS as R9
+
+    rows = R9["sample_class_weights"][0](spark, SF_TEST_DIR).collect()
+    total = sum(r.n_vectors for r in rows)
+    # corpus-weighted mean of the weights is exactly 1 (reweighting
+    # preserves effective epoch size)
+    wmean = sum(r.n_vectors * r.class_weight for r in rows) / total
+    assert abs(wmean - 1.0) < 1e-4
+    assert abs(sum(r.frequency for r in rows) - 1.0) < 1e-4

@@ -133,6 +133,15 @@ _SHAPES = {
     "emb_intra_inter_margin": (0, 1, 0, 2),
     # one (source, token) collapse; pair grid + totals ride broadcasts
     "text_jsd_source_pairs": (6, 4, 0, 1),
+    # --- round-9 drafts ---
+    # one day-keyed collapse; six rolling moments share ONE spine window
+    "t32_rolling_correlation": (1, 0, 1, 0),
+    # edges pinned once; triangle join + degree/corner rollups are all
+    # edge-scale exchanges (deliberately NOT broadcast: edge lists are
+    # fact-derived and unbounded on real graphs)
+    "g_clustering_coefficient": (11, 0, 0, 0),
+    # one label-keyed collapse + 1-row total broadcast
+    "sample_class_weights": (1, 1, 0, 0),
 }
 
 

@@ -42,6 +42,7 @@ _TS_DRAFTS = (
     "t29_binary_segmentation_split",
     "j23_late_orders_q4",
     "a_mann_whitney_u",
+    "t32_rolling_correlation",
 )
 
 
