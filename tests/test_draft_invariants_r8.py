@@ -335,3 +335,15 @@ def test_class_weights_average_to_one(spark):
     wmean = sum(r.n_vectors * r.class_weight for r in rows) / total
     assert abs(wmean - 1.0) < 1e-4
     assert abs(sum(r.frequency for r in rows) - 1.0) < 1e-4
+
+
+def test_pareto_concentration_sanity(spark):
+    from yelpdatawarehouse_spark.queries.drafts_r9 import DRAFTS as R9
+
+    (row,) = R9["a_pareto_8020_concentration"][0](spark, SF_TEST_DIR).collect()
+    # the top set is non-empty, no larger than the population, and (by
+    # definition of "top spenders") needs at most 80% of customers to
+    # reach 80% of revenue
+    assert 1 <= row.n_top_customers <= row.n_customers
+    assert row.customer_share <= 0.8 + 1e-9
+    assert row.revenue_share_target == 0.8

@@ -142,6 +142,10 @@ _SHAPES = {
     "g_clustering_coefficient": (11, 0, 0, 0),
     # one label-keyed collapse + 1-row total broadcast
     "sample_class_weights": (1, 1, 0, 0),
+    # custkey + value collapses; TWO exact_prefix_sum passes (range
+    # exchanges + pid-local windows + bounded offsets windows); boundary
+    # filter rides the 1-row total broadcast
+    "a_pareto_8020_concentration": (10, 4, 4, 0),
 }
 
 

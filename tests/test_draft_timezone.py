@@ -43,6 +43,7 @@ _TS_DRAFTS = (
     "j23_late_orders_q4",
     "a_mann_whitney_u",
     "t32_rolling_correlation",
+    "a_pareto_8020_concentration",
 )
 
 

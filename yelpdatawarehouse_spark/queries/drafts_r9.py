@@ -270,3 +270,115 @@ def sample_class_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 DRAFTS["sample_class_weights"] = (sample_class_weights, CLASSW_ORACLE)
+
+
+# ---------------------------------------------------------------------------
+# Pareto 80/20 concentration: how many customers produce 80% of revenue?
+# Exact, scan-scalable answer via value-domain collapse + the distributed
+# prefix-sum operator — no global sort of the customer dimension.
+
+PARETO_TARGET = 0.8
+
+PARETO_ORACLE = f"""
+WITH spend AS (
+    SELECT o_custkey, {rfix_sql('sum(o_totalprice)', 2)} AS s
+    FROM orders GROUP BY o_custkey
+),
+byv AS (
+    SELECT s, count(*)::BIGINT AS c, sum(s) AS rev
+    FROM spend GROUP BY s
+),
+cum AS (
+    SELECT s, c, rev,
+           coalesce(sum(rev) OVER (ORDER BY s DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS rev_above,
+           coalesce(sum(c) OVER (ORDER BY s DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS cnt_above
+    FROM byv
+),
+tot AS (SELECT sum(c)::BIGINT AS n, sum(rev) AS t FROM byv),
+boundary AS (
+    SELECT cum.*, tot.n, tot.t
+    FROM cum, tot
+    WHERE cum.rev_above < {PARETO_TARGET} * tot.t
+      AND cum.rev_above + cum.rev >= {PARETO_TARGET} * tot.t
+),
+ans AS (
+    SELECT n, t,
+           cnt_above + CAST(ceil(({PARETO_TARGET} * t - rev_above) / s)
+                            AS BIGINT) AS k
+    FROM boundary
+)
+SELECT CAST(n AS BIGINT) AS n_customers,
+       CAST(k AS BIGINT) AS n_top_customers,
+       {rfix_sql('k::DOUBLE / n::DOUBLE', 6)} AS customer_share,
+       {rfix_sql(str(PARETO_TARGET), 6)} AS revenue_share_target
+FROM ans
+"""
+
+
+def a_pareto_8020_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto concentration: the EXACT minimum number of top-spending
+    customers whose combined revenue reaches {PARETO_TARGET:.0%} of the
+    total — "do 20% of customers drive 80% of revenue?" as one row
+    (n_customers, n_top_customers, customer_share). The classic
+    formulation sorts the whole customer dimension and scans the running
+    total; here the customer rollup collapses to the SPEND-VALUE domain
+    (per-value customer counts + revenue mass), the descending running
+    totals come from operators/ranks.exact_prefix_sum (range-partitioned
+    — no single task ever sorts the domain), and the boundary value's
+    partial count is closed-form ceil arithmetic, so ties at the cutoff
+    are handled exactly.
+
+    Float discipline: per-customer spend is canonicalized (rfix 2)
+    before any accumulation; value-domain sums are sums of canonical
+    doubles in deterministic prefix order on both engines.
+
+    Scale shape: one custkey collapse (fact exchange), one value
+    collapse, then the prefix-sum pass (range exchange + pid-local
+    windows + broadcast offsets) and a 1-row boundary filter. Nothing
+    fact-scale is ever globally sorted.
+    """
+    from ..operators.ranks import exact_prefix_sum
+
+    o = spread(table(spark, sf_dir, "orders"))
+    spend = o.groupBy("o_custkey").agg(
+        rfix(F.sum("o_totalprice"), 2).alias("s")
+    )
+    byv = spend.groupBy("s").agg(
+        F.count("*").alias("c"), F.sum("s").alias("rev")
+    )
+    # descending order = ascending on the negated key
+    byv_neg = byv.withColumn("neg_s", -F.col("s"))
+    cum = exact_prefix_sum(byv_neg, "neg_s", "rev", out_col="rev_above")
+    cum = exact_prefix_sum(cum, "neg_s", "c", out_col="cnt_above")
+    tot = F.broadcast(
+        byv.agg(F.sum("c").alias("n"), F.sum("rev").alias("t"))
+    )
+    target = F.lit(PARETO_TARGET) * F.col("t")
+    boundary = (
+        cum.crossJoin(tot)
+        .filter(
+            (F.col("rev_above") < target)
+            & (F.col("rev_above") + F.col("rev") >= target)
+        )
+    )
+    k = F.col("cnt_above") + F.ceil(
+        (target - F.col("rev_above")) / F.col("s")
+    ).cast("long")
+    return boundary.select(
+        F.col("n").cast("long").alias("n_customers"),
+        k.cast("long").alias("n_top_customers"),
+        rfix(k.cast("double") / F.col("n").cast("double"), 6).alias(
+            "customer_share"
+        ),
+        rfix(F.lit(PARETO_TARGET), 6).alias("revenue_share_target"),
+    )
+
+
+DRAFTS["a_pareto_8020_concentration"] = (
+    a_pareto_8020_concentration,
+    PARETO_ORACLE,
+)
