@@ -210,3 +210,65 @@ def test_wav_encoder_rejects_non_integer_samples():
     rate, samples = decode_wav_pcm16(encode_wav_pcm16([0, -5, 7]))
     assert samples == [0, -5, 7]
     assert encode_wav_pcm16([]) == encode_wav_pcm16([])  # empty OK
+
+
+# --- round-6 ADVICE regressions ------------------------------------------
+
+
+def test_exact_rank_operators_raise_on_null_keys(spark):
+    """ADVICE r6 #3: NULL ranking keys would silently produce ANSI-
+    divergent ranks (Spark NULLS FIRST vs DuckDB NULLS LAST). The guard
+    embedded in __pid must fail loudly instead."""
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    from yelpdatawarehouse_spark.operators.ranks import (
+        exact_global_rank,
+        exact_prefix_sum,
+    )
+
+    nullable = spark.createDataFrame(
+        [(1, 10), (None, 20), (3, 30)], "k int, v int"
+    )
+    with pytest.raises(SparkRuntimeException, match="NULL value in ranking key"):
+        exact_global_rank(nullable, "k").collect()
+    with pytest.raises(SparkRuntimeException, match="NULL value in ranking key"):
+        exact_prefix_sum(nullable, "k", "v").collect()
+    # non-null inputs are unaffected
+    clean = spark.createDataFrame([(2, 10), (1, 20), (3, 5)], "k int, v int")
+    got = {r.k: r.rank for r in exact_global_rank(clean, "k").collect()}
+    assert got == {1: 1, 2: 2, 3: 3}
+    ps = {r.k: r.prefix_sum for r in exact_prefix_sum(clean, "k", "v").collect()}
+    assert ps == {1: 0, 2: 20, 3: 30}
+
+
+def test_pareto_concentration_is_integer_exact(spark):
+    """ADVICE r6 #1: the 80% boundary must be decided in integer cents.
+    Constructed input sits the boundary EXACTLY on a customer edge:
+    4 customers spending 100.00 each -> 0.8*total = 320.00 lands on the
+    inclusive >= edge, so k must be exactly ceil(320/100) = 4... with a
+    5th small spender, total=410, target=328 -> k=4 (3*100=300 < 328,
+    4*100=400 >= 328; ceil((328-300)/100)=1, cnt_above=3)."""
+    import os
+
+    from yelpdatawarehouse_spark.queries.drafts_r9 import (
+        a_pareto_8020_concentration,
+    )
+
+    rows = [(i, float(100.0), "1995-01-01") for i in range(4)]
+    rows.append((4, 10.0, "1995-01-02"))
+    sf = "/tmp/pareto_edge_sf"
+    spark.createDataFrame(
+        [(i, c, p, d) for i, (c, p, d) in enumerate(
+            [(c, p, d) for c, p, d in rows]
+        )],
+        "o_orderkey long, o_custkey long, o_totalprice double, o_orderdate string",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(sf, "orders.parquet")
+    )
+    out = a_pareto_8020_concentration(spark, sf).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.n_customers == 5
+    # total = 410.00 -> target 328.00 cents-exact; 3 customers above the
+    # boundary value contribute 300 < 328; one more 100-spender crosses it
+    assert r.n_top_customers == 4

@@ -31,6 +31,29 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _guarded_pid(key: str, op: str) -> Column:
+    """spark_partition_id(), but raising on a NULL ranking key.
+
+    NULL keys would silently diverge from any ANSI oracle: Spark windows
+    and RangePartitioner order NULLS FIRST while DuckDB/ANSI ``ORDER BY``
+    defaults to NULLS LAST, so a nullable-key caller would get
+    oracle-divergent ranks with no error (ADVICE r6 #3). Embedding the
+    check in ``__pid`` — a column every downstream step consumes — keeps
+    Catalyst from pruning it, and it costs one null-check per row inside
+    codegen. Callers with NULL keys must pre-filter or coalesce.
+    """
+    return F.when(
+        F.col(key).isNull(),
+        F.raise_error(
+            F.lit(
+                f"{op}: NULL value in ranking key '{key}' — NULLS FIRST "
+                "(Spark) vs NULLS LAST (ANSI) makes NULL ranks "
+                "oracle-divergent; pre-filter or coalesce the key"
+            )
+        ).cast("int"),
+    ).otherwise(F.spark_partition_id())
+
+
 def exact_global_rank(
     df: DataFrame,
     key: str,
@@ -42,13 +65,14 @@ def exact_global_rank(
     ``ORDER BY key`` in ``rank_col``, computed without an un-partitioned
     window.
 
-    Keys must be orderable; ties are broken arbitrarily-but-
+    Keys must be orderable and NON-NULL (enforced at runtime — see
+    :func:`_guarded_pid`); ties are broken arbitrarily-but-
     deterministically only if the key is unique — pass a unique key (or
     pre-distinct the frame) when rank stability matters, exactly as you
     would have to for the naive global window.
     """
     ranged = df.repartitionByRange(num_partitions, F.col(key)).withColumn(
-        "__pid", F.spark_partition_id()
+        "__pid", _guarded_pid(key, "exact_global_rank")
     )
     # Bounded exchange: one row per partition. The unboundedPreceding
     # window below runs over <= num_partitions rows by construction.
@@ -79,15 +103,16 @@ def exact_prefix_sum(
     the same range-partition + offset construction as
     :func:`exact_global_rank`.
 
-    Keys must be unique (pre-aggregate to one row per key first — the
-    natural shape: this exists to scan value-domain collapses, CDFs, and
-    rank statistics whose key domain is too large for a single task but
-    whose per-key row is already aggregated). Sums are computed with
+    Keys must be unique and NON-NULL (the latter enforced at runtime —
+    see :func:`_guarded_pid`; pre-aggregate to one row per key first —
+    the natural shape: this exists to scan value-domain collapses, CDFs,
+    and rank statistics whose key domain is too large for a single task
+    but whose per-key row is already aggregated). Sums are computed with
     Spark's sum over the column's own type — use an exact type (long /
     decimal) when cross-engine bit-equality matters.
     """
     ranged = df.repartitionByRange(num_partitions, F.col(order_key)).withColumn(
-        "__pid", F.spark_partition_id()
+        "__pid", _guarded_pid(order_key, "exact_prefix_sum")
     )
     totals = ranged.groupBy("__pid").agg(F.sum(value_col).alias("__tot"))
     off_w = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)

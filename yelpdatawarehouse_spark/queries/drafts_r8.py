@@ -1233,13 +1233,21 @@ WITH daily AS (
            {rfix_sql('sum(o_totalprice)', 2)} AS rev
     FROM orders GROUP BY 1
 ),
-spine AS (
+prefix AS (
     SELECT d, rev,
            row_number() OVER (ORDER BY d) AS i,
-           sum(rev) OVER (ORDER BY d) AS cs,
-           count(*) OVER () AS n,
-           sum(rev) OVER () AS tot
+           sum(rev) OVER (ORDER BY d) AS cs
     FROM daily
+),
+-- tot := max(cs), NOT an unordered sum() OVER (): cs is a strictly
+-- increasing ordered cumsum (rev > 0), so max(cs) IS the sequential
+-- total in the same accumulation order on both engines — immune to
+-- partial-aggregation ULP divergence (ADVICE r6 #2).
+spine AS (
+    SELECT d, rev, i, cs,
+           count(*) OVER () AS n,
+           max(cs) OVER () AS tot
+    FROM prefix
 ),
 scored AS (
     SELECT d, i, n,
@@ -1269,7 +1277,12 @@ def t29_binary_segmentation_split(spark: SparkSession, sf_dir: str) -> DataFrame
     shifts ONLINE). Daily revenue is canonicalized (rfix 2) before the
     prefix sums, so every downstream mean/score is arithmetic on
     bit-identical doubles in both engines, and the argmax ranks on the
-    floor(·100+0.5) canonicalization with the day as tie-break.
+    floor(·100+0.5) canonicalization with the day as tie-break. The
+    grand total is derived as max(cs) over the ORDERED prefix (cs is
+    strictly increasing since daily revenue > 0) rather than an
+    unordered global sum, so tot is bit-identical to the oracle's
+    sequential accumulation and the cancellation-heavy sse_red formula
+    sees the same inputs on both engines (ADVICE r6 #2).
 
     Scale shape: one day-keyed fact collapse; ALL candidate splits are
     scored from prefix sums over the CALENDAR spine (one ordered
@@ -1282,12 +1295,19 @@ def t29_binary_segmentation_split(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     w_ord = Window.orderBy("d")
     w_all = Window.partitionBy()
-    spine = daily.select(
+    prefix = daily.select(
         "d",
         F.row_number().over(w_ord).alias("i"),
         F.sum("rev").over(w_ord).alias("cs"),
+    )
+    # tot = max(cs): the sequential total in oracle accumulation order
+    # (cs strictly increasing; see docstring / ADVICE r6 #2)
+    spine = prefix.select(
+        "d",
+        "i",
+        "cs",
         F.count("*").over(w_all).alias("n"),
-        F.sum("rev").over(w_all).alias("tot"),
+        F.max("cs").over(w_all).alias("tot"),
     )
     i, cs, n, tot = F.col("i"), F.col("cs"), F.col("n"), F.col("tot")
     scored = spine.filter(i < n).select(

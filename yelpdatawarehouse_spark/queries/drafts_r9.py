@@ -281,34 +281,40 @@ PARETO_TARGET = 0.8
 
 PARETO_ORACLE = f"""
 WITH spend AS (
-    SELECT o_custkey, {rfix_sql('sum(o_totalprice)', 2)} AS s
+    SELECT o_custkey,
+           CAST(round({rfix_sql('sum(o_totalprice)', 2)} * 100) AS BIGINT)
+             AS s_c
     FROM orders GROUP BY o_custkey
 ),
 byv AS (
-    SELECT s, count(*)::BIGINT AS c, sum(s) AS rev
-    FROM spend GROUP BY s
+    SELECT s_c, count(*)::BIGINT AS c, CAST(sum(s_c) AS BIGINT) AS rev
+    FROM spend GROUP BY s_c
 ),
 cum AS (
-    SELECT s, c, rev,
-           coalesce(sum(rev) OVER (ORDER BY s DESC
+    SELECT s_c, c, rev,
+           CAST(coalesce(sum(rev) OVER (ORDER BY s_c DESC
                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-             AS rev_above,
-           coalesce(sum(c) OVER (ORDER BY s DESC
+             AS BIGINT) AS rev_above,
+           CAST(coalesce(sum(c) OVER (ORDER BY s_c DESC
                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-             AS cnt_above
+             AS BIGINT) AS cnt_above
     FROM byv
 ),
-tot AS (SELECT sum(c)::BIGINT AS n, sum(rev) AS t FROM byv),
+tot AS (SELECT CAST(sum(c) AS BIGINT) AS n, CAST(sum(rev) AS BIGINT) AS t
+        FROM byv),
 boundary AS (
+    -- target = 0.8*t cents; compare in integers: 5*rev_above < 4*t
     SELECT cum.*, tot.n, tot.t
     FROM cum, tot
-    WHERE cum.rev_above < {PARETO_TARGET} * tot.t
-      AND cum.rev_above + cum.rev >= {PARETO_TARGET} * tot.t
+    WHERE 5 * cum.rev_above < 4 * tot.t
+      AND 5 * (cum.rev_above + cum.rev) >= 4 * tot.t
 ),
 ans AS (
-    SELECT n, t,
-           cnt_above + CAST(ceil(({PARETO_TARGET} * t - rev_above) / s)
-                            AS BIGINT) AS k
+    -- k = cnt_above + ceil((0.8t - rev_above)/s_c)
+    --   = cnt_above + ceildiv(4t - 5*rev_above, 5*s_c), all integers
+    SELECT n,
+           cnt_above + (4 * t - 5 * rev_above + 5 * s_c - 1) // (5 * s_c)
+             AS k
     FROM boundary
 )
 SELECT CAST(n AS BIGINT) AS n_customers,
@@ -332,9 +338,17 @@ def a_pareto_8020_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial count is closed-form ceil arithmetic, so ties at the cutoff
     are handled exactly.
 
-    Float discipline: per-customer spend is canonicalized (rfix 2)
-    before any accumulation; value-domain sums are sums of canonical
-    doubles in deterministic prefix order on both engines.
+    Float discipline (ADVICE r6 #1): per-customer spend is canonicalized
+    (rfix 2) and immediately converted to EXACT CENTS (long) — every
+    accumulation, prefix sum, boundary comparison, and the ceil-div that
+    yields n_top_customers is integer arithmetic, so the result is
+    order-independent and bit-equal to the oracle regardless of partition
+    regrouping inside exact_prefix_sum. 0.8*t is compared as 5*x vs 4*t
+    and the ceil is an integer ceildiv — no float ever touches the
+    boundary decision. Doubles appear only in the final ratio columns.
+    Range note: long cents hold up to ~$9.2e16 total revenue (beyond a
+    100 TB orders fact); past that, lift the sums to decimal(38,0) —
+    the operator is type-generic.
 
     Scale shape: one custkey collapse (fact exchange), one value
     collapse, then the prefix-sum pass (range exchange + pid-local
@@ -345,29 +359,32 @@ def a_pareto_8020_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     o = spread(table(spark, sf_dir, "orders"))
     spend = o.groupBy("o_custkey").agg(
-        rfix(F.sum("o_totalprice"), 2).alias("s")
+        F.round(rfix(F.sum("o_totalprice"), 2) * 100)
+        .cast("long")
+        .alias("s_c")
     )
-    byv = spend.groupBy("s").agg(
-        F.count("*").alias("c"), F.sum("s").alias("rev")
+    byv = spend.groupBy("s_c").agg(
+        F.count("*").alias("c"), F.sum("s_c").alias("rev")
     )
     # descending order = ascending on the negated key
-    byv_neg = byv.withColumn("neg_s", -F.col("s"))
+    byv_neg = byv.withColumn("neg_s", -F.col("s_c"))
     cum = exact_prefix_sum(byv_neg, "neg_s", "rev", out_col="rev_above")
     cum = exact_prefix_sum(cum, "neg_s", "c", out_col="cnt_above")
     tot = F.broadcast(
         byv.agg(F.sum("c").alias("n"), F.sum("rev").alias("t"))
     )
-    target = F.lit(PARETO_TARGET) * F.col("t")
+    t4 = F.lit(4) * F.col("t")
     boundary = (
         cum.crossJoin(tot)
         .filter(
-            (F.col("rev_above") < target)
-            & (F.col("rev_above") + F.col("rev") >= target)
+            (F.lit(5) * F.col("rev_above") < t4)
+            & (F.lit(5) * (F.col("rev_above") + F.col("rev")) >= t4)
         )
     )
-    k = F.col("cnt_above") + F.ceil(
-        (target - F.col("rev_above")) / F.col("s")
-    ).cast("long")
+    # integer ceildiv((4t - 5*rev_above), 5*s_c); `div` is long division
+    k = F.col("cnt_above") + F.expr(
+        "(4*t - 5*rev_above + 5*s_c - 1) div (5*s_c)"
+    )
     return boundary.select(
         F.col("n").cast("long").alias("n_customers"),
         k.cast("long").alias("n_top_customers"),
