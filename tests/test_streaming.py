@@ -590,3 +590,108 @@ def test_incremental_coverage_restart_is_noop(spark, tmp_path, event_chunks_dir)
     q2.awaitTermination(120)
     second = {r["day"]: r["open_intervals"] for r in read_coverage(spark, state_dir).collect()}
     assert second == first
+
+
+def _write_time_ordered_chunks(df_pdf, src, n_chunks, sentinel_base_id=None):
+    """Write a pandas frame as time-ordered JSON-lines chunk files; with
+    sentinel_base_id, append two far-future single-event chunks that march
+    the watermark past every real impression's join window (the outer-join
+    flush: batch N's watermark only evicts/emits in batch N+1, so TWO
+    sentinels guarantee a batch runs after the advanced watermark)."""
+    import os as _os
+
+    import pandas as pd
+
+    pdf = df_pdf.sort_values("ts").reset_index(drop=True)
+    step = max(1, len(pdf) // n_chunks)
+    chunks = [pdf.iloc[i : i + step] for i in range(0, len(pdf), step)]
+    if sentinel_base_id is not None:
+        far = pdf["ts"].max() + pd.Timedelta(days=90)
+        for j in range(2):
+            chunks.append(
+                pd.DataFrame(
+                    [{
+                        "event_id": sentinel_base_id + j,
+                        "ts": far + pd.Timedelta(days=30 * j),
+                        "user_id": 999_999_999,
+                        "event_type": pdf["event_type"].iloc[0],
+                        "value": 0.0,
+                        "props": "{}",
+                    }]
+                )
+            )
+    for i, chunk in enumerate(chunks):
+        chunk = chunk.copy()
+        chunk["ts"] = chunk["ts"].dt.strftime("%Y-%m-%dT%H:%M:%S.%f")
+        path = src / f"chunk_{i:03d}.json"
+        chunk.to_json(path, orient="records", lines=True)
+        _os.utime(path, (1_700_000_000 + i, 1_700_000_000 + i))
+
+
+@pytest.mark.parametrize("how", ["inner", "left_outer"])
+def test_two_source_stream_stream_join_converges_to_batch(spark, tmp_path, how):
+    """TWO independent file streams (impressions / conversions), each with
+    its own watermark, interval-joined — final output must equal the batch
+    join over the same rows. left_outer additionally requires every
+    unmatched impression to surface null-padded exactly once after the
+    watermark passes its window (sentinel events flush the tail)."""
+    from yelpdatawarehouse_spark.streaming.pipeline import (
+        shape_conversions,
+        shape_impressions,
+        stream_stream_attribution,
+    )
+
+    ev = table(spark, SF, "events")
+    imp_pdf = (
+        ev.filter(F.col("event_type") == "view").toPandas()
+    )
+    conv_pdf = (
+        ev.filter(F.col("event_type") == "purchase").toPandas()
+    )
+    imp_src = tmp_path / "imps"
+    conv_src = tmp_path / "convs"
+    imp_src.mkdir()
+    conv_src.mkdir()
+    sentinel = 1_000_000_000
+    _write_time_ordered_chunks(imp_pdf, imp_src, 3, sentinel_base_id=sentinel)
+    _write_time_ordered_chunks(conv_pdf, conv_src, 3, sentinel_base_id=sentinel + 10)
+
+    imps = shape_impressions(
+        event_file_stream(spark, str(imp_src)).withColumn(
+            "event_type", F.lit("view")
+        )
+    )
+    convs = shape_conversions(
+        event_file_stream(spark, str(conv_src)).withColumn(
+            "event_type", F.lit("purchase")
+        )
+    )
+    name = f"two_src_{how}"
+    q = (
+        stream_stream_attribution(imps, convs, how=how)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / f"ckpt_{how}"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(240)
+
+    def key(rows):
+        return {
+            (r["imp_id"], r["conv_id"])
+            for r in rows
+            if r["imp_id"] < sentinel and (r["conv_id"] is None or r["conv_id"] < sentinel)
+        }
+
+    got = key(spark.table(name).collect())
+    want = key(
+        stream_stream_attribution(
+            shape_impressions(ev), shape_conversions(ev), how=how
+        ).collect()
+    )
+    assert got == want and len(want) > 0
+    if how == "left_outer":
+        # outer rows actually exercised: some impression must be unmatched
+        assert any(c is None for (_, c) in want)

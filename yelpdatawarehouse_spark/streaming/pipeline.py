@@ -772,3 +772,80 @@ def attributed_purchases(
     return views.join(purchases, cond).select(
         "view_id", "purchase_id", F.col("v_user").alias("user_id"), "v_ts", "p_ts", "p_value"
     )
+
+# ---------------------------------------------------------------------------
+# Two-source stream-stream join, inner AND left-outer (T8c)
+# ---------------------------------------------------------------------------
+
+
+def shape_impressions(events: DataFrame) -> DataFrame:
+    """Shape the event schema into the impression side of
+    :func:`stream_stream_attribution` (view events; distinct column names
+    so the two sides of the self-describing join condition never clash)."""
+    return events.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("i_user"),
+        F.col("event_id").alias("imp_id"),
+        F.col("ts").alias("i_ts"),
+    )
+
+
+def shape_conversions(events: DataFrame) -> DataFrame:
+    """Conversion side of :func:`stream_stream_attribution` (purchases)."""
+    return events.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("conv_id"),
+        F.col("ts").alias("c_ts"),
+        F.col("value").alias("c_value"),
+    )
+
+
+def stream_stream_attribution(
+    impressions: DataFrame,
+    conversions: DataFrame,
+    window_hours: int = 24,
+    watermark: str = "12 hours",
+    how: str = "inner",
+) -> DataFrame:
+    """General TWO-SOURCE watermarked stream-stream interval join — the
+    impression↔conversion attribution shape: each conversion matches the
+    same-user impressions in the preceding ``window_hours``.
+
+    Unlike :func:`attributed_purchases` (two filters of ONE stream), the
+    two sides here are independent streams (e.g. two Kafka topics / two
+    file sources), each carrying its OWN watermark; Spark takes the min
+    as the global watermark, so a lagging side correctly holds back state
+    eviction on both.
+
+    ``how='inner'`` emits matches as they form. ``how='left_outer'``
+    additionally emits every UNMATCHED impression exactly once, null-padded,
+    when the watermark passes ``i_ts + window`` — the point at which no
+    future conversion can join it (Spark buffers outer rows until the
+    interval condition is provably closed; without the time bound in the
+    join condition the state would be unbounded and Spark rejects the
+    plan). State per side stays O(open window). On batch DataFrames the
+    identical call degrades to the plain (range) join — the convergence
+    oracle the tests compare against.
+
+    Reference analog: streaming/consumer.py:417-441 applies review events
+    against business state one row at a time; this is that lookup
+    generalized to two unbounded sides with bounded disorder.
+    """
+    if how not in ("inner", "left_outer"):
+        raise ValueError(f"stream_stream_attribution: unsupported how={how!r}")
+    if impressions.isStreaming:
+        impressions = impressions.withWatermark("i_ts", watermark)
+    if conversions.isStreaming:
+        conversions = conversions.withWatermark("c_ts", watermark)
+    cond = (
+        (F.col("c_user") == F.col("i_user"))
+        & (F.col("c_ts") >= F.col("i_ts"))
+        & (F.col("c_ts") < F.col("i_ts") + F.expr(f"INTERVAL {window_hours} HOURS"))
+    )
+    return impressions.join(conversions, cond, how).select(
+        "imp_id",
+        F.col("i_user").alias("user_id"),
+        "i_ts",
+        "conv_id",
+        "c_ts",
+        "c_value",
+    )
