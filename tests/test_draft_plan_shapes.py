@@ -123,29 +123,17 @@ _SHAPES = {
     "a_hhi_supplier_concentration": (4, 1, 0, 2),
     # per-row Arrow kernel: encode→decode→gate→runs, zero exchanges
     "mm_wav_silence_segments": (0, 0, 0, 0),
-    # pushed quarter scan; EXISTS = one semi join; 5-row rollup
-    "j23_late_orders_q4": (1, 1, 0, 2),
     # value collapse + exact_prefix_sum (range exchange, pid-local
     # window, bounded offsets window, broadcast add) — never an
     # un-partitioned window over the value domain
     "a_mann_whitney_u": (3, 2, 2, 1),
     # constant panel broadcast self-join; one global rollup
     "emb_intra_inter_margin": (0, 1, 0, 2),
-    # one (source, token) collapse; pair grid + totals ride broadcasts
-    "text_jsd_source_pairs": (6, 4, 0, 1),
     # --- round-9 drafts ---
     # one day-keyed collapse; six rolling moments share ONE spine window
     "t32_rolling_correlation": (1, 0, 1, 0),
-    # edges pinned once; triangle join + degree/corner rollups are all
-    # edge-scale exchanges (deliberately NOT broadcast: edge lists are
-    # fact-derived and unbounded on real graphs)
-    "g_clustering_coefficient": (11, 0, 0, 0),
     # one label-keyed collapse + 1-row total broadcast
     "sample_class_weights": (1, 1, 0, 0),
-    # custkey + value collapses; TWO exact_prefix_sum passes (range
-    # exchanges + pid-local windows + bounded offsets windows); boundary
-    # filter rides the 1-row total broadcast
-    "a_pareto_8020_concentration": (10, 4, 4, 0),
 }
 
 

@@ -169,6 +169,19 @@ _SHAPES = {
     # rounds are checkpoint-pinned (labels broadcast inside each round);
     # the final plan is one node-keyed rollup over the pinned labels
     "g_label_propagation_communities": (1, 0, 0, 0),
+    # --- round-8/9 headline promotions (VERDICT r6 #4) ---
+    # custkey + value collapses; TWO exact_prefix_sum passes (range
+    # exchanges + pid-local windows + bounded offsets windows); boundary
+    # filter rides the 1-row total broadcast
+    "a_pareto_8020_concentration": (10, 4, 4, 0),
+    # one (source, token) collapse; pair grid + totals ride broadcasts
+    "text_jsd_source_pairs": (6, 4, 0, 1),
+    # edges pinned once; triangle join + degree/corner rollups are all
+    # edge-scale exchanges (deliberately NOT broadcast: edge lists are
+    # fact-derived and unbounded on real graphs)
+    "g_clustering_coefficient": (11, 0, 0, 0),
+    # pushed quarter scan; EXISTS = one semi join; 5-row rollup
+    "j23_late_orders_q4": (1, 1, 0, 2),
 }
 
 

@@ -96,6 +96,11 @@ HEADLINE = [
     "a_survival_hazard_curve",
     "a_open_orders_per_day",
     "g_label_propagation_communities",
+    # heaviest of the round-8/9 late registrations (VERDICT r6 #4)
+    "a_pareto_8020_concentration",
+    "text_jsd_source_pairs",
+    "g_clustering_coefficient",
+    "j23_late_orders_q4",
 ]
 
 
