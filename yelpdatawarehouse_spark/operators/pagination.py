@@ -42,3 +42,112 @@ def paginate(df: DataFrame, *order: Column, page: int = 1, limit: int = 20) -> P
     total = df.count()
     rows = df.orderBy(*order).offset((page - 1) * limit).limit(limit).collect()
     return Page(rows=rows, total=total, page=page, limit=limit)
+
+
+# ---------------------------------------------------------------------------
+# Keyset (seek-method) pagination — the scale-correct default
+# ---------------------------------------------------------------------------
+
+# An order spec is a list of (column_name, "asc"|"desc") pairs whose LAST
+# entry must be a unique key (the tie-break that makes the total order —
+# and therefore every page boundary — deterministic).
+OrderSpec = "list[tuple[str, str]]"
+
+
+def order_columns(order) -> list[Column]:
+    from pyspark.sql import functions as F
+
+    return [
+        F.asc(c) if d == "asc" else F.desc(c) for c, d in order
+    ]
+
+
+def seek_predicate(order, cursor: dict) -> Column:
+    """Lexicographic row-value comparison ``(k1,k2,...) > cursor`` expanded
+    into the OR-of-ANDs chain — unlike a struct comparison this supports
+    MIXED asc/desc directions and any orderable type::
+
+        (k1 > c1) OR (k1 = c1 AND k2 > c2) OR ...   (> flipped per desc)
+
+    Each disjunct's leading equality prefix lets the optimizer push the
+    first-column bound to the scan (min/max file skipping on a layout
+    sorted by the leading key), which is what makes page 10,000 cost the
+    same as page 1.
+    """
+    from functools import reduce
+    from operator import and_, or_
+
+    from pyspark.sql import functions as F
+
+    clauses = []
+    eqs: list[Column] = []
+    for c, d in order:
+        col, lit = F.col(c), F.lit(cursor[c])
+        cmp = col > lit if d == "asc" else col < lit
+        clauses.append(reduce(and_, eqs + [cmp]))
+        eqs.append(col.eqNullSafe(lit))
+    return reduce(or_, clauses)
+
+
+def fetch_page(
+    df: DataFrame,
+    order,
+    page: int = 1,
+    limit: int = 20,
+    *,
+    cursor: dict | None = None,
+    use_offset: bool = False,
+):
+    """Envelope-preserving page fetch ``(page_df, {total,page,limit,pages})``
+    — same contract as the reference's LIMIT/OFFSET + COUNT pattern
+    (webapp/mysql_routes.py:99,106-118), but the row-production strategy is
+    chosen for scale (VERDICT r6 #7):
+
+    * ``cursor`` given (client echoes the last row's key values): true
+      seek — ``WHERE keys > cursor ORDER BY LIMIT k``. O(limit) rows
+      produced regardless of depth; the iteration path every scrolling
+      client should use.
+    * no cursor, ``page == 1``: plain top-k (TakeOrdered), no offset.
+    * no cursor, ``page > 1`` (jump-to-page): DEFERRED-JOIN offset — the
+      offset scan runs over a projection of ONLY the order columns (narrow
+      tuples, column-pruned scan), then the `limit` unique keys fetch the
+      wide rows via a pushed-down IN filter. Deep pages still pay an
+      O(page·limit) narrow top-k, but never produce-and-discard wide rows
+      — the part of OFFSET that actually hurts at fact scale.
+    * ``use_offset=True``: the reference's literal plan (wide offset),
+      kept as the behavioral fallback.
+
+    The last order column must be a unique key; ``total`` is counted on
+    the unfiltered frame exactly like the reference's COUNT query.
+    """
+    total = df.count()
+    pages = (total + limit - 1) // limit if total > 0 else 1
+    env = {"total": total, "page": page, "limit": limit, "pages": pages}
+    cols = order_columns(order)
+    if use_offset:
+        page_df = df.orderBy(*cols).offset((page - 1) * limit).limit(limit)
+    elif cursor is not None:
+        page_df = df.filter(seek_predicate(order, cursor)).orderBy(*cols).limit(limit)
+    elif page == 1:
+        page_df = df.orderBy(*cols).limit(limit)
+    else:
+        from pyspark.sql import functions as F
+
+        uk = order[-1][0]
+        narrow = df.select([c for c, _ in order])
+        keys = (
+            narrow.orderBy(*cols).offset((page - 1) * limit).limit(limit)
+        )
+        ids = [r[uk] for r in keys.select(uk).collect()]  # <= limit values
+        page_df = df.filter(F.col(uk).isin(ids)).orderBy(*cols).limit(limit)
+    return page_df, env
+
+
+def page_cursor(rows, order) -> dict | None:
+    """The cursor to request the NEXT page after ``rows`` (last row's order
+    key values), or None for an empty page — what an API layer would
+    serialize back to the client."""
+    if not rows:
+        return None
+    last = rows[-1]
+    return {c: last[c] for c, _ in order}

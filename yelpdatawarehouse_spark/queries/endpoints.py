@@ -45,31 +45,53 @@ Warehouse = Mapping[str, DataFrame]
 # ---------------------------------------------------------------------------
 
 
-def paginate(df: DataFrame, page: int, limit: int) -> tuple[DataFrame, dict]:
-    """O4: LIMIT/OFFSET page + the reference's pagination envelope
-    {total, page, limit, pages} (webapp/mysql_routes.py:99,106-118,691-699).
-    The separate COUNT query becomes a count() on the unlimited plan."""
+def paginate(
+    df: DataFrame,
+    page: int,
+    limit: int,
+    order=None,
+    cursor: dict | None = None,
+    use_offset: bool = False,
+) -> tuple[DataFrame, dict]:
+    """O4: page + the reference's pagination envelope {total, page, limit,
+    pages} (webapp/mysql_routes.py:99,106-118,691-699). The separate COUNT
+    query becomes a count() on the unlimited plan.
+
+    With an ``order`` spec the row fetch defaults to the KEYSET path
+    (operators/pagination.fetch_page): true seek when the client echoes a
+    ``cursor``, deferred-join narrow offset for jump-to-page — wide rows
+    are never produced-and-discarded (VERDICT r6 #7). ``use_offset=True``
+    restores the reference's literal wide LIMIT/OFFSET plan. Without
+    ``order`` (caller pre-sorted the frame) the legacy offset path is the
+    only option — kept for back-compat."""
+    if order is not None:
+        from ..operators.pagination import fetch_page
+
+        return fetch_page(
+            df, order, page, limit, cursor=cursor, use_offset=use_offset
+        )
     total = df.count()
     pages = (total + limit - 1) // limit if total > 0 else 1
     page_df = df.offset((page - 1) * limit).limit(limit)
     return page_df, {"total": total, "page": page, "limit": limit, "pages": pages}
 
 
-# O2: validated enum → Columns (never string interpolation — the reference
-# f-strings the sort column, webapp/mysql_routes.py:497-517). Lazy thunks:
-# Column construction requires an active session.
+# O2: validated enum → order SPECS ((column, direction) pairs ending in a
+# unique tie-break key — the shape the keyset paginator needs; never string
+# interpolation — the reference f-strings the sort column,
+# webapp/mysql_routes.py:497-517).
 _REVIEW_SORTS = {
-    "date_desc": lambda: [F.desc("review_date"), F.asc("review_id")],
-    "date_asc": lambda: [F.asc("review_date"), F.asc("review_id")],
-    "stars_desc": lambda: [F.desc("stars"), F.asc("review_id")],
-    "stars_asc": lambda: [F.asc("stars"), F.asc("review_id")],
-    "useful_desc": lambda: [F.desc("useful_votes"), F.asc("review_id")],
+    "date_desc": [("review_date", "desc"), ("review_id", "asc")],
+    "date_asc": [("review_date", "asc"), ("review_id", "asc")],
+    "stars_desc": [("stars", "desc"), ("review_id", "asc")],
+    "stars_asc": [("stars", "asc"), ("review_id", "asc")],
+    "useful_desc": [("useful_votes", "desc"), ("review_id", "asc")],
 }
 
 _BUSINESS_SORTS = {
-    "stars": lambda: [F.desc("stars"), F.desc("review_count"), F.asc("business_id")],
-    "review_count": lambda: [F.desc("review_count"), F.desc("stars"), F.asc("business_id")],
-    "name": lambda: [F.asc("business_name"), F.asc("business_id")],
+    "stars": [("stars", "desc"), ("review_count", "desc"), ("business_id", "asc")],
+    "review_count": [("review_count", "desc"), ("stars", "desc"), ("business_id", "asc")],
+    "name": [("business_name", "asc"), ("business_id", "asc")],
 }
 
 
@@ -115,9 +137,8 @@ def top_businesses(
         .join(wh["business_category"], "business_id")
         .filter(F.col("category_name") == category)
         .select("business_id", "business_name", "stars", "review_count", "city", "state")
-        .orderBy(F.desc("stars"), F.desc("review_count"), F.asc("business_id"))
     )
-    page_df, pagination = paginate(df, page, limit)
+    page_df, pagination = paginate(df, page, limit, order=_BUSINESS_SORTS["stars"])
     return {"businesses": page_df, "pagination": pagination}
 
 
@@ -238,9 +259,9 @@ def business_reviews(
             "user_id",
             "text",
         )
-        .orderBy(*_REVIEW_SORTS.get(sort, _REVIEW_SORTS["date_desc"])())
     )
-    page_df, pagination = paginate(df, page, limit)
+    spec = _REVIEW_SORTS.get(sort, _REVIEW_SORTS["date_desc"])
+    page_df, pagination = paginate(df, page, limit, order=spec)
     return {"reviews": page_df, "pagination": pagination}
 
 
@@ -279,8 +300,9 @@ def search_businesses(
         df = df.filter(F.col("review_count") >= min_reviews)
     df = df.select(
         "business_id", "business_name", "stars", "review_count", "city", "state"
-    ).orderBy(*_BUSINESS_SORTS.get(sort_by, _BUSINESS_SORTS["stars"])())
-    page_df, pagination = paginate(df, page, limit)
+    )
+    spec = _BUSINESS_SORTS.get(sort_by, _BUSINESS_SORTS["stars"])
+    page_df, pagination = paginate(df, page, limit, order=spec)
     return {"businesses": page_df, "pagination": pagination}
 
 
@@ -821,8 +843,9 @@ def graph_search_businesses(
             )
     df = df.select(
         "business_id", "business_name", "stars", "review_count", "city", "state"
-    ).orderBy(*_BUSINESS_SORTS.get(sort_by, _BUSINESS_SORTS["stars"])())
-    page_df, pagination = paginate(df, page, limit)
+    )
+    spec = _BUSINESS_SORTS.get(sort_by, _BUSINESS_SORTS["stars"])
+    page_df, pagination = paginate(df, page, limit, order=spec)
     return {"businesses": page_df, "pagination": pagination}
 
 
