@@ -134,6 +134,36 @@ _SHAPES = {
     "t32_rolling_correlation": (1, 0, 1, 0),
     # one label-keyed collapse + 1-row total broadcast
     "sample_class_weights": (1, 1, 0, 0),
+    # --- round-10 drafts: the TPC-H classics batch ---
+    # pushed segment/date scans; customer + date-filtered orders broadcast;
+    # one orderkey revenue exchange; TakeOrdered top-10
+    "j24_shipping_priority_q3": (1, 2, 0, 3),
+    # pushed returnflag/date scans; orders/customer/nation broadcast at
+    # test scale; one custkey rollup exchange; TakeOrdered top-20
+    "j25_returned_items_q10": (1, 3, 0, 4),
+    # ship-month pruned scan; part dim broadcast; ONE conditional
+    # aggregate pass, zero shuffles beyond the final 1-row reduce
+    "j26_promo_revenue_q14": (0, 1, 0, 2),
+    # one partkey collapse; global total is a 1-row broadcast of the
+    # rollup (ReusedExchange, no second fact pass)
+    "j27_important_parts_q11": (1, 1, 0, 0),
+    # broadcast anti-join prunes bad suppliers pre-join; distinct +
+    # count are bounded (brand,size,supplier) exchanges
+    "j28_supplier_relationship_q16": (2, 2, 0, 3),
+    # orderkey quantity rollup -> HAVING survivors broadcast into
+    # orders/customer; single fact scan
+    "j29_large_volume_q18": (1, 2, 0, 3),
+    # --- round-10 drafts: new-capability batch ---
+    # exact_global_rank (range exchange + 2 bounded windows + offsets
+    # broadcast) + ONE rank-keyed neighbor join; no cross join
+    "dedup_sorted_neighborhood": (2, 3, 3, 0),
+    # one source-keyed exchange; regex counting in codegen
+    "text_readability_scores": (1, 0, 0, 0),
+    "text_url_email_density": (1, 0, 0, 0),
+    # day-keyed collapse + three ordered windows on the calendar spine
+    "t33_page_hinkley_drift": (1, 0, 3, 0),
+    # ONE moment-sum pass, zero exchanges, two-column pruned scan
+    "ml_pca_2d_closed_form": (0, 0, 0, 0),
 }
 
 

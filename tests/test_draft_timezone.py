@@ -18,6 +18,11 @@ from yelpdatawarehouse_spark.queries.draft_layer import all_drafts
 DRAFTS = all_drafts()
 
 _TS_DRAFTS = (
+    "t33_page_hinkley_drift",
+    "j24_shipping_priority_q3",
+    "j25_returned_items_q10",
+    "j26_promo_revenue_q14",
+    "j29_large_volume_q18",
     "j22_top_supplier_q15",
     "t21_holt_linear_daily",
     "t22_weekday_seasonal_decompose",

@@ -16,6 +16,7 @@ from .drafts_r6 import DRAFTS as _R6
 from .drafts_r7 import DRAFTS as _R7
 from .drafts_r8 import DRAFTS as _R8
 from .drafts_r9 import DRAFTS as _R9
+from .drafts_r10 import DRAFTS as _R10
 from .registry import register
 
 _REGISTERED = False
@@ -23,7 +24,7 @@ _REGISTERED = False
 
 def all_drafts() -> Dict[str, Tuple[Callable, str]]:
     merged: Dict[str, Tuple[Callable, str]] = {}
-    for layer in (_R6, _R7, _R8, _R9):
+    for layer in (_R6, _R7, _R8, _R9, _R10):
         for name, pair in layer.items():
             assert name not in merged, f"duplicate draft name: {name}"
             merged[name] = pair

@@ -1,0 +1,894 @@
+"""Round-10 drafts (written in round 7; registered immediately via
+queries/draft_layer.register_all — the _prioritize window reserve queues
+them behind the earlier never-verified cohorts, so registration order is
+evidence order, not a displacement risk).
+
+Batch 1: the TPC-H classics still absent from the registry (Q3, Q10, Q11,
+Q14, Q16, Q18 — adapted to the harness schema, which has no partsupp or
+shipmode columns; each docstring notes the adaptation). Batch 2: new
+capability shapes (sorted-neighborhood dedup, readability / URL-density
+curation signals, Page-Hinkley drift, closed-form 2D PCA).
+
+Registry contract as everywhere: identical column aliases both sides,
+ints cast long/BIGINT, floats through rfix, money carried as exact cents
+(long) wherever a comparison or ordering depends on it, argmax-over-floats
+ranked on floor(x*10^n+0.5)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.presentation import rfix, rfix_sql
+from ..sources.tables import spread, table
+
+DRAFTS: dict = {}
+
+
+# money → exact cents, the same IEEE floor(x*100+0.5) on both engines
+# (identical to rfix's tie-side argument; see functions/presentation.py)
+def _cents(col):
+    return F.floor(col * 100 + F.lit(0.5)).cast("long")
+
+
+def _cents_sql(expr: str) -> str:
+    return f"CAST(floor(({expr}) * 100 + 0.5) AS BIGINT)"
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q3: shipping priority — revenue of unshipped-as-of-date orders for
+# one market segment, top 10 by revenue.
+
+Q3_SEGMENT = "BUILDING"
+Q3_DATE = "1997-06-01"
+
+Q3_ORACLE = f"""
+WITH rev AS (
+    SELECT l.l_orderkey,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate,
+           o.o_orderpriority,
+           sum({_cents_sql('l.l_extendedprice * (1 - l.l_discount)')})
+               AS rev_c
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = '{Q3_SEGMENT}'
+      AND o.o_orderdate < TIMESTAMP '{Q3_DATE}'
+      AND l.l_shipdate > TIMESTAMP '{Q3_DATE}'
+    GROUP BY 1, 2, 3
+)
+SELECT CAST(l_orderkey AS BIGINT) AS l_orderkey,
+       {rfix_sql('rev_c / 100.0', 2)} AS revenue,
+       o_orderdate, o_orderpriority
+FROM rev
+ORDER BY rev_c DESC, l_orderkey
+LIMIT 10
+"""
+
+
+def j24_shipping_priority_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 (shipping priority): for one market segment, orders placed
+    before a date with lineitems still shipping after it, ranked by open
+    revenue — top 10. (Harness schema has no o_shippriority column; the
+    priority string stands in.)
+
+    Float discipline: line revenue is converted to exact cents per row
+    (the rfix floor(x*100+0.5) IEEE idiom), so the per-order sums, the
+    ordering, and the top-10 cutoff are all integer decisions — sum order
+    can't flip a rank. Cents → dollars only in the emitted column.
+
+    Scale shape: both date filters are pushed to the parquet scans; the
+    segment-filtered customer dim broadcasts into orders; one
+    orderkey-keyed exchange aggregates revenue map-side; the top-10 is
+    TakeOrdered on (rev_c, l_orderkey) — no global sort.
+
+    Reference parity: the classic warehouse top-N join
+    (webapp/mysql_routes.py:75-152 top_businesses is the same
+    join→filter→rank shape on the Yelp schema).
+    """
+    c = F.broadcast(
+        table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == Q3_SEGMENT)
+        .select("c_custkey")
+    )
+    o = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit(Q3_DATE).cast("timestamp")
+    )
+    li = spread(table(spark, sf_dir, "lineitem")).filter(
+        F.col("l_shipdate") > F.lit(Q3_DATE).cast("timestamp")
+    )
+    rev = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy(
+            "l_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "o_orderpriority",
+        )
+        .agg(
+            F.sum(
+                _cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            ).alias("rev_c")
+        )
+    )
+    return (
+        rev.orderBy(F.desc("rev_c"), F.asc("l_orderkey"))
+        .limit(10)
+        .select(
+            F.col("l_orderkey").cast("long").alias("l_orderkey"),
+            rfix(F.col("rev_c") / 100.0, 2).alias("revenue"),
+            "o_orderdate",
+            "o_orderpriority",
+        )
+    )
+
+
+DRAFTS["j24_shipping_priority_q3"] = (j24_shipping_priority_q3, Q3_ORACLE)
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q10: returned-item reporting — customers who returned the most
+# revenue in a quarter, top 20.
+
+Q10_START = "1997-07-01"
+Q10_END = "1997-10-01"
+
+Q10_ORACLE = f"""
+WITH rev AS (
+    SELECT c.c_custkey, c.c_name, n.n_name,
+           sum({_cents_sql('l.l_extendedprice * (1 - l.l_discount)')})
+               AS rev_c
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    WHERE l.l_returnflag = 'R'
+      AND o.o_orderdate >= TIMESTAMP '{Q10_START}'
+      AND o.o_orderdate <  TIMESTAMP '{Q10_END}'
+    GROUP BY 1, 2, 3
+)
+SELECT CAST(c_custkey AS BIGINT) AS c_custkey, c_name, n_name,
+       {rfix_sql('rev_c / 100.0', 2)} AS returned_revenue
+FROM rev
+ORDER BY rev_c DESC, c_custkey
+LIMIT 20
+"""
+
+
+def j25_returned_items_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 (returned-item reporting): customers ranked by revenue of
+    items they returned in one quarter, with nation, top 20 — the churn
+    triage query.
+
+    Same exact-cents discipline as Q3: per-row cent conversion makes the
+    customer rollup, ordering, and cutoff integer-exact.
+
+    Scale shape: the returnflag + date filters are pushed to the scans;
+    the quarter-filtered orders side broadcasts at test scale (size-based
+    — beyond the threshold it degrades to an orderkey shuffle join); the
+    rollup shuffles on custkey; the nation dim (25 rows) broadcasts;
+    top-20 is TakeOrdered.
+    """
+    li = spread(table(spark, sf_dir, "lineitem")).filter(
+        F.col("l_returnflag") == "R"
+    )
+    o = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit(Q10_START).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(Q10_END).cast("timestamp"))
+    )
+    c = table(spark, sf_dir, "customer")
+    n = F.broadcast(table(spark, sf_dir, "nation"))
+    rev = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(n, F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.sum(
+                _cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            ).alias("rev_c")
+        )
+    )
+    return (
+        rev.orderBy(F.desc("rev_c"), F.asc("c_custkey"))
+        .limit(20)
+        .select(
+            F.col("c_custkey").cast("long").alias("c_custkey"),
+            "c_name",
+            "n_name",
+            rfix(F.col("rev_c") / 100.0, 2).alias("returned_revenue"),
+        )
+    )
+
+
+DRAFTS["j25_returned_items_q10"] = (j25_returned_items_q10, Q10_ORACLE)
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q14: promotion effect — the share of one month's revenue that came
+# from PROMO-type parts. One row.
+
+Q14_START = "1997-09-01"
+Q14_END = "1997-10-01"
+
+Q14_ORACLE = f"""
+WITH m AS (
+    SELECT sum(CASE WHEN p.p_type = 'PROMO'
+                    THEN {_cents_sql('l.l_extendedprice * (1 - l.l_discount)')}
+                    ELSE 0 END) AS promo_c,
+           sum({_cents_sql('l.l_extendedprice * (1 - l.l_discount)')})
+               AS total_c
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '{Q14_START}'
+      AND l.l_shipdate <  TIMESTAMP '{Q14_END}'
+)
+SELECT {rfix_sql('100.0 * promo_c / total_c', 6)} AS promo_revenue_pct,
+       {rfix_sql('promo_c / 100.0', 2)} AS promo_revenue,
+       {rfix_sql('total_c / 100.0', 2)} AS total_revenue
+FROM m
+"""
+
+
+def j26_promo_revenue_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 (promotion effect): percentage of one shipping month's
+    revenue from PROMO parts. Numerator and denominator are exact-cent
+    sums (order-independent longs), so the single emitted ratio is a
+    division of two integers — bit-equal on both engines.
+
+    Scale shape: the ship-month filter prunes the fact scan; the part dim
+    broadcasts (partkey→type is dimension-sized); ONE conditional
+    aggregate computes both sums in a single pass — no second scan for
+    the denominator.
+    """
+    li = spread(table(spark, sf_dir, "lineitem")).filter(
+        (F.col("l_shipdate") >= F.lit(Q14_START).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(Q14_END).cast("timestamp"))
+    )
+    p = F.broadcast(table(spark, sf_dir, "part").select("p_partkey", "p_type"))
+    cents = _cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    m = (
+        li.join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.sum(F.when(F.col("p_type") == "PROMO", cents).otherwise(0)).alias(
+                "promo_c"
+            ),
+            F.sum(cents).alias("total_c"),
+        )
+    )
+    return m.select(
+        rfix(F.lit(100.0) * F.col("promo_c") / F.col("total_c"), 6).alias(
+            "promo_revenue_pct"
+        ),
+        rfix(F.col("promo_c") / 100.0, 2).alias("promo_revenue"),
+        rfix(F.col("total_c") / 100.0, 2).alias("total_revenue"),
+    )
+
+
+DRAFTS["j26_promo_revenue_q14"] = (j26_promo_revenue_q14, Q14_ORACLE)
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q11 (adapted): important parts — parts whose revenue share of the
+# whole fact table exceeds a fraction; the HAVING-against-global-scalar
+# shape. (No partsupp table in the harness; lineitem revenue stands in for
+# stock value.)
+
+Q11_SHARE_BP = 10  # threshold: share > 10 basis points (0.1%)
+
+Q11_ORACLE = f"""
+WITH by_part AS (
+    SELECT l_partkey,
+           CAST(sum({_cents_sql('l_extendedprice * (1 - l_discount)')})
+                AS BIGINT) AS rev_c
+    FROM lineitem GROUP BY 1
+),
+tot AS (SELECT CAST(sum(rev_c) AS BIGINT) AS t FROM by_part)
+SELECT CAST(b.l_partkey AS BIGINT) AS l_partkey,
+       {rfix_sql('b.rev_c / 100.0', 2)} AS part_revenue,
+       {rfix_sql('b.rev_c::DOUBLE / t::DOUBLE', 8)} AS revenue_share
+FROM by_part b, tot
+WHERE b.rev_c * 10000 > t * {Q11_SHARE_BP}
+ORDER BY b.rev_c DESC, b.l_partkey
+"""
+
+
+def j27_important_parts_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 (important stock, adapted to lineitem revenue): parts
+    whose share of total revenue exceeds a global fraction — the
+    HAVING-against-a-global-scalar pattern.
+
+    The share test is integer arithmetic (rev_c·10000 > t·bp on exact
+    cents), so membership can't flip on a ULP; the emitted share is
+    informational float. At 100 TB the same plan holds: the threshold is
+    a 1-row broadcast, never a second fact pass (the by-part rollup is
+    reused for both sides of the comparison via ReusedExchange).
+
+    Scale shape: one partkey-keyed fact collapse (map-side combinable);
+    the global total is a 1-row aggregate OF THE ROLLUP (part-domain
+    sized, not fact-sized) broadcast back; output is share-filtered and
+    sorted on the bounded survivor set.
+    """
+    li = spread(table(spark, sf_dir, "lineitem"))
+    by_part = li.groupBy("l_partkey").agg(
+        F.sum(
+            _cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+        ).alias("rev_c")
+    )
+    tot = F.broadcast(by_part.agg(F.sum("rev_c").alias("t")))
+    return (
+        by_part.crossJoin(tot)
+        .filter(F.col("rev_c") * 10000 > F.col("t") * Q11_SHARE_BP)
+        .orderBy(F.desc("rev_c"), F.asc("l_partkey"))
+        .select(
+            F.col("l_partkey").cast("long").alias("l_partkey"),
+            rfix(F.col("rev_c") / 100.0, 2).alias("part_revenue"),
+            rfix(
+                F.col("rev_c").cast("double") / F.col("t").cast("double"), 8
+            ).alias("revenue_share"),
+        )
+    )
+
+
+DRAFTS["j27_important_parts_q11"] = (j27_important_parts_q11, Q11_ORACLE)
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q16 (adapted): supplier relationship — how many distinct suppliers
+# serve each (brand, size) slice, excluding suppliers on a complaint list
+# (negative account balance stands in; no partsupp/comment in the harness).
+
+Q16_ORACLE = """
+WITH bad AS (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0),
+pairs AS (
+    SELECT DISTINCT p.p_brand, p.p_size, l.l_suppkey
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE l.l_suppkey NOT IN (SELECT s_suppkey FROM bad)
+)
+SELECT p_brand, CAST(p_size AS BIGINT) AS p_size,
+       CAST(count(*) AS BIGINT) AS supplier_cnt
+FROM pairs
+GROUP BY 1, 2
+ORDER BY supplier_cnt DESC, p_brand, p_size
+"""
+
+
+def j28_supplier_relationship_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 (supplier relationship, adapted): distinct suppliers per
+    (brand, size) slice, excluding a complaint list — the
+    count-distinct-over-join-with-NOT-IN shape. Exact integer counts.
+
+    Scale shape: the exclusion list is dimension-sized and applied as a
+    broadcast anti-join BEFORE the part join (prune early); the distinct
+    collapses on (brand, size, suppkey) — bounded by |parts slices| ×
+    |suppliers|, not by facts; counts are a second bounded rollup.
+    """
+    li = spread(table(spark, sf_dir, "lineitem")).select(
+        "l_partkey", "l_suppkey"
+    )
+    bad = F.broadcast(
+        table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    p = F.broadcast(
+        table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    )
+    pairs = (
+        li.join(bad, F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .select("p_brand", "p_size", "l_suppkey")
+        .distinct()
+    )
+    return (
+        pairs.groupBy("p_brand", "p_size")
+        .agg(F.count("*").alias("supplier_cnt"))
+        .select(
+            "p_brand",
+            F.col("p_size").cast("long").alias("p_size"),
+            F.col("supplier_cnt").cast("long").alias("supplier_cnt"),
+        )
+        .orderBy(F.desc("supplier_cnt"), F.asc("p_brand"), F.asc("p_size"))
+    )
+
+
+DRAFTS["j28_supplier_relationship_q16"] = (
+    j28_supplier_relationship_q16,
+    Q16_ORACLE,
+)
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q18: large-volume customers — orders whose total quantity exceeds a
+# threshold, with the customer, biggest first.
+
+Q18_MIN_QTY = 300
+
+Q18_ORACLE = f"""
+WITH big AS (
+    SELECT l_orderkey, CAST(sum(l_quantity) AS BIGINT) AS total_qty
+    FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > {Q18_MIN_QTY}
+)
+SELECT c.c_name, CAST(c.c_custkey AS BIGINT) AS c_custkey,
+       CAST(o.o_orderkey AS BIGINT) AS o_orderkey,
+       strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       {rfix_sql('o.o_totalprice', 2)} AS o_totalprice,
+       b.total_qty
+FROM big b
+JOIN orders o ON o.o_orderkey = b.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+ORDER BY b.total_qty DESC, o.o_orderkey
+"""
+
+
+def j29_large_volume_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 (large-volume customers): orders whose summed quantity
+    exceeds a threshold, joined back to order + customer, biggest first.
+    Quantities are integer-valued doubles, so the sum, HAVING cutoff, and
+    ordering are exact (< 2^53).
+
+    Scale shape: one orderkey-keyed quantity rollup (map-side combinable)
+    produces a SMALL survivor set (the HAVING is highly selective —
+    broadcastable by construction), which then broadcast-joins into
+    orders and customer; the fact table is scanned once.
+    """
+    li = spread(table(spark, sf_dir, "lineitem"))
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > Q18_MIN_QTY)
+        .select("l_orderkey", F.col("qty").cast("long").alias("total_qty"))
+    )
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    return (
+        o.join(F.broadcast(big), F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .orderBy(F.desc("total_qty"), F.asc("o_orderkey"))
+        .select(
+            "c_name",
+            F.col("c_custkey").cast("long").alias("c_custkey"),
+            F.col("o_orderkey").cast("long").alias("o_orderkey"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            rfix("o_totalprice", 2).alias("o_totalprice"),
+            "total_qty",
+        )
+    )
+
+
+DRAFTS["j29_large_volume_q18"] = (j29_large_volume_q18, Q18_ORACLE)
+
+
+# ---------------------------------------------------------------------------
+# Batch 2: new capability shapes.
+# ---------------------------------------------------------------------------
+
+from ..functions import text as T  # noqa: E402
+from ..operators.ranks import exact_global_rank  # noqa: E402
+
+_NORM_SQL = (
+    "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'),"
+    " '\\s+', ' ', 'g'))"
+)
+
+
+# ---------------------------------------------------------------------------
+# Sorted-neighborhood dedup (SNM, Hernández & Stolfo 1995): sort the corpus
+# by a blocking key, compare each record only with its w nearest neighbors
+# in sort order — the classic entity-resolution blocking that catches
+# near-dups whose LSH signatures just miss a band.
+
+SNM_WINDOW = 4
+SNM_THRESHOLD = 0.3
+
+SNM_ORACLE = f"""
+WITH docs AS (
+    SELECT doc_id,
+           {_NORM_SQL} AS norm,
+           list_distinct(string_split({_NORM_SQL}, ' ')) AS toks
+    FROM documents
+),
+ranked AS (
+    SELECT doc_id, toks,
+           row_number() OVER (
+               ORDER BY substr(norm, 1, 24), doc_id) AS rn
+    FROM docs
+),
+pairs AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(b.rn - a.rn AS BIGINT) AS rank_dist,
+           len(list_intersect(a.toks, b.toks))::DOUBLE /
+             (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)))
+             AS j
+    FROM ranked a
+    JOIN ranked b ON b.rn > a.rn AND b.rn <= a.rn + {SNM_WINDOW}
+)
+SELECT CAST(doc_a AS BIGINT) AS doc_a, CAST(doc_b AS BIGINT) AS doc_b,
+       rank_dist, {rfix_sql('j', 4)} AS jaccard
+FROM pairs
+WHERE j >= {SNM_THRESHOLD}
+ORDER BY doc_a, doc_b
+"""
+
+
+def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood dedup blocking: global sort by a blocking key
+    (normalized-text 24-char prefix), then token-Jaccard only against the
+    next SNM_WINDOW neighbors in sort order — O(n·w) comparisons instead
+    of O(n²), the classic complement to LSH banding (it catches near-dups
+    that share a prefix but differ in a band).
+
+    Spark-first: the global sort is operators/ranks.exact_global_rank
+    (range partition + pid-local windows + broadcast offsets — no single
+    task ever sorts the corpus); neighbor pairing is ONE equality join on
+    rank after exploding each doc into its w successor ranks (sequence +
+    explode), so the "window join" is a plain shuffle join on an int key.
+    Jaccard is exact set arithmetic on distinct normalized tokens.
+
+    Scale shape: rank exchange + one rank-keyed join, both O(n·w); no
+    cross join anywhere. The blocking key's uniqueness requirement is met
+    by suffixing doc_id (same contract the oracle's ORDER BY uses).
+    """
+    d = table(spark, sf_dir, "documents")
+    norm = T.normalize("text")
+    docs = d.select(
+        "doc_id",
+        F.substring(norm, 1, 24).alias("bkey"),
+        F.array_distinct(F.split(norm, " ")).alias("toks"),
+    )
+    # unique orderable composite key: blocking prefix then doc_id
+    keyed = docs.withColumn(
+        "skey", F.concat_ws("\x01", F.col("bkey"), F.lpad(F.col("doc_id").cast("string"), 12, "0"))
+    )
+    ranked = exact_global_rank(keyed, "skey", rank_col="rn").drop("skey", "bkey")
+    right = ranked.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("toks").alias("toks_b"),
+        F.col("rn").alias("rn_b"),
+    )
+    left = ranked.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("toks").alias("toks_a"),
+        F.explode(F.sequence(F.col("rn") + 1, F.col("rn") + SNM_WINDOW)).alias("rn_b"),
+        F.col("rn").alias("rn_a"),
+    )
+    inter = F.size(F.array_intersect("toks_a", "toks_b"))
+    union = F.size("toks_a") + F.size("toks_b") - inter
+    j = inter.cast("double") / union
+    return (
+        left.join(right, "rn_b")
+        .withColumn("jaccard_raw", j)
+        .filter(F.col("jaccard_raw") >= SNM_THRESHOLD)
+        .select(
+            F.col("doc_a").cast("long").alias("doc_a"),
+            F.col("doc_b").cast("long").alias("doc_b"),
+            (F.col("rn_b") - F.col("rn_a")).cast("long").alias("rank_dist"),
+            rfix("jaccard_raw", 4).alias("jaccard"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+DRAFTS["dedup_sorted_neighborhood"] = (dedup_sorted_neighborhood, SNM_ORACLE)
+
+
+# ---------------------------------------------------------------------------
+# Readability scoring per source: Flesch reading ease from integer text
+# statistics (words, sentence marks, vowel-group syllable proxy) — a
+# corpus-curation quality signal (too-hard / too-degenerate text).
+
+READ_ORACLE = f"""
+WITH per_doc AS (
+    SELECT source,
+           len(string_split_regex(text, '\\s+')) AS w,
+           greatest(len(regexp_extract_all(text, '[.!?]')), 1) AS s,
+           greatest(len(regexp_extract_all(lower(text), '[aeiou]+')), 1) AS v
+    FROM documents
+),
+per_src AS (
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(w) AS BIGINT) AS total_words,
+           CAST(sum(s) AS BIGINT) AS total_sentences,
+           CAST(sum(v) AS BIGINT) AS total_syllables
+    FROM per_doc GROUP BY source
+)
+SELECT source, n_docs, total_words, total_sentences, total_syllables,
+       {rfix_sql(
+           "206.835 - 1.015 * (total_words::DOUBLE / total_sentences::DOUBLE)"
+           " - 84.6 * (total_syllables::DOUBLE / total_words::DOUBLE)", 4)}
+           AS flesch_ease
+FROM per_src
+ORDER BY source
+"""
+
+
+def text_readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease per source from integer text statistics: words
+    (whitespace tokens), sentence marks ([.!?], floored at 1), and a
+    vowel-group syllable proxy (floored at 1) — the classic readability
+    screen a curation pipeline runs next to perplexity.
+
+    Every aggregate is an exact integer sum; the single float formula runs
+    once per source on bit-identical integers, so the emitted score is
+    deterministic on both engines. One source-keyed exchange; the regex
+    counting is per-row JVM codegen (no UDF).
+    """
+    d = spread(table(spark, sf_dir, "documents"))
+    per_doc = d.select(
+        "source",
+        F.size(T.tokens("text")).alias("w"),
+        F.greatest(F.regexp_count("text", F.lit(r"[.!?]")), F.lit(1)).alias("s"),
+        F.greatest(
+            F.regexp_count(F.lower("text"), F.lit(r"[aeiou]+")), F.lit(1)
+        ).alias("v"),
+    )
+    per_src = per_doc.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("w").cast("long").alias("total_words"),
+        F.sum("s").cast("long").alias("total_sentences"),
+        F.sum("v").cast("long").alias("total_syllables"),
+    )
+    tw = F.col("total_words").cast("double")
+    return per_src.select(
+        "source",
+        "n_docs",
+        "total_words",
+        "total_sentences",
+        "total_syllables",
+        rfix(
+            F.lit(206.835)
+            - F.lit(1.015) * (tw / F.col("total_sentences").cast("double"))
+            - F.lit(84.6) * (F.col("total_syllables").cast("double") / tw),
+            4,
+        ).alias("flesch_ease"),
+    ).orderBy("source")
+
+
+DRAFTS["text_readability_scores"] = (text_readability_scores, READ_ORACLE)
+
+
+# ---------------------------------------------------------------------------
+# URL / e-mail density per source — the C4-style structural-noise screen
+# (pages that are mostly links are boilerplate, not prose).
+
+URLMAIL_ORACLE = f"""
+WITH per_doc AS (
+    SELECT source,
+           len(regexp_extract_all(text, 'https?://[^\\s]+')) AS n_urls,
+           len(regexp_extract_all(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}')) AS n_emails,
+           len(string_split_regex(text, '\\s+')) AS w
+    FROM documents
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_urls) AS BIGINT) AS total_urls,
+       CAST(sum(n_emails) AS BIGINT) AS total_emails,
+       CAST(count(*) FILTER (WHERE n_urls > 0) AS BIGINT) AS docs_with_url,
+       {rfix_sql('sum(n_urls)::DOUBLE / sum(w)::DOUBLE', 6)} AS url_token_density
+FROM per_doc
+GROUP BY source
+ORDER BY source
+"""
+
+
+def text_url_email_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structural-noise screen per source: URL and e-mail counts, the share
+    of docs containing a URL, and URL-per-token density — the C4-style
+    boilerplate signal (link farms have high URL density, prose near
+    zero). Exact integer counts; the one emitted ratio divides two exact
+    sums. One source-keyed exchange, regex counting in codegen.
+    """
+    d = spread(table(spark, sf_dir, "documents"))
+    per_doc = d.select(
+        "source",
+        F.regexp_count("text", F.lit(r"https?://[^\s]+")).alias("n_urls"),
+        F.regexp_count(
+            "text", F.lit(r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}")
+        ).alias("n_emails"),
+        F.size(T.tokens("text")).alias("w"),
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_urls").cast("long").alias("total_urls"),
+            F.sum("n_emails").cast("long").alias("total_emails"),
+            F.sum((F.col("n_urls") > 0).cast("long")).cast("long").alias("docs_with_url"),
+            F.sum("w").alias("tw"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "total_urls",
+            "total_emails",
+            "docs_with_url",
+            rfix(
+                F.col("total_urls").cast("double") / F.col("tw").cast("double"), 6
+            ).alias("url_token_density"),
+        )
+        .orderBy("source")
+    )
+
+
+DRAFTS["text_url_email_density"] = (text_url_email_density, URLMAIL_ORACLE)
+
+
+# ---------------------------------------------------------------------------
+# Page-Hinkley drift on daily revenue — the sequential mean-shift statistic
+# (PH_t = m_t - min m, m_t = Σ (x_i - x̄_i)) as a bounded top-10 digest.
+
+PH_ORACLE = f"""
+WITH daily AS (
+    SELECT CAST(o_orderdate AS DATE) AS d,
+           {rfix_sql('sum(o_totalprice)', 2)} AS rev
+    FROM orders GROUP BY 1
+),
+ord AS (
+    SELECT d, rev,
+           row_number() OVER (ORDER BY d) AS rn,
+           sum(rev) OVER (ORDER BY d) AS cs
+    FROM daily
+),
+terms AS (SELECT d, rev, rev - cs / rn AS term FROM ord),
+m AS (SELECT d, rev, sum(term) OVER (ORDER BY d) AS mt FROM terms),
+ph AS (SELECT d, rev, mt - min(mt) OVER (ORDER BY d) AS ph FROM m)
+SELECT strftime(d, '%Y-%m-%d') AS day,
+       rev AS daily_revenue,
+       {rfix_sql('ph', 2)} AS ph_score
+FROM ph
+ORDER BY floor(ph * 100 + 0.5) DESC, d
+LIMIT 10
+"""
+
+
+def t33_page_hinkley_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page-Hinkley mean-shift detection on the daily-revenue series: the
+    running deviation-from-running-mean sum m_t and its drawdown
+    PH_t = m_t − min_{i≤t} m_i — the classic sequential drift statistic
+    (the online cousin of t29's offline binary segmentation; delta = 0, so
+    PH is the raw upward-shift evidence). Emitted as the top-10 PH days
+    (floor-canonicalized rank, day tie-break) — the bounded digest form.
+
+    Float discipline: daily revenue is canonicalized (rfix 2); every
+    downstream quantity is ORDERED-window arithmetic (cumsum, running
+    mean, cumsum of terms, cummin) — sequential accumulation in day order
+    on both engines, the established deterministic idiom.
+
+    Scale shape: one day-keyed fact collapse, then three window passes
+    over the CALENDAR spine (O(days) rows); the digest is TakeOrdered.
+    """
+    o = spread(table(spark, sf_dir, "orders"))
+    daily = o.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+        rfix(F.sum("o_totalprice"), 2).alias("rev")
+    )
+    w_ord = Window.orderBy("d")
+    ordd = daily.select(
+        "d",
+        "rev",
+        F.row_number().over(w_ord).alias("rn"),
+        F.sum("rev").over(w_ord).alias("cs"),
+    )
+    terms = ordd.select(
+        "d", "rev", (F.col("rev") - F.col("cs") / F.col("rn")).alias("term")
+    )
+    m = terms.select("d", "rev", F.sum("term").over(w_ord).alias("mt"))
+    ph = m.select(
+        "d", "rev", (F.col("mt") - F.min("mt").over(w_ord)).alias("ph")
+    )
+    return (
+        ph.orderBy(F.floor(F.col("ph") * 100 + 0.5).desc(), F.col("d").asc())
+        .limit(10)
+        .select(
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            F.col("rev").alias("daily_revenue"),
+            rfix("ph", 2).alias("ph_score"),
+        )
+    )
+
+
+DRAFTS["t33_page_hinkley_drift"] = (t33_page_hinkley_drift, PH_ORACLE)
+
+
+# ---------------------------------------------------------------------------
+# Closed-form 2D PCA on (quantity, price) — covariance from EXACT integer
+# moments, eigenvalues by the quadratic formula. The smallest real PCA:
+# every engine-vs-oracle bit of it is decided by integer sums.
+
+PCA_ORACLE = f"""
+WITH m AS (
+    SELECT count(*)::BIGINT AS n,
+           CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sx,
+           sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))::HUGEINT AS sy,
+           sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT))::HUGEINT AS sxx,
+           sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)::HUGEINT
+               * CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)::HUGEINT) AS syy,
+           sum(CAST(l_quantity AS BIGINT)
+               * CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))::HUGEINT AS sxy
+    FROM lineitem
+),
+cov AS (
+    SELECT n,
+           (sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE / n) / n AS a,
+           (sxy::DOUBLE / 100.0 - sx::DOUBLE * (sy::DOUBLE / 100.0) / n) / n AS b,
+           (syy::DOUBLE / 10000.0
+             - (sy::DOUBLE / 100.0) * (sy::DOUBLE / 100.0) / n) / n AS c
+    FROM m
+),
+eig AS (
+    SELECT n, a, b, c,
+           (a + c + sqrt((a - c) * (a - c) + 4 * b * b)) / 2 AS lam1,
+           (a + c - sqrt((a - c) * (a - c) + 4 * b * b)) / 2 AS lam2
+    FROM cov
+)
+SELECT CAST(n AS BIGINT) AS n_rows,
+       {rfix_sql('lam1', 4)} AS eigenvalue_1,
+       {rfix_sql('lam2', 4)} AS eigenvalue_2,
+       {rfix_sql('lam1 / (lam1 + lam2)', 6)} AS explained_ratio_1,
+       {rfix_sql('(lam1 - a) / b', 6)} AS pc1_slope
+FROM eig
+"""
+
+
+def ml_pca_2d_closed_form(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-form 2-D PCA over (l_quantity, l_extendedprice): covariance
+    entries from EXACT integer moments (quantities are integer-valued;
+    prices go through the floor(x*100+0.5) cents idiom; squares/cross
+    terms accumulate in decimal(38,0)/HUGEINT — order-independent), then
+    eigenvalues by the 2×2 quadratic formula and the PC1 direction as a
+    slope ratio. sqrt is IEEE-correctly-rounded on both engines, so the
+    emitted floats are pure functions of the integer moments; no atan2
+    (libm-dependent) anywhere.
+
+    Scale shape: ONE map-side-combinable aggregate pass over the fact
+    scan (5 moment sums + count) — the canonical one-pass sufficient-
+    statistics reduction every distributed ML fit builds on; the eigen
+    algebra runs on a 1-row frame.
+    """
+    li = spread(table(spark, sf_dir, "lineitem"))
+    qty = F.col("l_quantity").cast("long")
+    cents = _cents(F.col("l_extendedprice"))
+    dec = "decimal(38,0)"
+    m = li.agg(
+        F.count("*").alias("n"),
+        F.sum(qty).alias("sx"),
+        F.sum(cents.cast(dec)).alias("sy"),
+        F.sum((qty * qty).cast(dec)).alias("sxx"),
+        F.sum(cents.cast(dec) * cents.cast(dec)).alias("syy"),
+        F.sum((qty * cents).cast(dec)).alias("sxy"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy_d = F.col("sy").cast("double") / 100.0
+    cov = m.select(
+        F.col("n"),
+        ((F.col("sxx").cast("double") - sx * sx / n) / n).alias("a"),
+        ((F.col("sxy").cast("double") / 100.0 - sx * sy_d / n) / n).alias("b"),
+        (
+            (F.col("syy").cast("double") / 10000.0 - sy_d * sy_d / n) / n
+        ).alias("c"),
+    )
+    a, b, c = F.col("a"), F.col("b"), F.col("c")
+    disc = F.sqrt((a - c) * (a - c) + 4 * b * b)
+    eig = cov.select(
+        F.col("n"),
+        a,
+        b,
+        c,
+        ((a + c + disc) / 2).alias("lam1"),
+        ((a + c - disc) / 2).alias("lam2"),
+    )
+    return eig.select(
+        F.col("n").cast("long").alias("n_rows"),
+        rfix("lam1", 4).alias("eigenvalue_1"),
+        rfix("lam2", 4).alias("eigenvalue_2"),
+        rfix(F.col("lam1") / (F.col("lam1") + F.col("lam2")), 6).alias(
+            "explained_ratio_1"
+        ),
+        rfix((F.col("lam1") - a) / b, 6).alias("pc1_slope"),
+    )
+
+
+DRAFTS["ml_pca_2d_closed_form"] = (ml_pca_2d_closed_form, PCA_ORACLE)
