@@ -164,6 +164,8 @@ _SHAPES = {
     "t33_page_hinkley_drift": (1, 0, 3, 0),
     # ONE moment-sum pass, zero exchanges, two-column pruned scan
     "ml_pca_2d_closed_form": (0, 0, 0, 0),
+    # per-row bit ops in codegen + one cell-keyed count; two-column scan
+    "layout_zorder_cell_counts": (1, 0, 0, 0),
 }
 
 
