@@ -166,6 +166,9 @@ _SHAPES = {
     "ml_pca_2d_closed_form": (0, 0, 0, 0),
     # per-row bit ops in codegen + one cell-keyed count; two-column scan
     "layout_zorder_cell_counts": (1, 0, 0, 0),
+    # assignment behind the pin; ADC tables + query cells ride broadcasts;
+    # one (query, neighbor) exchange; per-query top-k window
+    "ann_ivfpq_topk": (1, 3, 1, 2),
 }
 
 

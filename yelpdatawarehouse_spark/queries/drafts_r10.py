@@ -948,3 +948,196 @@ def layout_zorder_cell_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 DRAFTS["layout_zorder_cell_counts"] = (layout_zorder_cell_counts, ZORDER_ORACLE)
+
+
+# ---------------------------------------------------------------------------
+# IVF+PQ combined ANN (the FAISS IVFPQ architecture): coarse cells restrict
+# WHICH vectors are scored, PQ codes + ADC tables decide HOW — together the
+# O(n/K · m-lookups) query path that makes billion-vector search feasible.
+
+from ..functions import vectors as V  # noqa: E402
+from ..operators.pq import train_pq  # noqa: E402
+
+IVFPQ_CELLS = 8
+IVFPQ_M, IVFPQ_K = 4, 8
+IVFPQ_QUERIES, IVFPQ_TOPK = 3, 5
+
+IVFPQ_ORACLE = f"""
+WITH e AS (SELECT vec_id, embedding, embedding::DOUBLE[] AS v FROM embeddings),
+cents AS (
+    SELECT vec_id AS ccid, embedding AS cv FROM embeddings
+    WHERE vec_id < {IVFPQ_CELLS}
+),
+assign AS (
+    SELECT vec_id, ccid AS cell FROM (
+        SELECT e2.vec_id, c.ccid,
+               row_number() OVER (
+                   PARTITION BY e2.vec_id
+                   ORDER BY {rfix_sql(V.cosine_sql('e2.embedding', 'c.cv'), 6)}
+                            DESC, c.ccid
+               ) AS rn
+        FROM embeddings e2 CROSS JOIN cents c
+    ) WHERE rn = 1
+),
+dims AS (SELECT 64 AS d, 64 // {IVFPQ_M} AS sub),
+seeds AS (
+    SELECT vec_id AS cid, j,
+           (SELECT list(v[i]) FROM
+             (SELECT unnest(range(j * (SELECT sub FROM dims) + 1,
+                                  (j + 1) * (SELECT sub FROM dims) + 1)) AS i)) AS c
+    FROM e, (SELECT unnest(range(0, {IVFPQ_M})) AS j)
+    WHERE vec_id < {IVFPQ_K}
+),
+slices AS (
+    SELECT e.vec_id, j,
+           (SELECT list(v[i]) FROM
+             (SELECT unnest(range(j * (SELECT sub FROM dims) + 1,
+                                  (j + 1) * (SELECT sub FROM dims) + 1)) AS i)) AS s
+    FROM e, (SELECT unnest(range(0, {IVFPQ_M})) AS j)
+),
+d2 AS (
+    SELECT sl.vec_id, sl.j, sd.cid,
+           list_inner_product(sl.s, sl.s) + list_inner_product(sd.c, sd.c)
+           - 2 * list_inner_product(sl.s, sd.c) AS d2
+    FROM slices sl JOIN seeds sd ON sd.j = sl.j
+),
+best AS (
+    SELECT vec_id, j, cid,
+           row_number() OVER (PARTITION BY vec_id, j ORDER BY d2, cid) AS rn
+    FROM d2
+),
+adc AS (
+    SELECT qd.vec_id AS query_id, b.vec_id AS neighbor_id,
+           sum(qd.d2) AS dist
+    FROM best b
+    JOIN d2 qd ON qd.j = b.j AND qd.cid = b.cid
+    JOIN assign av ON av.vec_id = b.vec_id
+    JOIN assign aq ON aq.vec_id = qd.vec_id
+    WHERE b.rn = 1 AND qd.vec_id < {IVFPQ_QUERIES}
+      AND b.vec_id <> qd.vec_id
+      AND av.cell = aq.cell
+    GROUP BY 1, 2
+),
+ranked AS (
+    SELECT query_id, neighbor_id,
+           {rfix_sql('dist', 4)} AS adc_dist,
+           row_number() OVER (
+               PARTITION BY query_id
+               ORDER BY {rfix_sql('dist', 6)}, neighbor_id) AS rn
+    FROM adc
+)
+SELECT CAST(query_id AS BIGINT) AS query_id,
+       CAST(neighbor_id AS BIGINT) AS neighbor_id,
+       CAST(rn AS BIGINT) AS rank, adc_dist
+FROM ranked WHERE rn <= {IVFPQ_TOPK}
+"""
+
+
+def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF + PQ combined approximate nearest neighbor — the two index
+    structures the repo already ships (ann_ivf_topk's coarse inverted
+    lists, ann_pq_adc_topk's asymmetric-distance codes) COMPOSED into the
+    architecture production vector stores run (FAISS IVFPQ): the coarse
+    cell decides WHICH vectors are candidates (O(n/K) per query,
+    nprobe=1), the PQ codes + per-query distance tables decide their
+    ranks (m table lookups per candidate — full-precision vectors are
+    never touched at query time). Simplification vs. the textbook: PQ
+    encodes raw vectors, not cell residuals, so the whole pipeline stays
+    arithmetically reproducible by the oracle (same contract as the two
+    parent queries).
+
+    Scale shape: cell assignment is a broadcast cross-score + one window
+    (pinned — it feeds the code side AND the query side); codes are 4
+    ints per vector; the per-query ADC tables (m·K doubles each) and the
+    query panel's cells ride ONE broadcast into the code table; a single
+    (query, neighbor)-keyed exchange sums the lookups; top-k is a
+    per-query window over cell-sized candidate lists.
+    """
+    e = table(spark, sf_dir, "embeddings")
+    cents = e.filter(F.col("vec_id") < IVFPQ_CELLS).select(
+        F.col("vec_id").alias("ccid"), F.col("embedding").alias("cv")
+    )
+    aw = Window.partitionBy("vec_id").orderBy(F.desc("ac6"), F.asc("ccid"))
+    assign = (
+        e.join(F.broadcast(cents))
+        .select(
+            "vec_id",
+            "ccid",
+            rfix(V.cosine(F.col("embedding"), F.col("cv")), 6).alias("ac6"),
+        )
+        .withColumn("rn", F.row_number().over(aw))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", F.col("ccid").alias("cell"))
+    ).localCheckpoint()
+    model = train_pq(e, m=IVFPQ_M, k=IVFPQ_K, max_iters=0)
+    if not all(model.codebooks):
+        return spark.createDataFrame(
+            [], "query_id LONG, neighbor_id LONG, rank LONG, adc_dist DOUBLE"
+        )
+    codes = (
+        model.encode(e)
+        .select("vec_id", F.posexplode("codes").alias("j", "cid"))
+        .join(assign, "vec_id")
+    )
+    panel = e.filter(F.col("vec_id") < IVFPQ_QUERIES)
+    entries = []
+    for j in range(model.m):
+        sub = model._sub_expr("embedding", j)
+        sd = F.expr(
+            f"aggregate(zip_with(CAST({sub} AS ARRAY<DOUBLE>), "
+            f"CAST({sub} AS ARRAY<DOUBLE>), (x, y) -> x * y), "
+            f"0.0D, (acc, x) -> acc + x)"
+        )
+        for cid in sorted(model.codebooks[j]):
+            c = model.codebooks[j][cid]
+            arr = ", ".join(f"{float(x)!r}D" for x in c)
+            dot = F.expr(
+                f"aggregate(zip_with(CAST({sub} AS ARRAY<DOUBLE>), "
+                f"array({arr}), (x, y) -> x * y), 0.0D, (acc, x) -> acc + x)"
+            )
+            c2 = sum(x * x for x in c)
+            entries.append(
+                F.struct(
+                    F.lit(j).alias("j"),
+                    F.lit(int(cid)).alias("cid"),
+                    (sd + F.lit(c2) - 2 * dot).alias("qd2"),
+                )
+            )
+    qtab = (
+        panel.select(
+            F.col("vec_id").alias("query_id"),
+            F.explode(F.array(*entries)).alias("x"),
+        )
+        .select("query_id", "x.j", "x.cid", "x.qd2")
+        .join(
+            assign.select(
+                F.col("vec_id").alias("query_id"), F.col("cell").alias("qcell")
+            ),
+            "query_id",
+        )
+    )
+    adc = (
+        codes.join(F.broadcast(qtab), ["j", "cid"])
+        .filter(
+            (F.col("vec_id") != F.col("query_id"))
+            & (F.col("cell") == F.col("qcell"))
+        )
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.sum("qd2").alias("dist"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        rfix(F.col("dist"), 6), F.asc("neighbor_id")
+    )
+    return (
+        adc.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= IVFPQ_TOPK)
+        .select(
+            F.col("query_id").cast("long").alias("query_id"),
+            F.col("neighbor_id").cast("long").alias("neighbor_id"),
+            F.col("rank").cast("long").alias("rank"),
+            rfix(F.col("dist"), 4).alias("adc_dist"),
+        )
+    )
+
+
+DRAFTS["ann_ivfpq_topk"] = (ann_ivfpq_topk, IVFPQ_ORACLE)
