@@ -98,3 +98,40 @@ def test_skewed_values_still_cluster(spark, tmp_path):
     stats = file_coverage_stats(zpath, "x", "y")
     mean_b = sum(s["b_cover"] for s in stats) / len(stats)
     assert mean_b < 0.6  # the well-behaved dim still clusters
+
+
+def test_morton_code_matches_sql_twin_and_python(spark):
+    """Cross-engine pin: the Column morton_code, its SQL twin, and a
+    Python reference agree bit-for-bit — the contract that lets
+    layout_zorder_cell_counts hash-verify the layout key against DuckDB."""
+    import duckdb
+
+    from yelpdatawarehouse_spark.operators.zorder import (
+        morton_code,
+        morton_code_sql,
+    )
+
+    def ref(x, y, bits):
+        z = 0
+        for b in range(bits):
+            z |= ((x >> b) & 1) << (2 * b)
+            z |= ((y >> b) & 1) << (2 * b + 1)
+        return z
+
+    rows = [(x, y) for x in (0, 1, 5, 200, 4095) for y in (0, 2, 9, 1023, 4095)]
+    df = spark.createDataFrame(rows, "x int, y int")
+    got = {
+        (r.x, r.y): r.z
+        for r in df.withColumn(
+            "z", morton_code(F.col("x"), F.col("y"), 12)
+        ).collect()
+    }
+    con = duckdb.connect()
+    sql = morton_code_sql("x", "y", 12)
+    for x, y in rows:
+        want = ref(x, y, 12)
+        assert got[(x, y)] == want
+        (dz,) = con.execute(
+            f"SELECT {sql} FROM (SELECT {x} AS x, {y} AS y)"
+        ).fetchone()
+        assert dz == want

@@ -49,6 +49,19 @@ def morton_code(a_rank: Column, b_rank: Column, bits: int) -> Column:
     return code
 
 
+def morton_code_sql(x: str, y: str, bits: int) -> str:
+    """The identical Morton interleave as an ANSI SQL expression (DuckDB /
+    any engine with <<, >>, &, |) — the oracle twin of :func:`morton_code`,
+    letting a registry query hash-verify the bit arithmetic the write path
+    clusters on. Reads only bits 0..bits-1 of each input, exactly like the
+    Column version."""
+    parts = []
+    for b in range(bits):
+        parts.append(f"(((CAST({x} AS BIGINT) >> {b}) & 1) << {2 * b})")
+        parts.append(f"(((CAST({y} AS BIGINT) >> {b}) & 1) << {2 * b + 1})")
+    return "(" + " | ".join(parts) + ")"
+
+
 def write_zordered(
     df: DataFrame,
     path: str,

@@ -899,13 +899,13 @@ DRAFTS["ml_pca_2d_closed_form"] = (ml_pca_2d_closed_form, PCA_ORACLE)
 # suppkey) space — pins the interleave bit math cross-engine and shows
 # which curve cells are hot (the skew input to a layout compaction job).
 
-from ..operators.layout import interleave_bits, interleave_bits_sql  # noqa: E402
+from ..operators.zorder import morton_code, morton_code_sql  # noqa: E402
 
 ZCELL_BITS = 8
 
 ZORDER_ORACLE = f"""
 WITH z AS (
-    SELECT {interleave_bits_sql('l_partkey', 'l_suppkey', ZCELL_BITS)} AS zkey
+    SELECT {morton_code_sql('l_partkey', 'l_suppkey', ZCELL_BITS)} AS zkey
     FROM lineitem
 )
 SELECT CAST(zkey >> {ZCELL_BITS} AS BIGINT) AS z_cell,
@@ -920,20 +920,21 @@ LIMIT 20
 def layout_zorder_cell_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Morton (Z-order) cell occupancy of the (l_partkey, l_suppkey) key
     space: interleave the low {ZCELL_BITS} bits of each key
-    (operators/layout.interleave_bits — pure shift/mask codegen, no UDF),
+    (operators/zorder.morton_code — pure shift/mask codegen, no UDF),
     coarsen to cells by dropping the low byte, count rows per cell, top
     20. The layout job's skew diagnostic — hot curve cells are where a
     zordered compaction needs more output files — and the cross-engine
-    pin for the exact bit arithmetic the write path clusters on
-    (tests/test_layout.py measures the resulting row-group pruning:
-    both dimensions' mean min/max extents drop below 0.5 vs 1.0 for the
-    trailing key of a linear sort).
+    pin for the exact bit arithmetic operators/zorder.write_zordered
+    clusters on (tests/test_zorder.py measures the resulting footer
+    pruning: both dimensions' per-file coverage tightens vs the
+    unclustered baseline, point predicates skip files in either
+    dimension).
 
     Scale shape: per-row integer bit ops in whole-stage codegen + ONE
     cell-keyed count collapse (map-side combinable); top-20 TakeOrdered.
     """
     li = spread(table(spark, sf_dir, "lineitem"))
-    z = interleave_bits(F.col("l_partkey"), F.col("l_suppkey"), ZCELL_BITS)
+    z = morton_code(F.col("l_partkey"), F.col("l_suppkey"), ZCELL_BITS)
     return (
         li.select(F.shiftright(z, ZCELL_BITS).alias("z_cell"))
         .groupBy("z_cell")
