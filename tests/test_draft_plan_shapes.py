@@ -154,9 +154,6 @@ _SHAPES = {
     # orders/customer; single fact scan
     "j29_large_volume_q18": (1, 2, 0, 3),
     # --- round-10 drafts: new-capability batch ---
-    # exact_global_rank (range exchange + 2 bounded windows + offsets
-    # broadcast) + ONE rank-keyed neighbor join; no cross join
-    "dedup_sorted_neighborhood": (2, 3, 3, 0),
     # one source-keyed exchange; regex counting in codegen
     "text_readability_scores": (1, 0, 0, 0),
     "text_url_email_density": (1, 0, 0, 0),
@@ -166,9 +163,6 @@ _SHAPES = {
     "ml_pca_2d_closed_form": (0, 0, 0, 0),
     # per-row bit ops in codegen + one cell-keyed count; two-column scan
     "layout_zorder_cell_counts": (1, 0, 0, 0),
-    # assignment behind the pin; ADC tables + query cells ride broadcasts;
-    # one (query, neighbor) exchange; per-query top-k window
-    "ann_ivfpq_topk": (1, 3, 1, 2),
 }
 
 

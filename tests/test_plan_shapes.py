@@ -182,6 +182,13 @@ _SHAPES = {
     "g_clustering_coefficient": (11, 0, 0, 0),
     # pushed quarter scan; EXISTS = one semi join; 5-row rollup
     "j23_late_orders_q4": (1, 1, 0, 2),
+    # --- round-10 headline promotions ---
+    # assignment behind the pin; ADC tables + query cells ride broadcasts;
+    # one (query, neighbor) exchange; per-query top-k window
+    "ann_ivfpq_topk": (1, 3, 1, 2),
+    # exact_global_rank (range exchange + 2 bounded windows + offsets
+    # broadcast) + ONE rank-keyed neighbor join; no cross join
+    "dedup_sorted_neighborhood": (2, 3, 3, 0),
 }
 
 

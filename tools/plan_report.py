@@ -101,6 +101,9 @@ HEADLINE = [
     "text_jsd_source_pairs",
     "g_clustering_coefficient",
     "j23_late_orders_q4",
+    # heaviest of the round-10 registrations (same policy)
+    "ann_ivfpq_topk",
+    "dedup_sorted_neighborhood",
 ]
 
 
