@@ -105,3 +105,41 @@ def test_endpoint_facade_keyset_default_and_offset_flag(spark):
     assert [r.business_id for r in d1.collect()] == [
         r.business_id for r in d2.collect()
     ]
+
+
+def test_business_reviews_cursor_iteration_covers_all_rows(spark):
+    """Endpoint-level cursor contract: iterating business_reviews with the
+    page_cursor echo visits every review exactly once in sort order, and
+    each page equals the equivalent offset page (same envelope)."""
+    from yelpdatawarehouse_spark.queries.endpoints import business_reviews
+
+    reviews = spark.createDataFrame(
+        [
+            ("r%02d" % i, "b1", "u%d" % (i % 3), float(1 + i % 5),
+             i % 7, 0, 0, "2021-01-%02d" % (1 + i % 28), "txt")
+            for i in range(23)
+        ],
+        "review_id string, business_id string, user_id string, stars double,"
+        " useful_votes int, funny_votes int, cool_votes int,"
+        " review_date string, text string",
+    )
+    users = spark.createDataFrame(
+        [("u0", "A"), ("u1", "B"), ("u2", "C")], "user_id string, name string"
+    )
+    wh = {"fact_review": reviews, "dim_user": users}
+    seen, cursor, page = [], None, 1
+    while True:
+        r = business_reviews(wh, "b1", page=page, limit=5, cursor=cursor)
+        rows = r["reviews"].collect()
+        if not rows:
+            break
+        # equivalence with the wide-offset page when no cursor is involved
+        ro = business_reviews(wh, "b1", page=page, limit=5, use_offset=True)
+        assert [x.review_id for x in ro["reviews"].collect()] == [
+            x.review_id for x in rows
+        ]
+        assert r["pagination"]["total"] == 23
+        seen.extend(x.review_id for x in rows)
+        cursor = page_cursor(rows, r["order"])
+        page += 1
+    assert len(seen) == 23 and len(set(seen)) == 23

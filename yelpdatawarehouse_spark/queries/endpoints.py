@@ -241,9 +241,14 @@ def business_reviews(
     page: int = 1,
     limit: int = 10,
     sort: str = "date_desc",
+    cursor: dict | None = None,
+    use_offset: bool = False,
 ) -> dict:
     """Review page for one business with user names, O2 dynamic sort, O4
-    pagination (webapp/mysql_routes.py:460-583)."""
+    pagination (webapp/mysql_routes.py:460-583). A scrolling client passes
+    back the previous page's ``next_cursor`` for O(limit) seek pagination
+    at any depth; without it, jump-to-page uses the deferred-join narrow
+    offset (``use_offset=True`` restores the reference's wide offset)."""
     df = (
         wh["fact_review"]
         .filter(F.col("business_id") == business_id)
@@ -261,8 +266,10 @@ def business_reviews(
         )
     )
     spec = _REVIEW_SORTS.get(sort, _REVIEW_SORTS["date_desc"])
-    page_df, pagination = paginate(df, page, limit, order=spec)
-    return {"reviews": page_df, "pagination": pagination}
+    page_df, pagination = paginate(
+        df, page, limit, order=spec, cursor=cursor, use_offset=use_offset
+    )
+    return {"reviews": page_df, "pagination": pagination, "order": spec}
 
 
 def search_businesses(
