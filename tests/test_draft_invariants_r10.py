@@ -196,3 +196,54 @@ def test_pca_eigen_identities(spark):
     assert abs(r.eigenvalue_1 - lams[0]) / lams[0] < 1e-6
     assert abs(r.eigenvalue_2 - lams[1]) / max(lams[1], 1e-9) < 1e-4
     assert abs(r.explained_ratio_1 - lams[0] / (lams[0] + lams[1])) < 1e-6
+
+
+# --- batch 3: TPC-H completion (Q6/Q7/Q8/Q13/Q19) -------------------------
+
+
+def test_q6_revenue_bounded_by_unfiltered(spark):
+    (r,) = _rows(spark, "j30_forecast_revenue_q6")
+    li = table(spark, SF_TEST_DIR, "lineitem")
+    n_all = li.count()
+    assert 0 < r.n_lines < n_all
+    assert r.forecast_revenue_increase > 0.0
+
+
+def test_q7_directions_partition_the_flow(spark):
+    rows = _rows(spark, "j31_volume_shipping_q7")
+    assert rows
+    dirs = {(r.supp_nation, r.cust_nation) for r in rows}
+    assert dirs == {("NATION_18", "NATION_19"), ("NATION_19", "NATION_18")}
+    assert all(r.revenue > 0 for r in rows)
+    # years within the data's date span
+    assert all(1994 <= r.l_year <= 2002 for r in rows)
+
+
+def test_q8_share_in_unit_interval_and_consistent(spark):
+    rows = _rows(spark, "j32_market_share_q8")
+    assert rows
+    for r in rows:
+        assert 0.0 <= r.mkt_share <= 1.0
+        assert 0.0 <= r.nation_revenue <= r.region_revenue
+        assert abs(r.mkt_share - r.nation_revenue / r.region_revenue) < 1e-4
+
+
+def test_q13_histogram_conserves_customers(spark):
+    rows = _rows(spark, "a_custdist_q13")
+    c = table(spark, SF_TEST_DIR, "customer").count()
+    assert sum(r.custdist for r in rows) == c  # every customer in one bin
+    o = table(spark, SF_TEST_DIR, "orders").count()
+    assert sum(r.c_count * r.custdist for r in rows) == o  # mass conservation
+
+
+def test_q19_brackets_are_subset_of_brand_filter(spark):
+    (r,) = _rows(spark, "j33_bracket_revenue_q19")
+    li = table(spark, SF_TEST_DIR, "lineitem")
+    p = table(spark, SF_TEST_DIR, "part")
+    brand_lines = (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .filter(F.col("p_brand").isin("Brand#1", "Brand#2", "Brand#3"))
+        .count()
+    )
+    assert 0 <= r.n_lines <= brand_lines
+    assert r.revenue >= 0.0

@@ -159,6 +159,19 @@ _SHAPES = {
     "text_url_email_density": (1, 0, 0, 0),
     # day-keyed collapse + three ordered windows on the calendar spine
     "t33_page_hinkley_drift": (1, 0, 3, 0),
+    # --- round-10 drafts: TPC-H completion batch ---
+    # pure scan-filter-aggregate; every predicate pushed; zero shuffles
+    "j30_forecast_revenue_q6": (0, 0, 0, 1),
+    # one orderkey fact exchange; dims/nations ride broadcasts
+    "j31_volume_shipping_q7": (1, 5, 0, 4),
+    # region prune through two broadcast dims; one fact exchange; one
+    # conditional-sum pass for numerator AND denominator
+    "j32_market_share_q8": (1, 6, 0, 7),
+    # custkey outer-join/count collapse + bounded count-of-counts rollup
+    "a_custdist_q13": (2, 1, 0, 1),
+    # DNF: part side pre-filtered to the bracket union before broadcast;
+    # zero shuffles beyond the 1-row reduce
+    "j33_bracket_revenue_q19": (0, 1, 0, 2),
     # ONE moment-sum pass, zero exchanges, two-column pruned scan
     "ml_pca_2d_closed_form": (0, 0, 0, 0),
     # per-row bit ops in codegen + one cell-keyed count; two-column scan

@@ -18,6 +18,9 @@ from yelpdatawarehouse_spark.queries.draft_layer import all_drafts
 DRAFTS = all_drafts()
 
 _TS_DRAFTS = (
+    "j30_forecast_revenue_q6",
+    "j31_volume_shipping_q7",
+    "j32_market_share_q8",
     "t33_page_hinkley_drift",
     "j24_shipping_priority_q3",
     "j25_returned_items_q10",

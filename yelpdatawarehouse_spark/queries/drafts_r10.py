@@ -1142,3 +1142,351 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 DRAFTS["ann_ivfpq_topk"] = (ann_ivfpq_topk, IVFPQ_ORACLE)
+
+
+# ---------------------------------------------------------------------------
+# Batch 3: completing the TPC-H suite (Q6, Q7, Q8, Q13, Q19 — with Q1/Q3/
+# Q4/Q5/Q10/Q11/Q14/Q15/Q16/Q17/Q18/Q21/Q22 shapes already registered, this
+# covers every classic expressible on the harness schema; Q2/Q9/Q12/Q20
+# need partsupp/shipmode columns the harness doesn't have).
+
+Q6_START, Q6_END = "1997-01-01", "1998-01-01"
+
+Q6_ORACLE = f"""
+SELECT CAST(count(*) AS BIGINT) AS n_lines,
+       {rfix_sql(
+           "sum(CAST(floor(l_extendedprice * l_discount * 100 + 0.5) AS BIGINT)) / 100.0",
+           2)} AS forecast_revenue_increase
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '{Q6_START}'
+  AND l_shipdate <  TIMESTAMP '{Q6_END}'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+def j30_forecast_revenue_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 (forecasting revenue change): the would-be revenue gain of
+    eliminating small discounts on low-quantity lines in one year — a
+    pure scan-filter-aggregate with a conjunctive band predicate, the
+    simplest query whose 100 TB cost is ENTIRELY decided by pushdown
+    (every predicate must reach the parquet reader; at scale this query
+    is IO-bound or it is wrong). Revenue terms go through the exact-cents
+    idiom per row, so the single emitted sum is an integer.
+
+    The BETWEEN on l_discount compares stored doubles against the
+    literals 0.05/0.07 — pure equality-class comparison, no arithmetic,
+    so both engines see identical membership.
+    """
+    li = spread(table(spark, sf_dir, "lineitem"))
+    f = li.filter(
+        (F.col("l_shipdate") >= F.lit(Q6_START).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(Q6_END).cast("timestamp"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return f.agg(
+        F.count("*").cast("long").alias("n_lines"),
+        rfix(
+            F.sum(_cents(F.col("l_extendedprice") * F.col("l_discount")))
+            / 100.0,
+            2,
+        ).alias("forecast_revenue_increase"),
+    )
+
+
+DRAFTS["j30_forecast_revenue_q6"] = (j30_forecast_revenue_q6, Q6_ORACLE)
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q7: volume shipping between two nations, by year and direction.
+
+# pair chosen to have flow in BOTH directions at both gate scales
+Q7_NATION_A, Q7_NATION_B = "NATION_18", "NATION_19"
+
+Q7_ORACLE = f"""
+WITH flows AS (
+    SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+           CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+           {_cents_sql('l.l_extendedprice * (1 - l.l_discount)')} AS rev_c
+    FROM lineitem l
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation nc  ON nc.n_nationkey = c.c_nationkey
+    JOIN nation ns  ON ns.n_nationkey = s.s_nationkey
+    WHERE (ns.n_name = '{Q7_NATION_A}' AND nc.n_name = '{Q7_NATION_B}')
+       OR (ns.n_name = '{Q7_NATION_B}' AND nc.n_name = '{Q7_NATION_A}')
+)
+SELECT supp_nation, cust_nation, l_year,
+       {rfix_sql('sum(rev_c) / 100.0', 2)} AS revenue
+FROM flows
+GROUP BY 1, 2, 3
+ORDER BY supp_nation, cust_nation, l_year
+"""
+
+
+def j31_volume_shipping_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 (volume shipping): trade volume between two nations by
+    shipping year and direction — the bi-directional international-flow
+    rollup. The nation pair predicate is a disjunction over the two
+    directions applied AFTER the nation dims broadcast in, so the fact
+    scan is never read twice.
+
+    Scale shape: lineitem⋈orders shuffles on orderkey; customer and
+    supplier resolve nationkeys (customer joins at test scale by
+    broadcast, at 100 TB by custkey shuffle — either is one exchange);
+    the two 25-row nation dims broadcast; the final rollup groups a
+    (2 directions × years) bounded domain. Exact cents per row.
+    """
+    li = spread(table(spark, sf_dir, "lineitem"))
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    nc = F.broadcast(n.select(F.col("n_nationkey").alias("ck"), F.col("n_name").alias("cust_nation")))
+    ns = F.broadcast(n.select(F.col("n_nationkey").alias("sk"), F.col("n_name").alias("supp_nation")))
+    a, b = Q7_NATION_A, Q7_NATION_B
+    flows = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(nc, F.col("c_nationkey") == F.col("ck"))
+        .join(ns, F.col("s_nationkey") == F.col("sk"))
+        .filter(
+            ((F.col("supp_nation") == a) & (F.col("cust_nation") == b))
+            | ((F.col("supp_nation") == b) & (F.col("cust_nation") == a))
+        )
+    )
+    return (
+        flows.groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg(
+            rfix(
+                F.sum(
+                    _cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                )
+                / 100.0,
+                2,
+            ).alias("revenue")
+        )
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+DRAFTS["j31_volume_shipping_q7"] = (j31_volume_shipping_q7, Q7_ORACLE)
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q8: national market share inside one region, by year.
+
+Q8_NATION, Q8_REGION = "NATION_3", "EUROPE"
+
+Q8_ORACLE = f"""
+WITH sales AS (
+    SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+           {_cents_sql('l.l_extendedprice * (1 - l.l_discount)')} AS rev_c,
+           ns.n_name AS supp_nation
+    FROM lineitem l
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation nc  ON nc.n_nationkey = c.c_nationkey
+    JOIN region r   ON r.r_regionkey = nc.n_regionkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation ns  ON ns.n_nationkey = s.s_nationkey
+    WHERE r.r_name = '{Q8_REGION}'
+),
+by_year AS (
+    SELECT o_year,
+           CAST(sum(CASE WHEN supp_nation = '{Q8_NATION}' THEN rev_c
+                         ELSE 0 END) AS BIGINT) AS nation_c,
+           CAST(sum(rev_c) AS BIGINT) AS total_c
+    FROM sales GROUP BY 1
+)
+SELECT o_year,
+       {rfix_sql('nation_c::DOUBLE / total_c::DOUBLE', 6)} AS mkt_share,
+       {rfix_sql('nation_c / 100.0', 2)} AS nation_revenue,
+       {rfix_sql('total_c / 100.0', 2)} AS region_revenue
+FROM by_year
+ORDER BY o_year
+"""
+
+
+def j32_market_share_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 (national market share): one supplier nation's share of
+    the revenue sold INTO one region, by order year — the
+    conditional-sum-over-conditional-sum ratio rollup. Numerator and
+    denominator are exact-cent sums computed in ONE pass (a CASE inside
+    the same aggregate), so the emitted share divides two integers.
+
+    Scale shape: the region filter prunes the customer side through two
+    broadcast dims before the fact join; one orderkey exchange, one
+    bounded (years) rollup. No second fact pass for the denominator.
+    """
+    li = spread(table(spark, sf_dir, "lineitem"))
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region")
+    cust_nations = F.broadcast(
+        n.join(r, n.n_regionkey == r.r_regionkey)
+        .filter(F.col("r_name") == Q8_REGION)
+        .select(F.col("n_nationkey").alias("ck"))
+    )
+    c = table(spark, sf_dir, "customer").join(
+        cust_nations, F.col("c_nationkey") == F.col("ck"), "left_semi"
+    ).select("c_custkey")
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    ns = F.broadcast(
+        n.select(F.col("n_nationkey").alias("sk"), F.col("n_name").alias("supp_nation"))
+    )
+    cents = _cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    sales = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"), "left_semi")
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(ns, F.col("s_nationkey") == F.col("sk"))
+        .select(
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            cents.alias("rev_c"),
+            "supp_nation",
+        )
+    )
+    by_year = sales.groupBy("o_year").agg(
+        F.sum(
+            F.when(F.col("supp_nation") == Q8_NATION, F.col("rev_c")).otherwise(0)
+        ).alias("nation_c"),
+        F.sum("rev_c").alias("total_c"),
+    )
+    return by_year.select(
+        "o_year",
+        rfix(
+            F.col("nation_c").cast("double") / F.col("total_c").cast("double"), 6
+        ).alias("mkt_share"),
+        rfix(F.col("nation_c") / 100.0, 2).alias("nation_revenue"),
+        rfix(F.col("total_c") / 100.0, 2).alias("region_revenue"),
+    ).orderBy("o_year")
+
+
+DRAFTS["j32_market_share_q8"] = (j32_market_share_q8, Q8_ORACLE)
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q13: customer order-count distribution (the double aggregation).
+
+Q13_ORACLE = """
+WITH per_cust AS (
+    SELECT c.c_custkey, count(o.o_orderkey)::BIGINT AS c_count
+    FROM customer c
+    LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY 1
+)
+SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+FROM per_cust
+GROUP BY 1
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+def a_custdist_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 (customer distribution): how many customers placed
+    exactly k orders, INCLUDING the zero-order customers the left join
+    preserves — the double-aggregation histogram shape (count per key,
+    then count per count). Exact integers end to end.
+
+    Scale shape: one custkey-keyed outer-join/count collapse (the fact
+    exchange), then a second rollup over the order-count domain (bounded
+    by max orders per customer — tiny). The left join keeps the
+    customer dimension's zero class, which an inner join would silently
+    drop (the classic Q13 trap).
+    """
+    c = table(spark, sf_dir, "customer").select("c_custkey")
+    o = table(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    per_cust = (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy(F.col("c_count").cast("long").alias("c_count"))
+        .agg(F.count("*").cast("long").alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+DRAFTS["a_custdist_q13"] = (a_custdist_q13, Q13_ORACLE)
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q19: discounted revenue under a three-bracket DNF predicate.
+
+Q19_ORACLE = f"""
+SELECT CAST(count(*) AS BIGINT) AS n_lines,
+       {rfix_sql(
+           "coalesce(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)"
+           " AS BIGINT)), 0) / 100.0", 2)} AS revenue
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 10
+       AND l.l_quantity BETWEEN 1 AND 11)
+   OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 15
+       AND l.l_quantity BETWEEN 10 AND 20)
+   OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 20
+       AND l.l_quantity BETWEEN 20 AND 30)
+"""
+
+
+def j33_bracket_revenue_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 (discounted revenue): revenue from lines matching a
+    three-bracket DNF over (brand, size, quantity) — the classic
+    OR-of-ANDs join predicate. (Harness schema has no shipmode/
+    shipinstruct; the brackets keep Q19's defining brand×size×quantity
+    structure.)
+
+    Scale shape: the part side pre-filters to the union of the three
+    brand/size brackets BEFORE broadcasting (dimension pruning inside
+    the DNF), the quantity legs evaluate on the fact scan, and the final
+    bracket conjunctions run post-join in codegen. One aggregate, no
+    shuffle beyond the 1-row reduce. Exact cents per row.
+    """
+    li = spread(table(spark, sf_dir, "lineitem"))
+    p = table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    qty = F.col("l_quantity")
+    brackets = (
+        ((F.col("p_brand") == "Brand#1")
+         & F.col("p_size").between(1, 10) & qty.between(1, 11)),
+        ((F.col("p_brand") == "Brand#2")
+         & F.col("p_size").between(1, 15) & qty.between(10, 20)),
+        ((F.col("p_brand") == "Brand#3")
+         & F.col("p_size").between(1, 20) & qty.between(20, 30)),
+    )
+    part_union = (
+        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 10))
+        | ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(1, 15))
+        | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(1, 20))
+    )
+    joined = li.join(
+        F.broadcast(p.filter(part_union)),
+        F.col("l_partkey") == F.col("p_partkey"),
+    ).filter(brackets[0] | brackets[1] | brackets[2])
+    return joined.agg(
+        F.count("*").cast("long").alias("n_lines"),
+        rfix(
+            F.coalesce(
+                F.sum(
+                    _cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                ),
+                F.lit(0),
+            )
+            / 100.0,
+            2,
+        ).alias("revenue"),
+    )
+
+
+DRAFTS["j33_bracket_revenue_q19"] = (j33_bracket_revenue_q19, Q19_ORACLE)
