@@ -695,3 +695,82 @@ def test_two_source_stream_stream_join_converges_to_batch(spark, tmp_path, how):
     if how == "left_outer":
         # outer rows actually exercised: some impression must be unmatched
         assert any(c is None for (_, c) in want)
+
+
+def test_two_source_join_restart_resumes_from_checkpoint(spark, tmp_path):
+    """Checkpoint recovery for the two-source stream-stream join: process
+    only the EARLY chunks, stop, add the late chunks, restart with the
+    same checkpoint + sink — the union of both runs' appends must equal
+    the batch join over all events (no duplicates from re-processing, no
+    holes from the restart)."""
+    from yelpdatawarehouse_spark.streaming.pipeline import (
+        shape_conversions,
+        shape_impressions,
+        stream_stream_attribution,
+    )
+
+    ev = table(spark, SF, "events")
+    imp_pdf = ev.filter(F.col("event_type") == "view").toPandas()
+    conv_pdf = ev.filter(F.col("event_type") == "purchase").toPandas()
+    imp_src = tmp_path / "imps_r"
+    conv_src = tmp_path / "convs_r"
+    imp_src.mkdir()
+    conv_src.mkdir()
+
+    def write_chunks(pdf, src, lo, hi):
+        import os as _os
+
+        pdf = pdf.sort_values("ts").reset_index(drop=True)
+        step = max(1, len(pdf) // 4)
+        chunks = [pdf.iloc[i : i + step] for i in range(0, len(pdf), step)]
+        for i, chunk in enumerate(chunks[lo:hi], start=lo):
+            chunk = chunk.copy()
+            chunk["ts"] = chunk["ts"].dt.strftime("%Y-%m-%dT%H:%M:%S.%f")
+            path = src / f"chunk_{i:03d}.json"
+            chunk.to_json(path, orient="records", lines=True)
+            _os.utime(path, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    def run_once():
+        imps = shape_impressions(
+            event_file_stream(spark, str(imp_src)).withColumn(
+                "event_type", F.lit("view")
+            )
+        )
+        convs = shape_conversions(
+            event_file_stream(spark, str(conv_src)).withColumn(
+                "event_type", F.lit("purchase")
+            )
+        )
+        q = (
+            stream_stream_attribution(imps, convs)
+            .writeStream.format("parquet")
+            .option("path", str(tmp_path / "sink"))
+            .option("checkpointLocation", str(tmp_path / "ckpt_r"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(240)
+
+    # run 1: first half of each stream
+    write_chunks(imp_pdf, imp_src, 0, 2)
+    write_chunks(conv_pdf, conv_src, 0, 2)
+    run_once()
+    mid = spark.read.parquet(str(tmp_path / "sink")).count()
+    # run 2: late chunks arrive, restart from the same checkpoint
+    write_chunks(imp_pdf, imp_src, 2, 99)
+    write_chunks(conv_pdf, conv_src, 2, 99)
+    run_once()
+
+    got = {
+        (r["imp_id"], r["conv_id"])
+        for r in spark.read.parquet(str(tmp_path / "sink")).collect()
+    }
+    want = {
+        (r["imp_id"], r["conv_id"])
+        for r in stream_stream_attribution(
+            shape_impressions(ev), shape_conversions(ev)
+        ).collect()
+    }
+    assert got == want and len(want) > 0
+    assert mid < len(want)  # restart actually added the late matches
