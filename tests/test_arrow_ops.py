@@ -43,3 +43,54 @@ def test_whitespace_edge_cases(spark):
         ).collect()
     }
     assert got == want
+
+
+def test_compression_ratio_separates_repetition_from_noise(spark):
+    """The filter property the signal exists for: highly repetitive text
+    compresses far better than high-entropy text, with prose between;
+    plus zlib-determinism across partitionings."""
+    import random
+    import zlib
+
+    from yelpdatawarehouse_spark.functions.arrow_ops import (
+        compression_ratio_arrow,
+    )
+
+    rng = random.Random(7)
+    noise = " ".join(
+        "".join(rng.choice("abcdefghijklmnopqrstuvwxyz0123456789") for _ in range(8))
+        for _ in range(200)
+    )
+    repetitive = "the same line again and again. " * 60
+    prose = (
+        "Distributed engines trade shuffle cost against parallelism; a plan "
+        "that avoids moving data usually wins at scale, but only when the "
+        "partitioning already matches the keys the query groups by. " * 10
+    )
+    df = spark.createDataFrame(
+        [(0, repetitive), (1, prose), (2, noise)], "doc_id long, text string"
+    )
+    rows = {r.doc_id: r for r in compression_ratio_arrow(df).collect()}
+    assert rows[0].compression_ratio < rows[1].compression_ratio < rows[2].compression_ratio
+    assert rows[0].compression_ratio < 0.1     # boilerplate band
+    assert rows[2].compression_ratio > 0.5     # noise band
+    # bit-determinism: equals a direct zlib call, regardless of partitioning
+    for n_parts in (1, 7):
+        got = {
+            r.doc_id: (r.n_compressed, r.compression_ratio)
+            for r in compression_ratio_arrow(df.repartition(n_parts)).collect()
+        }
+        for did, text in ((0, repetitive), (1, prose), (2, noise)):
+            want = len(zlib.compress(text.encode(), 6))
+            assert got[did][0] == want
+
+
+def test_compression_ratio_empty_and_null_safe(spark):
+    from yelpdatawarehouse_spark.functions.arrow_ops import (
+        compression_ratio_arrow,
+    )
+
+    df = spark.createDataFrame([(0, ""), (1, None)], "doc_id long, text string")
+    rows = {r.doc_id: r for r in compression_ratio_arrow(df).collect()}
+    assert rows[0].n_bytes == 0 and rows[1].n_bytes == 0
+    assert rows[0].n_compressed == rows[1].n_compressed > 0  # fixed envelope

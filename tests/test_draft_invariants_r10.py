@@ -247,3 +247,26 @@ def test_q19_brackets_are_subset_of_brand_filter(spark):
     )
     assert 0 <= r.n_lines <= brand_lines
     assert r.revenue >= 0.0
+
+
+def test_snm_eval_precision_is_structural(spark):
+    """Every SNM candidate on the panel must be a truth pair (the window
+    filters by the same exact Jaccard), so hits == candidates; recall is
+    the informative number and must be consistent with the counts."""
+    (r,) = _rows(spark, "dedup_snm_recall_eval")
+    assert r.n_hit == r.n_cand <= r.n_true
+    assert abs(r.recall - r.n_hit / r.n_true) < 1e-3
+
+
+def test_nprobe2_recall_dominates_nprobe1(spark):
+    """Probing a superset of cells can only add candidates: per query,
+    nprobe=2 recall >= the registered nprobe=1 recall, and candidate
+    counts are >= — the monotonicity that makes the tuning curve a curve."""
+    from yelpdatawarehouse_spark.queries.llmops import ann_ivf_recall_eval
+
+    r1 = {r.query_id: r for r in ann_ivf_recall_eval(spark, SF_TEST_DIR).collect()}
+    r2 = {r.query_id: r for r in _rows(spark, "ann_ivf_nprobe2_recall")}
+    assert set(r1) == set(r2) and r1
+    for qid in r1:
+        assert r2[qid].recall_at_10 >= r1[qid].recall_at_10
+        assert r2[qid].n_candidates >= r1[qid].n_candidates

@@ -172,6 +172,12 @@ _SHAPES = {
     # DNF: part side pre-filtered to the bracket union before broadcast;
     # zero shuffles beyond the 1-row reduce
     "j33_bracket_revenue_q19": (0, 1, 0, 2),
+    # truth = panel-bounded shared-token join; candidate side is the SNM
+    # query (rank exchange + neighbor join); metrics are 1-row broadcasts
+    "dedup_snm_recall_eval": (4, 12, 4, 4),
+    # ONE K-way ranking pass yields db assignment AND probe list from the
+    # same pinned window; candidates cell-keyed; truth panel-broadcast
+    "ann_ivf_nprobe2_recall": (5, 4, 1, 2),
     # ONE moment-sum pass, zero exchanges, two-column pruned scan
     "ml_pca_2d_closed_form": (0, 0, 0, 0),
     # per-row bit ops in codegen + one cell-keyed count; two-column scan

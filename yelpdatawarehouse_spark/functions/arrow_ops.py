@@ -54,3 +54,66 @@ def token_count_arrow(docs: DataFrame, text_col: str = "text") -> DataFrame:
             )
 
     return docs.select("doc_id", text_col).mapInArrow(kernel, schema)
+
+
+def compression_ratio_arrow(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    level: int = 6,
+) -> DataFrame:
+    """(id, n_bytes, n_compressed, compression_ratio) per document via
+    stdlib zlib inside an Arrow batch kernel — the compressibility
+    quality signal pretraining filters use (Gopher/C4-style rules: text
+    that compresses too WELL is repetitive boilerplate; too POORLY is
+    binary junk or noise; prose sits in a mid band).
+
+    Not SQL-oracle-expressible (no zlib in ANSI engines), so this ships
+    as an operator under its own determinism/monotonicity tests instead
+    of a registry entry: zlib at a fixed level is bit-deterministic for
+    a given input on any platform (the DEFLATE stream is a pure function
+    of input + level + strategy), so results are reproducible across
+    partitionings and engines that embed the same zlib.
+
+    Scale shape: embarrassingly parallel per-row kernel, Arrow transport,
+    no pandas materialization; the per-batch Python cost is one zlib
+    call per document (the compression itself dominates, as it should).
+    """
+    import zlib
+
+    import pyarrow as pa
+
+    schema = S.StructType(
+        [
+            S.StructField("doc_id", S.LongType()),
+            S.StructField("n_bytes", S.LongType()),
+            S.StructField("n_compressed", S.LongType()),
+            S.StructField("compression_ratio", S.DoubleType()),
+        ]
+    )
+
+    def kernel(batches: "Iterator[pa.RecordBatch]") -> "Iterator[pa.RecordBatch]":
+        for batch in batches:
+            ids, raw_n, comp_n, ratio = [], [], [], []
+            id_arr = batch.column(id_col)
+            txt_arr = batch.column(text_col)
+            for i in range(batch.num_rows):
+                t = txt_arr[i].as_py() or ""
+                b = t.encode("utf-8")
+                c = zlib.compress(b, level)
+                ids.append(id_arr[i].as_py())
+                raw_n.append(len(b))
+                comp_n.append(len(c))
+                # empty docs: ratio of the fixed 8-byte zlib envelope to 1
+                ratio.append(len(c) / max(len(b), 1))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(ids, pa.int64()),
+                    pa.array(raw_n, pa.int64()),
+                    pa.array(comp_n, pa.int64()),
+                    pa.array(ratio, pa.float64()),
+                ],
+                names=["doc_id", "n_bytes", "n_compressed", "compression_ratio"],
+            )
+
+    return docs.select(id_col, text_col).mapInArrow(kernel, schema)

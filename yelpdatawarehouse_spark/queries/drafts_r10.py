@@ -1490,3 +1490,268 @@ def j33_bracket_revenue_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 DRAFTS["j33_bracket_revenue_q19"] = (j33_bracket_revenue_q19, Q19_ORACLE)
+
+
+# ---------------------------------------------------------------------------
+# SNM blocking-quality eval: recall of the sorted-neighborhood window
+# against exact token-Jaccard truth on a panel — completing the
+# index-quality family (ann_recall_eval / ann_ivf_recall_eval /
+# dedup_minhash_pr_eval measure the other three indexes).
+
+SNM_EVAL_PANEL = 40
+
+SNM_EVAL_ORACLE = f"""
+WITH docs AS (
+    SELECT doc_id,
+           {_NORM_SQL} AS norm,
+           list_distinct(string_split({_NORM_SQL}, ' ')) AS toks
+    FROM documents
+),
+ranked AS (
+    SELECT doc_id, toks,
+           row_number() OVER (ORDER BY substr(norm, 1, 24), doc_id) AS rn
+    FROM docs
+),
+cand AS (
+    SELECT least(a.doc_id, b.doc_id) AS doc_a,
+           greatest(a.doc_id, b.doc_id) AS doc_b
+    FROM ranked a
+    JOIN ranked b ON b.rn > a.rn AND b.rn <= a.rn + {SNM_WINDOW}
+    WHERE len(list_intersect(a.toks, b.toks))::DOUBLE /
+          (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)))
+          >= {SNM_THRESHOLD}
+      AND least(a.doc_id, b.doc_id) < {SNM_EVAL_PANEL}
+),
+truth AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM docs a JOIN docs b ON b.doc_id > a.doc_id
+    WHERE a.doc_id < {SNM_EVAL_PANEL}
+      AND len(list_intersect(a.toks, b.toks)) > 0
+      AND len(list_intersect(a.toks, b.toks))::DOUBLE /
+          (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)))
+          >= {SNM_THRESHOLD}
+),
+hit AS (
+    SELECT t.doc_a, t.doc_b FROM truth t
+    JOIN cand c ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b
+)
+SELECT CAST((SELECT count(*) FROM truth) AS BIGINT) AS n_true,
+       CAST((SELECT count(*) FROM cand) AS BIGINT) AS n_cand,
+       CAST((SELECT count(*) FROM hit) AS BIGINT) AS n_hit,
+       {rfix_sql(
+           '(SELECT count(*) FROM hit)::DOUBLE /'
+           ' nullif((SELECT count(*) FROM truth), 0)', 4)} AS recall
+"""
+
+
+def dedup_snm_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocking-quality evaluation for the sorted-neighborhood index: of
+    the EXACT above-threshold Jaccard pairs on a bounded panel, how many
+    fall within the SNM window (rank distance <= w on the blocking key)?
+    This is THE number a window-size choice trades (recall up, compare
+    cost up); precision is structurally 1.0 — the window filters by the
+    same exact Jaccard — so it is not emitted. Completes the
+    index-quality family: ann_recall_eval (brute vs IVF), ann_ivf_recall,
+    dedup_minhash_pr_eval (LSH banding), and now the SNM window.
+
+    Interpretation on THIS corpus: the synthetic documents draw from a
+    shared vocabulary, so tau=0.3 is near-vacuous (~94% of panel pairs
+    qualify) and the measured window recall is honestly tiny (~0.016) —
+    prefix-sorted adjacency cannot cover a truth set that is almost the
+    complete graph. That IS the eval's finding: SNM is a precision tool
+    for prefix-sharing near-dups (the planted-duplicate invariant shows
+    recall 1.0 there), not a recall tool under a loose global threshold
+    — exactly the trade a deployment must see measured before choosing
+    blocking keys.
+
+    Scale shape: truth is exact only over the panel (standard eval
+    protocol), generated by a shared-token join — never all-pairs over
+    the corpus; the candidate side is the production SNM query itself,
+    panel-filtered and pair-canonicalized; metric assembly is three
+    1-row broadcasts.
+    """
+    d = table(spark, sf_dir, "documents")
+    norm = T.normalize("text")
+    docs = d.select(
+        "doc_id", F.array_distinct(F.split(norm, " ")).alias("toks")
+    )
+    sizes = docs.select("doc_id", F.size("toks").alias("n"))
+    ex = docs.select("doc_id", F.explode("toks").alias("tok"))
+    pan = ex.filter(F.col("doc_id") < SNM_EVAL_PANEL).select(
+        F.col("doc_id").alias("doc_a"), "tok"
+    )
+    shared = (
+        pan.join(ex.select(F.col("doc_id").alias("doc_b"), "tok"), "tok")
+        .filter(F.col("doc_b") > F.col("doc_a"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    jac = (
+        shared.join(
+            sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")),
+            "doc_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")),
+            "doc_b",
+        )
+        .filter(
+            F.col("inter").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("inter"))
+            >= SNM_THRESHOLD
+        )
+    )
+    truth = jac.select("doc_a", "doc_b")
+    cand = (
+        dedup_sorted_neighborhood(spark, sf_dir)
+        .select(
+            F.least("doc_a", "doc_b").alias("doc_a"),
+            F.greatest("doc_a", "doc_b").alias("doc_b"),
+        )
+        .filter(F.col("doc_a") < SNM_EVAL_PANEL)
+    )
+    hit = truth.join(cand, ["doc_a", "doc_b"])
+    m = (
+        truth.agg(F.count("*").alias("n_true"))
+        .crossJoin(F.broadcast(cand.agg(F.count("*").alias("n_cand"))))
+        .crossJoin(F.broadcast(hit.agg(F.count("*").alias("n_hit"))))
+    )
+    return m.select(
+        F.col("n_true").cast("long").alias("n_true"),
+        F.col("n_cand").cast("long").alias("n_cand"),
+        F.col("n_hit").cast("long").alias("n_hit"),
+        rfix(
+            F.col("n_hit").cast("double") / F.nullif(F.col("n_true"), F.lit(0)),
+            4,
+        ).alias("recall"),
+    )
+
+
+DRAFTS["dedup_snm_recall_eval"] = (dedup_snm_recall_eval, SNM_EVAL_ORACLE)
+
+
+# ---------------------------------------------------------------------------
+# IVF nprobe=2 recall: the tuning curve's second point. ann_ivf_recall_eval
+# measures nprobe=1; this probes each query's TWO nearest cells — recall
+# bought back at ~2x candidate cost, the sweep every IVF deployment runs.
+
+IVF_NPROBE = 2
+_NPROBE_K = 8  # coarse centroids (= llmops._IVF_K, kept literal for the oracle)
+
+NPROBE_ORACLE = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+           WHERE vec_id < 5),
+truth AS (
+    SELECT query_id, neighbor_id FROM (
+        SELECT q.query_id, e.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY q.query_id
+                   ORDER BY {rfix_sql(V.cosine_sql('q.qe', 'e.embedding'), 6)} DESC,
+                            e.vec_id) AS rn
+        FROM q JOIN embeddings e ON e.vec_id <> q.query_id
+    ) WHERE rn <= 10
+),
+cents AS (
+    SELECT vec_id AS cid, embedding AS cv FROM embeddings
+    WHERE vec_id < {_NPROBE_K}
+),
+ranked AS (
+    SELECT e.vec_id, c.cid,
+           row_number() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY {rfix_sql(V.cosine_sql('e.embedding', 'c.cv'), 6)} DESC, c.cid
+           ) AS rn
+    FROM embeddings e CROSS JOIN cents c
+),
+assign AS (SELECT vec_id, cid FROM ranked WHERE rn = 1),
+probes AS (SELECT vec_id AS query_id, cid FROM ranked
+           WHERE rn <= {IVF_NPROBE} AND vec_id < 5),
+cand AS (
+    SELECT p.query_id, na.vec_id AS neighbor_id
+    FROM probes p JOIN assign na ON na.cid = p.cid AND na.vec_id <> p.query_id
+)
+SELECT CAST(t.query_id AS BIGINT) AS query_id,
+       CAST((SELECT count(*) FROM cand c2 WHERE c2.query_id = t.query_id)
+           AS BIGINT) AS n_candidates,
+       CAST(sum(CASE WHEN c.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+           AS BIGINT) AS hits,
+       {rfix_sql('sum(CASE WHEN c.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) / 10.0', 4)}
+           AS recall_at_10
+FROM truth t
+LEFT JOIN cand c
+  ON c.query_id = t.query_id AND c.neighbor_id = t.neighbor_id
+GROUP BY t.query_id
+"""
+
+
+def ann_ivf_nprobe2_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the IVF index at nprobe={IVF_NPROBE}: each query
+    searches its TWO highest-scoring coarse cells instead of one. Paired
+    with ann_ivf_recall_eval (nprobe=1, identical columns), this is the
+    recall-vs-candidate-cost tuning curve an IVF deployment sweeps before
+    fixing nprobe — recall must be monotonically >= the nprobe=1 number
+    per query (an invariant test pins this against the registered
+    nprobe=1 query).
+
+    Scale shape mirrors the production index: one K-way cosine ranking
+    pass assigns database vectors (rank 1, pinned) AND yields the query
+    panel's probe list (rank <= nprobe) from the same window — no second
+    scoring pass; candidates are a cell-keyed join; truth exact over the
+    broadcast panel only.
+    """
+    e = table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("c6"), F.asc("neighbor_id"))
+    truth = (
+        e.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            rfix(V.cosine(F.col("qe"), F.col("embedding")), 6).alias("c6"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .select("query_id", "neighbor_id")
+    )
+    cents = e.filter(F.col("vec_id") < _NPROBE_K).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
+    )
+    aw = Window.partitionBy("vec_id").orderBy(F.desc("ac6"), F.asc("cid"))
+    ranked = (
+        e.join(F.broadcast(cents))
+        .select(
+            "vec_id",
+            "cid",
+            rfix(V.cosine(F.col("embedding"), F.col("cv")), 6).alias("ac6"),
+        )
+        .withColumn("rn", F.row_number().over(aw))
+        .filter(F.col("rn") <= IVF_NPROBE)
+        .select("vec_id", "cid", "rn")
+    ).localCheckpoint()
+    assign = ranked.filter(F.col("rn") == 1).select("vec_id", "cid")
+    probes = ranked.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "cid"
+    )
+    cand = (
+        assign.join(F.broadcast(probes), "cid")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+    )
+    sizes = cand.groupBy("query_id").agg(F.count("*").alias("n_candidates"))
+    hits = (
+        truth.join(
+            cand.withColumn("hit", F.lit(1)), ["query_id", "neighbor_id"], "left"
+        )
+        .groupBy("query_id")
+        .agg(F.sum(F.coalesce("hit", F.lit(0))).alias("hits"))
+    )
+    return hits.join(F.broadcast(sizes), "query_id", "left").select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.coalesce(F.col("n_candidates"), F.lit(0)).cast("long").alias("n_candidates"),
+        F.col("hits").cast("long").alias("hits"),
+        rfix(F.col("hits") / F.lit(10.0), 4).alias("recall_at_10"),
+    )
+
+
+DRAFTS["ann_ivf_nprobe2_recall"] = (ann_ivf_nprobe2_recall, NPROBE_ORACLE)
