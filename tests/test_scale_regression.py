@@ -19,8 +19,13 @@ import pytest
 
 FACTOR = 3
 MARGIN = 2.5
-# closest-to-linear in SCALING.md's 5x sweep: the canary set
-PROBE = ["j6_two_hop_supplier_pairs", "w3_running_avg_per_customer"]
+# closest-to-linear in SCALING.md's 5x sweep, plus the operator whose
+# blocking join would go quadratic first if the window contract broke
+PROBE = [
+    "j6_two_hop_supplier_pairs",
+    "w3_running_avg_per_customer",
+    "dedup_sorted_neighborhood",
+]
 
 
 def test_probe_subset_is_headline_and_probed():

@@ -44,6 +44,7 @@ SHIFT = {
 }
 
 PROBE_QUERIES = [
+    "dedup_sorted_neighborhood",
     "j5_copurchase_pairs",
     "j6_two_hop_supplier_pairs",
     "a8_distinct_parts_per_customer",
