@@ -56,17 +56,46 @@ def main() -> None:
 
     t0 = time.time()
     failures = []
+    timings: dict[str, float] = {}
     for name, fn, oracle in targets:
+        tq = time.time()
         try:
             problems = compare(fn(spark, SF), oracle, SF)
             status = "OK" if not problems else "FAIL " + "; ".join(problems)[:200]
         except Exception as e:  # noqa: BLE001 — sweep must report, not stop
             status = "ERR " + repr(e)[:200]
+        timings[name] = round(time.time() - tq, 3)
         if status != "OK":
             failures.append(name)
         print(f"{name}: {status}", flush=True)
     print(f"DONE {len(targets)} queries in {time.time() - t0:.1f}s; "
           f"failures: {failures}")
+    # Whole-registry timing sidecar: the bench headline times 80 queries
+    # of record at sf0.1; this records EVERY query's single-pass sf0.01
+    # wall-clock (engine + oracle + compare) so a regression in the long
+    # tail is visible round-over-round. Single-pass on a shared host =
+    # noisy per query; the signal is in large same-direction moves and in
+    # the sorted tail, not in +-30% wiggles.
+    import json
+
+    sidecar = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "REGISTRY_TIMES.json",
+    )
+    with open(sidecar, "w") as fh:
+        json.dump(
+            {
+                "sf_dir": SF,
+                "n_queries": len(timings),
+                "total_sec": round(time.time() - t0, 1),
+                "includes": "engine+oracle+hash-compare per query, 1 pass",
+                "times": timings,
+            },
+            fh,
+            indent=0,
+            sort_keys=True,
+        )
+    print(f"wrote {sidecar}")
     spark.stop()
     if failures:
         raise SystemExit(1)
