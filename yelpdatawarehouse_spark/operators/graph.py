@@ -128,7 +128,12 @@ def min_label_components(edges: DataFrame, max_rounds: int = 15) -> DataFrame:
     """
     from .iterative import checkpointed_loop
 
-    edges = edges.select("src", "dst").distinct().cache()
+    # eager localCheckpoint, not lazy cache: the edge list feeds a DRIVER
+    # LOOP (one join per round), and checkpointing truncates the (often
+    # expensive) edge-derivation lineage out of every round's plan — the
+    # same pin discipline as operators/iterative (smaller plans, one
+    # Janino compile per round instead of recompiling the full subtree)
+    edges = edges.select("src", "dst").distinct().localCheckpoint()
     labels = edges.select(F.col("src").alias("node")).distinct().select(
         "node", F.col("node").alias("label")
     )

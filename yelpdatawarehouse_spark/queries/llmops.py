@@ -267,10 +267,17 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     (no near-dup pair) are excluded — they're already canonical.
     """
     pairs = dedup_minhash_verified(spark, sf_dir).select("doc_a", "doc_b")
-    fwd = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-    edges = fwd.union(
-        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
-    )
+    # both directions from ONE evaluation of the (expensive) pair subtree:
+    # a union of two selects re-executes it per branch (measured 2x the
+    # verify join); explode emits src->dst and dst->src per row instead
+    edges = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")),
+                F.struct(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
     labels = min_label_components(edges)
     sizes = labels.groupBy("label").agg(F.count("*").cast("long").alias("cluster_size"))
     return (
@@ -1818,9 +1825,16 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical downstream closure.
     """
     pairs = dedup_embedding_cosine_pairs(spark, sf_dir).select("vec_a", "vec_b")
-    edges = pairs.select(F.col("vec_a").alias("src"), F.col("vec_b").alias("dst")).union(
-        pairs.select(F.col("vec_b").alias("src"), F.col("vec_a").alias("dst"))
-    )
+    # explode, not union-of-selects: the union's two branches each re-run
+    # the full celled cosine-pair subtree (measured 13s -> 7s at sf0.01)
+    edges = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("vec_a").alias("src"), F.col("vec_b").alias("dst")),
+                F.struct(F.col("vec_b").alias("src"), F.col("vec_a").alias("dst")),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
     labels = min_label_components(edges)
     sizes = labels.groupBy("label").agg(
         F.count("*").cast("long").alias("cluster_size")
