@@ -108,3 +108,96 @@ def test_partition_profile_accounts_for_every_key(spark, windowed_ckpt):
     assert ratios.pop() >= 1.0
     for r in prof:
         assert r["n_keys"] > 0
+
+
+def test_join_state_buffers_both_sides(spark, tmp_path):
+    """Stream-stream join state is inspectable per side: with no
+    watermark-driven eviction yet (no late sentinel has advanced it), the
+    LEFT buffer holds every impression seen and the RIGHT every
+    conversion — the exact rows a "why is this join's state growing"
+    production investigation needs to see."""
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from yelpdatawarehouse_spark.sources.tables import table
+    from yelpdatawarehouse_spark.streaming.introspect import (
+        state_operator_metadata,
+        state_rows,
+    )
+    from yelpdatawarehouse_spark.streaming.pipeline import (
+        event_file_stream,
+        shape_conversions,
+        shape_impressions,
+        stream_stream_attribution,
+    )
+
+    SF = "/root/testdata/sf0.001"
+    ev = table(spark, SF, "events")
+    imp_src, conv_src = tmp_path / "imps", tmp_path / "convs"
+    imp_src.mkdir()
+    conv_src.mkdir()
+    for df, src in (
+        (ev.filter(F.col("event_type") == "view"), imp_src),
+        (ev.filter(F.col("event_type") == "purchase"), conv_src),
+    ):
+        pdf = df.toPandas().sort_values("ts").reset_index(drop=True)
+        pdf["ts"] = pdf["ts"].dt.strftime("%Y-%m-%dT%H:%M:%S.%f")
+        path = src / "chunk_0.json"
+        pdf.to_json(path, orient="records", lines=True)
+        _os.utime(path, (1_700_000_000, 1_700_000_000))
+
+    ckpt = str(tmp_path / "ckpt")
+    q = (
+        stream_stream_attribution(
+            shape_impressions(
+                event_file_stream(spark, str(imp_src)).withColumn(
+                    "event_type", F.lit("view")
+                )
+            ),
+            shape_conversions(
+                event_file_stream(spark, str(conv_src)).withColumn(
+                    "event_type", F.lit("purchase")
+                )
+            ),
+        )
+        .writeStream.format("memory")
+        .queryName("join_state_probe")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    meta = {r.operatorName for r in state_operator_metadata(spark, ckpt).collect()}
+    assert any("symmetricHashJoin" in m or "Join" in m for m in meta), meta
+
+    left = state_rows(spark, ckpt, join_side="left")
+    right = state_rows(spark, ckpt, join_side="right")
+    buffered_imps = {r["value"]["imp_id"] for r in left.collect()}
+    buffered_convs = {r["value"]["conv_id"] for r in right.collect()}
+    views = ev.filter(F.col("event_type") == "view")
+    purch = ev.filter(F.col("event_type") == "purchase")
+    want_imps = {r.event_id for r in views.collect()}
+    want_convs = {r.event_id for r in purch.collect()}
+    # eviction already ran inside the availableNow run (watermark = max ts
+    # - 12h): buffers must be a NON-EMPTY SUBSET of each input...
+    assert buffered_imps and buffered_imps <= want_imps
+    assert buffered_convs and buffered_convs <= want_convs
+    # ...and rows the watermark cannot have released yet must still be
+    # buffered: an impression joins conversions in [i_ts, i_ts + 24h), so
+    # anything within 36h of the stream's end is provably retained
+    import datetime as _dt
+
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+    must_keep = {
+        r.event_id
+        for r in views.filter(
+            F.col("ts") > F.lit(max_ts - _dt.timedelta(hours=36))
+        ).collect()
+    }
+    assert must_keep <= buffered_imps
+    # the state reader sees strictly fewer rows than the raw input when
+    # eviction has happened — the "is my state bounded" production check
+    assert len(buffered_imps) < len(want_imps)
