@@ -150,6 +150,48 @@ def test_snm_catches_planted_near_duplicates(spark, tmp_path):
     assert (1, 2) in got and got[(1, 2)] > 0.8
 
 
+def test_snm_null_text_matches_oracle(spark, tmp_path):
+    """NULL text must agree with the DuckDB oracle (ADVICE r7): norm is
+    coalesced to '' on BOTH sides, so a NULL-text doc sorts with the empty
+    prefix instead of concat_ws dropping its blocking key while the oracle
+    sorts NULLs last."""
+    import os
+
+    import duckdb
+
+    from yelpdatawarehouse_spark.queries.drafts_r10 import (
+        SNM_ORACLE,
+        dedup_sorted_neighborhood,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        (1, base, "en", "s", len(base)),
+        (2, base + " twice", "en", "s", len(base) + 6),
+        (3, None, "en", "s", 0),
+        (4, None, "en", "s", 0),
+        (5, "aardvark " + base, "en", "s", len(base) + 9),
+    ]
+    sf = str(tmp_path / "snm_null_sf")
+    pq = os.path.join(sf, "documents.parquet")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(pq)
+
+    got = sorted(
+        (r.doc_a, r.doc_b, r.rank_dist)
+        for r in dedup_sorted_neighborhood(spark, sf).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{pq}/*.parquet')"
+    )
+    want = sorted((a, b, d) for a, b, d, _ in con.execute(SNM_ORACLE).fetchall())
+    assert got == want
+    # the two NULL docs normalize identically → they must pair with each other
+    assert any(a == 3 and b == 4 for a, b, _ in got)
+
+
 def test_readability_formula_consistent(spark):
     rows = _rows(spark, "text_readability_scores")
     assert rows

@@ -628,13 +628,15 @@ def _write_time_ordered_chunks(df_pdf, src, n_chunks, sentinel_base_id=None):
         _os.utime(path, (1_700_000_000 + i, 1_700_000_000 + i))
 
 
-@pytest.mark.parametrize("how", ["inner", "left_outer"])
+@pytest.mark.parametrize("how", ["inner", "left_outer", "right_outer", "full_outer"])
 def test_two_source_stream_stream_join_converges_to_batch(spark, tmp_path, how):
     """TWO independent file streams (impressions / conversions), each with
     its own watermark, interval-joined — final output must equal the batch
-    join over the same rows. left_outer additionally requires every
-    unmatched impression to surface null-padded exactly once after the
-    watermark passes its window (sentinel events flush the tail)."""
+    join over the same rows. The outer modes additionally require every
+    unmatched row on the outer side(s) to surface null-padded exactly once
+    after the watermark closes its interval (sentinel events flush the
+    tail): left = unmatched impressions, right = unmatched conversions,
+    full = both."""
     from yelpdatawarehouse_spark.streaming.pipeline import (
         shape_conversions,
         shape_impressions,
@@ -682,7 +684,8 @@ def test_two_source_stream_stream_join_converges_to_batch(spark, tmp_path, how):
         return {
             (r["imp_id"], r["conv_id"])
             for r in rows
-            if r["imp_id"] < sentinel and (r["conv_id"] is None or r["conv_id"] < sentinel)
+            if (r["imp_id"] is None or r["imp_id"] < sentinel)
+            and (r["conv_id"] is None or r["conv_id"] < sentinel)
         }
 
     got = key(spark.table(name).collect())
@@ -692,9 +695,11 @@ def test_two_source_stream_stream_join_converges_to_batch(spark, tmp_path, how):
         ).collect()
     )
     assert got == want and len(want) > 0
-    if how == "left_outer":
-        # outer rows actually exercised: some impression must be unmatched
-        assert any(c is None for (_, c) in want)
+    # outer rows actually exercised per mode
+    if how in ("left_outer", "full_outer"):
+        assert any(i is not None and c is None for (i, c) in want)
+    if how in ("right_outer", "full_outer"):
+        assert any(i is None and c is not None for (i, c) in want)
 
 
 def test_two_source_join_restart_resumes_from_checkpoint(spark, tmp_path):
@@ -774,3 +779,114 @@ def test_two_source_join_restart_resumes_from_checkpoint(spark, tmp_path):
     }
     assert got == want and len(want) > 0
     assert mid < len(want)  # restart actually added the late matches
+
+
+def test_two_source_full_outer_restart_resumes_from_checkpoint(spark, tmp_path):
+    """Checkpoint recovery for the FULL OUTER stream-stream join — the most
+    state-sensitive mode: both sides buffer unmatched candidates until the
+    watermark closes their interval, and a restart must neither re-emit an
+    already-evicted outer row (duplicate) nor lose one buffered at stop
+    (hole). Run early chunks, stop, add the late chunks + far-future
+    sentinels (flush the outer tail), restart with the same checkpoint —
+    the union of appends must equal the batch full-outer join."""
+    import pandas as pd
+
+    from yelpdatawarehouse_spark.streaming.pipeline import (
+        shape_conversions,
+        shape_impressions,
+        stream_stream_attribution,
+    )
+
+    ev = table(spark, SF, "events")
+    imp_pdf = ev.filter(F.col("event_type") == "view").toPandas()
+    conv_pdf = ev.filter(F.col("event_type") == "purchase").toPandas()
+    imp_src = tmp_path / "imps_fo"
+    conv_src = tmp_path / "convs_fo"
+    imp_src.mkdir()
+    conv_src.mkdir()
+    sentinel = 1_000_000_000
+
+    def write_chunks(pdf, src, lo, hi, with_sentinels=False):
+        import os as _os
+
+        pdf = pdf.sort_values("ts").reset_index(drop=True)
+        step = max(1, len(pdf) // 4)
+        chunks = [pdf.iloc[i : i + step] for i in range(0, len(pdf), step)]
+        if with_sentinels:
+            far = pdf["ts"].max() + pd.Timedelta(days=90)
+            for j in range(2):
+                chunks.append(
+                    pd.DataFrame(
+                        [{
+                            "event_id": sentinel + j,
+                            "ts": far + pd.Timedelta(days=30 * j),
+                            "user_id": 999_999_999,
+                            "event_type": pdf["event_type"].iloc[0],
+                            "value": 0.0,
+                            "props": "{}",
+                        }]
+                    )
+                )
+            hi = len(chunks)
+        for i, chunk in enumerate(chunks[lo:hi], start=lo):
+            chunk = chunk.copy()
+            chunk["ts"] = chunk["ts"].dt.strftime("%Y-%m-%dT%H:%M:%S.%f")
+            path = src / f"chunk_{i:03d}.json"
+            chunk.to_json(path, orient="records", lines=True)
+            _os.utime(path, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    def run_once():
+        imps = shape_impressions(
+            event_file_stream(spark, str(imp_src)).withColumn(
+                "event_type", F.lit("view")
+            )
+        )
+        convs = shape_conversions(
+            event_file_stream(spark, str(conv_src)).withColumn(
+                "event_type", F.lit("purchase")
+            )
+        )
+        q = (
+            stream_stream_attribution(imps, convs, how="full_outer")
+            .writeStream.format("parquet")
+            .option("path", str(tmp_path / "sink_fo"))
+            .option("checkpointLocation", str(tmp_path / "ckpt_fo"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(240)
+
+    write_chunks(imp_pdf, imp_src, 0, 2)
+    write_chunks(conv_pdf, conv_src, 0, 2)
+    run_once()
+    mid = spark.read.parquet(str(tmp_path / "sink_fo")).count()
+    write_chunks(imp_pdf, imp_src, 2, 99, with_sentinels=True)
+    write_chunks(conv_pdf, conv_src, 2, 99, with_sentinels=True)
+    run_once()
+
+    def key(rows):
+        return {
+            (r["imp_id"], r["conv_id"])
+            for r in rows
+            if (r["imp_id"] is None or r["imp_id"] < sentinel)
+            and (r["conv_id"] is None or r["conv_id"] < sentinel)
+        }
+
+    rows = spark.read.parquet(str(tmp_path / "sink_fo")).collect()
+    got = key(rows)
+    want = key(
+        stream_stream_attribution(
+            shape_impressions(ev), shape_conversions(ev), how="full_outer"
+        ).collect()
+    )
+    assert got == want and len(want) > 0
+    assert mid < len(want)  # the restart contributed rows
+    # exactly-once across restart: no (imp, conv) pair appended twice
+    seen = [
+        (r["imp_id"], r["conv_id"])
+        for r in rows
+        if (r["imp_id"] is None or r["imp_id"] < sentinel)
+        and (r["conv_id"] is None or r["conv_id"] < sentinel)
+    ]
+    assert len(seen) == len(got)

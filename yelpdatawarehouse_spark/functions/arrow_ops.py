@@ -83,9 +83,12 @@ def compression_ratio_arrow(
 
     import pyarrow as pa
 
+    # schema and batch column names both derive from id_col so a caller
+    # passing id_col="vec_id" keeps its column name (ADVICE r7)
+    out_names = [id_col, "n_bytes", "n_compressed", "compression_ratio"]
     schema = S.StructType(
         [
-            S.StructField("doc_id", S.LongType()),
+            S.StructField(id_col, S.LongType()),
             S.StructField("n_bytes", S.LongType()),
             S.StructField("n_compressed", S.LongType()),
             S.StructField("compression_ratio", S.DoubleType()),
@@ -113,7 +116,7 @@ def compression_ratio_arrow(
                     pa.array(comp_n, pa.int64()),
                     pa.array(ratio, pa.float64()),
                 ],
-                names=["doc_id", "n_bytes", "n_compressed", "compression_ratio"],
+                names=out_names,
             )
 
     return docs.select(id_col, text_col).mapInArrow(kernel, schema)

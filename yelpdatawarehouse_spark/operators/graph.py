@@ -132,7 +132,15 @@ def min_label_components(edges: DataFrame, max_rounds: int = 15) -> DataFrame:
     # LOOP (one join per round), and checkpointing truncates the (often
     # expensive) edge-derivation lineage out of every round's plan — the
     # same pin discipline as operators/iterative (smaller plans, one
-    # Janino compile per round instead of recompiling the full subtree)
+    # Janino compile per round instead of recompiling the full subtree).
+    # Fault-tolerance trade (ADVICE r7): localCheckpoint blocks live in
+    # executor storage, NOT reliable storage — losing an executor mid-loop
+    # fails the job instead of recomputing (lineage is truncated), and the
+    # blocks are held for the session. Right trade for bounded loops on
+    # dimension-scale edge lists; callers running many-round loops on large
+    # clusters should prefer reliable checkpoint (spark.sparkContext
+    # .setCheckpointDir + .checkpoint(), cleaner-managed) or cache()+count()
+    # to keep lineage recoverable.
     edges = edges.select("src", "dst").distinct().localCheckpoint()
     labels = edges.select(F.col("src").alias("node")).distinct().select(
         "node", F.col("node").alias("label")

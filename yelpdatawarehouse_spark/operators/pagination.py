@@ -73,6 +73,23 @@ def seek_predicate(order, cursor: dict) -> Column:
     first-column bound to the scan (min/max file skipping on a layout
     sorted by the leading key), which is what makes page 10,000 cost the
     same as page 1.
+
+    NULL-aware in both directions (ADVICE r7): Spark sorts ``asc`` NULLS
+    FIRST and ``desc`` NULLS LAST, so "strictly after the cursor row" must
+    follow that total order rather than evaluate ``col > NULL`` (which is
+    NULL, silently dropping every remaining row).  Per direction:
+
+    * asc, cursor value NULL  → every non-NULL row is after: ``col IS NOT NULL``
+    * asc, cursor value set   → ``col > v`` (NULL rows sorted before — the
+      null-safe FALSE of the comparison is exactly right)
+    * desc, cursor value NULL → NULL is terminal: nothing is after (FALSE)
+    * desc, cursor value set  → ``col IS NULL OR col < v`` (NULL rows sort
+      after all values)
+
+    The equality prefix uses ``eqNullSafe`` so a NULL cursor value matches
+    NULL rows and the comparison continues on the next key.  This keeps the
+    module invariant that offset vs seek is a strategy choice, never a
+    semantics choice, even on nullable sort columns.
     """
     from functools import reduce
     from operator import and_, or_
@@ -82,10 +99,13 @@ def seek_predicate(order, cursor: dict) -> Column:
     clauses = []
     eqs: list[Column] = []
     for c, d in order:
-        col, lit = F.col(c), F.lit(cursor[c])
-        cmp = col > lit if d == "asc" else col < lit
+        col, v = F.col(c), cursor[c]
+        if d == "asc":
+            cmp = col.isNotNull() if v is None else col > F.lit(v)
+        else:
+            cmp = F.lit(False) if v is None else col.isNull() | (col < F.lit(v))
         clauses.append(reduce(and_, eqs + [cmp]))
-        eqs.append(col.eqNullSafe(lit))
+        eqs.append(col.eqNullSafe(F.lit(v)))
     return reduce(or_, clauses)
 
 
@@ -97,6 +117,8 @@ def fetch_page(
     *,
     cursor: dict | None = None,
     use_offset: bool = False,
+    total: int | None = None,
+    with_total: bool = True,
 ):
     """Envelope-preserving page fetch ``(page_df, {total,page,limit,pages})``
     — same contract as the reference's LIMIT/OFFSET + COUNT pattern
@@ -119,9 +141,23 @@ def fetch_page(
 
     The last order column must be a unique key; ``total`` is counted on
     the unfiltered frame exactly like the reference's COUNT query.
+
+    Per-request cost (ADVICE r7): the COUNT is a full scan, so "page
+    10,000 costs the same as page 1" holds for ROW PRODUCTION only unless
+    the caller opts out.  For cursor iteration pass ``with_total=False``
+    (envelope carries ``total=None, pages=None``) or supply a cached
+    ``total=`` from the first request — subsequent pages then touch only
+    O(limit) rows end to end.  Note also that the deferred-join jump-to-page
+    path is NOT lazy: it runs an eager ``collect()`` of the ``limit`` keys
+    before returning, unlike the other strategies which return an
+    unevaluated DataFrame.
     """
-    total = df.count()
-    pages = (total + limit - 1) // limit if total > 0 else 1
+    if total is None and with_total:
+        total = df.count()
+    if total is not None:
+        pages = (total + limit - 1) // limit if total > 0 else 1
+    else:
+        pages = None
     env = {"total": total, "page": page, "limit": limit, "pages": pages}
     cols = order_columns(order)
     if use_offset:

@@ -485,8 +485,8 @@ SNM_THRESHOLD = 0.3
 SNM_ORACLE = f"""
 WITH docs AS (
     SELECT doc_id,
-           {_NORM_SQL} AS norm,
-           list_distinct(string_split({_NORM_SQL}, ' ')) AS toks
+           COALESCE({_NORM_SQL}, '') AS norm,
+           list_distinct(string_split(COALESCE({_NORM_SQL}, ''), ' ')) AS toks
     FROM documents
 ),
 ranked AS (
@@ -531,7 +531,10 @@ def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     by suffixing doc_id (same contract the oracle's ORDER BY uses).
     """
     d = table(spark, sf_dir, "documents")
-    norm = T.normalize("text")
+    # NULL text coalesced to '' (ADVICE r7): otherwise concat_ws silently
+    # drops the NULL bkey and the doc sorts among digit-prefixed keys while
+    # the oracle's ORDER BY sorts NULLs last — a parity divergence.
+    norm = F.coalesce(T.normalize("text"), F.lit(""))
     docs = d.select(
         "doc_id",
         F.substring(norm, 1, 24).alias("bkey"),
@@ -1111,18 +1114,16 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("query_id", "x.j", "x.cid", "x.qd2")
         .join(
-            assign.select(
-                F.col("vec_id").alias("query_id"), F.col("cell").alias("qcell")
-            ),
+            assign.select(F.col("vec_id").alias("query_id"), "cell"),
             "query_id",
         )
     )
+    # cell equality is a JOIN KEY, not a post-join filter (VERDICT r7 #3):
+    # each code row hash-matches only the queries probing ITS cell, pruning
+    # ~IVFPQ_CELLS× of the per-row query matches before they materialize
     adc = (
-        codes.join(F.broadcast(qtab), ["j", "cid"])
-        .filter(
-            (F.col("vec_id") != F.col("query_id"))
-            & (F.col("cell") == F.col("qcell"))
-        )
+        codes.join(F.broadcast(qtab), ["j", "cid", "cell"])
+        .filter(F.col("vec_id") != F.col("query_id"))
         .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
         .agg(F.sum("qd2").alias("dist"))
     )
@@ -1503,8 +1504,8 @@ SNM_EVAL_PANEL = 40
 SNM_EVAL_ORACLE = f"""
 WITH docs AS (
     SELECT doc_id,
-           {_NORM_SQL} AS norm,
-           list_distinct(string_split({_NORM_SQL}, ' ')) AS toks
+           COALESCE({_NORM_SQL}, '') AS norm,
+           list_distinct(string_split(COALESCE({_NORM_SQL}, ''), ' ')) AS toks
     FROM documents
 ),
 ranked AS (
@@ -1571,7 +1572,7 @@ def dedup_snm_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     1-row broadcasts.
     """
     d = table(spark, sf_dir, "documents")
-    norm = T.normalize("text")
+    norm = F.coalesce(T.normalize("text"), F.lit(""))  # match SNM blocking key
     docs = d.select(
         "doc_id", F.array_distinct(F.split(norm, " ")).alias("toks")
     )

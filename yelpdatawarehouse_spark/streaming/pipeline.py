@@ -774,7 +774,7 @@ def attributed_purchases(
     )
 
 # ---------------------------------------------------------------------------
-# Two-source stream-stream join, inner AND left-outer (T8c)
+# Two-source stream-stream join: inner / left_outer / right_outer / full_outer
 # ---------------------------------------------------------------------------
 
 
@@ -816,21 +816,30 @@ def stream_stream_attribution(
     as the global watermark, so a lagging side correctly holds back state
     eviction on both.
 
-    ``how='inner'`` emits matches as they form. ``how='left_outer'``
-    additionally emits every UNMATCHED impression exactly once, null-padded,
-    when the watermark passes ``i_ts + window`` — the point at which no
-    future conversion can join it (Spark buffers outer rows until the
+    ``how='inner'`` emits matches as they form. The outer modes emit each
+    UNMATCHED row exactly once, null-padded, when the watermark proves no
+    future partner can join it (Spark buffers outer candidates until the
     interval condition is provably closed; without the time bound in the
     join condition the state would be unbounded and Spark rejects the
-    plan). State per side stays O(open window). On batch DataFrames the
-    identical call degrades to the plain (range) join — the convergence
+    plan):
+
+    * ``left_outer`` — unmatched impressions, evicted once the watermark
+      passes ``i_ts + window`` (no later conversion can land inside the
+      window).
+    * ``right_outer`` — unmatched conversions, evicted once the watermark
+      passes ``c_ts`` (a matching impression would have to carry
+      ``i_ts <= c_ts``, already below the watermark).
+    * ``full_outer`` — both, each side under its own eviction bound.
+
+    State per side stays O(open window) in every mode. On batch DataFrames
+    the identical call degrades to the plain (range) join — the convergence
     oracle the tests compare against.
 
     Reference analog: streaming/consumer.py:417-441 applies review events
     against business state one row at a time; this is that lookup
     generalized to two unbounded sides with bounded disorder.
     """
-    if how not in ("inner", "left_outer"):
+    if how not in ("inner", "left_outer", "right_outer", "full_outer"):
         raise ValueError(f"stream_stream_attribution: unsupported how={how!r}")
     if impressions.isStreaming:
         impressions = impressions.withWatermark("i_ts", watermark)
