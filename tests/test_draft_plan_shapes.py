@@ -162,22 +162,14 @@ _SHAPES = {
     # --- round-10 drafts: TPC-H completion batch ---
     # pure scan-filter-aggregate; every predicate pushed; zero shuffles
     "j30_forecast_revenue_q6": (0, 0, 0, 1),
-    # one orderkey fact exchange; dims/nations ride broadcasts
-    "j31_volume_shipping_q7": (1, 5, 0, 4),
-    # region prune through two broadcast dims; one fact exchange; one
-    # conditional-sum pass for numerator AND denominator
-    "j32_market_share_q8": (1, 6, 0, 7),
+    # j31/j32 promoted to the bench headline (pins now in test_plan_shapes)
     # custkey outer-join/count collapse + bounded count-of-counts rollup
     "a_custdist_q13": (2, 1, 0, 1),
     # DNF: part side pre-filtered to the bracket union before broadcast;
     # zero shuffles beyond the 1-row reduce
     "j33_bracket_revenue_q19": (0, 1, 0, 2),
-    # truth = panel-bounded shared-token join; candidate side is the SNM
-    # query (rank exchange + neighbor join); metrics are 1-row broadcasts
-    "dedup_snm_recall_eval": (4, 12, 4, 4),
-    # ONE K-way ranking pass yields db assignment AND probe list from the
-    # same pinned window; candidates cell-keyed; truth panel-broadcast
-    "ann_ivf_nprobe2_recall": (5, 4, 1, 2),
+    # snm_recall_eval / nprobe2_recall promoted to the bench headline
+    # (pins now in test_plan_shapes)
     # ONE moment-sum pass, zero exchanges, two-column pruned scan
     "ml_pca_2d_closed_form": (0, 0, 0, 0),
     # per-row bit ops in codegen + one cell-keyed count; two-column scan

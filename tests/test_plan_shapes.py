@@ -189,6 +189,18 @@ _SHAPES = {
     # exact_global_rank (range exchange + 2 bounded windows + offsets
     # broadcast) + ONE rank-keyed neighbor join; no cross join
     "dedup_sorted_neighborhood": (2, 3, 3, 0),
+    # --- r10-cohort promotions after driver verification (VERDICT r7 #6) ---
+    # truth = panel-bounded shared-token join; candidate side is the SNM
+    # query (rank exchange + neighbor join); metrics are 1-row broadcasts
+    "dedup_snm_recall_eval": (4, 12, 4, 4),
+    # ONE K-way ranking pass yields db assignment AND probe list from the
+    # same pinned window; candidates cell-keyed; truth panel-broadcast
+    "ann_ivf_nprobe2_recall": (5, 4, 1, 2),
+    # one orderkey fact exchange; dims/nations ride broadcasts
+    "j31_volume_shipping_q7": (1, 5, 0, 4),
+    # region prune through two broadcast dims; one fact exchange; one
+    # conditional-sum pass for numerator AND denominator
+    "j32_market_share_q8": (1, 6, 0, 7),
 }
 
 

@@ -104,6 +104,11 @@ HEADLINE = [
     # heaviest of the round-10 registrations (same policy)
     "ann_ivfpq_topk",
     "dedup_sorted_neighborhood",
+    # driver-verified r10 cohort promotions (VERDICT r7 #6)
+    "dedup_snm_recall_eval",
+    "ann_ivf_nprobe2_recall",
+    "j31_volume_shipping_q7",
+    "j32_market_share_q8",
 ]
 
 
