@@ -19,6 +19,10 @@ filters transient host noise (measured 2-5x swings for identical plans on
 an otherwise idle box). Both passes fully materialize results; nothing is
 cached between passes beyond what a long-running session would naturally
 hold (the JIT-compiled stages — parquet scans re-read the files each pass).
+
+``python bench.py --all``: single-pass sweep of the ENTIRE registry at
+$SPARK_GRAFT_SF_DIR → BENCH_FULL.json (long-tail sf0.1 drift radar; the
+headline min-of-2 record is unaffected).
 """
 
 from __future__ import annotations
@@ -46,6 +50,15 @@ def main() -> None:
     from tools.plan_report import HEADLINE
 
     headline = [name for name in HEADLINE if name in registry]
+    if "--all" in sys.argv:
+        # Full-registry sweep (single pass, sf0.1): the long-tail wall-clock
+        # record for the ~175 queries outside the headline. Writes
+        # BENCH_FULL.json and keeps the normal summary contract on stdout;
+        # run once per round to make non-headline drift visible at sf0.1
+        # (REGISTRY_TIMES.json covers the same set at sf0.01).
+        run_full_registry(spark, registry, sf_dir)
+        spark.stop()
+        return
 
     timings: dict[str, float] = {}
     # one warm-up action so JVM/codegen startup isn't billed to the first query
@@ -80,6 +93,44 @@ def main() -> None:
     # Final stdout line: the machine-readable summary of record.
     print(summary_line)
     spark.stop()
+
+
+def run_full_registry(spark, registry, sf_dir: str) -> None:
+    """Single-pass timing of EVERY registered query at ``sf_dir`` →
+    BENCH_FULL.json. One pass (not min-of-2): this is a drift radar over
+    ~260 queries, not the record — the headline keeps the min-of-2
+    protocol. Output stays off the driver's 2000-byte stdout tail
+    (summary line still ends stdout)."""
+    spark.read.parquet(os.path.join(sf_dir, "nation.parquet")).count()
+    timings: dict[str, float] = {}
+    for name in sorted(registry):
+        t0 = time.perf_counter()
+        registry[name].fn(spark, sf_dir).collect()
+        timings[name] = round(time.perf_counter() - t0, 3)
+    total = round(sum(timings.values()), 3)
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    try:
+        sf_val = float(sf)
+    except ValueError:
+        sf_val = sf
+    payload = {
+        "detail": "full_registry_single_pass_sec",
+        "sf": sf_val,
+        "n_queries": len(timings),
+        "total_sec": total,
+        "queries": timings,
+    }
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_FULL.json"), "w") as fh:
+            fh.write(json.dumps(payload) + "\n")
+    except OSError:
+        pass
+    print(json.dumps({
+        "metric": "full_registry_wall_clock", "value": total, "unit": "sec",
+        "queries": {}, "n_queries": len(timings),
+        "timing": "single_pass", "sf": sf_val,
+    }))
 
 
 def build_output_lines(timings: dict, total: float, sf_val) -> tuple:
