@@ -68,6 +68,30 @@ def test_business_reviews_sorts(wh):
     assert r2["reviews"].collect()[0].user_name == "Ann"
 
 
+def test_business_reviews_cursor_scroll_with_cached_total(wh):
+    """A scrolling client echoes next_cursor AND the first page's total:
+    pages 2+ must return the same rows as offset pagination while reusing
+    the cached count instead of re-scanning (ADVICE r7)."""
+    from yelpdatawarehouse_spark.operators.pagination import page_cursor
+
+    first = E.business_reviews(wh, "b1", sort="date_asc", limit=1)
+    total = first["pagination"]["total"]
+    assert total == 2
+    cur = page_cursor(first["reviews"].collect(), first["order"])
+    second = E.business_reviews(
+        wh, "b1", sort="date_asc", limit=1, cursor=cur, total=total
+    )
+    assert second["pagination"]["total"] == total  # echoed, not recounted
+    got = [x.review_id for x in second["reviews"].collect()]
+    want = [
+        x.review_id
+        for x in E.business_reviews(
+            wh, "b1", sort="date_asc", limit=1, page=2, use_offset=True
+        )["reviews"].collect()
+    ]
+    assert got == want
+
+
 def test_search_businesses_dynamic_predicates(wh):
     # substring, case-insensitive
     r = E.search_businesses(wh, query="cafe")

@@ -52,6 +52,7 @@ def paginate(
     order=None,
     cursor: dict | None = None,
     use_offset: bool = False,
+    total: int | None = None,
 ) -> tuple[DataFrame, dict]:
     """O4: page + the reference's pagination envelope {total, page, limit,
     pages} (webapp/mysql_routes.py:99,106-118,691-699). The separate COUNT
@@ -63,14 +64,21 @@ def paginate(
     are never produced-and-discarded (VERDICT r6 #7). ``use_offset=True``
     restores the reference's literal wide LIMIT/OFFSET plan. Without
     ``order`` (caller pre-sorted the frame) the legacy offset path is the
-    only option — kept for back-compat."""
+    only option — kept for back-compat.
+
+    A cursor-scrolling client should pass the FIRST page's ``total`` back
+    on subsequent requests: the COUNT scan then runs once per scroll, not
+    once per page (ADVICE r7 — with it, page N of a cursor iteration costs
+    O(limit) end to end)."""
     if order is not None:
         from ..operators.pagination import fetch_page
 
         return fetch_page(
-            df, order, page, limit, cursor=cursor, use_offset=use_offset
+            df, order, page, limit, cursor=cursor, use_offset=use_offset,
+            total=total,
         )
-    total = df.count()
+    if total is None:
+        total = df.count()
     pages = (total + limit - 1) // limit if total > 0 else 1
     page_df = df.offset((page - 1) * limit).limit(limit)
     return page_df, {"total": total, "page": page, "limit": limit, "pages": pages}
@@ -243,12 +251,15 @@ def business_reviews(
     sort: str = "date_desc",
     cursor: dict | None = None,
     use_offset: bool = False,
+    total: int | None = None,
 ) -> dict:
     """Review page for one business with user names, O2 dynamic sort, O4
     pagination (webapp/mysql_routes.py:460-583). A scrolling client passes
     back the previous page's ``next_cursor`` for O(limit) seek pagination
-    at any depth; without it, jump-to-page uses the deferred-join narrow
-    offset (``use_offset=True`` restores the reference's wide offset)."""
+    at any depth — and the first page's ``total`` so the COUNT scan runs
+    once per scroll, not once per page; without a cursor, jump-to-page
+    uses the deferred-join narrow offset (``use_offset=True`` restores
+    the reference's wide offset)."""
     df = (
         wh["fact_review"]
         .filter(F.col("business_id") == business_id)
@@ -267,7 +278,8 @@ def business_reviews(
     )
     spec = _REVIEW_SORTS.get(sort, _REVIEW_SORTS["date_desc"])
     page_df, pagination = paginate(
-        df, page, limit, order=spec, cursor=cursor, use_offset=use_offset
+        df, page, limit, order=spec, cursor=cursor, use_offset=use_offset,
+        total=total,
     )
     return {"reviews": page_df, "pagination": pagination, "order": spec}
 
