@@ -139,7 +139,11 @@ _SHAPES = {
     # pairs expand back afterwards) — +group/expansion exchanges, all
     # group- or answer-sized, in exchange for removing the k²-per-token
     # straggler a duplicated corpus creates
-    "dedup_prefix_filter_jaccard": (10, 5, 0, 3),
+    # r8: the tokenize/clone-group/sorted-set subtrees are eagerly pinned
+    # (localCheckpoint) — the visible plan is only the candidate join +
+    # verify + expansions downstream of the pins (was 20 FileScans / 25
+    # exchanges re-evaluating the scan subtree; now 1 scan inside the pin)
+    "dedup_prefix_filter_jaccard": (5, 3, 0, 0),
     # skyline via day-collapse + day-spine suffix-max + broadcast join —
     # the pin that keeps the x35-at-20x two-phase row-window form out
     "o7_pareto_front_orders": (1, 1, 1, 0),
@@ -157,7 +161,9 @@ _SHAPES = {
     # --- round-8 headline promotions ---
     # 3 greedy rounds: token-set joins against 1-doc broadcasts only —
     # never a pool×pool similarity join
-    "text_mmr_diverse_topk": (9, 15, 0, 5),
+    # r8: pool/token-set/round-1 state pinned (localCheckpoint) — visible
+    # plan is round 2+3 only (was 69 FileScans re-tokenizing per round)
+    "text_mmr_diverse_topk": (3, 6, 0, 0),
     # fact join is inside the eager edge pin; every post-pin exchange is
     # node-sized (nations²), score frames broadcast into the edge joins
     "g_hits_two_rounds": (10, 8, 0, 0),

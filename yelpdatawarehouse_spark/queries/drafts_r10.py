@@ -544,6 +544,11 @@ def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     keyed = docs.withColumn(
         "skey", F.concat_ws("\x01", F.col("bkey"), F.lpad(F.col("doc_id").cast("string"), 12, "0"))
     )
+    # NOT pinned (measured r8): the ranked frame feeds both sides of the
+    # neighbor join, but materializing token arrays to executor storage
+    # costs more than re-running the (scan+split+range-exchange) subtree
+    # twice — 2x reuse doesn't amortize a wide-row checkpoint, unlike the
+    # 20x reuse in dedup_prefix_filter_jaccard
     ranked = exact_global_rank(keyed, "skey", rank_col="rn").drop("skey", "bkey")
     right = ranked.select(
         F.col("doc_id").alias("doc_b"),

@@ -2746,18 +2746,25 @@ def dedup_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = spread(table(spark, sf_dir, "documents")).filter(
         F.col("doc_id") % PPJ_MOD == 0
     )
+    # The tokenized corpus, the clone groups, and the per-representative
+    # sorted sets each feed 2-5 downstream consumers (self-joins, member
+    # expansions); without pins Spark re-evaluated the scan+tokenize
+    # subtree ~20x (measured round 8: 20 FileScans, 0 reused exchanges,
+    # 5.4s -> pins cut it to one evaluation each). Eager localCheckpoint —
+    # same pin discipline as operators/iterative; executor-storage
+    # fault-tolerance trade documented at operators/graph.py.
     docs = d.select(
         F.col("doc_id").cast("long").alias("doc_id"),
         F.array_sort(F.array_distinct(T.tokens("text"))).alias("set_lex"),
-    )
-    # Exact-clone collapse: identical token SETS share one group; the
-    # similarity join sees one representative per group.
-    groups = docs.select(
-        "doc_id", H.md5_long(F.array_join("set_lex", " ")).alias("gid")
-    )
+    ).withColumn(
+        # Exact-clone collapse key: identical token SETS share one group;
+        # the similarity join sees one representative per group.
+        "gid", H.md5_long(F.array_join("set_lex", " "))
+    ).localCheckpoint()
+    groups = docs.select("doc_id", "gid")
     reps = groups.groupBy("gid").agg(F.min("doc_id").alias("rep"))
     rep_docs = docs.join(
-        reps.select(F.col("rep").alias("doc_id"), "gid"), "doc_id"
+        reps.select(F.col("rep").alias("doc_id")), "doc_id"
     )
     tok = rep_docs.select("gid", F.explode("set_lex").alias("t"))
     freq = tok.groupBy("t").agg(F.count("*").cast("long").alias("f"))
@@ -2781,7 +2788,7 @@ def dedup_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("n") - F.floor((3 * F.col("n") + 4) / 5).cast("long") + 1
             ).alias("p"),
         )
-    )
+    ).localCheckpoint()  # feeds pref (x2, self-join) and sets (x2)
     pref = by_doc.select(
         "gid", "n", F.explode(F.slice("toks", 1, F.col("p"))).alias("t")
     )

@@ -1140,13 +1140,21 @@ def text_mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     rel_expr = sum(
         F.size(F.filter(T.tokens("text"), _eq(w))) for w in MMR_TERMS
     )
-    pool = d.select("doc_id", rel_expr.cast("long").alias("rel")).filter(
-        F.col("rel") >= 1
+    # The pool and its token sets feed EVERY greedy round (each round's
+    # semi-joins, sizes, and intersections), and round n's frame builds on
+    # round n-1's — unpinned, Spark re-evaluated the scan+tokenize subtree
+    # 69x (measured round 8). Eager localCheckpoint pins the loop-carried
+    # state, the same discipline as operators/iterative.
+    pool = (
+        d.select("doc_id", rel_expr.cast("long").alias("rel"))
+        .filter(F.col("rel") >= 1)
+        .localCheckpoint()
     )
     toks = (
         d.join(pool.select("doc_id"), "doc_id", "left_semi")
         .select("doc_id", F.explode(T.tokens("text")).alias("tok"))
         .distinct()
+        .localCheckpoint()
     )
     sz = toks.groupBy("doc_id").agg(F.count("*").alias("sz"))
 
@@ -1187,10 +1195,10 @@ def text_mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             .limit(1)
         )
 
-    s1 = pool.orderBy(F.desc("rel"), F.asc("doc_id")).limit(1)
+    s1 = pool.orderBy(F.desc("rel"), F.asc("doc_id")).limit(1).localCheckpoint()
     rest1 = pool.join(F.broadcast(s1.select("doc_id")), "doc_id", "left_anti")
-    sim1 = jacc_vs(rest1, s1, "j1")
-    s2 = pick(sim1, F.col("rel") - MMR_LAMBDA * F.col("j1"))
+    sim1 = jacc_vs(rest1, s1, "j1").localCheckpoint()
+    s2 = pick(sim1, F.col("rel") - MMR_LAMBDA * F.col("j1")).localCheckpoint()
     rest2 = sim1.join(F.broadcast(s2.select("doc_id")), "doc_id", "left_anti")
     sim2 = jacc_vs(rest2, s2, "j2")
     s3 = pick(
