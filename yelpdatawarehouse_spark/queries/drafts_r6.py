@@ -428,6 +428,11 @@ def dedup_minhash_pr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("j"),
         )
     )
+    # NOT pinned (measured r8): truth/cand are each reused 2x, but eager
+    # checkpoints SERIALIZE what Spark otherwise executes as concurrent
+    # stages of one job — at 2x reuse the duplicated compute is cheaper
+    # than losing that overlap (2.74s -> 3.31s pinned). Pin only at high
+    # reuse multiplicity (PPJoin 20x, MMR 69x — both measured wins).
     truth = jac.filter(rfix(F.col("j"), 6) >= _PR_TAU).select("doc_a", "doc_b")
     cand = dedup_minhash_lsh_candidates(spark, sf_dir).filter(
         F.col("doc_a") < _PR_PANEL
