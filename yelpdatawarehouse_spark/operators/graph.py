@@ -29,7 +29,16 @@ def bfs_min_hops(
     ``max_hops``. Returns columns (node BIGINT, hops BIGINT), including the
     start node at 0 hops.
     """
-    edges = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).cache()
+    # Eager localCheckpoint pins, not lazy cache (r8): each hop runs an
+    # isEmpty() action, and an unpinned frontier/visited chain re-executes
+    # EVERY earlier hop per action (measured: 48 fact FileScans in the
+    # final plan at 3 hops, 2.4s at sf0.1). Pinning the fact-scale edge
+    # derivation once and each node-sized frontier keeps hop n O(frontier
+    # x edges) — the min_label_components discipline. Fault-tolerance
+    # trade documented at min_label_components below.
+    edges = edges.select(
+        F.col(src).alias("src"), F.col(dst).alias("dst")
+    ).localCheckpoint()
     visited = spark.createDataFrame([(start, 0)], "node BIGINT, hops BIGINT")
     frontier = visited
     for hop in range(1, max_hops + 1):
@@ -39,7 +48,7 @@ def bfs_min_hops(
             .distinct()
             .join(visited.select("node"), "node", "left_anti")
             .select("node", F.lit(hop).cast("long").alias("hops"))
-        )
+        ).localCheckpoint()
         if nxt.isEmpty():
             break
         visited = visited.union(nxt)
