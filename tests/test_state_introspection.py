@@ -110,12 +110,16 @@ def test_partition_profile_accounts_for_every_key(spark, windowed_ckpt):
         assert r["n_keys"] > 0
 
 
-def test_join_state_buffers_both_sides(spark, tmp_path):
+@pytest.mark.parametrize("how", ["inner", "full_outer"])
+def test_join_state_buffers_both_sides(spark, tmp_path, how):
     """Stream-stream join state is inspectable per side: with no
     watermark-driven eviction yet (no late sentinel has advanced it), the
     LEFT buffer holds every impression seen and the RIGHT every
     conversion — the exact rows a "why is this join's state growing"
-    production investigation needs to see."""
+    production investigation needs to see. Parametrized over inner and
+    full_outer: the per-side buffers (and their eviction bounds) are
+    join-mode-independent — outer modes change what is EMITTED at
+    eviction, not what is retained."""
     import os as _os
 
     from pyspark.sql import functions as F
@@ -160,9 +164,10 @@ def test_join_state_buffers_both_sides(spark, tmp_path):
                     "event_type", F.lit("purchase")
                 )
             ),
+            how=how,
         )
         .writeStream.format("memory")
-        .queryName("join_state_probe")
+        .queryName(f"join_state_probe_{how}")
         .outputMode("append")
         .option("checkpointLocation", ckpt)
         .trigger(availableNow=True)
