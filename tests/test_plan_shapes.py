@@ -47,7 +47,11 @@ _SHAPES = {
     "dedup_ngram_jaccard_pairs": (1, 3, 0, 3),
     "ann_topk_cosine": (1, 1, 1, 2),
     "ann_ivf_topk": (1, 1, 1, 0),
-    "ann_lsh_bucket_topk": (1, 1, 1, 0),
+    # r8 clone collapse: gkey member-rank window (reps + first-4), rep×rep
+    # bucket join, per-group top-4 window, per-query top-3 window — the
+    # naive quadratic-in-clones self-join (x26.86 at 20x replication) is
+    # gone (x0.81 after); +0.4s on a clone-free corpus is the price
+    "ann_lsh_bucket_topk": (3, 3, 5, 0),
     "text_quality_scores": (0, 0, 0, 0),
     "text_tfidf_top_terms": (4, 1, 2, 0),  # +1: spread()
     "text_chunk_sliding": (0, 0, 0, 0),

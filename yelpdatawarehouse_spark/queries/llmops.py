@@ -977,6 +977,24 @@ def ann_lsh_bucket_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidates; ties break on the 6-digit-canonicalized score + vec_id
     so engine and oracle agree bit-for-bit. Recall tradeoff vs the
     brute-force ann_topk_cosine baseline is the standard LSH contract.
+
+    Duplicate-robustness (the PPJoin move, measured r8): on a corpus with
+    exact-duplicate vectors the naive bucket self-join is QUADRATIC in
+    the duplication factor — identical vectors share a bucket, so k
+    clones turn every candidate pair into k² scored rows (measured
+    x26.86 at 20x verbatim-replicated embeddings). The cosine join
+    therefore runs on DISTINCT vectors only: exact clones collapse to
+    one representative (group key = md5 of the float array's string
+    form — Java float→string is injective, distinct floats → distinct
+    strings), representatives score against representatives, and members
+    are expanded back afterwards. Expansion is exact, not approximate:
+    every member of a candidate group shares the representative's cosine
+    bit-for-bit (identical bytes), and within a tied group order is by
+    vec_id — so the per-query top-3 is reconstructed from each group's
+    first FOUR members by id (4 = top-3 + at most one self-exclusion),
+    ranked globally per group, then per query after removing self. The
+    per-group candidate pool and the expansion join are both linear in
+    corpus size; the k² regime is gone.
     """
     # The bucketed + pre-normed projection IS the ANN index: materialize it
     # once (eager localCheckpoint) so (a) norms are computed per ROW, not per
@@ -993,23 +1011,50 @@ def ann_lsh_bucket_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint(eager=True)
     )
-    a, n = e.alias("a"), e.alias("n")
+    gkey = hashing.md5_long(
+        F.array_join(F.col("embedding").cast("array<string>"), ",")
+    )
+    keyed = e.withColumn("gkey", gkey)
+    mw = Window.partitionBy("gkey").orderBy("vec_id")
+    gm = keyed.withColumn("mrn", F.row_number().over(mw))
+    reps = gm.filter(F.col("mrn") == 1)
+    first4 = gm.filter(F.col("mrn") <= 4).select(
+        F.col("gkey").alias("n_gkey"), F.col("vec_id").alias("neighbor_id")
+    )
+    a, n = reps.alias("a"), reps.alias("n")
     cos = V.dot(F.col("a.embedding"), F.col("n.embedding")) / (
         F.col("a.nrm") * F.col("n.nrm")
     )
+    # rep×rep INCLUDING the self-pair: a group's own members are each
+    # other's (exact-duplicate) candidates; per-query self-exclusion below
+    pairs = a.join(n, F.col("n.bucket") == F.col("a.bucket")).select(
+        F.col("a.gkey").alias("q_gkey"),
+        F.col("n.gkey").alias("n_gkey"),
+        F.col("a.bucket").alias("bucket"),
+        rfix(cos, 6).alias("c6"),
+        rfix(cos, 4).alias("cos_sim"),
+    )
+    gw = Window.partitionBy("q_gkey").orderBy(F.desc("c6"), F.asc("neighbor_id"))
+    top4 = (
+        pairs.join(first4, "n_gkey")
+        .withColumn("crn", F.row_number().over(gw))
+        .filter(F.col("crn") <= 4)
+        .drop("crn", "n_gkey")
+    )
+    # no window needed on the query side — every member is a query
+    queries = keyed.select(
+        F.col("gkey").alias("q_gkey"), F.col("vec_id").alias("query_id")
+    )
     w = Window.partitionBy("query_id").orderBy(F.desc("c6"), F.asc("neighbor_id"))
     return (
-        a.join(
-            n,
-            (F.col("n.bucket") == F.col("a.bucket"))
-            & (F.col("n.vec_id") != F.col("a.vec_id")),
-        )
+        queries.join(top4, "q_gkey")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
         .select(
-            F.col("a.vec_id").cast("long").alias("query_id"),
-            F.col("n.vec_id").cast("long").alias("neighbor_id"),
-            F.col("a.bucket").alias("bucket"),
-            rfix(cos, 6).alias("c6"),
-            rfix(cos, 4).alias("cos_sim"),
+            F.col("query_id").cast("long").alias("query_id"),
+            F.col("neighbor_id").cast("long").alias("neighbor_id"),
+            "bucket",
+            "c6",
+            "cos_sim",
         )
         .withColumn("rn", F.row_number().over(w).cast("long"))
         .filter(F.col("rn") <= 3)
