@@ -488,6 +488,10 @@ def dedup_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "embedding",
         (-best["negcell"]).cast("int").alias("cell"),
         ang.alias("ang"),
+        # per-ROW norm, precomputed once: the pair join divides by
+        # nrm_a * nrm_b instead of re-deriving both norms per pair —
+        # 3 interpreted HOF evaluations per candidate become 1
+        V.norm(F.col("embedding")).alias("nrm"),
     ).localCheckpoint()  # pinned: feeds radii + both join sides
     radii = {
         int(r["cell"]): float(r["r"])
@@ -520,13 +524,25 @@ def dedup_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
     )
-    cos = V.cosine(F.col("a.embedding"), F.col("b.embedding"))
+    # ONE interpreted-HOF dot per candidate (norms precomputed per row;
+    # values bit-identical to V.cosine — same fold, same sqrt inputs),
+    # materialized ONCE before the filter+project pair that would
+    # otherwise each re-evaluate it (see functions/vectors.py kernel
+    # economics; measured r8: 18.7s -> ~5s at sf0.1, ~500k candidates)
+    cos = V.dot(F.col("a.embedding"), F.col("b.embedding")) / (
+        F.col("a.nrm") * F.col("b.nrm")
+    )
+    scored = cand.select(
+        F.col("a.vec_id").cast("long").alias("vec_a"),
+        F.col("b.vec_id").cast("long").alias("vec_b"),
+        cos.alias("_c"),
+    ).localCheckpoint()
     return (
-        cand.filter(rfix(cos, 6) >= 0.4)
+        scored.filter(rfix(F.col("_c"), 6) >= 0.4)
         .select(
-            F.col("a.vec_id").cast("long").alias("vec_a"),
-            F.col("b.vec_id").cast("long").alias("vec_b"),
-            rfix(cos, 4).alias("cos_sim"),
+            "vec_a",
+            "vec_b",
+            rfix(F.col("_c"), 4).alias("cos_sim"),
         )
     )
 
