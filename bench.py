@@ -103,9 +103,14 @@ def run_full_registry(spark, registry, sf_dir: str) -> None:
     (summary line still ends stdout)."""
     spark.read.parquet(os.path.join(sf_dir, "nation.parquet")).count()
     timings: dict[str, float] = {}
+    failures: dict[str, str] = {}
     for name in sorted(registry):
         t0 = time.perf_counter()
-        registry[name].fn(spark, sf_dir).collect()
+        try:
+            registry[name].fn(spark, sf_dir).collect()
+        except Exception as ex:  # noqa: BLE001 — a radar must outlive one query
+            failures[name] = str(ex).split("\n")[0][:200]
+            continue
         timings[name] = round(time.perf_counter() - t0, 3)
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").split("sf")[-1]
@@ -119,6 +124,7 @@ def run_full_registry(spark, registry, sf_dir: str) -> None:
         "n_queries": len(timings),
         "total_sec": total,
         "queries": timings,
+        "failures": failures,
     }
     try:
         with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -129,6 +135,7 @@ def run_full_registry(spark, registry, sf_dir: str) -> None:
     print(json.dumps({
         "metric": "full_registry_wall_clock", "value": total, "unit": "sec",
         "queries": {}, "n_queries": len(timings),
+        "n_failures": len(failures),
         "timing": "single_pass", "sf": sf_val,
     }))
 

@@ -2006,9 +2006,15 @@ def w_pandas_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = table(spark, sf_dir, "orders")
     cx = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
     c = o.select("o_orderstatus", "o_orderkey", "o_totalprice", cx.alias("cx"))
+    # squared cents in DECIMAL(38,0), not long (the ml_pca_2d discipline):
+    # cx² ~ 1e14-3e15 per row, so a LONG sum overflows near ~1e5 rows per
+    # group — exactly sf0.1's group size (caught by the first full-registry
+    # sf0.1 sweep, r8). DECIMAL(38,0) keeps the sum exact to ~1e38 cents²
+    # and casts to the same double as DuckDB's HUGEINT on the oracle side.
+    cxd = F.col("cx").cast("decimal(38,0)")
     s = c.groupBy("o_orderstatus").agg(
         F.sum("cx").cast("double").alias("sx"),
-        F.sum(F.col("cx") * F.col("cx")).cast("double").alias("sxx"),
+        F.sum(cxd * cxd).cast("double").alias("sxx"),
         F.count("*").cast("double").alias("n"),
     )
     stats = s.select(
