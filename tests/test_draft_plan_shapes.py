@@ -94,7 +94,11 @@ _SHAPES = {
     # exchanges, all on the dimension, none on the token stream; the
     # only global windows left are bounded to <=32 offset rows and the
     # 10 decile rows)
-    "diag_heaps_vocab_growth": (6, 8, 5, 1),
+    # r8: exact_global_rank pins its ranged frame (correctness; see
+    # operators/ranks.py) — the rank subtree is out of the visible plan,
+    # but each downstream consumer re-joins the pinned rank (AQE-off
+    # static plan counts every branch)
+    "diag_heaps_vocab_growth": (14, 13, 10, 1),
     # two stump passes; stump-1 scalars broadcast over the second scan;
     # value-domain-bounded windows only
     "ml_boosting_round_stumps": (2, 7, 6, 0),

@@ -183,7 +183,10 @@ _SHAPES = {
     # custkey + value collapses; TWO exact_prefix_sum passes (range
     # exchanges + pid-local windows + bounded offsets windows); boundary
     # filter rides the 1-row total broadcast
-    "a_pareto_8020_concentration": (10, 4, 4, 0),
+    # r8: exact_prefix_sum pins its ranged frame (correctness — see
+    # operators/ranks.py), truncating the visible lineage to the two
+    # offset joins + boundary filter
+    "a_pareto_8020_concentration": (4, 2, 2, 0),
     # one (source, token) collapse; pair grid + totals ride broadcasts
     "text_jsd_source_pairs": (6, 4, 0, 1),
     # edges pinned once; triangle join + degree/corner rollups are all
@@ -198,11 +201,13 @@ _SHAPES = {
     "ann_ivfpq_topk": (1, 3, 1, 2),
     # exact_global_rank (range exchange + 2 bounded windows + offsets
     # broadcast) + ONE rank-keyed neighbor join; no cross join
-    "dedup_sorted_neighborhood": (2, 3, 3, 0),
+    # r8: exact_global_rank pins its ranged frame (operators/ranks.py) —
+    # both join sides re-read the pinned rank, counted per branch
+    "dedup_sorted_neighborhood": (4, 3, 4, 0),
     # --- r10-cohort promotions after driver verification (VERDICT r7 #6) ---
     # truth = panel-bounded shared-token join; candidate side is the SNM
     # query (rank exchange + neighbor join); metrics are 1-row broadcasts
-    "dedup_snm_recall_eval": (4, 12, 4, 4),
+    "dedup_snm_recall_eval": (10, 13, 8, 4),
     # ONE K-way ranking pass yields db assignment AND probe list from the
     # same pinned window; candidates cell-keyed; truth panel-broadcast
     "ann_ivf_nprobe2_recall": (5, 4, 1, 2),

@@ -71,8 +71,15 @@ def exact_global_rank(
     pre-distinct the frame) when rank stability matters, exactly as you
     would have to for the naive global window.
     """
-    ranged = df.repartitionByRange(num_partitions, F.col(key)).withColumn(
-        "__pid", _guarded_pid(key, "exact_global_rank")
+    # Pinned for __pid consistency across the two consumers (counts +
+    # data join) — spark_partition_id() is nondeterministic and a
+    # re-evaluated subtree may land on a different partitioning when the
+    # input is a shuffle output; see the exact_prefix_sum comment (the
+    # sf0.1 pareto corruption, round 8).
+    ranged = (
+        df.repartitionByRange(num_partitions, F.col(key))
+        .withColumn("__pid", _guarded_pid(key, "exact_global_rank"))
+        .localCheckpoint()
     )
     # Bounded exchange: one row per partition. The unboundedPreceding
     # window below runs over <= num_partitions rows by construction.
@@ -111,8 +118,20 @@ def exact_prefix_sum(
     Spark's sum over the column's own type — use an exact type (long /
     decimal) when cross-engine bit-equality matters.
     """
-    ranged = df.repartitionByRange(num_partitions, F.col(order_key)).withColumn(
-        "__pid", _guarded_pid(order_key, "exact_prefix_sum")
+    # Pinned (eager localCheckpoint), NOT just lazily shared: __pid is
+    # spark_partition_id() — NONDETERMINISTIC — and `ranged` feeds TWO
+    # consumers (the per-partition totals and the data join). Unpinned,
+    # each consumer re-evaluates the subtree, and when the INPUT is
+    # itself a shuffle output, AQE may give the two evaluations different
+    # partitionings — offsets computed against one boundary set get
+    # applied to another, silently corrupting the prefix sums (caught at
+    # sf0.1 in round 8: the second chained exact_prefix_sum inside the
+    # pareto query drifted mid-frame). The pin guarantees one evaluation,
+    # one partitioning, one consistent __pid assignment.
+    ranged = (
+        df.repartitionByRange(num_partitions, F.col(order_key))
+        .withColumn("__pid", _guarded_pid(order_key, "exact_prefix_sum"))
+        .localCheckpoint()
     )
     totals = ranged.groupBy("__pid").agg(F.sum(value_col).alias("__tot"))
     off_w = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)

@@ -281,9 +281,12 @@ PARETO_TARGET = 0.8
 
 PARETO_ORACLE = f"""
 WITH spend AS (
+    -- cents per ROW, then an integer sum (order-independent): a float
+    -- sum rounded to cents diverges between engines when a customer's
+    -- total lands on the .xx5 boundary (hit at sf0.1, round 8)
     SELECT o_custkey,
-           CAST(round({rfix_sql('sum(o_totalprice)', 2)} * 100) AS BIGINT)
-             AS s_c
+           CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS s_c
     FROM orders GROUP BY o_custkey
 ),
 byv AS (
@@ -338,12 +341,16 @@ def a_pareto_8020_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial count is closed-form ceil arithmetic, so ties at the cutoff
     are handled exactly.
 
-    Float discipline (ADVICE r6 #1): per-customer spend is canonicalized
-    (rfix 2) and immediately converted to EXACT CENTS (long) — every
-    accumulation, prefix sum, boundary comparison, and the ceil-div that
-    yields n_top_customers is integer arithmetic, so the result is
-    order-independent and bit-equal to the oracle regardless of partition
-    regrouping inside exact_prefix_sum. 0.8*t is compared as 5*x vs 4*t
+    Float discipline (ADVICE r6 #1; tightened r8): each order converts to
+    EXACT CENTS at the ROW level (2-decimal money is exact under
+    floor(x*100+0.5)), so the per-customer spend is an INTEGER sum —
+    order-independent by construction. (The earlier float-sum-then-round
+    form diverged from the oracle at sf0.1 when a customer's total
+    landed on the .xx5 boundary under a different partial-aggregation
+    order.) Every accumulation, prefix sum, boundary comparison, and the
+    ceil-div that yields n_top_customers is integer arithmetic, bit-equal
+    to the oracle regardless of partition regrouping inside
+    exact_prefix_sum. 0.8*t is compared as 5*x vs 4*t
     and the ceil is an integer ceildiv — no float ever touches the
     boundary decision. Doubles appear only in the final ratio columns.
     Range note: long cents hold up to ~$9.2e16 total revenue (beyond a
@@ -358,11 +365,13 @@ def a_pareto_8020_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.ranks import exact_prefix_sum
 
     o = spread(table(spark, sf_dir, "orders"))
-    spend = o.groupBy("o_custkey").agg(
-        F.round(rfix(F.sum("o_totalprice"), 2) * 100)
-        .cast("long")
-        .alias("s_c")
-    )
+    # exact cents per ROW (2-decimal money converts exactly), THEN an
+    # integer sum — the float-sum-then-round form diverged from the
+    # oracle at sf0.1 when a customer total hit the .xx5 boundary
+    # (partial-aggregation order differs between engines; caught by the
+    # round-8 sf0.1 headline parity sweep)
+    row_cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    spend = o.groupBy("o_custkey").agg(F.sum(row_cents).alias("s_c"))
     byv = spend.groupBy("s_c").agg(
         F.count("*").alias("c"), F.sum("s_c").alias("rev")
     )
