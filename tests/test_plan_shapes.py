@@ -216,6 +216,12 @@ _SHAPES = {
     # region prune through two broadcast dims; one fact exchange; one
     # conditional-sum pass for numerator AND denominator
     "j32_market_share_q8": (1, 6, 0, 7),
+    # --- r9 promotions (VERDICT r8 #8): slowest two registry queries ---
+    # both run on the r8 one-HOF cosine kernel: pair scores are pinned via
+    # localCheckpoint before reuse, so the visible plan starts at the
+    # checkpointed RDD (zero FileScans) — only the post-pin shape is pinned
+    "dedup_semantic_clusters": (2, 0, 0, 0),
+    "dedup_embedding_cosine_pairs": (0, 0, 0, 0),
 }
 
 

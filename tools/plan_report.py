@@ -109,6 +109,11 @@ HEADLINE = [
     "ann_ivf_nprobe2_recall",
     "j31_volume_shipping_q7",
     "j32_market_share_q8",
+    # r9 promotions (VERDICT r8 #8): after the r8 cosine-kernel fix these
+    # became the two slowest registry queries outside the headline — give
+    # them timing-of-record slots so a kernel regression fails the bench
+    "dedup_semantic_clusters",
+    "dedup_embedding_cosine_pairs",
 ]
 
 
