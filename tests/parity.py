@@ -64,23 +64,35 @@ def _values_close(a, b) -> bool:
     return a == b
 
 
-def compare(spark_df, oracle_sql: str, sf_dir: str) -> list[str]:
-    """Return a list of mismatch descriptions (empty == parity)."""
-    problems: list[str] = []
+def oracle_canon(oracle_sql: str, sf_dir: str) -> tuple[list[str], list]:
+    """Run the DuckDB oracle and return (column names, canonical rows).
+
+    The canonical form is pure tuples of (tag, value) primitives — it
+    round-trips exactly through repr()/ast.literal_eval, which is what
+    tools/oracle_cache.py relies on to cache expensive sf0.1 oracles
+    (two recursive-CTE graph oracles cost ~450 s each in DuckDB).
+    """
     con = duck_con(sf_dir)
     orows = con.execute(oracle_sql).fetchall()
     ocols = [d[0] for d in con.description]
+    _, o_canon = _canon_rows(ocols, orows)
+    return ocols, o_canon
+
+
+def compare_with_canon(spark_df, ocols: list[str], o_canon: list) -> list[str]:
+    """Spark-side half of compare(): diff a DataFrame against a
+    pre-canonicalized oracle result (possibly loaded from cache)."""
+    problems: list[str] = []
     srows = [tuple(r) for r in spark_df.collect()]
     scols = spark_df.columns
 
     if sorted(scols) != sorted(ocols):
         problems.append(f"columns differ: spark={sorted(scols)} oracle={sorted(ocols)}")
         return problems
-    if len(srows) != len(orows):
-        problems.append(f"row count differs: spark={len(srows)} oracle={len(orows)}")
+    if len(srows) != len(o_canon):
+        problems.append(f"row count differs: spark={len(srows)} oracle={len(o_canon)}")
 
     _, s_canon = _canon_rows(scols, srows)
-    _, o_canon = _canon_rows(ocols, orows)
     limit = 5
     for i, (sr, orow) in enumerate(zip(s_canon, o_canon)):
         if sr == orow:
@@ -92,3 +104,9 @@ def compare(spark_df, oracle_sql: str, sf_dir: str) -> list[str]:
             problems.append("... (truncated)")
             break
     return problems
+
+
+def compare(spark_df, oracle_sql: str, sf_dir: str) -> list[str]:
+    """Return a list of mismatch descriptions (empty == parity)."""
+    ocols, o_canon = oracle_canon(oracle_sql, sf_dir)
+    return compare_with_canon(spark_df, ocols, o_canon)

@@ -30,6 +30,27 @@ _PYTHON_OK = {"text_chunk_udtf"}
 # BatchEvalPython stays banned even for these.
 _ARROW_OK = {"text_bpe_one_merge_compression", "text_bpe_subword_stats"}
 
+# --- r9 overflow audit (VERDICT r8 #2, class a) -------------------------
+# sum(long * long) overflows silently past ~9.2e18: r8's
+# w_pandas_zscore_outliers bug (cents² LONG sum, wraps at ~1e5 rows/group)
+# is the class; the fix discipline is decimal(38,0) accumulation. This
+# regex finds every sum/partial_sum over a product of two BARE LongType
+# refs in the executed plan (decimal/double-cast operands don't match —
+# they print as cast(x as ...)). Registry scan hits (r9): the three below,
+# each provably safe because one operand is a small bounded value so the
+# sum is O(const · rows) ≈ 1e13 at 100 TB fact scale, 5 orders of
+# magnitude under LONG max. g_hits_two_rounds WAS a real exposure
+# (Σ w·a1 ~ 1e20 at full scale) and now accumulates decimal(38,0).
+_LONG_PRODUCT_SUM = __import__("re").compile(r"sum\(+\w+#\d+L \* \w+#\d+L\)")
+_LONG_PRODUCT_OK = {
+    # Σ quantity·count over the value-domain collapse = total quantity
+    # (quantity ≤ 50 per row)
+    "a_trimmed_mean_quantity",
+    # Σ word_freq·symbols_per_word = corpus symbol count (nsym ≤ ~40)
+    "text_bpe_one_merge_compression",
+    "text_bpe_subword_stats",
+}
+
 
 @pytest.mark.parametrize("name", sorted(REGISTRY))
 def test_plan_has_no_scale_killers(spark, name):
@@ -45,3 +66,10 @@ def test_plan_has_no_scale_killers(spark, name):
         )
         for marker in markers:
             assert marker not in plan, f"{name} fell off codegen into {marker}"
+    if name not in _LONG_PRODUCT_OK:
+        m = _LONG_PRODUCT_SUM.findall(plan)
+        assert not m, (
+            f"{name} sums a long×long product {sorted(set(m))} — overflow "
+            "risk past ~9.2e18; accumulate in decimal(38,0) or add a "
+            "magnitude-bound justification to _LONG_PRODUCT_OK"
+        )

@@ -1,9 +1,9 @@
-"""Headline oracle-parity sweep at sf0.1 — value correctness AT SCALE.
+"""Oracle-parity sweep at sf0.1 — value correctness AT SCALE.
 
 The per-round gates verify values at sf0.001 (pytest) and sf0.01 (the
-driver); this tool runs the same DuckDB-oracle comparison for every bench
-HEADLINE query at sf0.1, where scale-only bugs live. Its first run
-(round 8) caught two real ones the smaller gates could not see:
+driver); this tool runs the same DuckDB-oracle comparison at sf0.1, where
+scale-only bugs live. Its first run (round 8) caught two real ones the
+smaller gates could not see:
 
 * ``w_pandas_zscore_outliers`` — LONG overflow in a cents² sum once a
   group passed ~1e5 rows;
@@ -11,17 +11,23 @@ HEADLINE query at sf0.1, where scale-only bugs live. Its first run
   two consumers under AQE, silently corrupting chained prefix sums
   (surfaced as a wrong pareto boundary).
 
-Writes SF01_PARITY.json ({name: "OK" | first-mismatch}) at the repo root.
+Coverage (round 9, VERDICT r8 #1): every run sweeps the full bench
+HEADLINE **plus a rotating window of the registry tail** (default 60
+queries, oldest-checked first, tracked in SF01_TAIL_STATE.json) — so the
+~175 non-headline queries get sf0.1 value evidence on a ~3-round cycle
+instead of never. DuckDB oracle results are cached on disk keyed by
+(name, SQL, dataset content hash) — see tools/oracle_cache.py — so the
+two ~450 s recursive-CTE oracles and the rest are paid once; warm re-runs
+cost roughly engine time.
 
-    python tools/sf01_parity.py                 # full headline (~25 min —
-                                                # two graph oracles are
-                                                # ~450s each in DuckDB)
-    SF01_SKIP=g_hits_two_rounds,o7_pareto_front_orders \
-        python tools/sf01_parity.py             # quick pass
+Writes SF01_PARITY.json at the repo root:
+    {"results": {headline name: "OK"|first-mismatch},
+     "tail_results": {tail name: ...}, "n_fail": total}
 
-Cost note: the slow entries are the ORACLES (unrolled recursive CTEs in
-DuckDB at sf0.1), not the engine — engine wall-clock per query matches
-the bench record.
+    python tools/sf01_parity.py                 # headline + next tail window
+    SF01_MODE=headline python tools/sf01_parity.py
+    SF01_MODE=tail SF01_TAIL_N=80 python tools/sf01_parity.py
+    SF01_SKIP=g_hits_two_rounds python tools/sf01_parity.py
 """
 
 from __future__ import annotations
@@ -34,41 +40,107 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SF = os.environ.get("SF01_PARITY_SF_DIR", "/root/testdata/sf0.1")
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+STATE_PATH = os.path.join(ROOT, "SF01_TAIL_STATE.json")
+
+
+def _load_state() -> dict:
+    if os.path.exists(STATE_PATH):
+        with open(STATE_PATH) as fh:
+            return json.load(fh)
+    return {"seq": 0, "checked": {}}
+
+
+def _pick_tail(registry_names, headline, state, n: int) -> list[str]:
+    tail = sorted(set(registry_names) - set(headline))
+    checked = state["checked"]
+    # never-checked first (-1), then stalest; name tiebreak for determinism
+    tail.sort(key=lambda name: (checked.get(name, -1), name))
+    return tail[:n]
+
+
+def _compare_cached(name, fn, osql, spark, fingerprint):
+    """compare() with the oracle half served from the disk cache."""
+    from tests.parity import compare_with_canon, oracle_canon
+    from tools import oracle_cache
+
+    cached = oracle_cache.get(name, osql, fingerprint)
+    if cached is None:
+        ocols, o_canon = oracle_canon(osql, SF)
+        oracle_cache.put(name, osql, fingerprint, ocols, o_canon)
+        hit = False
+    else:
+        ocols, o_canon = cached
+        hit = True
+    return compare_with_canon(fn(spark, SF), ocols, o_canon), hit
 
 
 def main() -> int:
-    from tests.parity import compare
+    from tools import oracle_cache
     from tools.plan_report import HEADLINE
 
     import __spark_entry__ as E
     from yelpdatawarehouse_spark.queries import all_queries
     from yelpdatawarehouse_spark.session import get_spark
 
+    mode = os.environ.get("SF01_MODE", "all")
+    tail_n = int(os.environ.get("SF01_TAIL_N", "60"))
     skip = {n for n in os.environ.get("SF01_SKIP", "").split(",") if n}
+
     spark = get_spark(app_name="sf01-parity")
     spark.sparkContext.setLogLevel("ERROR")
     reg, osql = all_queries(), E.oracle_sql()
+    fingerprint = oracle_cache.dataset_fingerprint(SF)
+
+    state = _load_state()
+    state["seq"] += 1
+    seq = state["seq"]
+
+    plan: list[tuple[str, str]] = []
+    if mode in ("all", "headline"):
+        plan += [("headline", n) for n in HEADLINE]
+    tail_names: list[str] = []
+    if mode in ("all", "tail"):
+        tail_names = _pick_tail(reg.keys(), HEADLINE, state, tail_n)
+        plan += [("tail", n) for n in tail_names]
+
     results: dict[str, str] = {}
-    n_fail = 0
-    for i, name in enumerate(HEADLINE, start=1):
+    tail_results: dict[str, str] = {}
+    n_fail = n_hit = 0
+    for i, (kind, name) in enumerate(plan, start=1):
+        bucket = results if kind == "headline" else tail_results
         if name in skip:
-            results[name] = "SKIPPED"
+            bucket[name] = "SKIPPED"
             continue
         t0 = time.perf_counter()
         try:
-            errs = compare(reg[name].fn(spark, SF), osql[name], SF)
+            if name in osql:
+                errs, hit = _compare_cached(name, reg[name].fn, osql[name],
+                                            spark, fingerprint)
+            else:  # rows-only queries (no oracle) just have to run
+                reg[name].fn(spark, SF).collect()
+                errs, hit = [], False
+            n_hit += hit
         except Exception as ex:  # noqa: BLE001 — sweep must finish
-            errs = [f"EXC {str(ex)[:200]}"]
+            errs, hit = [f"EXC {str(ex)[:200]}"], False
         dt = time.perf_counter() - t0
-        results[name] = "OK" if not errs else errs[0][:300]
+        bucket[name] = "OK" if not errs else errs[0][:300]
         n_fail += bool(errs)
-        print(f"[{i}/{len(HEADLINE)}] {name}: "
-              f"{'OK' if not errs else 'FAIL'} ({dt:.1f}s)", flush=True)
-    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    with open(os.path.join(root, "SF01_PARITY.json"), "w") as fh:
-        json.dump({"sf_dir": SF, "n": len(HEADLINE), "n_fail": n_fail,
-                   "results": results}, fh, indent=1)
-    print(f"failures: {n_fail} -> SF01_PARITY.json")
+        if not errs and kind == "tail":
+            state["checked"][name] = seq
+        print(f"[{i}/{len(plan)}] {kind[0]} {name}: "
+              f"{'OK' if not errs else 'FAIL'} ({dt:.1f}s"
+              f"{', cache' if hit else ''})", flush=True)
+
+    with open(os.path.join(ROOT, "SF01_PARITY.json"), "w") as fh:
+        json.dump({"sf_dir": SF, "mode": mode, "n": len(plan),
+                   "n_fail": n_fail, "oracle_cache_hits": n_hit,
+                   "results": results, "tail_window": tail_names,
+                   "tail_results": tail_results}, fh, indent=1)
+    with open(STATE_PATH, "w") as fh:
+        json.dump(state, fh, indent=1, sort_keys=True)
+    print(f"failures: {n_fail}, cache hits: {n_hit}/{len(plan)} "
+          f"-> SF01_PARITY.json")
     return 1 if n_fail else 0
 
 

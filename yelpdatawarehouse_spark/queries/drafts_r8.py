@@ -45,7 +45,7 @@ WITH e AS (
 ),
 auth1 AS (SELECT dst AS node, sum(w)::BIGINT AS a1 FROM e GROUP BY dst),
 hub1 AS (
-    SELECT e.src AS node, sum(e.w * a.a1)::BIGINT AS h1
+    SELECT e.src AS node, sum(e.w::HUGEINT * a.a1::HUGEINT) AS h1
     FROM e JOIN auth1 a ON a.node = e.dst GROUP BY e.src
 ),
 auth2 AS (
@@ -107,12 +107,16 @@ def g_hits_two_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     # score frames are node-sized: broadcast them into the edge joins so
     # each HITS round is broadcast-join -> map-side partial agg -> one
     # node-keyed exchange (the g_pagerank_nations iteration shape)
+    dec = "decimal(38,0)"
+    # round-1 products are long×long: fine at sf0.1 (~5e8) but Σ w·a1 is
+    # O(edges·lines²/nations²) and clears LONG's ~9.2e18 near full-corpus
+    # scale — accumulate round 1 in decimal(38,0) like round 2 (r9
+    # overflow audit, tests/test_overflow_audit.py)
     hub1 = (
         e.join(F.broadcast(auth1), e.dst == auth1.node)
         .groupBy(F.col("src").alias("node"))
-        .agg(F.sum(F.col("w") * F.col("a1")).alias("h1"))
+        .agg(F.sum(F.col("w").cast(dec) * F.col("a1").cast(dec)).alias("h1"))
     )
-    dec = "decimal(38,0)"
     auth2 = (
         e.join(F.broadcast(hub1), e.src == hub1.node)
         .groupBy(F.col("dst").alias("node"))
