@@ -94,3 +94,23 @@ def test_compression_ratio_empty_and_null_safe(spark):
     rows = {r.doc_id: r for r in compression_ratio_arrow(df).collect()}
     assert rows[0].n_bytes == 0 and rows[1].n_bytes == 0
     assert rows[0].n_compressed == rows[1].n_compressed > 0  # fixed envelope
+
+
+def test_compression_ratio_output_follows_id_col(spark):
+    """Pin the ADVICE r7/r8 contract: schema AND batch column names both
+    derive from id_col, so a caller keyed on vec_id keeps its name (the
+    r8 fix made the kernel's from_arrays names track the schema — this
+    is the regression test the fix was missing)."""
+    from yelpdatawarehouse_spark.functions.arrow_ops import (
+        compression_ratio_arrow,
+    )
+
+    df = spark.createDataFrame(
+        [(10, "alpha beta gamma"), (11, "zzzz " * 40)],
+        "vec_id long, body string",
+    )
+    out = compression_ratio_arrow(df, text_col="body", id_col="vec_id")
+    assert out.columns == ["vec_id", "n_bytes", "n_compressed", "compression_ratio"]
+    rows = {r.vec_id: r for r in out.collect()}
+    assert set(rows) == {10, 11}
+    assert rows[11].compression_ratio < rows[10].compression_ratio

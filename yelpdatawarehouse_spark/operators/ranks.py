@@ -70,6 +70,19 @@ def exact_global_rank(
     deterministically only if the key is unique — pass a unique key (or
     pre-distinct the frame) when rank stability matters, exactly as you
     would have to for the naive global window.
+
+    EAGER: this is not a lazy plan builder — it localCheckpoints the
+    range-partitioned input at CALL time (required for correctness:
+    ``__pid`` is ``spark_partition_id()``, nondeterministic, and feeds
+    two consumers — see the in-body comment), which triggers a Spark job
+    and pins the frame's blocks in EXECUTOR storage (not reliable
+    storage) for the session, with lineage truncated — the same trade
+    documented at operators/graph.min_label_components. Long-lived
+    sessions composing many ranked frames should release references
+    promptly (the bench harness gc.collect()s between queries for this
+    reason) or switch the pin to a reliable ``.checkpoint()`` via
+    ``spark.sparkContext.setCheckpointDir`` if executor loss mid-job
+    must stay recoverable.
     """
     # Pinned for __pid consistency across the two consumers (counts +
     # data join) — spark_partition_id() is nondeterministic and a
@@ -117,6 +130,12 @@ def exact_prefix_sum(
     but whose per-key row is already aggregated). Sums are computed with
     Spark's sum over the column's own type — use an exact type (long /
     decimal) when cross-engine bit-equality matters.
+
+    EAGER: like :func:`exact_global_rank`, calling this triggers a Spark
+    job (correctness-mandated localCheckpoint of the ranged frame) and
+    pins blocks in executor storage for the session — see that
+    function's docstring for the storage/lineage trade and the
+    reliable-checkpoint escape hatch.
     """
     # Pinned (eager localCheckpoint), NOT just lazily shared: __pid is
     # spark_partition_id() — NONDETERMINISTIC — and `ranged` feeds TWO

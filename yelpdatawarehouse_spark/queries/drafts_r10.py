@@ -544,11 +544,14 @@ def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     keyed = docs.withColumn(
         "skey", F.concat_ws("\x01", F.col("bkey"), F.lpad(F.col("doc_id").cast("string"), 12, "0"))
     )
-    # NOT pinned (measured r8): the ranked frame feeds both sides of the
-    # neighbor join, but materializing token arrays to executor storage
-    # costs more than re-running the (scan+split+range-exchange) subtree
-    # twice — 2x reuse doesn't amortize a wide-row checkpoint, unlike the
-    # 20x reuse in dedup_prefix_filter_jaccard
+    # Pinning note (r9, was stale): exact_global_rank now localCheckpoints
+    # its ranged input INTERNALLY (spark_partition_id correctness, r8) —
+    # so the wide-row (token-array) frame IS checkpointed here whether or
+    # not 2x reuse amortizes it. No extra pin is added on top; narrowing
+    # the checkpoint by ranking doc_id-only and re-joining toks would just
+    # move the wide rows into a twice-evaluated join subtree (same bytes,
+    # plus a shuffle) — measured trade recorded in SCALING.md "Pinned-rank
+    # operators at 20x (round 9)".
     ranked = exact_global_rank(keyed, "skey", rank_col="rn").drop("skey", "bkey")
     right = ranked.select(
         F.col("doc_id").alias("doc_b"),

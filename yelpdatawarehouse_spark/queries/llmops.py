@@ -1027,9 +1027,14 @@ def ann_lsh_bucket_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint(eager=True)
     )
-    gkey = hashing.md5_long(
-        F.array_join(F.col("embedding").cast("array<string>"), ",")
-    )
+    # FULL 128-bit md5 hex as the clone-group key, not the 60-bit
+    # md5_long truncation (ADVICE r8): at the billion-vector scale this
+    # module targets, 60-bit birthday collisions are likely (~40% at 1e9)
+    # and a collision silently merges two DISTINCT vectors into one clone
+    # group, emitting the representative's cosine for the wrong members
+    # with no error. The 32-char fixed-width key costs a marginally wider
+    # shuffle; group membership is what must never be wrong.
+    gkey = F.md5(F.array_join(F.col("embedding").cast("array<string>"), ","))
     keyed = e.withColumn("gkey", gkey)
     mw = Window.partitionBy("gkey").orderBy("vec_id")
     gm = keyed.withColumn("mrn", F.row_number().over(mw))
