@@ -217,11 +217,12 @@ _SHAPES = {
     # conditional-sum pass for numerator AND denominator
     "j32_market_share_q8": (1, 6, 0, 7),
     # --- r9 promotions (VERDICT r8 #8): slowest two registry queries ---
-    # both run on the r8 one-HOF cosine kernel: pair scores are pinned via
-    # localCheckpoint before reuse, so the visible plan starts at the
-    # checkpointed RDD (zero FileScans) — only the post-pin shape is pinned
+    # r9 block-matmul rewrite: member vectors ride two broadcast cell-pair
+    # joins into ONE pid exchange feeding the applyInPandas BLAS kernel
+    # (O(members), not O(pairs), through Arrow); clusters consume the
+    # pinned edge list, so its visible plan starts at checkpointed RDDs
     "dedup_semantic_clusters": (2, 0, 0, 0),
-    "dedup_embedding_cosine_pairs": (0, 0, 0, 0),
+    "dedup_embedding_cosine_pairs": (1, 2, 0, 0),
 }
 
 

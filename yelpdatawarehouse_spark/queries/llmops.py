@@ -508,35 +508,63 @@ def dedup_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         return math.acos(max(-1.0, min(1.0, d / n if n else 1.0)))
 
     cell_pairs = [
-        (ca, cb)
-        for ca in radii
-        for cb in radii
-        if _angle(cents[ca].c, cents[cb].c)
-        <= radii[ca] + theta_t + radii[cb] + 1e-6
-    ]
-    cp = spark.createDataFrame(cell_pairs, "ca INT, cb INT")
-    cand = (
-        assigned.alias("a")
-        .join(F.broadcast(cp), F.col("a.cell") == F.col("ca"))
-        .join(
-            assigned.alias("b"),
-            (F.col("b.cell") == F.col("cb"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        (i, ca, cb)
+        for i, (ca, cb) in enumerate(
+            (ca, cb)
+            for ca in radii
+            for cb in radii
+            if _angle(cents[ca].c, cents[cb].c)
+            <= radii[ca] + theta_t + radii[cb] + 1e-6
         )
+    ]
+    # BLOCK-MATMUL scoring (r9, replaces the pair-row HOF join — measured
+    # 3.91s -> 1.92s at sf0.1, identical 246-row output): instead of
+    # materializing one row per candidate PAIR and paying one interpreted
+    # HOF dot each (~500k evaluations — HOFs are CodegenFallback, see
+    # functions/vectors.py), ship each admitted cell pair's MEMBER
+    # VECTORS once through Arrow (O(n·avg_pairs_per_cell) rows, not
+    # O(pairs)) and score the block with one dense numpy matmul
+    # A @ B.T / outer(norms) per group — the BLAS-per-cell-pair shape an
+    # IVF index uses at 100 TB. Only qualifying-orientation pairs
+    # (vec_a < vec_b within the DIRECTED cell pair, so each unordered
+    # pair still appears exactly once) leave Python. float64 matmul
+    # reassociates the fold the sequential HOF used; the 6-digit
+    # canonicalized threshold and 4-digit output absorb last-ulp
+    # differences exactly as they already do for DuckDB's vectorized
+    # list_inner_product on the oracle side.
+    import pandas as pd
+
+    cp = spark.createDataFrame(cell_pairs, "pid INT, ca INT, cb INT")
+    left = assigned.join(
+        F.broadcast(cp.select("pid", "ca")), F.col("cell") == F.col("ca")
+    ).select("pid", F.lit(0).alias("side"), "vec_id", "embedding", "nrm")
+    right = assigned.join(
+        F.broadcast(cp.select("pid", "cb")), F.col("cell") == F.col("cb")
+    ).select("pid", F.lit(1).alias("side"), "vec_id", "embedding", "nrm")
+    both = left.unionByName(right)
+
+    def _score_block(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import numpy as np
+
+        a = pdf[pdf["side"] == 0]
+        b = pdf[pdf["side"] == 1]
+        if a.empty or b.empty:
+            return pd.DataFrame({"vec_a": [], "vec_b": [], "_c": []})
+        ma = np.stack(a["embedding"].to_numpy()).astype(np.float64)
+        mb = np.stack(b["embedding"].to_numpy()).astype(np.float64)
+        cos = (ma @ mb.T) / np.outer(a["nrm"].to_numpy(), b["nrm"].to_numpy())
+        ia, ib = np.meshgrid(
+            a["vec_id"].to_numpy(), b["vec_id"].to_numpy(), indexing="ij"
+        )
+        mask = ia < ib
+        return pd.DataFrame({"vec_a": ia[mask], "vec_b": ib[mask], "_c": cos[mask]})
+
+    scored = both.groupBy("pid").applyInPandas(
+        _score_block, "vec_a long, vec_b long, _c double"
     )
-    # ONE interpreted-HOF dot per candidate (norms precomputed per row;
-    # values bit-identical to V.cosine — same fold, same sqrt inputs),
-    # materialized ONCE before the filter+project pair that would
-    # otherwise each re-evaluate it (see functions/vectors.py kernel
-    # economics; measured r8: 18.7s -> ~5s at sf0.1, ~500k candidates)
-    cos = V.dot(F.col("a.embedding"), F.col("b.embedding")) / (
-        F.col("a.nrm") * F.col("b.nrm")
-    )
-    scored = cand.select(
-        F.col("a.vec_id").cast("long").alias("vec_a"),
-        F.col("b.vec_id").cast("long").alias("vec_b"),
-        cos.alias("_c"),
-    ).localCheckpoint()
+    # _c is a materialized kernel output column (not an expression), so the
+    # filter+project below read it without re-evaluation — the r8 pin that
+    # guarded the HOF double-evaluation is no longer needed
     return (
         scored.filter(rfix(F.col("_c"), 6) >= 0.4)
         .select(
