@@ -104,10 +104,16 @@ def main() -> int:
         tail_names = _pick_tail(reg.keys(), HEADLINE, state, tail_n)
         plan += [("tail", n) for n in tail_names]
 
+    import gc
+
     results: dict[str, str] = {}
     tail_results: dict[str, str] = {}
     n_fail = n_hit = 0
     for i, (kind, name) in enumerate(plan, start=1):
+        # release prior queries' localCheckpoint blocks (bench.py's r8
+        # lesson: pinned blocks accumulate in executor storage across a
+        # long sweep and degrade later queries)
+        gc.collect()
         bucket = results if kind == "headline" else tail_results
         if name in skip:
             bucket[name] = "SKIPPED"
