@@ -138,11 +138,26 @@ def main() -> int:
               f"{'OK' if not errs else 'FAIL'} ({dt:.1f}s"
               f"{', cache' if hit else ''})", flush=True)
 
-    with open(os.path.join(ROOT, "SF01_PARITY.json"), "w") as fh:
+    # MERGE into the existing record rather than overwrite: a tail-only
+    # run must not blank the headline section (and vice versa) — the file
+    # accumulates the registry-wide sf0.1 picture across rotating windows
+    out_path = os.path.join(ROOT, "SF01_PARITY.json")
+    merged_results, merged_tail = {}, {}
+    if os.path.exists(out_path):
+        try:
+            with open(out_path) as fh:
+                prev = json.load(fh)
+            merged_results = dict(prev.get("results", {}))
+            merged_tail = dict(prev.get("tail_results", {}))
+        except (json.JSONDecodeError, OSError):
+            pass
+    merged_results.update(results)
+    merged_tail.update(tail_results)
+    with open(out_path, "w") as fh:
         json.dump({"sf_dir": SF, "mode": mode, "n": len(plan),
                    "n_fail": n_fail, "oracle_cache_hits": n_hit,
-                   "results": results, "tail_window": tail_names,
-                   "tail_results": tail_results}, fh, indent=1)
+                   "results": merged_results, "tail_window": tail_names,
+                   "tail_results": merged_tail}, fh, indent=1)
     with open(STATE_PATH, "w") as fh:
         json.dump(state, fh, indent=1, sort_keys=True)
     print(f"failures: {n_fail}, cache hits: {n_hit}/{len(plan)} "
