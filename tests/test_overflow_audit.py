@@ -42,12 +42,19 @@ def _source_files():
 
 
 def _hits(pattern: str) -> dict[str, list[int]]:
+    """Match only CODE: everything after a '#' is stripped per line, so a
+    comment explaining the hazard (e.g. drafts_r10's pin note) doesn't
+    trip the confinement audit."""
     pat = re.compile(pattern)
     out: dict[str, list[int]] = {}
     for path in _source_files():
         rel = os.path.relpath(path, _PKG)
         with open(path, encoding="utf-8") as fh:
-            lines = [i for i, ln in enumerate(fh, 1) if pat.search(ln)]
+            lines = [
+                i
+                for i, ln in enumerate(fh, 1)
+                if pat.search(ln.split("#", 1)[0])
+            ]
         if lines:
             out[rel] = lines
     return out
