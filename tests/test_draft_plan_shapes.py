@@ -178,6 +178,19 @@ _SHAPES = {
     "ml_pca_2d_closed_form": (0, 0, 0, 0),
     # per-row bit ops in codegen + one cell-keyed count; two-column scan
     "layout_zorder_cell_counts": (1, 0, 0, 0),
+    # --- round-11 drafts (written round 9) ---
+    # per-customer rollup exchange + ONE segment-partitioned window; the
+    # customer dim rides a broadcast; both scans filter-pruned
+    "w10_cume_dist_spend": (2, 1, 1, 2),
+    # truth + sampled legs: two fp-bucket joins + two pair rollups; the
+    # 1-row count digests ride broadcasts (panel filter pushed to scan)
+    "dedup_containment_est_eval": (4, 9, 0, 1),
+    # day-spine rollup + broadcast day-pair self-join + 1-group exact
+    # median; facts contribute one map-combinable exchange
+    "t34_theil_sen_trend": (3, 3, 0, 0),
+    # stage-1 ADC exchange + shortlist window, stage-2 rerank join +
+    # window, diagnostic brute leg + window; distance tables broadcast
+    "ann_two_stage_rerank": (5, 5, 3, 4),
 }
 
 

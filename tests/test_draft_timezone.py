@@ -52,6 +52,9 @@ _TS_DRAFTS = (
     "a_mann_whitney_u",
     "t32_rolling_correlation",
     "a_pareto_8020_concentration",
+    # round-11 drafts touching o_orderdate
+    "w10_cume_dist_spend",
+    "t34_theil_sen_trend",
 )
 
 

@@ -462,7 +462,14 @@ def dedup_minhash_pr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _PQ_QUERIES, _PQ_TOPK = 3, 5
 
-PQ_ADC_ORACLE = f"""
+
+def pq_adc_cte_prefix() -> str:
+    """Shared CTE prefix ending in ``adc(query_id, neighbor_id, dist)`` —
+    the seed-codebook PQ encode + per-query ADC distance pipeline. One
+    definition so the ADC top-k oracle here and the two-stage rerank
+    oracle (drafts_r11) can never drift from the single Spark pipeline
+    they both gate (pq_adc_distances below)."""
+    return f"""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 dims AS (SELECT 64 AS d, 64 // {_PQ_M} AS sub),
 seeds AS (
@@ -499,7 +506,11 @@ adc AS (
     WHERE b.rn = 1 AND qd.vec_id < {_PQ_QUERIES}
       AND b.vec_id <> qd.vec_id
     GROUP BY 1, 2
-),
+)"""
+
+
+PQ_ADC_ORACLE = f"""
+{pq_adc_cte_prefix()},
 ranked AS (
     SELECT query_id, neighbor_id,
            {rfix_sql('dist', 6)} AS d6, {rfix_sql('dist', 4)} AS adc_dist,
@@ -531,14 +542,39 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     reproduced arithmetically by the oracle — hash-verified approximate
     search, same contract as emb_pq_seed_codebook_stats.
     """
+    adc = pq_adc_distances(spark, sf_dir)
+    if adc is None:
+        return spark.createDataFrame(
+            [], "query_id LONG, neighbor_id LONG, rank LONG, adc_dist DOUBLE"
+        )
+    w = Window.partitionBy("query_id").orderBy(
+        rfix(F.col("dist"), 6), F.asc("neighbor_id")
+    )
+    return (
+        adc.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _PQ_TOPK)
+        .select(
+            F.col("query_id").cast("long").alias("query_id"),
+            F.col("neighbor_id").cast("long").alias("neighbor_id"),
+            F.col("rank").cast("long").alias("rank"),
+            rfix(F.col("dist"), 4).alias("adc_dist"),
+        )
+    )
+
+
+def pq_adc_distances(spark: SparkSession, sf_dir: str):
+    """The shared stage-1 pipeline: seed-codebook PQ encode of the corpus
+    + per-query ADC distance for every (panel query, database vector)
+    pair — ``adc(query_id, neighbor_id, dist)`` with RAW double dists, or
+    None when the corpus is too small to seed codebooks. Consumed by
+    ann_pq_adc_topk (top-k here) and ann_two_stage_rerank (drafts_r11:
+    shortlist → exact-cosine rerank); the SQL twin is pq_adc_cte_prefix."""
     from ..operators.pq import train_pq
 
     e = table(spark, sf_dir, "embeddings")
     model = train_pq(e, m=_PQ_M, k=_PQ_K, max_iters=0)
     if not all(model.codebooks):
-        return spark.createDataFrame(
-            [], "query_id LONG, neighbor_id LONG, rank LONG, adc_dist DOUBLE"
-        )
+        return None
     codes = model.encode(e).select(
         "vec_id", F.posexplode("codes").alias("j", "cid")
     )
@@ -572,24 +608,11 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     qtab = panel.select(
         F.col("vec_id").alias("query_id"), F.explode(F.array(*entries)).alias("x")
     ).select("query_id", "x.j", "x.cid", "x.qd2")
-    adc = (
+    return (
         codes.join(F.broadcast(qtab), ["j", "cid"])
         .filter(F.col("vec_id") != F.col("query_id"))
         .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
         .agg(F.sum("qd2").alias("dist"))
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        rfix(F.col("dist"), 6), F.asc("neighbor_id")
-    )
-    return (
-        adc.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= _PQ_TOPK)
-        .select(
-            F.col("query_id").cast("long").alias("query_id"),
-            F.col("neighbor_id").cast("long").alias("neighbor_id"),
-            F.col("rank").cast("long").alias("rank"),
-            rfix(F.col("dist"), 4).alias("adc_dist"),
-        )
     )
 
 
