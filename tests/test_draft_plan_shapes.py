@@ -185,9 +185,11 @@ _SHAPES = {
     # truth + sampled legs: two fp-bucket joins + two pair rollups; the
     # 1-row count digests ride broadcasts (panel filter pushed to scan)
     "dedup_containment_est_eval": (4, 9, 0, 1),
-    # day-spine rollup + broadcast day-pair self-join + 1-group exact
-    # median; facts contribute one map-combinable exchange
-    "t34_theil_sen_trend": (3, 3, 0, 0),
+    # day-spine rollup + broadcast day-pair self-join; the median is
+    # order-statistic selection via exact_global_rank (range exchange +
+    # pid-local rank window + bounded offsets window) — NOT the 1-group
+    # exact percentile, whose single-task buffer merge cost 2.3x
+    "t34_theil_sen_trend": (4, 4, 2, 0),
     # stage-1 ADC exchange + shortlist window, stage-2 rerank join +
     # window, diagnostic brute leg + window; distance tables broadcast
     "ann_two_stage_rerank": (5, 5, 3, 4),
