@@ -1,0 +1,204 @@
+"""Model-twin and structural invariants for the round-12 drafts
+(queries/drafts_r12.py), beyond the oracle-parity/determinism/empty-input
+sweeps every registered query already gets."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.parity import SF_TEST_DIR
+from yelpdatawarehouse_spark.operators.graph import bfs_min_hops, bfs_min_hops_multi
+from yelpdatawarehouse_spark.queries.drafts_r12 import (
+    HW_ALPHA,
+    HW_BETA,
+    HW_GAMMA,
+    HW_PERIOD,
+    emb_silhouette_eval,
+    g_closeness_centrality,
+    split_leakage_safe_groups,
+    t36_holt_winters_daily,
+)
+from yelpdatawarehouse_spark.queries.graphq import trade_edges
+from yelpdatawarehouse_spark.queries.llmops import split_train_val_test
+from yelpdatawarehouse_spark.sources.tables import table
+
+
+# ---------------------------------------------------------------------------
+# g_closeness_centrality
+
+
+def test_multi_root_bfs_matches_single_source(spark):
+    """The simultaneous multi-root frame must agree with the existing
+    single-source operator root by root (on a couple of roots)."""
+    edges = trade_edges(spark, SF_TEST_DIR)
+    roots = spark.createDataFrame([(0,), (5,)], "k LONG")
+    multi = {
+        (r.root, r.node): r.hops
+        for r in bfs_min_hops_multi(spark, edges, roots, max_hops=6).collect()
+    }
+    for root in (0, 5):
+        single = {
+            r.node: r.hops
+            for r in bfs_min_hops(spark, edges, start=root, max_hops=6).collect()
+        }
+        got = {n: h for (rt, n), h in multi.items() if rt == root}
+        assert got == single, f"root {root}: multi-root BFS diverges"
+
+
+def test_closeness_bounds_and_consistency(spark):
+    rows = g_closeness_centrality(spark, SF_TEST_DIR).collect()
+    assert len(rows) == table(spark, SF_TEST_DIR, "nation").count()
+    for r in rows:
+        assert 0.0 <= r.closeness <= 1.0  # hops >= 1 => mean dist >= 1
+        assert r.harmonic >= 0.0
+        if r.n_reached == 0:
+            assert r.closeness == 0.0 and r.harmonic == 0.0 and r.sum_hops == 0
+        else:
+            assert r.sum_hops >= r.n_reached  # every reached node >= 1 hop
+            # harmonic <= n_reached (each term <= 1), with equality iff
+            # every reachable node is at distance exactly 1
+            assert r.harmonic <= r.n_reached + 1e-9
+            want = math.floor(r.n_reached / r.sum_hops * 1e6 + 0.5) / 1e6
+            assert r.closeness == pytest.approx(want)
+
+
+# ---------------------------------------------------------------------------
+# emb_silhouette_eval
+
+
+def test_silhouette_bounds_and_coverage(spark):
+    rows = emb_silhouette_eval(spark, SF_TEST_DIR).collect()
+    emb = table(spark, SF_TEST_DIR, "embeddings")
+    assert sum(r.n_vectors for r in rows) == emb.count()
+    assert len(rows) == emb.select("label").distinct().count()
+    for r in rows:
+        assert -1.0 <= r.mean_silhouette <= 1.0
+        assert r.mean_intra_dist >= 0.0
+        assert r.mean_nearest_other >= 0.0
+
+
+def test_silhouette_planted_clusters(spark):
+    """Perfectly separated planted clusters must score ~1; the score must
+    see through row order (same data, shuffled, scores identically)."""
+    import pandas as pd
+
+    rows = []
+    for label in range(3):
+        base = [0.0] * 8
+        base[label] = 10.0
+        for i in range(20):
+            v = list(base)
+            v[(label + 1) % 8] = (i % 5) * 0.01  # tiny intra-cluster spread
+            rows.append((label * 100 + i, v, label))
+    pdf = pd.DataFrame(rows, columns=["vec_id", "embedding", "label"])
+    import os
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        spark.createDataFrame(pdf).write.parquet(os.path.join(td, "embeddings.parquet"))
+        got = {r.label: r for r in emb_silhouette_eval(spark, td).collect()}
+        assert set(got) == {0, 1, 2}
+        for r in got.values():
+            assert r.mean_silhouette > 0.95, "planted separation must be seen"
+            assert r.n_vectors == 20
+
+
+# ---------------------------------------------------------------------------
+# t36_holt_winters_daily
+
+
+def test_holt_winters_python_twin(spark):
+    """Replay the recursion in plain Python from the day spine and demand
+    2dp-identical traces (the t21/t25 model-twin discipline)."""
+    daily = (
+        table(spark, SF_TEST_DIR, "orders")
+        .groupBy(F.col("o_orderdate").cast("date").alias("d"))
+        .agg(F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")).alias("c"))
+        .orderBy("d")
+        .collect()
+    )
+    m = HW_PERIOD
+    ys = [r.c / 100.0 for r in daily]
+    assert len(ys) >= 2 * m, "test data must span two weeks"
+    lm = sum(r.c for r in daily[:m]) / (m * 100.0)
+    bm = (sum(r.c for r in daily[m : 2 * m]) - sum(r.c for r in daily[:m])) / (
+        m * 100.0
+    ) / float(m)
+    s = [y - lm for y in ys[:m]]
+    level, trend = lm, bm
+    expect = {}
+    for t in range(m, len(ys)):
+        y = ys[t]
+        sprev = s[t - m]
+        fitted = level + trend + sprev
+        new_l = HW_ALPHA * (y - sprev) + (1 - HW_ALPHA) * (level + trend)
+        new_b = HW_BETA * (new_l - level) + (1 - HW_BETA) * trend
+        s.append(HW_GAMMA * (y - new_l) + (1 - HW_GAMMA) * sprev)
+        level, trend = new_l, new_b
+        key = daily[t].d.strftime("%Y-%m-%d")
+        expect[key] = (
+            math.floor(y * 100 + 0.5) / 100,
+            math.floor(level * 100 + 0.5) / 100,
+            math.floor(trend * 100 + 0.5) / 100,
+            math.floor(s[-1] * 100 + 0.5) / 100,
+            math.floor(fitted * 100 + 0.5) / 100,
+        )
+    got = {
+        r.day: (r.daily_revenue, r.level, r.trend, r.seasonal, r.fitted)
+        for r in t36_holt_winters_daily(spark, SF_TEST_DIR).collect()
+    }
+    assert got.keys() == expect.keys()
+    for k in expect:
+        assert got[k] == pytest.approx(expect[k], abs=0.011), k
+
+
+def test_holt_winters_short_series_empty(spark, tmp_path):
+    """A series shorter than two periods has no defined fit — empty out."""
+    orders = table(spark, SF_TEST_DIR, "orders").filter(
+        F.col("o_orderdate") < F.lit("1992-01-10")
+    )
+    n_days = orders.select(F.col("o_orderdate").cast("date")).distinct().count()
+    out = str(tmp_path / "orders.parquet")
+    orders.write.parquet(out)
+    got = t36_holt_winters_daily(spark, str(tmp_path)).collect()
+    if n_days < 2 * HW_PERIOD:
+        assert got == []
+    else:  # data denser than expected — still must emit n_days - m rows
+        assert len(got) == n_days - HW_PERIOD
+
+
+# ---------------------------------------------------------------------------
+# split_leakage_safe_groups
+
+
+def test_group_split_has_zero_leakage(spark):
+    rows = {r.method: r for r in split_leakage_safe_groups(spark, SF_TEST_DIR).collect()}
+    assert set(rows) == {"doc_hash", "group_hash"}
+    g, d = rows["group_hash"], rows["doc_hash"]
+    assert g.cross_split_pairs == 0, "group-aware split must never split a group"
+    assert g.dup_pairs == d.dup_pairs and g.dup_groups == d.dup_groups
+    n_docs = table(spark, SF_TEST_DIR, "documents").count()
+    for r in rows.values():
+        assert r.train_docs + r.val_docs + r.test_docs == n_docs
+        assert r.cross_split_pairs <= r.dup_pairs
+
+
+def test_doc_hash_split_matches_existing_splitter(spark):
+    """The naive leg reuses split_train_val_test's exact hash slots — the
+    per-split doc totals must agree with that query."""
+    want = {
+        s: n
+        for s, n in (
+            split_train_val_test(spark, SF_TEST_DIR)
+            .groupBy("split")
+            .agg(F.sum("n_docs").alias("n"))
+            .collect()
+        )
+    }
+    r = {
+        row.method: row for row in split_leakage_safe_groups(spark, SF_TEST_DIR).collect()
+    }["doc_hash"]
+    assert want == {"train": r.train_docs, "val": r.val_docs, "test": r.test_docs}

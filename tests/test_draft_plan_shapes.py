@@ -193,6 +193,18 @@ _SHAPES = {
     # stage-1 ADC exchange + shortlist window, stage-2 rerank join +
     # window, diagnostic brute leg + window; distance tables broadcast
     "ann_two_stage_rerank": (5, 5, 3, 4),
+    # --- round-12 drafts (written round 9) ---
+    # BFS state is pinned (localCheckpoint) so the visible tail is the
+    # 25-row centrality rollup + broadcast back onto the nation dim
+    "g_closeness_centrality": (1, 1, 0, 0),
+    # component rollup + centroid assembly + a/b minima + label rollup;
+    # K centroid rows broadcast against the vector scan
+    "emb_silhouette_eval": (4, 1, 0, 0),
+    # (method, fp, split) rollup -> (method, fp) -> method; pair counts
+    # are C(n,2) arithmetic, no pair frame
+    "split_leakage_safe_groups": (3, 0, 0, 0),
+    # one map-combinable day rollup; the HW recursion folds in codegen
+    "t36_holt_winters_daily": (1, 0, 0, 0),
 }
 
 

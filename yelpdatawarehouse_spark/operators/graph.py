@@ -107,6 +107,48 @@ def bfs_parents(
     )
 
 
+def bfs_min_hops_multi(
+    spark: SparkSession,
+    edges: DataFrame,
+    roots: DataFrame,
+    max_hops: int,
+) -> DataFrame:
+    """Minimum hop count from EVERY root to every node reachable within
+    ``max_hops`` — all-pairs BFS run as ONE simultaneous frontier frame
+    instead of |roots| sequential single-source sweeps.
+
+    ``roots`` must have a single integral column; returns
+    (root BIGINT, node BIGINT, hops BIGINT) including (r, r, 0) rows.
+    The frontier/visited frames carry (root, node) pairs, so per-hop state
+    is O(|roots| x reachable) — for the dimension-bounded graphs this
+    engine derives (nations, categories), that is a few hundred rows
+    while the EDGE DERIVATION stays fact-scale and fully distributed.
+    Same eager-pin loop discipline (and fault-tolerance trade) as
+    :func:`bfs_min_hops`.
+    """
+    edges = edges.select("src", "dst").localCheckpoint()
+    rcol = roots.columns[0]
+    visited = roots.select(
+        F.col(rcol).cast("long").alias("root"),
+        F.col(rcol).cast("long").alias("node"),
+        F.lit(0).cast("long").alias("hops"),
+    ).localCheckpoint()
+    frontier = visited
+    for hop in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(edges, frontier.node == edges.src)
+            .select("root", F.col("dst").cast("long").alias("node"))
+            .distinct()
+            .join(visited.select("root", "node"), ["root", "node"], "left_anti")
+            .select("root", "node", F.lit(hop).cast("long").alias("hops"))
+        ).localCheckpoint()
+        if nxt.isEmpty():
+            break
+        visited = visited.union(nxt)
+        frontier = nxt
+    return visited
+
+
 def connected_within(
     spark: SparkSession,
     edges: DataFrame,
