@@ -202,3 +202,151 @@ def test_doc_hash_split_matches_existing_splitter(spark):
         row.method: row for row in split_leakage_safe_groups(spark, SF_TEST_DIR).collect()
     }["doc_hash"]
     assert want == {"train": r.train_docs, "val": r.val_docs, "test": r.test_docs}
+
+
+# ---------------------------------------------------------------------------
+# dedup_lsh_s_curve_eval
+
+
+def test_s_curve_theory_and_bounds(spark):
+    from yelpdatawarehouse_spark.queries.drafts_r12 import dedup_lsh_s_curve_eval
+
+    rows = dedup_lsh_s_curve_eval(spark, SF_TEST_DIR).collect()
+    assert rows, "panel must produce at least one similarity bucket"
+    for r in rows:
+        assert 0 <= r.bucket <= 9
+        assert 0 <= r.n_cand <= r.n_pairs
+        assert 0.0 <= r.measured_rate <= 1.0
+        s = (r.bucket + 0.5) / 10.0
+        want = 1.0 - (1.0 - s**4) ** 4
+        assert r.theory_rate == pytest.approx(
+            math.floor(want * 1e6 + 0.5) / 1e6
+        ), f"bucket {r.bucket}: theory term drifted from 1-(1-s^4)^4"
+    # the S-curve's defining property: the theoretical rate is strictly
+    # increasing in similarity
+    rows.sort(key=lambda r: r.bucket)
+    for a, b in zip(rows, rows[1:]):
+        assert a.theory_rate < b.theory_rate
+
+
+# ---------------------------------------------------------------------------
+# text_kn_continuation_stats
+
+
+def test_kn_continuation_python_twin(spark):
+    """Recompute the continuation ratio in plain Python from the engine's
+    own token stream (isolates the count/ratio/ranking logic)."""
+    from collections import Counter
+
+    from yelpdatawarehouse_spark.queries.drafts_r12 import (
+        _KN_MIN_COUNT,
+        _KN_TOP,
+        text_kn_continuation_stats,
+    )
+    from yelpdatawarehouse_spark.functions import text as T
+
+    d = table(spark, SF_TEST_DIR, "documents")
+    docs = [r.t for r in d.select(T.tokens("text").alias("t")).collect()]
+    uni: Counter = Counter()
+    bg_types = set()
+    for t in docs:
+        uni.update(t)
+        bg_types.update(zip(t, t[1:]))
+    n = sum(uni.values())
+    b = len(bg_types)
+    cont: Counter = Counter()
+    for _, w2 in bg_types:
+        cont[w2] += 1
+    scored = []
+    for w, c in uni.items():
+        if c >= _KN_MIN_COUNT:
+            ratio = math.floor((cont[w] * n) / (b * c) * 1e6 + 0.5) / 1e6
+            scored.append((ratio, w, c, cont[w]))
+    scored.sort()
+    want = scored[:_KN_TOP]
+    got = text_kn_continuation_stats(spark, SF_TEST_DIR).collect()
+    assert [(r.cont_ratio, r.w, r.c_uni, r.n_contexts) for r in got] == [
+        (r0, w0, c0, k0) for (r0, w0, c0, k0) in want
+    ]
+
+
+# ---------------------------------------------------------------------------
+# mm_wht_fingerprint_pairs
+
+
+def test_wht_kernel_python_twin(spark):
+    """The Arrow kernel must equal a from-scratch WHT on sampled chars."""
+    import pandas as pd
+
+    from yelpdatawarehouse_spark.multimodal.columns import wht_fingerprint
+
+    texts = ["hello world this is a longer document " * 4, "short", "a" * 33]
+    pdf = pd.DataFrame({"doc_id": [1, 2, 3], "text": texts})
+    got = {
+        r.doc_id: r.wh
+        for r in wht_fingerprint(spark.createDataFrame(pdf)).collect()
+    }
+    for doc_id, t in zip([1, 2, 3], texts):
+        L = len(t)
+        st = L // 32 if L >= 32 else 1
+        nc = 32 if L >= 32 else L
+        v = [ord(t[i * st]) if i < nc else 0 for i in range(32)]
+        wh = 0
+        for u in range(1, 17):
+            w = sum(
+                v[i] * (1 if bin(i & u).count("1") % 2 == 0 else -1)
+                for i in range(32)
+            )
+            if w > 0:
+                wh |= 1 << (u - 1)
+        assert got[doc_id] == wh, f"doc {doc_id}"
+
+
+def test_wht_pairs_exact_dup_and_bounds(spark):
+    from yelpdatawarehouse_spark.queries.drafts_r12 import mm_wht_fingerprint_pairs
+
+    rows = mm_wht_fingerprint_pairs(spark, SF_TEST_DIR).collect()
+    seen = set()
+    for r in rows:
+        assert r.doc_a < r.doc_b
+        assert 0 <= r.hamming <= 1
+        assert (r.doc_a, r.doc_b) not in seen, "pair emitted twice"
+        seen.add((r.doc_a, r.doc_b))
+    # exact duplicates share every fingerprint: hamming-0 pairs exist on
+    # this corpus (it contains verbatim copies — the dedup suite's base)
+    assert any(r.hamming == 0 for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# t37_ar2_yule_walker
+
+
+def test_ar2_numpy_twin(spark):
+    import numpy as np
+
+    from yelpdatawarehouse_spark.queries.drafts_r12 import t37_ar2_yule_walker
+
+    daily = (
+        table(spark, SF_TEST_DIR, "orders")
+        .groupBy(F.col("o_orderdate").cast("date").alias("d"))
+        .agg(F.count("*").alias("x"))
+        .orderBy("d")
+        .collect()
+    )
+    x = np.array([float(r.x) for r in daily])
+
+    def rho(k: int) -> float:
+        a, b = x[k:], x[:-k]
+        return float(np.corrcoef(a, b)[0, 1])
+
+    r1, r2 = rho(1), rho(2)
+    phi1 = r1 * (1 - r2) / (1 - r1 * r1)
+    phi2 = (r2 - r1 * r1) / (1 - r1 * r1)
+    got = t37_ar2_yule_walker(spark, SF_TEST_DIR).collect()[0]
+    assert got.n_days == len(daily)
+    assert got.rho1 == pytest.approx(r1, abs=2e-6)
+    assert got.rho2 == pytest.approx(r2, abs=2e-6)
+    assert got.phi1 == pytest.approx(phi1, abs=2e-6)
+    assert got.phi2 == pytest.approx(phi2, abs=2e-6)
+    # stationarity triangle |phi2| < 1, phi2 +- phi1 < 1 is not asserted
+    # (data-dependent); the YW identities above are the contract

@@ -205,6 +205,17 @@ _SHAPES = {
     "split_leakage_safe_groups": (3, 0, 0, 0),
     # one map-combinable day rollup; the HW recursion folds in codegen
     "t36_holt_winters_daily": (1, 0, 0, 0),
+    # truth-side shingle join + pair/size rollups; candidate leg rides
+    # the production banding; panel filters pushed to the scans
+    "dedup_lsh_s_curve_eval": (5, 4, 0, 6),
+    # token + distinct-bigram exchanges, two 1-row totals broadcast;
+    # final TakeOrdered, no full sort
+    "text_kn_continuation_stats": (4, 3, 0, 0),
+    # Arrow fingerprint kernel exchange + the full-hash-keyed
+    # neighborhood equi-join; non-empty filter pushed
+    "mm_wht_fingerprint_pairs": (2, 1, 0, 1),
+    # day rollup + lag window over the calendar spine; 1-row moments
+    "t37_ar2_yule_walker": (1, 0, 1, 0),
 }
 
 

@@ -525,3 +525,524 @@ def split_leakage_safe_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 DRAFTS["split_leakage_safe_groups"] = (split_leakage_safe_groups, SPLIT_GROUPS_ORACLE)
+
+
+# ---------------------------------------------------------------------------
+# Tranche 2 (same round): LSH S-curve calibration, Kneser-Ney continuation
+# diagnostics, Walsh-Hadamard perceptual fingerprints, Yule-Walker AR(2).
+
+
+# LSH S-curve: measured band-collision rate per true-Jaccard band vs the
+# closed-form 1-(1-s^r)^b — the calibration curve every (bands, rows)
+# deployment choice is tuned against, next to dedup_minhash_pr_eval's
+# single-threshold precision/recall.
+
+_SC_PANEL = 30
+
+
+def _s_curve_oracle() -> str:
+    from .llmops import _TOKS as _LTOKS
+    from .llmops import N_BANDS, ROWS_PER_BAND, _minhash_oracle
+
+    jac = (
+        "len(list_intersect(a.s, b.s))::DOUBLE / "
+        "(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))"
+    )
+    # theory term with multiplications only (pow() may route through
+    # exp/ln and is not bit-portable): s2=s*s, s4=s2*s2, 1-(1-s4)^4
+    return f"""
+    WITH cand0 AS ({_minhash_oracle()}),
+    cand AS (SELECT doc_a, doc_b FROM cand0 WHERE doc_a < {_SC_PANEL}),
+    sh AS (SELECT doc_id, list_distinct({T.shingles_sql(_LTOKS, 3)}) AS s
+           FROM documents),
+    uni AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               {rfix_sql(jac, 6)} AS jr
+        FROM sh a JOIN sh b ON b.doc_id > a.doc_id
+        WHERE a.doc_id < {_SC_PANEL}
+          AND len(list_intersect(a.s, b.s)) > 0
+    ),
+    marked AS (
+        SELECT u.jr,
+               least(CAST(floor(u.jr * 10) AS BIGINT), 9) AS bucket,
+               CASE WHEN c.doc_a IS NULL THEN 0 ELSE 1 END AS is_cand
+        FROM uni u LEFT JOIN cand c
+          ON c.doc_a = u.doc_a AND c.doc_b = u.doc_b
+    ),
+    byb AS (
+        SELECT bucket, count(*)::BIGINT AS n_pairs,
+               sum(is_cand)::BIGINT AS n_cand,
+               (bucket + 0.5) / 10.0 AS s
+        FROM marked GROUP BY bucket
+    ),
+    t AS (
+        SELECT bucket, n_pairs, n_cand, s,
+               s * s AS s2
+        FROM byb
+    )
+    SELECT bucket,
+           n_pairs,
+           n_cand,
+           {rfix_sql('n_cand::DOUBLE / n_pairs', 4)} AS measured_rate,
+           {rfix_sql(
+               '1.0 - (1.0 - s2 * s2) * (1.0 - s2 * s2)'
+               ' * (1.0 - s2 * s2) * (1.0 - s2 * s2)', 6)} AS theory_rate
+    FROM t
+    """
+
+
+def dedup_lsh_s_curve_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH banding S-curve calibration: over a {_SC_PANEL}-doc panel's
+    blocked candidate universe (pairs sharing >= 1 shingle), the MEASURED
+    fraction of pairs each true-Jaccard decile that the production 4x4
+    MinHash banding surfaces, beside the THEORETICAL collision rate
+    1-(1-s^r)^b at the decile midpoint — the curve that says whether the
+    (bands, rows) choice actually sits where the formula promises, and
+    the tuning artifact behind dedup_minhash_pr_eval's two numbers.
+
+    Exactness: true Jaccard is exact set arithmetic over distinct
+    shingles; the theory term is expanded into MULTIPLICATIONS only
+    (pow() may route through exp/ln and is not bit-portable across
+    engines); rates land on rfix.
+
+    Scale shape: the truth side is panel-bounded (panel x overlapping
+    docs via ONE shingle equi-join — never all-pairs); the candidate
+    side is the production banding query itself, panel-filtered; the
+    rollup is 10 groups.
+    """
+    from .llmops import dedup_minhash_lsh_candidates
+
+    d = table(spark, sf_dir, "documents")
+    sh = d.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.array_distinct(T.shingles(T.tokens("text"), 3)).alias("s"),
+    )
+    sizes = sh.select("doc_id", F.size("s").alias("n"))
+    ex = sh.select("doc_id", F.explode("s").alias("sg"))
+    pan = ex.filter(F.col("doc_id") < _SC_PANEL).select(
+        F.col("doc_id").alias("doc_a"), "sg"
+    )
+    shared = (
+        pan.join(ex.select(F.col("doc_id").alias("doc_b"), "sg"), "sg")
+        .filter(F.col("doc_b") > F.col("doc_a"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    jr = rfix(
+        F.col("inter").cast("double")
+        / (F.col("na") + F.col("nb") - F.col("inter")),
+        6,
+    )
+    uni = (
+        shared.join(
+            sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")),
+            "doc_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")),
+            "doc_b",
+        )
+        .select("doc_a", "doc_b", jr.alias("jr"))
+    )
+    cand = (
+        dedup_minhash_lsh_candidates(spark, sf_dir)
+        .filter(F.col("doc_a") < _SC_PANEL)
+        .withColumn("is_c", F.lit(1))
+    )
+    marked = uni.join(cand, ["doc_a", "doc_b"], "left").select(
+        "jr", F.coalesce("is_c", F.lit(0)).alias("is_cand")
+    )
+    byb = (
+        marked.groupBy(
+            F.least(F.floor(F.col("jr") * 10), F.lit(9)).cast("long").alias("bucket")
+        )
+        .agg(F.count("*").cast("long").alias("n_pairs"),
+             F.sum("is_cand").cast("long").alias("n_cand"))
+        .withColumn("s", (F.col("bucket") + 0.5) / 10.0)
+        .withColumn("s2", F.col("s") * F.col("s"))
+    )
+    one_minus_s4 = F.lit(1.0) - F.col("s2") * F.col("s2")
+    return byb.select(
+        "bucket",
+        "n_pairs",
+        "n_cand",
+        rfix(F.col("n_cand").cast("double") / F.col("n_pairs"), 4).alias(
+            "measured_rate"
+        ),
+        rfix(
+            F.lit(1.0) - one_minus_s4 * one_minus_s4 * one_minus_s4 * one_minus_s4,
+            6,
+        ).alias("theory_rate"),
+    )
+
+
+DRAFTS["dedup_lsh_s_curve_eval"] = (dedup_lsh_s_curve_eval, _s_curve_oracle())
+
+
+# ---------------------------------------------------------------------------
+# Kneser-Ney continuation diagnostics: the words whose continuation
+# probability (distinct left contexts / distinct bigram types) most
+# undershoots their raw frequency — the "Francisco problem" words an ML
+# unigram backoff overweights and KN smoothing exists to fix.
+
+_KN_MIN_COUNT = 5
+_KN_TOP = 20
+
+_KN_TOKS = "string_split_regex(text, '\\s+')"
+
+KN_CONT_ORACLE = f"""
+WITH toks AS (SELECT doc_id, {_KN_TOKS} AS t FROM documents),
+tok AS (
+    SELECT t[CAST(idx.i AS INT)] AS w
+    FROM toks, (SELECT unnest(range(1, 4097)) AS i) idx
+    WHERE idx.i <= len(t)
+),
+bg AS (
+    SELECT t[CAST(idx.i AS INT)] AS w1, t[CAST(idx.i AS INT) + 1] AS w2
+    FROM toks, (SELECT unnest(range(1, 4097)) AS i) idx
+    WHERE idx.i < len(t)
+),
+uni AS (SELECT w, count(*)::BIGINT AS c FROM tok GROUP BY w),
+cont AS (SELECT w2 AS w, count(DISTINCT w1)::BIGINT AS k FROM bg GROUP BY w2),
+tots AS (
+    SELECT (SELECT count(*) FROM tok)::BIGINT AS n,
+           (SELECT count(*) FROM (SELECT DISTINCT w1, w2 FROM bg))::BIGINT AS b
+),
+scored AS (
+    SELECT uni.w, uni.c, coalesce(cont.k, 0) AS k,
+           {rfix_sql('(coalesce(cont.k, 0) * tots.n)::DOUBLE / (tots.b * uni.c)', 6)}
+               AS cont_ratio
+    FROM uni LEFT JOIN cont ON cont.w = uni.w CROSS JOIN tots
+    WHERE uni.c >= {_KN_MIN_COUNT}
+)
+SELECT w, c AS c_uni, k AS n_contexts, cont_ratio
+FROM scored
+ORDER BY cont_ratio ASC, w ASC
+LIMIT {_KN_TOP}
+"""
+
+
+def text_kn_continuation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kneser-Ney continuation diagnostics: for every corpus word (count
+    >= {_KN_MIN_COUNT}), the ratio of its CONTINUATION probability
+    (distinct left contexts / distinct bigram types — KN's unigram
+    backoff estimate) to its ML unigram probability, returning the
+    {_KN_TOP} words where the ratio is lowest — frequent words that
+    follow very few distinct contexts ("Francisco" after "San"), exactly
+    the mass KN smoothing reassigns and a backoff LM built on raw
+    frequencies misplaces. Complements text_bigram_quality_by_source
+    (add-k scoring) with the distinct-context structure KN is built on.
+
+    Exactness: all inputs are exact integer counts; the ratio
+    k·N/(B·c) divides exact-integer doubles (deterministic IEEE), lands
+    on rfix, and the top-{_KN_TOP} order is (rounded ratio, word) — a
+    total order.
+
+    Scale shape: one token exchange for unigram counts, one bigram-key
+    exchange for distinct contexts (count-distinct collapses map-side to
+    distinct (w1,w2) first), two 1-row totals broadcast back; the final
+    TakeOrdered is top-{_KN_TOP}, never a full sort.
+    """
+    d = table(spark, sf_dir, "documents")
+    t = T.tokens("text")
+    toks = d.select(t.alias("t"))
+    tok = toks.select(F.explode("t").alias("w"))
+    n_keep = F.greatest(F.size("t") - 1, F.lit(0))
+    bg = toks.select(
+        F.explode(
+            F.arrays_zip(
+                F.slice("t", 1, n_keep).alias("w1"),
+                F.slice(F.col("t"), 2, n_keep).alias("w2"),
+            )
+        ).alias("p")
+    ).select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    uni = tok.groupBy("w").agg(F.count("*").cast("long").alias("c"))
+    bg_types = bg.distinct()
+    cont = bg_types.groupBy(F.col("w2").alias("w")).agg(
+        F.count("*").cast("long").alias("k")
+    )
+    tots = tok.agg(F.count("*").cast("long").alias("n")).crossJoin(
+        F.broadcast(bg_types.agg(F.count("*").cast("long").alias("b")))
+    )
+    scored = (
+        uni.filter(F.col("c") >= _KN_MIN_COUNT)
+        .join(cont, "w", "left")
+        .crossJoin(F.broadcast(tots))
+        .select(
+            "w",
+            F.col("c").alias("c_uni"),
+            F.coalesce("k", F.lit(0)).alias("n_contexts"),
+            rfix(
+                (F.coalesce("k", F.lit(0)) * F.col("n")).cast("double")
+                / (F.col("b") * F.col("c")),
+                6,
+            ).alias("cont_ratio"),
+        )
+    )
+    return scored.orderBy(F.asc("cont_ratio"), F.asc("w")).limit(_KN_TOP)
+
+
+DRAFTS["text_kn_continuation_stats"] = (text_kn_continuation_stats, KN_CONT_ORACLE)
+
+
+# ---------------------------------------------------------------------------
+# Walsh-Hadamard perceptual fingerprint near-dup pairs: the
+# frequency-domain sibling of mm_ahash_near_dup_pairs (aHash thresholds
+# BRIGHTNESS per cell; this thresholds the SIGN of sequency components —
+# pHash's move, with the DCT replaced by the Walsh-Hadamard transform so
+# every coefficient is an EXACT integer sum, bit-portable by construction
+# where cos() tables are not).
+
+_WHT_N = 32        # signal cells sampled from the payload
+_WHT_COEFS = 16    # sequency components u = 1.._WHT_COEFS (DC skipped)
+_WHT_BAND_BITS = 8  # 2 bands x 8 bits => hamming <= 1 found by pigeonhole
+
+WHT_ORACLE = f"""
+WITH d AS (
+    SELECT doc_id, text, length(text) AS L FROM documents WHERE length(text) > 0
+),
+p AS (
+    SELECT doc_id, text,
+           CASE WHEN L >= {_WHT_N} THEN L // {_WHT_N} ELSE 1 END AS st,
+           CASE WHEN L >= {_WHT_N} THEN {_WHT_N} ELSE L END AS nc
+    FROM d
+),
+cells AS (
+    SELECT doc_id, idx.i,
+           ord(substring(text, CAST(idx.i * st + 1 AS INT), 1)) AS v
+    FROM p, (SELECT unnest(range(0, {_WHT_N})) AS i) idx
+    WHERE idx.i < nc
+),
+coef AS (
+    SELECT c.doc_id, u.u,
+           sum(c.v * CASE WHEN bit_count(CAST(c.i AS BIGINT) & u.u) % 2 = 0
+                          THEN 1 ELSE -1 END)::BIGINT AS w
+    FROM cells c, (SELECT unnest(range(1, {_WHT_COEFS + 1})) AS u) u
+    GROUP BY c.doc_id, u.u
+),
+h AS (
+    SELECT doc_id,
+           sum(CASE WHEN w > 0 THEN (1::BIGINT << CAST(u - 1 AS INT))
+                    ELSE 0 END)::BIGINT AS wh
+    FROM coef GROUP BY doc_id
+),
+bands AS (
+    SELECT doc_id, wh, 0 AS band_i, wh & {(1 << _WHT_BAND_BITS) - 1} AS band_v
+    FROM h
+    UNION ALL
+    SELECT doc_id, wh, 1, (wh >> {_WHT_BAND_BITS}) & {(1 << _WHT_BAND_BITS) - 1}
+    FROM h
+)
+SELECT DISTINCT CAST(a.doc_id AS BIGINT) AS doc_a,
+                CAST(b.doc_id AS BIGINT) AS doc_b,
+                CAST(bit_count(xor(a.wh, b.wh)) AS BIGINT) AS hamming
+FROM bands a JOIN bands b
+  ON a.band_i = b.band_i AND a.band_v = b.band_v AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.wh, b.wh)) <= 1
+"""
+
+
+def mm_wht_fingerprint_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate pairs by Walsh-Hadamard perceptual fingerprint:
+    {_WHT_N} signal cells sampled from the payload, {_WHT_COEFS}
+    low-sequency WHT components w_u = Σ v_i·(−1)^popcount(i AND u)
+    (u = 1..{_WHT_COEFS}; DC skipped — that is aHash's axis), one bit per
+    component sign, paired by a flip-one-bit NEIGHBORHOOD join (exact for
+    hamming <= 1: the identity variant catches equal hashes, the 16
+    single-bit flips catch every 1-bit pair), verified by true hamming.
+    pHash's frequency-domain move with the DCT replaced by the
+    Walsh-Hadamard transform: every coefficient is an EXACT integer sum
+    (bit-portable across engines by construction, where cos() tables are
+    not), and the transform is the one used at scale when multiply-free
+    integer pipelines matter.
+
+    Like mm_ahash_near_dup_pairs, the synthetic payloads are text bytes,
+    so the deterministic sampling branch runs in every environment and
+    DuckDB reproduces the hash arithmetically; with real decoded frames
+    the identical pipeline runs over pixel rows.
+
+    Scale shape: fingerprints come from one Arrow-batched numpy matmul
+    pass (multimodal/columns.wht_fingerprint — fixed-width output, text
+    pruned before any join); candidates come from ONE equi-join keyed on
+    the full 16-bit hash over a 17x variant explode (O(17n) candidate
+    volume — an 8-bit band scheme's buckets collapse to 256 keys and go
+    quadratic-in-bucket), never all-pairs; only (doc_id, hash) shuffles.
+    """
+    from ..multimodal.columns import wht_fingerprint
+
+    d = table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    # Arrow kernel, not SQL higher-order functions: the equivalent nested
+    # aggregate/zip_with expression is correct but costs ~4.5 s of
+    # Catalyst ANALYSIS per invocation at any data size (and the naive
+    # 16-separate-aggregates form re-evaluates the 32-substring cell
+    # transform per element access — no CSE inside HOF lambdas; measured
+    # 30 s). One numpy int64 matmul per batch, flat mapInPandas plan.
+    hashes = wht_fingerprint(
+        d.select(F.col("doc_id").cast("long").alias("doc_id"), "text"),
+        n_cells=_WHT_N,
+        n_coefs=_WHT_COEFS,
+    )
+    # Flip-one-bit neighborhood join, not band buckets: for hamming <= 1
+    # over a 16-bit key, exploding each hash into itself + its 16
+    # single-bit flips and equi-joining the variants against the plain
+    # hashes is EXACT (a pair differs in 0 bits -> identity variant
+    # matches; in 1 bit -> the flipped variant matches) and keys the
+    # shuffle on the FULL 16-bit value — 65536 buckets instead of the
+    # 256 an 8-bit band gives, so candidate volume is O(17n), not
+    # O(n²/256)·bands (measured 3.62 s -> 0.9 s at sf0.1; the oracle
+    # keeps the 2-band pigeonhole form, which is result-identical).
+    # explode the BIT INDEX, not an array of 17 hash expressions: the
+    # variant is derived from the carried `wh` attribute AFTER the
+    # Generate boundary, so the fingerprint fold is evaluated once per
+    # document (an array(wh, wh^1, ...) literal inlines the fold 17x
+    # under projection collapse — same no-CSE trap one level up).
+    variants = (
+        hashes.select(
+            F.col("doc_id").alias("doc_a"),
+            F.col("wh").alias("ha"),
+            F.explode(F.sequence(F.lit(-1), F.lit(_WHT_COEFS - 1))).alias("k"),
+        )
+        .select(
+            "doc_a",
+            "ha",
+            F.expr(
+                "CASE WHEN k < 0 THEN ha ELSE ha ^ shiftleft(1L, k) END"
+            ).alias("vk"),
+        )
+    )
+    plain = hashes.select(
+        F.col("doc_id").alias("doc_b"), F.col("wh").alias("hb")
+    )
+    ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return (
+        variants.join(plain, variants.vk == plain.hb)
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", ham.cast("long").alias("hamming"))
+        .distinct()
+    )
+
+
+DRAFTS["mm_wht_fingerprint_pairs"] = (mm_wht_fingerprint_pairs, WHT_ORACLE)
+
+
+# ---------------------------------------------------------------------------
+# Yule-Walker AR(2) fit of the daily order-count series — the parametric
+# follow-on to t19's ACF: the two autoregressive coefficients the lag-1/
+# lag-2 autocorrelations imply, via the closed-form 2x2 Yule-Walker solve.
+
+AR2_ORACLE = """
+WITH daily AS (
+    SELECT CAST(o_orderdate AS DATE) AS d, count(*)::DOUBLE AS x
+    FROM orders GROUP BY d
+),
+lagged AS (
+    SELECT x,
+           lag(x, 1) OVER (ORDER BY d) AS x1,
+           lag(x, 2) OVER (ORDER BY d) AS x2
+    FROM daily
+),
+m AS (
+    SELECT count(*)::BIGINT AS n_days,
+           count(x1)::DOUBLE AS n1, sum(CASE WHEN x1 IS NOT NULL THEN x END) AS sa1,
+           sum(x1) AS sb1, sum(CASE WHEN x1 IS NOT NULL THEN x * x END) AS saa1,
+           sum(x1 * x1) AS sbb1, sum(x * x1) AS sab1,
+           count(x2)::DOUBLE AS n2, sum(CASE WHEN x2 IS NOT NULL THEN x END) AS sa2,
+           sum(x2) AS sb2, sum(CASE WHEN x2 IS NOT NULL THEN x * x END) AS saa2,
+           sum(x2 * x2) AS sbb2, sum(x * x2) AS sab2
+    FROM lagged
+),
+r AS (
+    SELECT n_days,
+           CASE WHEN n1 >= 2 AND (n1 * saa1 - sa1 * sa1) > 0
+                     AND (n1 * sbb1 - sb1 * sb1) > 0
+                THEN (n1 * sab1 - sa1 * sb1)
+                     / sqrt((n1 * saa1 - sa1 * sa1) * (n1 * sbb1 - sb1 * sb1))
+           END AS rho1,
+           CASE WHEN n2 >= 2 AND (n2 * saa2 - sa2 * sa2) > 0
+                     AND (n2 * sbb2 - sb2 * sb2) > 0
+                THEN (n2 * sab2 - sa2 * sb2)
+                     / sqrt((n2 * saa2 - sa2 * sa2) * (n2 * sbb2 - sb2 * sb2))
+           END AS rho2
+    FROM m
+)
+SELECT n_days,
+       {rho1} AS rho1,
+       {rho2} AS rho2,
+       {phi1} AS phi1,
+       {phi2} AS phi2
+FROM r
+""".format(
+    rho1=rfix_sql("rho1", 6),
+    rho2=rfix_sql("rho2", 6),
+    phi1=rfix_sql(
+        "CASE WHEN (1 - rho1 * rho1) > 0 "
+        "THEN rho1 * (1 - rho2) / (1 - rho1 * rho1) END", 6
+    ),
+    phi2=rfix_sql(
+        "CASE WHEN (1 - rho1 * rho1) > 0 "
+        "THEN (rho2 - rho1 * rho1) / (1 - rho1 * rho1) END", 6
+    ),
+)
+
+
+def t37_ar2_yule_walker(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Yule-Walker AR(2) fit of the daily order-count series: lag-1/lag-2
+    Pearson autocorrelations (pairwise-complete, t19's exact-moment
+    discipline) solved through the closed-form 2x2 Yule-Walker system
+    φ1 = ρ1(1−ρ2)/(1−ρ1²), φ2 = (ρ2−ρ1²)/(1−ρ1²) — the parametric
+    follow-on to t19_acf_daily_orders: not just how correlated the
+    series is with its past, but the autoregression those correlations
+    imply (φ2's sign separates momentum from mean-reversion at lag 2).
+
+    Exactness: daily counts are small integers, so every moment sum is
+    an EXACT double and ρ/φ are IEEE-deterministic ratios of exact
+    values (no summation-order ulp anywhere); zero-variance and
+    degenerate-denominator guards mirror t19's (Spark's ANSI corr
+    throws on constant series — raw moments with explicit guards).
+
+    Scale shape: one map-side-combinable fact rollup to the day spine;
+    the lag window and the one-row moment aggregate run over the
+    calendar-bounded frame; constant-width output.
+    """
+    from pyspark.sql import Window
+
+    o = table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("d")).agg(
+        F.count("*").cast("double").alias("x")
+    )
+    w = Window.orderBy("d")
+    lagged = daily.select(
+        "x", F.lag("x", 1).over(w).alias("x1"), F.lag("x", 2).over(w).alias("x2")
+    )
+
+    def _rho(k: int):
+        y = F.col(f"x{k}")
+        xm = F.when(y.isNotNull(), F.col("x"))
+        n = F.count(y).cast("double")
+        sa, sb = F.sum(xm), F.sum(y)
+        saa, sbb, sab = F.sum(xm * xm), F.sum(y * y), F.sum(xm * y)
+        va, vb = n * saa - sa * sa, n * sbb - sb * sb
+        return F.when(
+            (n >= 2) & (va > 0) & (vb > 0), (n * sab - sa * sb) / F.sqrt(va * vb)
+        )
+
+    m = lagged.agg(
+        F.count("*").cast("long").alias("n_days"),
+        _rho(1).alias("rho1"),
+        _rho(2).alias("rho2"),
+    )
+    den = F.lit(1.0) - F.col("rho1") * F.col("rho1")
+    return m.select(
+        "n_days",
+        rfix(F.col("rho1"), 6).alias("rho1"),
+        rfix(F.col("rho2"), 6).alias("rho2"),
+        rfix(
+            F.when(den > 0, F.col("rho1") * (F.lit(1.0) - F.col("rho2")) / den), 6
+        ).alias("phi1"),
+        rfix(
+            F.when(den > 0, (F.col("rho2") - F.col("rho1") * F.col("rho1")) / den), 6
+        ).alias("phi2"),
+    )
+
+
+DRAFTS["t37_ar2_yule_walker"] = (t37_ar2_yule_walker, AR2_ORACLE)
