@@ -350,3 +350,32 @@ def test_ar2_numpy_twin(spark):
     assert got.phi2 == pytest.approx(phi2, abs=2e-6)
     # stationarity triangle |phi2| < 1, phi2 +- phi1 < 1 is not asserted
     # (data-dependent); the YW identities above are the contract
+
+
+# ---------------------------------------------------------------------------
+# ann_ivf_nprobe_curve
+
+
+def test_nprobe_curve_monotone_and_matches_pointwise_anchors(spark):
+    """The curve must be monotone in nprobe (nested probe sets) and its
+    nprobe=1 / nprobe=2 points must agree with the independently
+    registered pointwise evals (macro recall = mean of their per-query
+    recalls; candidate totals = sum)."""
+    from yelpdatawarehouse_spark.queries.drafts_r10 import ann_ivf_nprobe2_recall
+    from yelpdatawarehouse_spark.queries.drafts_r12 import ann_ivf_nprobe_curve
+    from yelpdatawarehouse_spark.queries.llmops import ann_ivf_recall_eval
+
+    curve = {r.nprobe: r for r in ann_ivf_nprobe_curve(spark, SF_TEST_DIR).collect()}
+    assert sorted(curve) == [1, 2, 4]
+    for a, b in zip([1, 2], [2, 4]):
+        assert curve[a].mean_recall_at_10 <= curve[b].mean_recall_at_10
+        assert curve[a].total_candidates <= curve[b].total_candidates
+        assert curve[a].total_hits <= curve[b].total_hits
+    for np_, anchor_fn in [(1, ann_ivf_recall_eval), (2, ann_ivf_nprobe2_recall)]:
+        rows = anchor_fn(spark, SF_TEST_DIR).collect()
+        assert curve[np_].total_hits == sum(r.hits for r in rows)
+        assert curve[np_].total_candidates == sum(r.n_candidates for r in rows)
+        want = math.floor(
+            sum(r.hits for r in rows) / (10.0 * len(rows)) * 1e4 + 0.5
+        ) / 1e4
+        assert curve[np_].mean_recall_at_10 == pytest.approx(want)

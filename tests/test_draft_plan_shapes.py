@@ -216,6 +216,9 @@ _SHAPES = {
     "mm_wht_fingerprint_pairs": (2, 1, 0, 1),
     # day rollup + lag window over the calendar spine; 1-row moments
     "t37_ar2_yule_walker": (1, 0, 1, 0),
+    # truth window + pinned one-pass cell ranking; the level dimension,
+    # probe lists, and count digests all ride broadcasts
+    "ann_ivf_nprobe_curve": (5, 7, 1, 2),
 }
 
 

@@ -1046,3 +1046,153 @@ def t37_ar2_yule_walker(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 DRAFTS["t37_ar2_yule_walker"] = (t37_ar2_yule_walker, AR2_ORACLE)
+
+
+# ---------------------------------------------------------------------------
+# IVF recall-vs-cost tuning CURVE: nprobe in {1, 2, 4} from ONE ranking
+# pass — the whole sweep ann_ivf_recall_eval (nprobe=1) and
+# ann_ivf_nprobe2_recall (nprobe=2) sample pointwise, as a single query
+# whose output is the curve an IVF deployment actually reads before
+# fixing nprobe. The S-curve eval's sibling for the ANN index family.
+
+_CURVE_K = 8        # coarse centroids (= drafts_r10._NPROBE_K)
+_CURVE_PANEL = 5    # query panel (= the pointwise evals' panel)
+_CURVE_LEVELS = (1, 2, 4)
+
+NPROBE_CURVE_ORACLE = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+           WHERE vec_id < {_CURVE_PANEL}),
+truth AS (
+    SELECT query_id, neighbor_id FROM (
+        SELECT q.query_id, e.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY q.query_id
+                   ORDER BY {rfix_sql(V.cosine_sql('q.qe', 'e.embedding'), 6)} DESC,
+                            e.vec_id) AS rn
+        FROM q JOIN embeddings e ON e.vec_id <> q.query_id
+    ) WHERE rn <= 10
+),
+cents AS (
+    SELECT vec_id AS cid, embedding AS cv FROM embeddings
+    WHERE vec_id < {_CURVE_K}
+),
+ranked AS (
+    SELECT e.vec_id, c.cid,
+           row_number() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY {rfix_sql(V.cosine_sql('e.embedding', 'c.cv'), 6)} DESC, c.cid
+           ) AS rn
+    FROM embeddings e CROSS JOIN cents c
+),
+assign AS (SELECT vec_id, cid FROM ranked WHERE rn = 1),
+levels AS (SELECT unnest([{', '.join(str(x) for x in _CURVE_LEVELS)}]) AS np),
+probes AS (
+    SELECT l.np, r.vec_id AS query_id, r.cid
+    FROM ranked r CROSS JOIN levels l
+    WHERE r.vec_id < {_CURVE_PANEL} AND r.rn <= l.np
+),
+cand AS (
+    SELECT p.np, p.query_id, na.vec_id AS neighbor_id
+    FROM probes p JOIN assign na ON na.cid = p.cid AND na.vec_id <> p.query_id
+),
+hits AS (
+    SELECT l.np, count(*)::BIGINT AS total_hits
+    FROM levels l
+    JOIN cand c ON c.np = l.np
+    JOIN truth t ON t.query_id = c.query_id AND t.neighbor_id = c.neighbor_id
+    GROUP BY l.np
+),
+sizes AS (SELECT np, count(*)::BIGINT AS total_candidates FROM cand GROUP BY np)
+SELECT CAST(l.np AS BIGINT) AS nprobe,
+       coalesce(s.total_candidates, 0) AS total_candidates,
+       coalesce(h.total_hits, 0) AS total_hits,
+       {rfix_sql(
+           f'coalesce(h.total_hits, 0) / (10.0 * {_CURVE_PANEL})', 4)}
+           AS mean_recall_at_10
+FROM levels l
+LEFT JOIN sizes s ON s.np = l.np
+LEFT JOIN hits h ON h.np = l.np
+"""
+
+
+def ann_ivf_nprobe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF recall-vs-candidate-cost tuning curve: recall@10 of the coarse
+    index at nprobe ∈ {_CURVE_LEVELS}, one output row per level — the
+    sweep an IVF deployment reads before fixing nprobe, produced whole
+    instead of pointwise (ann_ivf_recall_eval = the nprobe=1 point,
+    ann_ivf_nprobe2_recall = the nprobe=2 point; both stay registered as
+    the driver-verified anchors this curve must agree with — an
+    invariant test pins the agreement). Recall is monotone
+    non-decreasing in nprobe BY CONSTRUCTION (probe sets are nested);
+    candidate cost grows roughly linearly — the curve IS that trade.
+
+    Scale shape mirrors the production index: ONE K-way cosine ranking
+    pass (pinned — rank 1 assigns database vectors, rank <= max(nprobe)
+    yields every probe list; no per-level scoring pass) , the level
+    dimension enters as a 3-row broadcast cross, candidates are a
+    cell-keyed join, truth is exact over the broadcast panel only.
+    """
+    e = table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < _CURVE_PANEL).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("c6"), F.asc("neighbor_id"))
+    truth = (
+        e.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            rfix(V.cosine(F.col("qe"), F.col("embedding")), 6).alias("c6"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .select("query_id", "neighbor_id")
+    )
+    cents = e.filter(F.col("vec_id") < _CURVE_K).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
+    )
+    aw = Window.partitionBy("vec_id").orderBy(F.desc("ac6"), F.asc("cid"))
+    ranked = (
+        e.join(F.broadcast(cents))
+        .select(
+            "vec_id",
+            "cid",
+            rfix(V.cosine(F.col("embedding"), F.col("cv")), 6).alias("ac6"),
+        )
+        .withColumn("rn", F.row_number().over(aw))
+        .filter(F.col("rn") <= max(_CURVE_LEVELS))
+        .select("vec_id", "cid", "rn")
+    ).localCheckpoint()
+    assign = ranked.filter(F.col("rn") == 1).select("vec_id", "cid")
+    levels = spark.createDataFrame([(x,) for x in _CURVE_LEVELS], "np LONG")
+    probes = (
+        ranked.filter(F.col("vec_id") < _CURVE_PANEL)
+        .crossJoin(F.broadcast(levels))
+        .filter(F.col("rn") <= F.col("np"))
+        .select("np", F.col("vec_id").alias("query_id"), "cid")
+    )
+    cand = (
+        assign.join(F.broadcast(probes), "cid")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("np", "query_id", F.col("vec_id").alias("neighbor_id"))
+    )
+    sizes = cand.groupBy("np").agg(F.count("*").cast("long").alias("total_candidates"))
+    hits = cand.join(truth, ["query_id", "neighbor_id"]).groupBy("np").agg(
+        F.count("*").cast("long").alias("total_hits")
+    )
+    return (
+        levels.join(F.broadcast(sizes), "np", "left")
+        .join(F.broadcast(hits), "np", "left")
+        .select(
+            F.col("np").cast("long").alias("nprobe"),
+            F.coalesce("total_candidates", F.lit(0)).alias("total_candidates"),
+            F.coalesce("total_hits", F.lit(0)).alias("total_hits"),
+            rfix(
+                F.coalesce("total_hits", F.lit(0)) / F.lit(10.0 * _CURVE_PANEL), 4
+            ).alias("mean_recall_at_10"),
+        )
+    )
+
+
+DRAFTS["ann_ivf_nprobe_curve"] = (ann_ivf_nprobe_curve, NPROBE_CURVE_ORACLE)
