@@ -2,9 +2,10 @@
 queries/draft_layer.register_all — the _prioritize window front-loads the
 new cohort while keeping stale re-verification slots).
 
-Four capability gaps, each a shape the 263-query registry did not yet
-cover:
+Nine capability gaps across three same-round tranches, each a shape the
+263-query registry did not yet cover:
 
+Tranche 1:
 * ``g_closeness_centrality`` — closeness + harmonic centrality from
   ALL-PAIRS min-hop distances, computed as ONE simultaneous multi-root
   BFS frame (operators/graph.bfs_min_hops_multi) — the remaining classic
@@ -20,6 +21,21 @@ cover:
   splitting (all copies of a document land in ONE split) measured
   against the naive doc-hash split's cross-split duplicate leakage —
   the constructive counterpart of dedup_cross_split_contamination.
+
+Tranche 2:
+* ``dedup_lsh_s_curve_eval`` — measured vs theoretical LSH banding
+  collision rate per true-Jaccard decile (the 1-(1-s^r)^b curve).
+* ``text_kn_continuation_stats`` — Kneser-Ney continuation-probability
+  diagnostics (distinct-left-context structure; the Francisco problem).
+* ``mm_wht_fingerprint_pairs`` — Walsh-Hadamard perceptual fingerprint
+  near-dup pairs (exact-integer pHash sibling; Arrow kernel).
+* ``t37_ar2_yule_walker`` — AR(2) fit from exact-moment lag-1/2
+  autocorrelations via the closed-form Yule-Walker solve.
+
+Tranche 3:
+* ``ann_ivf_nprobe_curve`` — the IVF recall-vs-candidate-cost tuning
+  curve (nprobe 1/2/4) from one pinned cell-ranking pass, agreement-
+  pinned against the two registered pointwise anchors.
 
 Registry contract as everywhere: identical column aliases both sides,
 ints cast long/BIGINT, floats through rfix, money as exact cents where a
