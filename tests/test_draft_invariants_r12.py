@@ -379,3 +379,118 @@ def test_nprobe_curve_monotone_and_matches_pointwise_anchors(spark):
             sum(r.hits for r in rows) / (10.0 * len(rows)) * 1e4 + 0.5
         ) / 1e4
         assert curve[np_].mean_recall_at_10 == pytest.approx(want)
+
+
+# ---------------------------------------------------------------------------
+# diag_table_profiler
+
+
+def test_table_profiler_consistency(spark):
+    from yelpdatawarehouse_spark.queries.drafts_r12 import (
+        _PROFILE_COLS,
+        diag_table_profiler,
+    )
+
+    rows = {r.column_name: r for r in diag_table_profiler(spark, SF_TEST_DIR).collect()}
+    assert set(rows) == set(_PROFILE_COLS)
+    o = table(spark, SF_TEST_DIR, "orders")
+    n = o.count()
+    for r in rows.values():
+        assert r.n_rows == n
+        assert 0 <= r.n_non_null <= n
+        assert 1 <= r.n_distinct <= r.n_non_null
+        assert r.min_value <= r.max_value or r.n_non_null == 0
+    assert rows["o_orderkey"].n_distinct == n, "o_orderkey is the PK"
+
+
+# ---------------------------------------------------------------------------
+# g_eccentricity_diameter
+
+
+def test_eccentricity_identities(spark):
+    from yelpdatawarehouse_spark.queries.drafts_r12 import g_eccentricity_diameter
+
+    r = g_eccentricity_diameter(spark, SF_TEST_DIR).collect()[0]
+    assert r.radius <= r.diameter <= 2 * r.radius  # metric-space identity
+    assert 1 <= r.n_center <= r.n_nodes
+    assert 1 <= r.n_periphery <= r.n_nodes
+    edges = trade_edges(spark, SF_TEST_DIR)
+    assert r.n_nodes == edges.select("src").distinct().count()
+
+
+# ---------------------------------------------------------------------------
+# sample_ess_lengths
+
+
+def test_ess_bounds_and_uniform_case(spark):
+    from yelpdatawarehouse_spark.queries.drafts_r12 import sample_ess_lengths
+
+    rows = sample_ess_lengths(spark, SF_TEST_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 0 < r.ess <= r.n_docs + 1e-9
+        assert 0 < r.ess_ratio <= 1.0
+    # uniform weights => ESS == n exactly (synthetic single-source table)
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {"doc_id": range(10), "source": ["u"] * 10, "text": ["tok " * 7] * 10,
+         "lang": ["en"] * 10, "n_chars": [28] * 10}
+    )
+    import os
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        spark.createDataFrame(pdf).write.parquet(os.path.join(td, "documents.parquet"))
+        got = sample_ess_lengths(spark, td).collect()[0]
+        assert got.ess == pytest.approx(10.0)
+        assert got.ess_ratio == pytest.approx(1.0)
+
+
+# ---------------------------------------------------------------------------
+# text_term_burstiness_topk
+
+
+def test_burstiness_python_twin(spark):
+    """Recompute the dispersion ranking in plain Python from the engine's
+    token stream."""
+    from collections import Counter
+
+    from yelpdatawarehouse_spark.queries.drafts_r12 import (
+        _BURST_MIN_COUNT,
+        _BURST_TOP,
+        text_term_burstiness_topk,
+    )
+
+    d = table(spark, SF_TEST_DIR, "documents")
+    toks = [
+        (r.doc_id, r.w)
+        for r in d.select(
+            "doc_id",
+            F.explode(
+                F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")
+            ).alias("w"),
+        ).collect()
+    ]
+    n_docs = len({doc for doc, _ in toks})
+    per = Counter(toks)
+    c: Counter = Counter()
+    ssq: Counter = Counter()
+    df: Counter = Counter()
+    for (_, w), x in per.items():
+        c[w] += x
+        ssq[w] += x * x
+        df[w] += 1
+    scored = []
+    for w, cw in c.items():
+        if cw >= _BURST_MIN_COUNT:
+            ex = cw / n_docs
+            vmr = (ssq[w] / n_docs - ex * ex) / ex
+            scored.append((-(math.floor(vmr * 1e4 + 0.5) / 1e4), w, cw, df[w]))
+    scored.sort()
+    want = [(w, cw, dfw, -negv) for negv, w, cw, dfw in scored[:_BURST_TOP]]
+    got = [
+        (r.w, r.term_count, r.doc_freq, r.vmr)
+        for r in text_term_burstiness_topk(spark, SF_TEST_DIR).collect()
+    ]
+    assert got == [(w, cw, dfw, pytest.approx(v)) for w, cw, dfw, v in want]

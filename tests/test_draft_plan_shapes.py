@@ -219,6 +219,15 @@ _SHAPES = {
     # truth window + pinned one-pass cell ranking; the level dimension,
     # probe lists, and count digests all ride broadcasts
     "ann_ivf_nprobe_curve": (5, 7, 1, 2),
+    # ONE scan: grouped-expand multi-distinct is a single exchange; the
+    # 6-row stack needs no second pass
+    "diag_table_profiler": (1, 0, 0, 0),
+    # BFS state pinned; visible tail = ecc rollup + 1-row extrema bcast
+    "g_eccentricity_diameter": (2, 1, 0, 0),
+    # one source-keyed map-combinable exchange; pure integer moments
+    "sample_ess_lengths": (1, 0, 0, 0),
+    # (term,doc) + term-moment exchanges + 1-row N broadcast; TakeOrdered
+    "text_term_burstiness_topk": (3, 1, 0, 0),
 }
 
 

@@ -1212,3 +1212,324 @@ def ann_ivf_nprobe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 DRAFTS["ann_ivf_nprobe_curve"] = (ann_ivf_nprobe_curve, NPROBE_CURVE_ORACLE)
+
+
+# ---------------------------------------------------------------------------
+# Tranche 4: one-pass table profiler, graph eccentricity/diameter,
+# exact-integer effective sample size, term burstiness. All four are
+# exact-arithmetic end to end (counts, mins/maxes, integer moments) — no
+# transcendental in any compared value.
+
+
+# One-pass per-column profile of the orders table — the describe()-class
+# report a 100 TB ingestion runs per partition before publishing, with
+# every number exact and oracled (Spark's summary()/describe() are
+# driver conveniences with approximate percentiles; this is the
+# contract-grade form).
+
+_PROFILE_COLS = (
+    "o_orderkey", "o_custkey", "o_orderstatus",
+    "o_totalprice", "o_orderdate", "o_orderpriority",
+)
+
+
+def _profiler_oracle() -> str:
+    legs = []
+    for c in _PROFILE_COLS:
+        legs.append(f"""
+    SELECT '{c}' AS column_name,
+           count(*)::BIGINT AS n_rows,
+           count({c})::BIGINT AS n_non_null,
+           count(DISTINCT {c})::BIGINT AS n_distinct,
+           CAST(min({c}) AS VARCHAR) AS min_value,
+           CAST(max({c}) AS VARCHAR) AS max_value
+    FROM orders""")
+    return "\nUNION ALL".join(legs)
+
+
+def diag_table_profiler(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass column profiler over the orders batch: per column, row
+    count, non-null count, exact distinct count, and min/max rendered as
+    strings — the schema-on-read triage report (Deequ's profiler /
+    pandas-profiling's top block) next to diag_quality_report's
+    rule-based gate. Everything exact: a 100 TB publish decision should
+    not hinge on an approximate distinct.
+
+    Scale shape: ONE scan; the six per-column (count, count non-null,
+    min, max) legs fold into a single aggregate row map-side, and the
+    six exact distincts run as grouped expand (Spark's multi-distinct
+    rewrite) — still one pass over the data, exchanges carry only
+    distinct values per column. Min/max stringification happens after
+    aggregation (6 rows), so the scan stays typed and prunable.
+    """
+    o = table(spark, sf_dir, "orders")
+    aggs = []
+    for c in _PROFILE_COLS:
+        aggs += [
+            F.count(F.lit(1)).alias(f"{c}__rows"),
+            F.count(c).alias(f"{c}__nn"),
+            F.countDistinct(c).alias(f"{c}__nd"),
+            F.min(c).cast("string").alias(f"{c}__mn"),
+            F.max(c).cast("string").alias(f"{c}__mx"),
+        ]
+    one = o.agg(*aggs)
+    stacked = ", ".join(
+        f"'{c}', {c}__rows, {c}__nn, {c}__nd, {c}__mn, {c}__mx"
+        for c in _PROFILE_COLS
+    )
+    return one.select(
+        F.expr(
+            f"stack({len(_PROFILE_COLS)}, {stacked}) AS "
+            "(column_name, n_rows, n_non_null, n_distinct, min_value, max_value)"
+        )
+    ).select(
+        "column_name",
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.col("n_non_null").cast("long").alias("n_non_null"),
+        F.col("n_distinct").cast("long").alias("n_distinct"),
+        "min_value",
+        "max_value",
+    )
+
+
+DRAFTS["diag_table_profiler"] = (diag_table_profiler, _profiler_oracle())
+
+
+# ---------------------------------------------------------------------------
+# Eccentricity / diameter / radius of the trade graph — the remaining
+# all-pairs-distance statistics over the SAME multi-root BFS frame
+# closeness consumes (one more reader of bfs_min_hops_multi, zero new
+# iteration machinery).
+
+ECC_ORACLE = f"""
+WITH RECURSIVE {_EDGE_SQL},
+roots AS (SELECT DISTINCT src AS root FROM edges),
+walk(root, node, hop) AS (
+    SELECT root, root, 0 FROM roots
+    UNION
+    SELECT w.root, e.dst, w.hop + 1
+    FROM walk w JOIN edges e ON e.src = w.node
+    WHERE w.hop < {_CLOSENESS_MAX_HOPS}
+),
+dist AS (SELECT root, node, min(hop) AS d FROM walk GROUP BY root, node),
+ecc AS (SELECT root, max(d) AS e, count(*)::BIGINT AS n_comp FROM dist GROUP BY root),
+g AS (
+    SELECT max(e) AS diameter, min(e) AS radius FROM ecc
+)
+SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+       CAST((SELECT diameter FROM g) AS BIGINT) AS diameter,
+       CAST((SELECT radius FROM g) AS BIGINT) AS radius,
+       CAST(sum(CASE WHEN e.e = (SELECT radius FROM g) THEN 1 ELSE 0 END)
+           AS BIGINT) AS n_center,
+       CAST(sum(CASE WHEN e.e = (SELECT diameter FROM g) THEN 1 ELSE 0 END)
+           AS BIGINT) AS n_periphery
+FROM ecc e
+"""
+
+
+def g_eccentricity_diameter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eccentricity statistics of the trade graph: diameter (max over
+    nodes of the farthest-reachable distance), radius (min eccentricity),
+    and the sizes of the center (radius-eccentricity nodes) and
+    periphery (diameter-eccentricity nodes) — the all-pairs-distance
+    summary family that closeness started, over non-isolated nodes
+    (eccentricity of an isolated node is undefined).
+
+    Reuses the SAME one-frame multi-root BFS as g_closeness_centrality
+    (operators/graph.bfs_min_hops_multi) — nothing new iterates; the
+    statistics are two bounded rollups over the (root, node, hops)
+    frame. Hop cap {_CLOSENESS_MAX_HOPS} (the reference's shortestPath
+    depth); on this dense graph every eccentricity is far below it.
+    """
+    edges = trade_edges(spark, sf_dir)
+    roots = edges.select(F.col("src")).distinct()
+    dist = bfs_min_hops_multi(spark, edges, roots, max_hops=_CLOSENESS_MAX_HOPS)
+    ecc = dist.groupBy("root").agg(F.max("hops").alias("e"))
+    g = F.broadcast(ecc.agg(F.max("e").alias("diameter"), F.min("e").alias("radius")))
+    return (
+        ecc.crossJoin(g)
+        .agg(
+            F.count("*").cast("long").alias("n_nodes"),
+            F.max("diameter").cast("long").alias("diameter"),
+            F.max("radius").cast("long").alias("radius"),
+            F.sum(F.when(F.col("e") == F.col("radius"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_center"),
+            F.sum(F.when(F.col("e") == F.col("diameter"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_periphery"),
+        )
+    )
+
+
+DRAFTS["g_eccentricity_diameter"] = (g_eccentricity_diameter, ECC_ORACLE)
+
+
+# ---------------------------------------------------------------------------
+# Effective sample size of length-proportional sampling, per source —
+# ESS = (Σw)²/Σw² on EXACT INTEGER weights (token counts), so the
+# concentration diagnostic is bit-portable with no transcendental
+# anywhere (the DSIR log-weights need exp() for ESS, which is not; the
+# length-weighted form answers the same "how few documents dominate my
+# sample?" question exactly).
+
+_ESS_TOKS = "len(regexp_extract_all(lower(text), '[a-z0-9]+'))"
+
+ESS_ORACLE = f"""
+WITH sized AS (
+    SELECT source, {_ESS_TOKS}::BIGINT AS w FROM documents
+),
+m AS (
+    SELECT source,
+           count(*)::BIGINT AS n_docs,
+           sum(w)::BIGINT AS sum_w,
+           sum(w * w) AS sum_w2
+    FROM sized GROUP BY source
+)
+SELECT source, n_docs, sum_w,
+       {rfix_sql('CASE WHEN sum_w2 > 0 '
+                 'THEN (sum_w::DOUBLE * sum_w) / sum_w2 ELSE 0 END', 4)} AS ess,
+       {rfix_sql('CASE WHEN sum_w2 > 0 '
+                 'THEN (sum_w::DOUBLE * sum_w) / sum_w2 / n_docs ELSE 0 END', 4)}
+           AS ess_ratio
+FROM m
+"""
+
+
+def sample_ess_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Effective sample size of LENGTH-PROPORTIONAL document sampling per
+    source: ESS = (Σw)²/Σw² with w = token count — how many
+    equally-weighted documents the skewed draw is actually worth, and
+    ess_ratio = ESS/n ∈ (0, 1] as the concentration score (1 = uniform
+    lengths; → 1/n = one giant document dominates). The diagnostic read
+    before token-budget sampling (sample_token_budget_fill) silently
+    turns a 10k-document source into the statistical equivalent of 80.
+
+    Exact end to end: weights are integer token counts; Σw² accumulates
+    in decimal(38,0)/HUGEINT (the cents² LONG-overflow class the round-8
+    sf0.1 sweep caught — w² ≈ 1.7e7 per 4k-token doc clears a long past
+    ~5e11 documents, squarely inside 100 TB territory; the overflow-audit
+    CI guard flagged exactly this line), and the two ratios divide
+    exact-integer doubles — IEEE-deterministic, rfix only as the
+    presentation boundary.
+
+    Scale shape: one stateless token-count expression per row, one
+    source-keyed map-combinable exchange. The ideal 100 TB shape.
+    """
+    d = table(spark, sf_dir, "documents")
+    w = F.size(F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")).cast("long")
+    dec = "decimal(38,0)"
+    m = d.select("source", w.alias("w")).groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("w").cast("long").alias("sum_w"),
+        F.sum(F.col("w").cast(dec) * F.col("w").cast(dec)).alias("sum_w2"),
+    )
+    ess = F.when(
+        F.col("sum_w2") > 0,
+        (F.col("sum_w").cast("double") * F.col("sum_w")) / F.col("sum_w2"),
+    ).otherwise(0.0)
+    return m.select(
+        "source",
+        "n_docs",
+        "sum_w",
+        rfix(ess, 4).alias("ess"),
+        rfix(ess / F.col("n_docs"), 4).alias("ess_ratio"),
+    )
+
+
+DRAFTS["sample_ess_lengths"] = (sample_ess_lengths, ESS_ORACLE)
+
+
+# ---------------------------------------------------------------------------
+# Term burstiness: variance-to-mean ratio (index of dispersion) of
+# per-document term counts — Church & Gale's observation that content
+# words arrive in BURSTS (VMR >> 1) while function words are near-
+# Poisson (VMR ≈ 1). The dispersion form keeps every compared number a
+# ratio of exact-integer moments (the Poisson-tail form needs exp()).
+
+_BURST_MIN_COUNT = 30
+_BURST_TOP = 20
+
+BURSTINESS_ORACLE = f"""
+WITH toks AS (
+    SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+    FROM documents
+),
+n AS (SELECT count(DISTINCT doc_id)::BIGINT AS n_docs FROM documents
+      WHERE len(regexp_extract_all(lower(text), '[a-z0-9]+')) > 0),
+per_doc AS (SELECT w, doc_id, count(*)::BIGINT AS x FROM toks GROUP BY w, doc_id),
+m AS (
+    SELECT w,
+           sum(x)::BIGINT AS c,
+           sum(x * x) AS ssq,
+           count(*)::BIGINT AS df
+    FROM per_doc GROUP BY w
+),
+scored AS (
+    SELECT m.w, m.c, m.df,
+           {rfix_sql('(ssq::DOUBLE / n.n_docs'
+                     ' - (c::DOUBLE / n.n_docs) * (c::DOUBLE / n.n_docs))'
+                     ' / (c::DOUBLE / n.n_docs)', 4)} AS vmr
+    FROM m CROSS JOIN n
+    WHERE m.c >= {_BURST_MIN_COUNT}
+)
+SELECT w, c AS term_count, df AS doc_freq, vmr
+FROM scored
+ORDER BY vmr DESC, w ASC
+LIMIT {_BURST_TOP}
+"""
+
+
+def text_term_burstiness_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The {_BURST_TOP} burstiest frequent terms by index of dispersion:
+    VMR = Var(x)/E(x) of the per-document count x (zeros included via
+    the moment identities E[x] = c/N, E[x²] = ssq/N over N non-empty
+    documents) — Church & Gale's burstiness signal: topical content
+    words clump into few documents (VMR >> 1), function words spread
+    near-Poisson (VMR ≈ 1). The quality-filter family reads this to
+    find template/boilerplate tokens that repeat abnormally within
+    documents.
+
+    Exactness: both moments are exact integer sums; VMR divides
+    exact-integer doubles (IEEE-deterministic — the dispersion form
+    exists precisely because the Poisson-tail form needs exp(), which
+    is not bit-portable); ranking is (rounded VMR, term) — total order.
+
+    Scale shape: one (term, doc) exchange for per-doc counts (map-side
+    combinable), one term-keyed moment rollup, a 1-row N broadcast, and
+    a top-{_BURST_TOP} TakeOrdered — never a full sort.
+    """
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")).alias("w"),
+    )
+    n = d.filter(
+        F.size(F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")) > 0
+    ).agg(F.countDistinct("doc_id").cast("long").alias("n_docs"))
+    per_doc = toks.groupBy("w", "doc_id").agg(F.count("*").alias("x"))
+    # ssq in decimal(38,0): x² sums are the cents²-overflow class the
+    # round-9 audit guard pins (x ≈ 4e3 per doc => x² ≈ 1.7e7; a LONG
+    # clears at ~5e11 documents — inside 100 TB territory)
+    dec = "decimal(38,0)"
+    m = per_doc.groupBy("w").agg(
+        F.sum("x").cast("long").alias("c"),
+        F.sum(F.col("x").cast(dec) * F.col("x").cast(dec)).alias("ssq"),
+        F.count("*").cast("long").alias("df"),
+    )
+    ex = F.col("c").cast("double") / F.col("n_docs")
+    vmr = (F.col("ssq").cast("double") / F.col("n_docs") - ex * ex) / ex
+    scored = (
+        m.filter(F.col("c") >= _BURST_MIN_COUNT)
+        .crossJoin(F.broadcast(n))
+        .select(
+            "w",
+            F.col("c").alias("term_count"),
+            F.col("df").alias("doc_freq"),
+            rfix(vmr, 4).alias("vmr"),
+        )
+    )
+    return scored.orderBy(F.desc("vmr"), F.asc("w")).limit(_BURST_TOP)
+
+
+DRAFTS["text_term_burstiness_topk"] = (text_term_burstiness_topk, BURSTINESS_ORACLE)
