@@ -494,3 +494,98 @@ def test_burstiness_python_twin(spark):
         for r in text_term_burstiness_topk(spark, SF_TEST_DIR).collect()
     ]
     assert got == [(w, cw, dfw, pytest.approx(v)) for w, cw, dfw, v in want]
+
+
+# ---------------------------------------------------------------------------
+# g_degree_assortativity
+
+
+def test_assortativity_regular_graph_is_null_and_star_is_negative(spark, tmp_path):
+    """On the saturated trade graph every nation has equal degree, so the
+    variance guard must yield NULL identically on both engines; on a
+    planted star graph the statistic must be strongly negative (hubs
+    connect to leaves — the textbook disassortative case)."""
+    import os
+
+    from yelpdatawarehouse_spark.queries.drafts_r12 import g_degree_assortativity
+
+    got = g_degree_assortativity(spark, SF_TEST_DIR).collect()[0]
+    edges = trade_edges(spark, SF_TEST_DIR)
+    degs = edges.groupBy("src").count().select("count").distinct().count()
+    if degs == 1:  # regular graph (the saturated corpus case)
+        assert got.assortativity is None
+    # planted star: customer nation 0 trades with supplier nations 1..6
+    # only. Build a tiny star corpus: orders/lineitem wiring one hub.
+    rows_c = [(i, f"c{i}", i, 0.0, "BUILDING") for i in range(7)]
+    rows_s = [(i, f"s{i}", i, 0.0) for i in range(7)]
+    rows_n = [(i, f"N{i}", 0) for i in range(7)]
+    rows_o = [(k, 0 if k % 2 == 0 else k % 7, "O", 1.0, "1995-01-01", "1-URGENT")
+              for k in range(1, 25)]
+    # hub pattern: even orders come from nation 0's customer, odd from leaf
+    # k%7; line k always supplied by supplier (k % 7) if even else 0 —
+    # every edge touches nation 0
+    rows_l = [(k, 1, (k % 7) if k % 2 == 0 else 0, 1, 1.0, 1.0, 0.0, 0.0,
+               "N", "O", "1995-01-02") for k in range(1, 25)]
+    td = str(tmp_path)
+    spark.createDataFrame(rows_c, "c_custkey LONG, c_name STRING, c_nationkey LONG, c_acctbal DOUBLE, c_mktsegment STRING").write.parquet(os.path.join(td, "customer.parquet"))
+    spark.createDataFrame(rows_s, "s_suppkey LONG, s_name STRING, s_nationkey LONG, s_acctbal DOUBLE").write.parquet(os.path.join(td, "supplier.parquet"))
+    spark.createDataFrame(rows_n, "n_nationkey LONG, n_name STRING, n_regionkey LONG").write.parquet(os.path.join(td, "nation.parquet"))
+    spark.createDataFrame(rows_o, "o_orderkey LONG, o_custkey LONG, o_orderstatus STRING, o_totalprice DOUBLE, o_orderdate STRING, o_orderpriority STRING").write.parquet(os.path.join(td, "orders.parquet"))
+    spark.createDataFrame(rows_l, "l_orderkey LONG, l_partkey LONG, l_suppkey LONG, l_linenumber LONG, l_quantity DOUBLE, l_extendedprice DOUBLE, l_discount DOUBLE, l_tax DOUBLE, l_returnflag STRING, l_linestatus STRING, l_shipdate STRING").write.parquet(os.path.join(td, "lineitem.parquet"))
+    star = g_degree_assortativity(spark, td).collect()[0]
+    assert star.assortativity is not None and star.assortativity < -0.5
+
+
+# ---------------------------------------------------------------------------
+# ann_hubness_stats
+
+
+def test_hubness_conservation_and_bounds(spark):
+    from yelpdatawarehouse_spark.queries.drafts_r12 import (
+        _HUB_K,
+        _HUB_PANEL,
+        ann_hubness_stats,
+    )
+
+    r = ann_hubness_stats(spark, SF_TEST_DIR).collect()[0]
+    # mass conservation: sum of k-occurrences = panel * k exactly, so
+    # mean * n_listed == PANEL * K (up to the 4dp rounding of the mean)
+    total = _HUB_PANEL * _HUB_K
+    assert r.n_listed_vectors <= total
+    assert abs(r.mean_k_occurrence * r.n_listed_vectors - total) < r.n_listed_vectors * 1e-3
+    assert 1 <= r.max_k_occurrence <= _HUB_PANEL
+
+
+# ---------------------------------------------------------------------------
+# a_anova_weekday_revenue
+
+
+def test_anova_numpy_twin(spark):
+    import numpy as np
+
+    from yelpdatawarehouse_spark.queries.drafts_r12 import a_anova_weekday_revenue
+
+    daily = (
+        table(spark, SF_TEST_DIR, "orders")
+        .groupBy(
+            F.col("o_orderdate").cast("date").alias("d"),
+            F.dayofweek(F.col("o_orderdate").cast("date")).alias("dow"),
+        )
+        .agg(F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")).alias("c"))
+        .collect()
+    )
+    groups: dict = {}
+    for r in daily:
+        groups.setdefault(r.dow, []).append(r.c / 100.0)
+    xs = [np.array(v) for v in groups.values()]
+    allx = np.concatenate(xs)
+    gm = allx.mean()
+    ssb = sum(len(x) * (x.mean() - gm) ** 2 for x in xs)
+    ssw = sum(((x - x.mean()) ** 2).sum() for x in xs)
+    k, n = len(xs), len(allx)
+    f = (ssb / (k - 1)) / (ssw / (n - k))
+    got = a_anova_weekday_revenue(spark, SF_TEST_DIR).collect()[0]
+    assert got.n_days == n and got.n_groups == k
+    assert got.ss_between == pytest.approx(ssb, rel=1e-9)
+    assert got.ss_within == pytest.approx(ssw, rel=1e-9)
+    assert got.f_stat == pytest.approx(f, abs=2e-4)

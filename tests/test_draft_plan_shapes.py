@@ -228,6 +228,12 @@ _SHAPES = {
     "sample_ess_lengths": (1, 0, 0, 0),
     # (term,doc) + term-moment exchanges + 1-row N broadcast; TakeOrdered
     "text_term_burstiness_topk": (3, 1, 0, 0),
+    # edge derivation + degree rollup; degrees join back as broadcasts
+    "g_degree_assortativity": (3, 5, 0, 4),
+    # panel broadcast + per-query top-k window + k-occurrence rollup
+    "ann_hubness_stats": (2, 1, 1, 2),
+    # (day,dow) fact rollup + 7-row group rollup + 1-row reduce
+    "a_anova_weekday_revenue": (2, 0, 0, 0),
 }
 
 

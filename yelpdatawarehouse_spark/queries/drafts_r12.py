@@ -1533,3 +1533,283 @@ def text_term_burstiness_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 DRAFTS["text_term_burstiness_topk"] = (text_term_burstiness_topk, BURSTINESS_ORACLE)
+
+
+# ---------------------------------------------------------------------------
+# Tranche 5: degree assortativity, ANN hubness, weekday ANOVA — three
+# exact-moment statistics completing the graph / ANN-eval / classical-
+# stats families.
+
+
+ASSORT_ORACLE = f"""
+WITH {_EDGE_SQL},
+deg AS (SELECT src AS node, count(*)::BIGINT AS d FROM edges GROUP BY src),
+pairs AS (
+    SELECT a.d::DOUBLE AS x, b.d::DOUBLE AS y
+    FROM edges e
+    JOIN deg a ON a.node = e.src
+    JOIN deg b ON b.node = e.dst
+),
+m AS (
+    SELECT count(*)::DOUBLE AS n, sum(x) AS sx, sum(y) AS sy,
+           sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+    FROM pairs
+)
+SELECT CAST(n AS BIGINT) AS n_directed_edges,
+       {rfix_sql('CASE WHEN (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0 '
+                 'THEN (n * sxy - sx * sy) '
+                 '     / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)) END', 6)}
+           AS assortativity
+FROM m
+"""
+
+
+def g_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the trade graph (Newman 2002): the Pearson
+    correlation of (degree(src), degree(dst)) over directed edge
+    endpoints — positive means hubs trade with hubs (assortative mixing),
+    negative means hub-and-spoke. The one classical whole-graph mixing
+    statistic the g_* family did not yet cover.
+
+    Exactness: degrees are exact integer counts; every moment sum is a
+    sum of exact-integer products in double (degrees² bounded by
+    |nations|² — no overflow class), so the correlation is an
+    IEEE-deterministic ratio; the zero-variance guard mirrors t19's
+    (a regular graph has undefined assortativity — NULL, not a crash).
+
+    Scale shape: the fact-scale edge derivation is shared with every
+    other graph query; degrees and the moment rollup are
+    |nations|-bounded; the degree table joins back as a broadcast.
+    """
+    edges = trade_edges(spark, sf_dir)
+    deg = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count("*").cast("long").alias("d")
+    )
+    pairs = (
+        edges.join(
+            F.broadcast(deg.select(F.col("node").alias("src"), F.col("d").alias("xd"))),
+            "src",
+        )
+        .join(
+            F.broadcast(deg.select(F.col("node").alias("dst"), F.col("d").alias("yd"))),
+            "dst",
+        )
+        .select(F.col("xd").cast("double").alias("x"), F.col("yd").cast("double").alias("y"))
+    )
+    m = pairs.agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    vx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    return m.select(
+        F.col("n").cast("long").alias("n_directed_edges"),
+        rfix(
+            F.when(
+                (vx > 0) & (vy > 0),
+                (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+                / F.sqrt(vx * vy),
+            ),
+            6,
+        ).alias("assortativity"),
+    )
+
+
+DRAFTS["g_degree_assortativity"] = (g_degree_assortativity, ASSORT_ORACLE)
+
+
+# ---------------------------------------------------------------------------
+# ANN hubness: the k-occurrence distribution over the brute-force top-k
+# lists of a query panel — high-dimensional spaces grow "hubs" that
+# appear in everyone's neighbor list and poison recall; this is the
+# diagnostic that says whether the ANN indexes above are fighting that.
+
+_HUB_PANEL = 50
+_HUB_K = 10
+
+HUBNESS_ORACLE = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+           WHERE vec_id < {_HUB_PANEL}),
+topk AS (
+    SELECT query_id, neighbor_id FROM (
+        SELECT q.query_id, e.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY q.query_id
+                   ORDER BY {rfix_sql(V.cosine_sql('q.qe', 'e.embedding'), 6)} DESC,
+                            e.vec_id) AS rn
+        FROM q JOIN embeddings e ON e.vec_id <> q.query_id
+    ) WHERE rn <= {_HUB_K}
+),
+occ AS (SELECT neighbor_id, count(*)::BIGINT AS k_occ FROM topk GROUP BY neighbor_id),
+m AS (
+    SELECT count(*)::DOUBLE AS n, sum(k_occ)::DOUBLE AS s,
+           sum(k_occ * k_occ)::DOUBLE AS s2,
+           sum(k_occ * k_occ * k_occ)::DOUBLE AS s3,
+           max(k_occ)::BIGINT AS max_occ
+    FROM occ
+)
+SELECT CAST(n AS BIGINT) AS n_listed_vectors,
+       max_occ AS max_k_occurrence,
+       {rfix_sql('s / n', 4)} AS mean_k_occurrence,
+       {rfix_sql('CASE WHEN (s2 / n - (s / n) * (s / n)) > 0 THEN '
+                 '(s3 / n - 3 * (s / n) * (s2 / n) + 2 * (s / n) * (s / n) * (s / n)) '
+                 '/ (sqrt(s2 / n - (s / n) * (s / n)) '
+                 '   * (s2 / n - (s / n) * (s / n))) END', 4)} AS k_occ_skewness
+FROM m
+"""
+
+
+def ann_hubness_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hubness diagnostic over the exact top-{_HUB_K} lists of a
+    {_HUB_PANEL}-query panel: the k-occurrence N_k(v) = how many panel
+    lists vector v appears in, summarized as max, mean, and SKEWNESS —
+    Radovanović et al.'s measure of the high-dimensional hub
+    phenomenon (skewness >> 0 means a few vectors dominate everyone's
+    neighbor lists, which silently caps recall for every ANN index in
+    the registry; near 0 means the space is hub-free at this k).
+
+    Exactness: k-occurrences are exact integer counts (the top-k lists
+    are the registry's canonical rounded-cosine ranking); the three
+    central moments divide exact-integer-sum doubles — deterministic,
+    with the zero-variance guard NULLing the degenerate case.
+
+    Scale shape: the panel rides one broadcast against the vector scan
+    (the ann_topk_cosine shape); k-occurrence is one count rollup over
+    panel_size × k rows; moments are a 1-row reduce.
+    """
+    e = table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < _HUB_PANEL).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("c6"), F.asc("neighbor_id"))
+    topk = (
+        e.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            rfix(V.cosine(F.col("qe"), F.col("embedding")), 6).alias("c6"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _HUB_K)
+        .select("query_id", "neighbor_id")
+    )
+    occ = topk.groupBy("neighbor_id").agg(F.count("*").cast("long").alias("k_occ"))
+    x = F.col("k_occ").cast("double")
+    m = occ.agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum(x).alias("s"),
+        F.sum(x * x).alias("s2"),
+        F.sum(x * x * x).alias("s3"),
+        F.max("k_occ").cast("long").alias("max_occ"),
+    )
+    mu = F.col("s") / F.col("n")
+    var = F.col("s2") / F.col("n") - mu * mu
+    m3 = F.col("s3") / F.col("n") - 3 * mu * (F.col("s2") / F.col("n")) + 2 * mu * mu * mu
+    return m.select(
+        F.col("n").cast("long").alias("n_listed_vectors"),
+        F.col("max_occ").alias("max_k_occurrence"),
+        rfix(mu, 4).alias("mean_k_occurrence"),
+        rfix(F.when(var > 0, m3 / (F.sqrt(var) * var)), 4).alias("k_occ_skewness"),
+    )
+
+
+DRAFTS["ann_hubness_stats"] = (ann_hubness_stats, HUBNESS_ORACLE)
+
+
+# ---------------------------------------------------------------------------
+# One-way ANOVA across weekdays: does day-of-week explain daily revenue?
+# The F-statistic from exact-cents moment sums — the k-group
+# generalization of a_welch_ttest_priorities, and the significance lens
+# on t22's weekday seasonal decomposition.
+
+ANOVA_ORACLE = f"""
+WITH daily AS (
+    SELECT CAST(o_orderdate AS DATE) AS d,
+           dayofweek(CAST(o_orderdate AS DATE))::BIGINT AS dow,
+           sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS c
+    FROM orders GROUP BY 1, 2
+),
+g AS (
+    SELECT dow, count(*)::DOUBLE AS n, sum(c)::DOUBLE AS s,
+           sum(c * c) AS s2
+    FROM daily GROUP BY dow
+),
+tot AS (
+    SELECT sum(n) AS n, sum(s) AS s, count(*)::BIGINT AS k,
+           sum(s * s / n) AS sg, sum(s2::DOUBLE) AS s2
+    FROM g
+),
+f AS (
+    SELECT k, CAST(n AS BIGINT) AS n_days,
+           (sg - s * s / n) / 10000.0 AS ssb,
+           (s2 - sg) / 10000.0 AS ssw
+    FROM tot
+)
+SELECT n_days, CAST(k AS BIGINT) AS n_groups,
+       {rfix_sql('ssb', 2)} AS ss_between,
+       {rfix_sql('ssw', 2)} AS ss_within,
+       {rfix_sql('CASE WHEN ssw > 0 AND n_days > k THEN '
+                 '(ssb / (k - 1)) / (ssw / (n_days - k)) END', 4)} AS f_stat
+FROM f
+"""
+
+
+def a_anova_weekday_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA of daily revenue across the 7 weekdays: between- and
+    within-group sums of squares and the F statistic — the significance
+    test behind t22's weekday seasonal decompose (is the weekday effect
+    real, or noise?), and the k-group generalization of
+    a_welch_ttest_priorities. Uses the moment identities
+    SSB = Σ sᵢ²/nᵢ − S²/N and SSW = Σx² − Σ sᵢ²/nᵢ so one pass over the
+    day spine suffices.
+
+    Exactness: daily revenue is exact integer cents; c² sums accumulate
+    in HUGEINT/decimal (the cents² overflow class — the audit guard's
+    home turf); SS terms convert cents² to currency² (/10⁴) at the
+    boundary and the F ratio divides exact-input doubles.
+
+    Scale shape: one map-combinable fact rollup to the (day, weekday)
+    spine, a 7-row group rollup, and a 1-row reduce — fact-linear scan,
+    constant state.
+    """
+    o = table(spark, sf_dir, "orders")
+    dec = "decimal(38,0)"
+    daily = o.groupBy(
+        F.col("o_orderdate").cast("date").alias("d"),
+        F.dayofweek(F.col("o_orderdate").cast("date")).cast("long").alias("dow"),
+    ).agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")).alias("c")
+    )
+    g = daily.groupBy("dow").agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum("c").cast("double").alias("s"),
+        F.sum(F.col("c").cast(dec) * F.col("c").cast(dec)).alias("s2"),
+    )
+    tot = g.agg(
+        F.sum("n").alias("n"),
+        F.sum("s").alias("s"),
+        F.count("*").cast("long").alias("k"),
+        F.sum(F.col("s") * F.col("s") / F.col("n")).alias("sg"),
+        F.sum(F.col("s2").cast("double")).alias("s2"),
+    )
+    ssb = (F.col("sg") - F.col("s") * F.col("s") / F.col("n")) / 10000.0
+    ssw = (F.col("s2") - F.col("sg")) / 10000.0
+    fstat = F.when(
+        (ssw > 0) & (F.col("n") > F.col("k")),
+        (ssb / (F.col("k") - 1)) / (ssw / (F.col("n") - F.col("k"))),
+    )
+    return tot.select(
+        F.col("n").cast("long").alias("n_days"),
+        F.col("k").alias("n_groups"),
+        rfix(ssb, 2).alias("ss_between"),
+        rfix(ssw, 2).alias("ss_within"),
+        rfix(fstat, 4).alias("f_stat"),
+    )
+
+
+DRAFTS["a_anova_weekday_revenue"] = (a_anova_weekday_revenue, ANOVA_ORACLE)
