@@ -2,8 +2,8 @@
 queries/draft_layer.register_all — the _prioritize window front-loads the
 new cohort while keeping stale re-verification slots).
 
-Nine capability gaps across three same-round tranches, each a shape the
-263-query registry did not yet cover:
+Sixteen capability gaps across five same-round tranches, each a shape
+the 263-query registry did not yet cover:
 
 Tranche 1:
 * ``g_closeness_centrality`` — closeness + harmonic centrality from
@@ -36,6 +36,24 @@ Tranche 3:
 * ``ann_ivf_nprobe_curve`` — the IVF recall-vs-candidate-cost tuning
   curve (nprobe 1/2/4) from one pinned cell-ranking pass, agreement-
   pinned against the two registered pointwise anchors.
+
+Tranche 4:
+* ``diag_table_profiler`` — one-pass exact per-column profile (rows,
+  non-null, distinct, min/max) — the contract-grade describe().
+* ``g_eccentricity_diameter`` — diameter/radius/center/periphery from
+  the same multi-root BFS frame closeness consumes.
+* ``sample_ess_lengths`` — effective sample size of length-proportional
+  sampling on exact integer weights (Σw² in decimal(38,0)).
+* ``text_term_burstiness_topk`` — Church-Gale burstiness as index of
+  dispersion from exact integer moments.
+
+Tranche 5:
+* ``g_degree_assortativity`` — Newman's degree-mixing correlation over
+  edge endpoints (zero-variance guard on regular graphs).
+* ``ann_hubness_stats`` — k-occurrence skewness over exact top-k lists
+  (the high-dimensional hub phenomenon behind ANN recall ceilings).
+* ``a_anova_weekday_revenue`` — one-way ANOVA F across weekdays from
+  exact-cents moments (k-group Welch generalization).
 
 Registry contract as everywhere: identical column aliases both sides,
 ints cast long/BIGINT, floats through rfix, money as exact cents where a
