@@ -589,3 +589,61 @@ def test_anova_numpy_twin(spark):
     assert got.ss_between == pytest.approx(ssb, rel=1e-9)
     assert got.ss_within == pytest.approx(ssw, rel=1e-9)
     assert got.f_stat == pytest.approx(f, abs=2e-4)
+
+
+# ---------------------------------------------------------------------------
+# Property twins (hypothesis) for the two round-12 kernels whose
+# arithmetic lives outside SQL: the WHT fingerprint (Arrow numpy kernel)
+# and the Holt-Winters fold. One Spark job per example keeps each case
+# bounded; example counts follow the suite's property-test budget.
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_texts = st.lists(
+    st.text(
+        alphabet=st.characters(min_codepoint=32, max_codepoint=0x2FF),
+        min_size=1,
+        max_size=120,
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+
+def _wht_twin(t: str) -> int:
+    length = len(t)
+    stride = length // 32 if length >= 32 else 1
+    nc = 32 if length >= 32 else length
+    v = [ord(t[i * stride]) if i < nc else 0 for i in range(32)]
+    wh = 0
+    for u in range(1, 17):
+        w = sum(
+            v[i] * (1 if bin(i & u).count("1") % 2 == 0 else -1)
+            for i in range(32)
+        )
+        if w > 0:
+            wh |= 1 << (u - 1)
+    return wh
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(texts=_texts)
+def test_wht_kernel_property_twin(spark, texts):
+    """Arbitrary (incl. multi-byte) strings: the Arrow kernel must equal
+    the code-point-sampling model exactly — ord() semantics, stride
+    rounding, zero padding, sign thresholds."""
+    import pandas as pd
+
+    from yelpdatawarehouse_spark.multimodal.columns import wht_fingerprint
+
+    pdf = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    got = {
+        r.doc_id: r.wh for r in wht_fingerprint(spark.createDataFrame(pdf)).collect()
+    }
+    want = {i: _wht_twin(t) for i, t in enumerate(texts)}
+    assert got == want
