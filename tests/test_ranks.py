@@ -83,3 +83,44 @@ def test_prefix_sum_empty(spark):
 
     df = spark.createDataFrame([], "k long, v long")
     assert exact_prefix_sum(df, "k", "v").count() == 0
+
+
+def test_reliable_checkpoint_mode_is_identical(spark, tmp_path):
+    """reliable=True (DFS checkpoint) must produce bit-identical ranks and
+    prefix sums to the default localCheckpoint pin — the escape hatch is
+    a storage/fault-tolerance choice, never a semantics choice."""
+    from pyspark.sql import functions as F
+
+    from yelpdatawarehouse_spark.operators.ranks import (
+        exact_global_rank,
+        exact_prefix_sum,
+    )
+
+    spark.sparkContext.setCheckpointDir(str(tmp_path / "ckpt"))
+    df = spark.range(0, 500).select(
+        (F.col("id") * 37 % 101).alias("k"), F.col("id").alias("v")
+    )
+    # unique key for the prefix sum: collapse to one row per k first
+    per_k = df.groupBy("k").agg(F.sum("v").alias("val"))
+    a = sorted(
+        (r.k, r.rank)
+        for r in exact_global_rank(per_k, "k", num_partitions=8).collect()
+    )
+    b = sorted(
+        (r.k, r.rank)
+        for r in exact_global_rank(
+            per_k, "k", num_partitions=8, reliable=True
+        ).collect()
+    )
+    assert a == b
+    c = sorted(
+        (r.k, r.prefix_sum)
+        for r in exact_prefix_sum(per_k, "k", "val", num_partitions=8).collect()
+    )
+    d = sorted(
+        (r.k, r.prefix_sum)
+        for r in exact_prefix_sum(
+            per_k, "k", "val", num_partitions=8, reliable=True
+        ).collect()
+    )
+    assert c == d

@@ -31,6 +31,19 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _pin(df: DataFrame, reliable: bool) -> DataFrame:
+    """Materialize the ranged frame so ``spark_partition_id`` is read by
+    every consumer under ONE partitioning (correctness-mandated — see the
+    callers' comments). ``reliable=True`` uses ``checkpoint()`` (HDFS/DFS
+    files via ``spark.sparkContext.setCheckpointDir``): survives executor
+    loss mid-job and frees executor storage, at the cost of a write to
+    reliable storage — the escape hatch for long-lived sessions
+    composing many ranked frames (ADVICE r8). Default stays the cheap
+    eager ``localCheckpoint`` (executor-storage blocks, lineage
+    truncated)."""
+    return df.checkpoint(eager=True) if reliable else df.localCheckpoint()
+
+
 def _guarded_pid(key: str, op: str) -> Column:
     """spark_partition_id(), but raising on a NULL ranking key.
 
@@ -60,6 +73,7 @@ def exact_global_rank(
     *,
     rank_col: str = "rank",
     num_partitions: int = 32,
+    reliable: bool = False,
 ) -> DataFrame:
     """Return ``df`` with an exact 1-based global ``row_number`` over
     ``ORDER BY key`` in ``rank_col``, computed without an un-partitioned
@@ -80,19 +94,21 @@ def exact_global_rank(
     documented at operators/graph.min_label_components. Long-lived
     sessions composing many ranked frames should release references
     promptly (the bench harness gc.collect()s between queries for this
-    reason) or switch the pin to a reliable ``.checkpoint()`` via
-    ``spark.sparkContext.setCheckpointDir`` if executor loss mid-job
-    must stay recoverable.
+    reason) or pass ``reliable=True`` to pin via ``.checkpoint()``
+    instead (requires ``spark.sparkContext.setCheckpointDir``): survives
+    executor loss mid-job and keeps blocks out of executor storage, at
+    the cost of a reliable-storage write.
     """
     # Pinned for __pid consistency across the two consumers (counts +
     # data join) — spark_partition_id() is nondeterministic and a
     # re-evaluated subtree may land on a different partitioning when the
     # input is a shuffle output; see the exact_prefix_sum comment (the
     # sf0.1 pareto corruption, round 8).
-    ranged = (
-        df.repartitionByRange(num_partitions, F.col(key))
-        .withColumn("__pid", _guarded_pid(key, "exact_global_rank"))
-        .localCheckpoint()
+    ranged = _pin(
+        df.repartitionByRange(num_partitions, F.col(key)).withColumn(
+            "__pid", _guarded_pid(key, "exact_global_rank")
+        ),
+        reliable,
     )
     # Bounded exchange: one row per partition. The unboundedPreceding
     # window below runs over <= num_partitions rows by construction.
@@ -117,6 +133,7 @@ def exact_prefix_sum(
     *,
     out_col: str = "prefix_sum",
     num_partitions: int = 32,
+    reliable: bool = False,
 ) -> DataFrame:
     """EXCLUSIVE running sum of ``value_col`` over ``ORDER BY order_key``
     (sum of all STRICTLY-earlier keys), without an un-partitioned window —
@@ -147,10 +164,11 @@ def exact_prefix_sum(
     # sf0.1 in round 8: the second chained exact_prefix_sum inside the
     # pareto query drifted mid-frame). The pin guarantees one evaluation,
     # one partitioning, one consistent __pid assignment.
-    ranged = (
-        df.repartitionByRange(num_partitions, F.col(order_key))
-        .withColumn("__pid", _guarded_pid(order_key, "exact_prefix_sum"))
-        .localCheckpoint()
+    ranged = _pin(
+        df.repartitionByRange(num_partitions, F.col(order_key)).withColumn(
+            "__pid", _guarded_pid(order_key, "exact_prefix_sum")
+        ),
+        reliable,
     )
     totals = ranged.groupBy("__pid").agg(F.sum(value_col).alias("__tot"))
     off_w = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
