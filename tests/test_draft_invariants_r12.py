@@ -586,8 +586,8 @@ def test_anova_numpy_twin(spark):
     f = (ssb / (k - 1)) / (ssw / (n - k))
     got = a_anova_weekday_revenue(spark, SF_TEST_DIR).collect()[0]
     assert got.n_days == n and got.n_groups == k
-    assert got.ss_between == pytest.approx(ssb, rel=1e-9)
-    assert got.ss_within == pytest.approx(ssw, rel=1e-9)
+    assert got.ssb_millions == pytest.approx(ssb / 1e6, abs=0.011)
+    assert got.ssw_millions == pytest.approx(ssw / 1e6, abs=0.011)
     assert got.f_stat == pytest.approx(f, abs=2e-4)
 
 

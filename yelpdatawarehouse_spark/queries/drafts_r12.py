@@ -1769,8 +1769,8 @@ f AS (
     FROM tot
 )
 SELECT n_days, CAST(k AS BIGINT) AS n_groups,
-       {rfix_sql('ssb', 2)} AS ss_between,
-       {rfix_sql('ssw', 2)} AS ss_within,
+       {rfix_sql('ssb / 1000000.0', 2)} AS ssb_millions,
+       {rfix_sql('ssw / 1000000.0', 2)} AS ssw_millions,
        {rfix_sql('CASE WHEN ssw > 0 AND n_days > k THEN '
                  '(ssb / (k - 1)) / (ssw / (n_days - k)) END', 4)} AS f_stat
 FROM f
@@ -1789,7 +1789,13 @@ def a_anova_weekday_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exactness: daily revenue is exact integer cents; c² sums accumulate
     in HUGEINT/decimal (the cents² overflow class — the audit guard's
     home turf); SS terms convert cents² to currency² (/10⁴) at the
-    boundary and the F ratio divides exact-input doubles.
+    boundary and the F ratio divides exact-input doubles. The SS values
+    themselves are emitted in MILLIONS at 2dp — at ~1e15 currency² an
+    absolute 2-decimal rounding sits on the 17th significant digit,
+    BELOW double resolution, and the digit flips with executor count
+    (caught by a local[8] bare-session probe after three local[16]
+    parity scales passed; ratios like F are magnitude-safe, raw sums
+    must round RELATIVE to magnitude).
 
     Scale shape: one map-combinable fact rollup to the (day, weekday)
     spine, a 7-row group rollup, and a 1-row reduce — fact-linear scan,
@@ -1824,8 +1830,8 @@ def a_anova_weekday_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tot.select(
         F.col("n").cast("long").alias("n_days"),
         F.col("k").alias("n_groups"),
-        rfix(ssb, 2).alias("ss_between"),
-        rfix(ssw, 2).alias("ss_within"),
+        rfix(ssb / 1e6, 2).alias("ssb_millions"),
+        rfix(ssw / 1e6, 2).alias("ssw_millions"),
         rfix(fstat, 4).alias("f_stat"),
     )
 
