@@ -647,3 +647,55 @@ def test_wht_kernel_property_twin(spark, texts):
     }
     want = {i: _wht_twin(t) for i, t in enumerate(texts)}
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# dedup_minhash_estimate_eval
+
+
+def test_minhash_estimate_eval_statistics(spark):
+    from yelpdatawarehouse_spark.queries.drafts_r12 import dedup_minhash_estimate_eval
+
+    rows = dedup_minhash_estimate_eval(spark, SF_TEST_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.bucket <= 9
+        assert 0.0 <= r.mean_estimate <= 1.0
+        assert r.mae >= abs(r.bias) - 1e-9  # MAE dominates |bias| always
+        # 16 permutations: sd <= sqrt(0.25/16) = 0.125; a decile's MAE
+        # beyond ~4 sd means the estimator (or the permutation family)
+        # is broken, not noisy
+        assert r.mae < 0.5
+
+
+# ---------------------------------------------------------------------------
+# mm_wht_hamming_histogram
+
+
+def test_wht_histogram_mass_and_bounds(spark):
+    from yelpdatawarehouse_spark.queries.drafts_r12 import (
+        _WHT_COEFS,
+        _WHTH_PANEL,
+        mm_wht_hamming_histogram,
+    )
+
+    rows = mm_wht_hamming_histogram(spark, SF_TEST_DIR).collect()
+    n_docs = (
+        table(spark, SF_TEST_DIR, "documents")
+        .filter((F.length("text") > 0) & (F.col("doc_id") < _WHTH_PANEL))
+        .count()
+    )
+    assert sum(r.n_pairs for r in rows) == n_docs * (n_docs - 1) // 2
+    for r in rows:
+        assert 0 <= r.hamming <= _WHT_COEFS
+    # consistency with the pair query's threshold: pairs at hamming <= 1
+    # inside the panel must equal the near-dup query's panel-internal hits
+    from yelpdatawarehouse_spark.queries.drafts_r12 import mm_wht_fingerprint_pairs
+
+    close_mass = sum(r.n_pairs for r in rows if r.hamming <= 1)
+    panel_pairs = (
+        mm_wht_fingerprint_pairs(spark, SF_TEST_DIR)
+        .filter((F.col("doc_a") < _WHTH_PANEL) & (F.col("doc_b") < _WHTH_PANEL))
+        .count()
+    )
+    assert close_mass == panel_pairs

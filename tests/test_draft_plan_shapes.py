@@ -234,6 +234,10 @@ _SHAPES = {
     "ann_hubness_stats": (2, 1, 1, 2),
     # (day,dow) fact rollup + 7-row group rollup + 1-row reduce
     "a_anova_weekday_revenue": (2, 0, 0, 0),
+    # truth shingle join + signature joins; size/panel digests broadcast
+    "dedup_minhash_estimate_eval": (4, 5, 0, 6),
+    # kernel exchange + broadcast panel self-join; <=17-row histogram
+    "mm_wht_hamming_histogram": (2, 1, 0, 1),
 }
 
 

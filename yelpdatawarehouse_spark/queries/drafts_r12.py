@@ -1837,3 +1837,244 @@ def a_anova_weekday_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 DRAFTS["a_anova_weekday_revenue"] = (a_anova_weekday_revenue, ANOVA_ORACLE)
+
+
+# ---------------------------------------------------------------------------
+# Tranche 6 (final round-9 pair): estimator-error eval for the MinHash
+# SIGNATURE itself, and the fingerprint distance distribution that
+# justifies the WHT near-dup threshold.
+
+
+_EST_PANEL = 30
+
+
+def _minhash_est_oracle() -> str:
+    from ..functions import hashing as H
+    from .llmops import _TOKS as _LTOKS
+    from .llmops import N_PERM
+
+    jac = (
+        "len(list_intersect(a.s, b.s))::DOUBLE / "
+        "(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))"
+    )
+    h = f"({H.md5_long_sql('s')} % {H.MERSENNE})"
+    mins = ",\n           ".join(
+        f"min({H.perm_sql(h, i)}) AS m{i}" for i in range(N_PERM)
+    )
+    matches = " + ".join(
+        f"CASE WHEN x.m{i} = y.m{i} THEN 1 ELSE 0 END" for i in range(N_PERM)
+    )
+    return f"""
+    WITH toks AS (SELECT doc_id, {_LTOKS} AS t FROM documents),
+    sh0 AS (SELECT doc_id, list_distinct({T.shingles_sql('t', 3)}) AS s
+            FROM toks WHERE len(t) >= 3),
+    truth AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               {rfix_sql(jac, 6)} AS jr
+        FROM sh0 a JOIN sh0 b ON b.doc_id > a.doc_id
+        WHERE a.doc_id < {_EST_PANEL}
+          AND len(list_intersect(a.s, b.s)) > 0
+    ),
+    ex AS (SELECT doc_id, unnest(s) AS s FROM sh0),
+    mh AS (SELECT doc_id, {mins} FROM ex GROUP BY doc_id),
+    est AS (
+        SELECT t.doc_a, t.doc_b, t.jr,
+               ({matches})::DOUBLE / {N_PERM} AS e
+        FROM truth t
+        JOIN mh x ON x.doc_id = t.doc_a
+        JOIN mh y ON y.doc_id = t.doc_b
+    ),
+    banded AS (
+        SELECT least(CAST(floor(jr * 10) AS BIGINT), 9) AS bucket, jr, e
+        FROM est
+    )
+    SELECT bucket,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           {rfix_sql('avg(jr)', 4)} AS mean_true_jaccard,
+           {rfix_sql('avg(e)', 4)} AS mean_estimate,
+           {rfix_sql('avg(abs(e - jr))', 4)} AS mae,
+           {rfix_sql('avg(e - jr)', 4)} AS bias
+    FROM banded GROUP BY bucket
+    """
+
+
+def dedup_minhash_estimate_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Estimator-error evaluation for the MinHash SIGNATURE itself:
+    Ĵ = (matching components)/{16} against exact Jaccard on the blocked
+    panel pair universe, reported per true-similarity decile as mean
+    estimate, MAE, and bias. Completes the index's eval triptych —
+    dedup_minhash_pr_eval scores the BANDING's candidate set,
+    dedup_lsh_s_curve_eval its collision calibration, and this the raw
+    estimator every banding decision quietly trusts (unbiasedness with
+    sd = sqrt(J(1-J)/16), so decile MAE ≈ 0.1 at mid similarities is
+    EXPECTED at 16 permutations — the eval makes the permutation-count
+    cost/accuracy trade measurable).
+
+    Exactness: signature components are exact integers (the production
+    Carter-Wegman permutations); the match fraction is a ratio of exact
+    small ints; exact Jaccard is exact set arithmetic — everything lands
+    on rfix with no transcendental anywhere.
+
+    Scale shape: truth is the same panel-bounded shingle equi-join as
+    the S-curve eval; signatures join at one row per doc (16 longs);
+    the rollup is 10 groups.
+    """
+    from ..functions import hashing
+    from .llmops import N_PERM, _minhash_sigs
+
+    d = table(spark, sf_dir, "documents")
+    sh = d.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.array_distinct(T.shingles(T.tokens("text"), 3)).alias("s"),
+    ).filter(F.size(F.col("s")) > 0)
+    sizes = sh.select("doc_id", F.size("s").alias("n"))
+    ex = sh.select("doc_id", F.explode("s").alias("sg"))
+    pan = ex.filter(F.col("doc_id") < _EST_PANEL).select(
+        F.col("doc_id").alias("doc_a"), "sg"
+    )
+    shared = (
+        pan.join(ex.select(F.col("doc_id").alias("doc_b"), "sg"), "sg")
+        .filter(F.col("doc_b") > F.col("doc_a"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    truth = (
+        shared.join(
+            sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")),
+            "doc_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            rfix(
+                F.col("inter").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("inter")),
+                6,
+            ).alias("jr"),
+        )
+    )
+    sig = _minhash_sigs(spark, sf_dir, N_PERM)
+    xa = sig.select(
+        F.col("doc_id").alias("doc_a"), *[F.col(f"m{i}").alias(f"a{i}") for i in range(N_PERM)]
+    )
+    xb = sig.select(
+        F.col("doc_id").alias("doc_b"), *[F.col(f"m{i}").alias(f"b{i}") for i in range(N_PERM)]
+    )
+    matches = sum(
+        (F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0) for i in range(N_PERM)),
+        F.lit(0),
+    )
+    est = (
+        truth.join(xa, "doc_a")
+        .join(xb, "doc_b")
+        .select("jr", (matches.cast("double") / N_PERM).alias("e"))
+    )
+    return (
+        est.groupBy(
+            F.least(F.floor(F.col("jr") * 10), F.lit(9)).cast("long").alias("bucket")
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_pairs"),
+            rfix(F.avg("jr"), 4).alias("mean_true_jaccard"),
+            rfix(F.avg("e"), 4).alias("mean_estimate"),
+            rfix(F.avg(F.abs(F.col("e") - F.col("jr"))), 4).alias("mae"),
+            rfix(F.avg(F.col("e") - F.col("jr")), 4).alias("bias"),
+        )
+    )
+
+
+DRAFTS["dedup_minhash_estimate_eval"] = (
+    dedup_minhash_estimate_eval,
+    _minhash_est_oracle(),
+)
+
+
+# ---------------------------------------------------------------------------
+# WHT fingerprint distance distribution on a bounded panel — the
+# histogram that justifies (or indicts) the hamming <= 1 near-dup
+# threshold: a well-separated corpus shows a spike at 0-1 (dups) and a
+# bell around 8 (random 16-bit hashes); mass at 2-4 would mean the
+# threshold is leaving near-dups behind.
+
+_WHTH_PANEL = 200
+
+WHT_HIST_ORACLE = f"""
+WITH d AS (
+    SELECT doc_id, text, length(text) AS L FROM documents
+    WHERE length(text) > 0 AND doc_id < {_WHTH_PANEL}
+),
+p AS (
+    SELECT doc_id, text,
+           CASE WHEN L >= {_WHT_N} THEN L // {_WHT_N} ELSE 1 END AS st,
+           CASE WHEN L >= {_WHT_N} THEN {_WHT_N} ELSE L END AS nc
+    FROM d
+),
+cells AS (
+    SELECT doc_id, idx.i,
+           ord(substring(text, CAST(idx.i * st + 1 AS INT), 1)) AS v
+    FROM p, (SELECT unnest(range(0, {_WHT_N})) AS i) idx
+    WHERE idx.i < nc
+),
+coef AS (
+    SELECT c.doc_id, u.u,
+           sum(c.v * CASE WHEN bit_count(CAST(c.i AS BIGINT) & u.u) % 2 = 0
+                          THEN 1 ELSE -1 END)::BIGINT AS w
+    FROM cells c, (SELECT unnest(range(1, {_WHT_COEFS + 1})) AS u) u
+    GROUP BY c.doc_id, u.u
+),
+h AS (
+    SELECT doc_id,
+           sum(CASE WHEN w > 0 THEN (1::BIGINT << CAST(u - 1 AS INT))
+                    ELSE 0 END)::BIGINT AS wh
+    FROM coef GROUP BY doc_id
+),
+pairs AS (
+    SELECT bit_count(xor(a.wh, b.wh))::BIGINT AS hamming
+    FROM h a JOIN h b ON a.doc_id < b.doc_id
+)
+SELECT hamming, CAST(count(*) AS BIGINT) AS n_pairs
+FROM pairs GROUP BY hamming
+"""
+
+
+def mm_wht_hamming_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise WHT-fingerprint hamming-distance histogram over a
+    {_WHTH_PANEL}-document panel — the threshold-selection evidence for
+    mm_wht_fingerprint_pairs' hamming <= 1 cut (the watermark-planning
+    move t10_lateness_profile makes for event time, applied to the
+    fingerprint family): dup mass concentrates at 0-1, unrelated pairs
+    bell around {_WHT_COEFS}/2, and mass in between would indict the
+    threshold.
+
+    Scale shape: fingerprints from the same Arrow kernel as the pair
+    query; the all-pairs join is PANEL-BOUNDED by contract (C(panel,2)
+    pairs — the standard eval protocol; production pairing stays the
+    neighborhood join); output is a <= {_WHT_COEFS + 1}-row histogram.
+    """
+    from ..multimodal.columns import wht_fingerprint
+
+    d = (
+        table(spark, sf_dir, "documents")
+        .filter((F.length("text") > 0) & (F.col("doc_id") < _WHTH_PANEL))
+        .select(F.col("doc_id").cast("long").alias("doc_id"), "text")
+    )
+    h = wht_fingerprint(d, n_cells=_WHT_N, n_coefs=_WHT_COEFS)
+    a = h.select(F.col("doc_id").alias("da"), F.col("wh").alias("ha"))
+    b = h.select(F.col("doc_id").alias("db"), F.col("wh").alias("hb"))
+    return (
+        a.join(F.broadcast(b), F.col("da") < F.col("db"))
+        .select(
+            F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+            .cast("long")
+            .alias("hamming")
+        )
+        .groupBy("hamming")
+        .agg(F.count("*").cast("long").alias("n_pairs"))
+    )
+
+
+DRAFTS["mm_wht_hamming_histogram"] = (mm_wht_hamming_histogram, WHT_HIST_ORACLE)
