@@ -1,0 +1,259 @@
+"""Unit tests for the LIBRARY form of the dedup/ANN operators
+(operators/dedup.py, operators/ann.py — judge r9 brief #1).
+
+Everything here runs on hand-built, NON-registry DataFrames with
+non-default column names and non-registry parameters, proving the
+functions work over arbitrary inputs — not just the documents/embeddings
+tables the registry queries bind them to. (The registry queries themselves
+remain covered by tests/test_parity.py's DuckDB oracle gate.)
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from yelpdatawarehouse_spark.operators import ann, dedup
+
+# ---------------------------------------------------------------------------
+# fixtures: a tiny corpus with known duplicate structure, custom col names
+# ---------------------------------------------------------------------------
+
+DOCS = [
+    (101, "the quick brown fox jumps over the lazy dog"),
+    (102, "the quick brown fox jumps over the lazy dog"),      # exact dup of 101
+    (103, "the quick brown fox jumps over the sleepy dog"),    # near dup
+    (104, "completely unrelated text about spark shuffles and joins"),
+    (105, "xy"),                                               # < k tokens: no shingles
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, ["id", "body"])
+
+
+def _shingles(text: str, k: int = 3) -> set[str]:
+    toks = text.split()
+    return {" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)}
+
+
+def _jaccard(a: str, b: str, k: int = 3) -> float:
+    sa, sb = _shingles(a, k), _shingles(b, k)
+    return len(sa & sb) / len(sa | sb)
+
+
+# ---------------------------------------------------------------------------
+# dedup library
+# ---------------------------------------------------------------------------
+
+
+def test_shingle_sets_contents(spark, docs):
+    rows = {r["id"]: set(r["shingles"])
+            for r in dedup.shingle_sets(docs, "body", "id", k=3).collect()}
+    assert rows[101] == _shingles(DOCS[0][1])
+    assert rows[105] == set()  # fewer than k tokens -> empty set
+    # k is honored: bigram shingles differ from trigram shingles
+    rows2 = {r["id"]: set(r["shingles"])
+             for r in dedup.shingle_sets(docs, "body", "id", k=2).collect()}
+    assert rows2[101] == _shingles(DOCS[0][1], 2)
+
+
+def test_minhash_signatures_shape_and_determinism(spark, docs):
+    sigs = dedup.minhash_signatures(docs, "body", "id", n_perm=8)
+    assert sigs.columns == ["id"] + [f"m{i}" for i in range(8)]
+    got = {r["id"]: tuple(r[f"m{i}"] for i in range(8)) for r in sigs.collect()}
+    # doc 105 has no 3-shingles -> drops out (oracle convention len(t) >= k)
+    assert set(got) == {101, 102, 103, 104}
+    # identical text -> identical signature; different text -> different
+    assert got[101] == got[102]
+    assert got[101] != got[104]
+    # near-dup shares most signature slots (J≈0.57 over 8 perms: >= 2 agree
+    # with overwhelming margin for this fixed deterministic hash family)
+    agree = sum(a == b for a, b in zip(got[101], got[103]))
+    assert agree >= 2
+
+
+def test_minhash_signatures_nperm_guard(spark, docs):
+    with pytest.raises(ValueError):
+        dedup.minhash_signatures(docs, "body", "id", n_perm=1000)
+
+
+def test_lsh_band_hashes_structure(spark, docs):
+    sigs = dedup.minhash_signatures(docs, "body", "id", n_perm=8)
+    bands = dedup.lsh_band_hashes(sigs, "id", n_perm=8, bands=2)
+    rows = bands.collect()
+    assert len(rows) == 4 * 2  # 4 signed docs x 2 bands
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["id"], {})[r["band"]] = r["bh"]
+    assert by_doc[101] == by_doc[102]  # identical sigs -> identical band hashes
+    with pytest.raises(ValueError):
+        dedup.lsh_band_hashes(sigs, "id", n_perm=8, bands=3)  # 8 % 3 != 0
+
+
+def test_minhash_lsh_candidates(spark, docs):
+    pairs = {(r["id_a"], r["id_b"])
+             for r in dedup.minhash_lsh(docs, "body", "id", n_perm=8, bands=2).collect()}
+    assert (101, 102) in pairs            # exact dups always collide
+    assert all(a < b for a, b in pairs)   # canonical ordering
+    # the unrelated doc shares no shingles -> no band can match
+    assert not any(104 in p for p in pairs)
+
+
+def test_jaccard_verify_values(spark, docs):
+    cand = spark.createDataFrame(
+        [(101, 102), (101, 103), (101, 104)], ["id_a", "id_b"])
+    got = {(r["id_a"], r["id_b"]): r["jaccard"]
+           for r in dedup.jaccard_verify(docs, cand, "body", "id",
+                                         threshold=0.2).collect()}
+    assert got[(101, 102)] == 1.0
+    assert got[(101, 103)] == pytest.approx(
+        round(_jaccard(DOCS[0][1], DOCS[2][1]), 4), abs=1e-9)
+    assert (101, 104) not in got          # J = 0 < threshold
+    # threshold is honored
+    strict = dedup.jaccard_verify(docs, cand, "body", "id", threshold=0.9)
+    assert {(r["id_a"], r["id_b"]) for r in strict.collect()} == {(101, 102)}
+
+
+def test_simhash_fingerprints_and_pairs(spark, docs):
+    fps = dedup.simhash_fingerprints(docs, "body", "id", bits=16)
+    got = {r["id"]: r["fp"] for r in fps.collect()}
+    assert got[101] == got[102]
+    assert all(0 <= v < (1 << 16) for v in got.values())
+    pairs = dedup.simhash_pairs(fps, "id", max_hamming=0).collect()
+    assert {(r["id_a"], r["id_b"], r["hamming"]) for r in pairs} >= {(101, 102, 0)}
+    # near-dup within a few bits at 16-bit fp; unrelated doc farther away
+    ham = {(r["id_a"], r["id_b"]): r["hamming"]
+           for r in dedup.simhash_pairs(fps, "id", max_hamming=16).collect()}
+    assert ham[(101, 103)] <= ham[(101, 104)]
+
+
+def test_ngram_jaccard_pairs_exact_values(spark, docs):
+    got = {(r["id_a"], r["id_b"]): r["jaccard"]
+           for r in dedup.ngram_jaccard_pairs(docs, "body", "id", k=3,
+                                              threshold=0.2).collect()}
+    assert got[(101, 102)] == 1.0
+    assert got[(101, 103)] == pytest.approx(
+        round(_jaccard(DOCS[0][1], DOCS[2][1]), 4), abs=1e-9)
+    assert not any(104 in p or 105 in p for p in got)  # no shared shingle
+
+
+def test_minhash_lsh_matches_registry_constants(spark, docs):
+    """The library with registry parameters (16 perms, 4 bands) reproduces
+    what the registry query family computes — the thin-caller contract."""
+    pairs = {(r["id_a"], r["id_b"])
+             for r in dedup.minhash_lsh(docs, "body", "id",
+                                        n_perm=16, bands=4).collect()}
+    assert (101, 102) in pairs
+
+
+# ---------------------------------------------------------------------------
+# ann library
+# ---------------------------------------------------------------------------
+
+VECS = [
+    (1, [1.0, 0.0, 0.0, 0.0]),
+    (2, [0.9, 0.1, 0.0, 0.0]),    # close to 1
+    (3, [0.0, 1.0, 0.0, 0.0]),
+    (4, [0.0, 0.9, 0.1, 0.0]),    # close to 3
+    (5, [0.0, 0.0, 1.0, 0.0]),
+]
+
+
+@pytest.fixture(scope="module")
+def vecs(spark):
+    return spark.createDataFrame(VECS, ["vid", "v"]).select(
+        "vid", F.col("v").cast("array<float>").alias("v"))
+
+
+def _cos(a, b):
+    d = sum(x * y for x, y in zip(a, b))
+    return d / (math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(y * y for y in b)))
+
+
+def test_srp_planes_deterministic_and_shaped():
+    p1 = ann.srp_planes(3, 8)
+    p2 = ann.srp_planes(3, 8)
+    assert p1 == p2
+    assert len(p1) == 3 and all(len(pl) == 8 for pl in p1)
+    assert all(-499.5 <= w <= 500.5 for pl in p1 for w in pl)
+    # planes differ from each other
+    assert p1[0] != p1[1]
+
+
+def test_srp_bucket_custom_dims(spark, vecs):
+    rows = vecs.select("vid", ann.srp_bucket("v", n_planes=3, dims=4)
+                       .alias("bucket")).collect()
+    got = {r["vid"]: r["bucket"] for r in rows}
+    assert all(0 <= b < 8 for b in got.values())
+    # near-identical directions land in the same bucket
+    assert got[1] == got[2]
+    assert got[3] == got[4]
+
+
+def test_srp_bucket_sql_twin_matches_spark(spark, vecs):
+    """The DuckDB rendering assigns bit-identical buckets — the contract
+    that makes every SRP-based registry oracle possible."""
+    duckdb = pytest.importorskip("duckdb")
+    spark_got = {r["vid"]: r["bucket"]
+                 for r in vecs.select("vid", ann.srp_bucket("v", 3, 4)
+                                      .alias("bucket")).collect()}
+    con = duckdb.connect()
+    sql_got = dict(con.execute(
+        "SELECT vid, " + ann.srp_bucket_sql("v", 3, 4) + " FROM (VALUES " +
+        ", ".join(f"({i}, {v!r}::DOUBLE[])" for i, v in VECS) + ") t(vid, v)"
+    ).fetchall())
+    assert spark_got == sql_got
+
+
+def test_cosine_topk_matches_bruteforce(spark, vecs):
+    out = ann.cosine_topk(vecs, vecs.filter("vid <= 2"), id_col="vid",
+                          vec_col="v", k=2)
+    assert out.columns == ["query_id", "neighbor_id", "cos_sim", "rn"]
+    got = {(r["query_id"], r["rn"]): (r["neighbor_id"], r["cos_sim"])
+           for r in out.collect()}
+    # exact expectation from a python brute force
+    for qid, qv in VECS[:2]:
+        scored = sorted(
+            ((round(_cos(qv, nv), 6), -nid) for nid, nv in VECS if nid != qid),
+            reverse=True)
+        for rank, (c6, neg_nid) in enumerate(scored[:2], 1):
+            nid, cs = got[(qid, rank)]
+            assert nid == -neg_nid
+            assert cs == pytest.approx(round(_cos(qv, dict(VECS)[nid]), 4), abs=1e-9)
+
+
+def test_ivf_assign_and_search(spark, vecs):
+    cents = spark.createDataFrame(
+        [(10, [1.0, 0.0, 0.0, 0.0]), (20, [0.0, 1.0, 0.0, 0.0])],
+        ["cid", "cv"]).select("cid", F.col("cv").cast("array<float>").alias("cv"))
+    assign = ann.ivf_assign(vecs, cents, id_col="vid", vec_col="v")
+    got = {r["vid"]: r["cid"] for r in assign.collect()}
+    assert got[1] == 10 and got[2] == 10
+    assert got[3] == 20 and got[4] == 20
+    out = ann.ivf_search_topk(assign, assign.filter("vid = 1"),
+                              id_col="vid", vec_col="v", k=5)
+    rows = out.collect()
+    # single-probe: only cell-10 members are candidates; self excluded.
+    # vid 5 is orthogonal to both centroids (cos 0 vs 0) -> cid tie-break
+    # ascending puts it in cell 10.
+    assert got[5] == 10
+    assert {r["neighbor_id"] for r in rows} == {2, 5}
+    assert all(r["query_id"] == 1 for r in rows)
+    assert [r["rn"] for r in sorted(rows, key=lambda r: r["rn"])] == list(
+        range(1, len(rows) + 1))
+
+
+def test_ivf_assign_unmaterialized_plan(spark, vecs):
+    cents = spark.createDataFrame(
+        [(10, [1.0, 0.0, 0.0, 0.0])], ["cid", "cv"]).select(
+        "cid", F.col("cv").cast("array<float>").alias("cv"))
+    lazy = ann.ivf_assign(vecs, cents, id_col="vid", vec_col="v",
+                          materialize=False)
+    # not checkpointed: plan still contains the window + broadcast
+    plan = lazy._jdf.queryExecution().executedPlan().toString()
+    assert "Window" in plan
+    assert lazy.count() == len(VECS)

@@ -114,6 +114,13 @@ HEADLINE = [
     # them timing-of-record slots so a kernel regression fails the bench
     "dedup_semantic_clusters",
     "dedup_embedding_cosine_pairs",
+    # r10 promotions (VERDICT r9 #7): the current full-sweep heavyweights
+    # get timing-of-record slots so the headline keeps tracking the
+    # genuinely heaviest registry paths
+    "a_approx_distinct_check",
+    "diag_table_profiler",
+    "j21_association_rules",
+    "g_bfs_recursive_native",
 ]
 
 

@@ -94,7 +94,11 @@ def bfs_parents(
         frontier = nxt.select("node")
     if not found:
         return spark.createDataFrame([], "position INT, node STRING")
-    # backtrack end → start through parent pointers (≤ max_hops tiny jobs)
+    # Backtrack end → start through parent pointers. INTENTIONALLY chatty:
+    # one tiny filter+collect job per hop, bounded by max_hops (≤ 6 driver
+    # round-trips on a node-sized cached frame) — a join-based backtrack
+    # would save nothing at any scale since the path length, not the graph
+    # size, bounds the loop.
     path = [end]
     cur = end
     while cur != start:

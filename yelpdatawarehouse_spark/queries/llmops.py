@@ -27,6 +27,8 @@ from ..functions import hashing
 from ..functions import text as T
 from ..functions import vectors as V
 from ..functions.presentation import rfix, rfix_sql
+from ..operators import ann as ann_ops
+from ..operators import dedup as dedup_ops
 from ..operators.graph import min_label_components
 from ..sources.tables import spread, table
 from .registry import register
@@ -102,16 +104,12 @@ def dedup_prefix_near_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _minhash_sigs(spark: SparkSession, sf_dir: str, n_perm: int) -> DataFrame:
     """(doc_id, m0..m{n-1}) MinHash signatures over distinct 3-token shingles.
 
-    One md5 per shingle, then n_perm Carter-Wegman affine permutations
-    (``hashing.perm``) — not n_perm string hashes per shingle.
+    Thin caller of the library operator (``operators/dedup.py``) bound to
+    the documents table, with the narrow-stage ``spread`` rebalance applied
+    at the source (see :func:`..sources.tables.spread`).
     """
-    d = spread(table(spark, sf_dir, "documents"))
-    sh = d.select(
-        "doc_id", F.explode(F.array_distinct(T.shingles(T.tokens("text"), 3))).alias("s")
-    )
-    hashed = sh.select("doc_id", (hashing.md5_long("s") % hashing.MERSENNE).alias("h"))
-    return hashed.groupBy("doc_id").agg(
-        *[F.min(hashing.perm(F.col("h"), i)).alias(f"m{i}") for i in range(n_perm)]
+    return dedup_ops.minhash_signatures(
+        spread(table(spark, sf_dir, "documents")), "text", "doc_id", n_perm
     )
 
 
@@ -158,29 +156,8 @@ def dedup_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     family makes signatures identical in the SQL oracle.
     """
     sigs = _minhash_sigs(spark, sf_dir, N_PERM)
-    band_cols = []
-    for b in range(N_BANDS):
-        cols = [F.col(f"m{b * ROWS_PER_BAND + r}").cast("string") for r in range(ROWS_PER_BAND)]
-        band_cols.append(
-            F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws(",", *cols)).alias("bh"))
-        )
-    bands = sigs.select(
-        "doc_id", F.explode(F.array(*band_cols)).alias("bb")
-    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
-    a, b = bands.alias("a"), bands.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bh") == F.col("b.bh"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").cast("long").alias("doc_a"),
-            F.col("b.doc_id").cast("long").alias("doc_b"),
-        )
-        .distinct()
-    )
+    bands = dedup_ops.lsh_band_hashes(sigs, "doc_id", N_PERM, N_BANDS)
+    return dedup_ops.lsh_candidate_pairs(bands, "doc_id", ("doc_a", "doc_b"))
 
 
 def _minhash_verified_oracle() -> str:
@@ -212,20 +189,11 @@ def dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     so set membership can't flip on last-ulp noise.
     """
     cands = dedup_minhash_lsh_candidates(spark, sf_dir)
-    d = table(spark, sf_dir, "documents")
-    sh = d.select(
-        "doc_id", F.array_distinct(T.shingles(T.tokens("text"), 3)).alias("s")
-    )
-    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("sa"))
-    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("sb"))
-    inter = F.size(F.array_intersect("sa", "sb")).cast("double")
-    union = F.size("sa") + F.size("sb") - F.size(F.array_intersect("sa", "sb"))
-    jac = inter / union
-    return (
-        cands.join(a, "doc_a")
-        .join(b, "doc_b")
-        .filter(rfix(jac, 6) >= 0.2)
-        .select("doc_a", "doc_b", rfix(jac, 4).alias("jaccard"))
+    return dedup_ops.jaccard_verify(
+        table(spark, sf_dir, "documents"),
+        cands,
+        threshold=0.2,
+        pair_cols=("doc_a", "doc_b"),
     )
 
 
@@ -319,29 +287,8 @@ def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     tractable and is part of the query contract.
     """
     d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
-    docs = d.select(
-        "doc_id", F.array_distinct(T.shingles(T.tokens("text"), 3)).alias("sh")
-    ).filter(F.size("sh") > 0)
-    sizes = docs.select("doc_id", F.size("sh").alias("n"))
-    ex = docs.select("doc_id", F.explode("sh").alias("s"))
-    a, b = ex.alias("a"), ex.alias("b")
-    inter = (
-        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
-        .agg(F.count("*").alias("inter"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("da"), F.col("n").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("db"), F.col("n").alias("nb"))
-    jac = F.col("inter").cast("double") / (F.col("na") + F.col("nb") - F.col("inter"))
-    return (
-        inter.join(sa, "da")
-        .join(sb, "db")
-        .filter(jac >= 0.2)
-        .select(
-            F.col("da").cast("long").alias("doc_a"),
-            F.col("db").cast("long").alias("doc_b"),
-            rfix(jac, 4).alias("jaccard"),
-        )
+    return dedup_ops.ngram_jaccard_pairs(
+        d, k=3, threshold=0.2, pair_cols=("doc_a", "doc_b")
     )
 
 
@@ -376,30 +323,9 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale path is banding on fingerprint chunks, same pattern as MinHash-LSH.
     """
     d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 1000)
-    tok = d.select("doc_id", F.explode(T.tokens("text")).alias("tok"))
-    hashed = tok.select("doc_id", hashing.md5_long("tok").alias("h"))
-    bit_sum = [
-        F.sum(
-            F.when(F.shiftright(F.col("h"), b).bitwiseAND(1) == 1, 1).otherwise(-1)
-        ).alias(f"s{b}")
-        for b in range(SIMHASH_BITS)
-    ]
-    sums = hashed.groupBy("doc_id").agg(*bit_sum)
-    fp = None
-    for b in range(SIMHASH_BITS):
-        term = F.when(F.col(f"s{b}") >= 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0))
-        fp = term if fp is None else fp + term
-    fps = sums.select("doc_id", fp.alias("fp"))
-    a, b = fps.alias("a"), fps.alias("b")
-    hamming = F.expr("bit_count(a.fp ^ b.fp)")
-    return (
-        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
-        .filter(hamming <= 6)
-        .select(
-            F.col("a.doc_id").cast("long").alias("doc_a"),
-            F.col("b.doc_id").cast("long").alias("doc_b"),
-            hamming.cast("long").alias("hamming"),
-        )
+    fps = dedup_ops.simhash_fingerprints(d, bits=SIMHASH_BITS)
+    return dedup_ops.simhash_pairs(
+        fps, max_hamming=6, pair_cols=("doc_a", "doc_b")
     )
 
 
@@ -608,29 +534,7 @@ def ann_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries, no shuffle of the corpus itself.
     """
     e = table(spark, sf_dir, "embeddings")
-    q = e.filter(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
-    )
-    cos = V.cosine(F.col("qe"), F.col("embedding"))
-    scored = (
-        e.join(F.broadcast(q), e.vec_id != q.query_id)
-        .select(
-            "query_id",
-            F.col("vec_id").alias("neighbor_id"),
-            rfix(cos, 6).alias("c6"),
-            rfix(cos, 4).alias("cos_sim"),
-        )
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("c6"), F.asc("neighbor_id"))
-    return (
-        scored.select(
-            F.col("query_id").cast("long").alias("query_id"),
-            F.col("neighbor_id").cast("long").alias("neighbor_id"),
-            "cos_sim",
-            F.row_number().over(w).cast("long").alias("rn"),
-        )
-        .filter(F.col("rn") <= 10)
-    )
+    return ann_ops.cosine_topk(e, e.filter(F.col("vec_id") < 5), k=10)
 
 
 _IVF_K = 8  # coarse centroids
@@ -698,106 +602,18 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = e.filter(F.col("vec_id") < _IVF_K).select(
         F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
     )
-    aw = Window.partitionBy("vec_id").orderBy(F.desc("ac6"), F.asc("cid"))
-    assign = (
-        e.join(F.broadcast(cents))
-        .select(
-            "vec_id",
-            "cid",
-            "embedding",
-            rfix(V.cosine(F.col("embedding"), F.col("cv")), 6).alias("ac6"),
-        )
-        .withColumn("rn", F.row_number().over(aw))
-        .filter(F.col("rn") == 1)
-        .drop("rn", "ac6")
-    ).localCheckpoint()
-    q = assign.filter(F.col("vec_id") < _IVF_QUERIES).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("cid").alias("qcid"),
-        F.col("embedding").alias("qe"),
-    )
-    cos = V.cosine(F.col("qe"), F.col("embedding"))
-    scored = (
-        assign.join(
-            F.broadcast(q),
-            (F.col("cid") == F.col("qcid")) & (F.col("vec_id") != F.col("query_id")),
-        )
-        .select(
-            "query_id",
-            F.col("vec_id").alias("neighbor_id"),
-            rfix(cos, 6).alias("c6"),
-            rfix(cos, 4).alias("cos_sim"),
-        )
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("c6"), F.asc("neighbor_id"))
-    return (
-        scored.select(
-            F.col("query_id").cast("long").alias("query_id"),
-            F.col("neighbor_id").cast("long").alias("neighbor_id"),
-            "cos_sim",
-            F.row_number().over(w).cast("long").alias("rn"),
-        )
-        .filter(F.col("rn") <= 5)
-    )
+    assign = ann_ops.ivf_assign(e, cents)
+    q = assign.filter(F.col("vec_id") < _IVF_QUERIES)
+    return ann_ops.ivf_search_topk(assign, q, k=5)
 
 
-def _srp_weights(n_planes: int = 4, dims: int = 64) -> list[list[float]]:
-    """Hyperplane weight table: plane p, dim i weight =
-    (md5_60bit(f"{p}:{i}") % 1000) - 499.5 — deterministic, zero-mean,
-    and the exact value ``hashing.seeded`` would compute per row. The
-    planes are row-independent CONSTANTS, so they are materialized once
-    here (driver-side md5) and embedded as literals in both the Spark
-    plan and the SQL oracle — the per-row md5(seed:i) evaluation that
-    used to dominate the LSH queries' runtime is gone, and the bucket
-    ids are bit-identical to the previous formulation.
-    """
-    import hashlib
-
-    return [
-        [
-            (int(hashlib.md5(f"{p}:{i}".encode()).hexdigest()[:15], 16) % 1000) - 499.5
-            for i in range(dims)
-        ]
-        for p in range(n_planes)
-    ]
-
-
-def _srp_bucket_sql(vec: str, n_planes: int) -> str:
-    """Signed-random-projection bucket id over literal hyperplanes.
-
-    Bucket bit p = sign of <v, plane_p>; the dot product is an explicit
-    left-to-right sum so DuckDB's float addition order matches Spark's
-    ``aggregate`` fold in :func:`_srp_bucket_col`.
-    """
-    bits = []
-    for p, plane in enumerate(_srp_weights(n_planes)):
-        dotp = " + ".join(
-            f"{vec}[{i + 1}]::DOUBLE * ({w})" for i, w in enumerate(plane)
-        )
-        bits.append(f"(CASE WHEN ({dotp}) >= 0 THEN {1 << p} ELSE 0 END)")
-    return "(" + " + ".join(bits) + ")"
-
-
-def _srp_bucket_col(emb_col: str = "embedding", n_planes: int = 4):
-    """Spark twin of _srp_bucket_sql: 4-bit hyperplane-sign bucket id over
-    the same literal hyperplane table (see _srp_weights).
-
-    Built as ONE ``F.expr`` string rather than composed Column objects:
-    the 4×64 literal weights would otherwise cost ~260 py4j round trips
-    per query CONSTRUCTION (measured ~1s of driver-side latency at plan
-    build — pure Python↔JVM chatter, before Spark even sees the plan).
-    The parsed expression — zip_with product + left-to-right aggregate
-    fold — is identical, so bucket ids are unchanged.
-    """
-    parts = []
-    for p, plane in enumerate(_srp_weights(n_planes)):
-        arr = ", ".join(f"{w!r}D" for w in plane)
-        dotp = (
-            f"aggregate(zip_with(CAST({emb_col} AS ARRAY<DOUBLE>), "
-            f"array({arr}), (x, w) -> x * w), 0.0D, (acc, x) -> acc + x)"
-        )
-        parts.append(f"(CASE WHEN {dotp} >= 0 THEN {1 << p} ELSE 0 END)")
-    return F.expr("CAST((" + " + ".join(parts) + ") AS BIGINT)")
+# SRP machinery graduated to the library (operators/ann.py, judge r9 brief
+# #1); these module-level names are kept as the registry queries' binding —
+# same md5-derived literal planes, same one-F.expr construction (the py4j
+# round-trip fix documented at ann.srp_bucket), bucket ids bit-identical.
+_srp_weights = ann_ops.srp_planes
+_srp_bucket_sql = ann_ops.srp_bucket_sql
+_srp_bucket_col = ann_ops.srp_bucket
 
 
 @register(
