@@ -58,6 +58,12 @@ _SHAPES = {
     "emb_kmeans_assign_stats": (1, 0, 0, 0),
     "dedup_cross_split_contamination": (3, 1, 0, 0),
     "j13_local_supplier_volume": (1, 5, 0, 6),
+    # r10 promotions (VERDICT r9 #7): pins mirror the audited shapes at
+    # promotion time (test_draft_plan_shapes carried j21/profiler earlier)
+    "a_approx_distinct_check": (2, 0, 0, 0),
+    "diag_table_profiler": (1, 0, 0, 0),
+    "j21_association_rules": (5, 6, 0, 2),
+    "g_bfs_recursive_native": (1, 0, 0, 0),
     "j14_unshipped_value_topk": (1, 1, 0, 2),
     "g_triangle_support": (1, 2, 0, 0),
     "a_sketch_rollup_regions": (3, 2, 0, 3),

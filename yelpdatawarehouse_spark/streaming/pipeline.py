@@ -58,25 +58,44 @@ def event_file_stream(spark: SparkSession, source_dir: str) -> DataFrame:
     )
 
 
+def kafka_source_options(
+    brokers: str, topics: str, starting_offsets: str = "earliest"
+) -> dict[str, str]:
+    """The Kafka source option map — split out as a pure function so the
+    no-broker container can still unit-test that the subscribe/broker
+    options land (tests/test_kafka_options.py; VERDICT r9 #8)."""
+    return {
+        "kafka.bootstrap.servers": brokers,
+        "subscribe": topics,
+        "startingOffsets": starting_offsets,
+    }
+
+
+def decode_kafka_events(raw: DataFrame) -> DataFrame:
+    """JSON-decode the Kafka wire frame (binary key/value + topic/partition/
+    offset metadata) into (topic, event columns). Works identically on a
+    batch DataFrame with the same wire schema — that twin is the no-broker
+    test path, the same discipline as event_file_stream."""
+    return raw.select(
+        F.col("topic"),
+        F.from_json(F.col("value").cast("string"), EVENT_SCHEMA).alias("e"),
+    ).select("topic", "e.*")
+
+
 def kafka_event_stream(spark: SparkSession, brokers: str, topics: str) -> DataFrame:
     """Kafka source (S6): subscribe + JSON-decode into the event schema.
 
     Reference: consumer.py:27-33 subscribes yelp-reviews/-checkins/
     -businesses/-users; the topic column is the demux key (T1).
-    Not exercised in this container (no broker) — the file stream above
-    drives the same downstream plan in tests.
+    The broker leg needs the spark-sql-kafka connector + a live broker
+    (absent in this container); the option assembly and the decode plan
+    are unit-tested batch-side, and the file stream above drives the same
+    downstream plan in the streaming tests.
     """
-    raw = (
-        spark.readStream.format("kafka")
-        .option("kafka.bootstrap.servers", brokers)
-        .option("subscribe", topics)
-        .option("startingOffsets", "earliest")
-        .load()
-    )
-    return raw.select(
-        F.col("topic"),
-        F.from_json(F.col("value").cast("string"), EVENT_SCHEMA).alias("e"),
-    ).select("topic", "e.*")
+    reader = spark.readStream.format("kafka")
+    for k, v in kafka_source_options(brokers, topics).items():
+        reader = reader.option(k, v)
+    return decode_kafka_events(reader.load())
 
 
 def parse_events_with_dlq(
