@@ -131,6 +131,21 @@ def test_simhash_fingerprints_and_pairs(spark, docs):
     assert ham[(101, 103)] <= ham[(101, 104)]
 
 
+def test_simhash_band_pairs_equals_allpairs_sweep(spark, docs):
+    """Pigeonhole contract: with max_hamming < bands the banded bucket join
+    returns EXACTLY the all-pairs sweep's result (recall 1.0)."""
+    fps = dedup.simhash_fingerprints(docs, "body", "id", bits=32)
+    sweep = {(r["id_a"], r["id_b"], r["hamming"])
+             for r in dedup.simhash_pairs(fps, "id", max_hamming=3).collect()}
+    banded = {(r["id_a"], r["id_b"], r["hamming"])
+              for r in dedup.simhash_band_pairs(
+                  fps, "id", bits=32, bands=4, max_hamming=3).collect()}
+    assert banded == sweep
+    assert (101, 102, 0) in banded  # the exact dup survives the pipeline
+    with pytest.raises(ValueError):
+        dedup.simhash_band_pairs(fps, "id", bits=32, bands=5)
+
+
 def test_ngram_jaccard_pairs_exact_values(spark, docs):
     got = {(r["id_a"], r["id_b"]): r["jaccard"]
            for r in dedup.ngram_jaccard_pairs(docs, "body", "id", k=3,

@@ -46,6 +46,7 @@ __all__ = [
     "jaccard_verify",
     "simhash_fingerprints",
     "simhash_pairs",
+    "simhash_band_pairs",
     "ngram_jaccard_pairs",
 ]
 
@@ -260,6 +261,73 @@ def simhash_pairs(
         .select(
             F.col(f"a.{id_col}").cast("long").alias(ca),
             F.col(f"b.{id_col}").cast("long").alias(cb),
+            hamming.cast("long").alias(hamming_col),
+        )
+    )
+
+
+def simhash_band_pairs(
+    fps: DataFrame,
+    id_col: str = "doc_id",
+    bits: int = 32,
+    bands: int = 4,
+    max_hamming: int = 3,
+    pair_cols: tuple[str, str] = ("id_a", "id_b"),
+    hamming_col: str = "hamming",
+) -> DataFrame:
+    """UNBOUNDED SimHash near-dup pairs via band-bucket blocking — the
+    scale path :func:`simhash_pairs` deliberately isn't.
+
+    The fingerprint is split into ``bands`` contiguous chunks of
+    ``bits // bands`` bits; docs sharing any (band, chunk-value) bucket are
+    candidates, then exact Hamming distance verifies ≤ ``max_hamming``.
+    Pigeonhole guarantee: with ``max_hamming < bands``, any qualifying pair
+    has at least one UNTOUCHED band, so banding has recall 1.0 — the banded
+    result EQUALS the all-pairs sweep, at bucket-join cost instead of n².
+    (For max_hamming ≥ bands the result is a recall<1 approximation, same
+    contract as MinHash banding.)
+    """
+    if bits % bands:
+        raise ValueError(f"bits={bits} not divisible by bands={bands}")
+    ca, cb = pair_cols
+    chunk_bits = bits // bands
+    mask = (1 << chunk_bits) - 1
+    chunks = fps.select(
+        id_col,
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.shiftright(F.col("fp"), b * chunk_bits)
+                    .bitwiseAND(mask).alias("chunk"),
+                )
+                for b in range(bands)
+            ])
+        ).alias("bc"),
+    ).select(id_col, F.col("bc.band").alias("band"), F.col("bc.chunk").alias("chunk"))
+    a, b = chunks.alias("a"), chunks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias(ca), F.col(f"b.{id_col}").alias(cb)
+        )
+        .distinct()
+    )
+    fa = fps.select(F.col(id_col).alias(ca), F.col("fp").alias("_fpa"))
+    fb = fps.select(F.col(id_col).alias(cb), F.col("fp").alias("_fpb"))
+    hamming = F.expr("bit_count(_fpa ^ _fpb)")
+    return (
+        cand.join(fa, ca)
+        .join(fb, cb)
+        .filter(hamming <= max_hamming)
+        .select(
+            F.col(ca).cast("long").alias(ca),
+            F.col(cb).cast("long").alias(cb),
             hamming.cast("long").alias(hamming_col),
         )
     )
