@@ -603,3 +603,261 @@ def sample_softdedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 DRAFTS["sample_softdedup_weights"] = (sample_softdedup_weights, SOFTDEDUP_ORACLE)
+
+
+# ---------------------------------------------------------------------------
+# dedup_minhash_highrecall_pr_eval — the 8x2 banding's measured P/R point
+# ---------------------------------------------------------------------------
+
+_HRPR_PANEL, _HRPR_TAU = 20, 0.2
+
+_PR_JACCARD_SQL = (
+    "len(list_intersect(a.s, b.s))::DOUBLE / "
+    "(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))"
+)
+
+
+def _highrecall_pr_oracle() -> str:
+    return f"""
+    WITH cand0 AS ({_minhash_highrecall_oracle()}),
+    cand AS (SELECT doc_a, doc_b FROM cand0 WHERE doc_a < {_HRPR_PANEL}),
+    sh AS (SELECT doc_id, list_distinct({T.shingles_sql(_TOKS, 3)}) AS s
+           FROM documents),
+    truth AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM sh a JOIN sh b ON b.doc_id > a.doc_id
+        WHERE a.doc_id < {_HRPR_PANEL}
+          AND len(list_intersect(a.s, b.s)) > 0
+          AND {rfix_sql(_PR_JACCARD_SQL, 6)} >= {_HRPR_TAU}
+    ),
+    hit AS (
+        SELECT t.doc_a, t.doc_b FROM truth t
+        JOIN cand c ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b
+    ),
+    m AS (
+        SELECT (SELECT count(*) FROM truth) AS n_true,
+               (SELECT count(*) FROM cand) AS n_cand,
+               (SELECT count(*) FROM hit) AS n_hit
+    )
+    SELECT CAST(n_true AS BIGINT) AS n_true,
+           CAST(n_cand AS BIGINT) AS n_cand,
+           CAST(n_hit AS BIGINT) AS n_hit,
+           {rfix_sql('n_hit::DOUBLE / nullif(n_cand, 0)', 4)} AS precision,
+           {rfix_sql('n_hit::DOUBLE / nullif(n_true, 0)', 4)} AS recall
+    FROM m
+    """
+
+
+def dedup_minhash_highrecall_pr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision/recall of the 8x2 high-recall banding against the SAME
+    exact-Jaccard ground truth and panel as dedup_minhash_pr_eval's 4x4
+    point — together the two rows are the MEASURED banding tradeoff the
+    S-curve eval predicts in closed form (r=2 collides at far lower
+    similarity: recall up, precision down).
+
+    Same scale shape as the r6 eval: truth via shingle join over the
+    bounded panel (never all-pairs), candidates are the production
+    high-recall query panel-filtered, metric assembly is three
+    broadcast-sized counts.
+    """
+    d = table(spark, sf_dir, "documents")
+    sh = d.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.array_distinct(T.shingles(T.tokens("text"), 3)).alias("s"),
+    )
+    sizes = sh.select("doc_id", F.size("s").alias("n"))
+    ex = sh.select("doc_id", F.explode("s").alias("sg"))
+    pan = ex.filter(F.col("doc_id") < _HRPR_PANEL).select(
+        F.col("doc_id").alias("doc_a"), "sg"
+    )
+    shared = (
+        pan.join(ex.select(F.col("doc_id").alias("doc_b"), "sg"), "sg")
+        .filter(F.col("doc_b") > F.col("doc_a"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    jac = (
+        shared.join(sizes.select(F.col("doc_id").alias("doc_a"),
+                                 F.col("n").alias("na")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"),
+                           F.col("n").alias("nb")), "doc_b")
+        .select(
+            "doc_a", "doc_b",
+            (F.col("inter").cast("double")
+             / (F.col("na") + F.col("nb") - F.col("inter"))).alias("j"),
+        )
+    )
+    truth = jac.filter(rfix(F.col("j"), 6) >= _HRPR_TAU).select("doc_a", "doc_b")
+    cand = dedup_minhash_lsh_highrecall(spark, sf_dir).filter(
+        F.col("doc_a") < _HRPR_PANEL
+    )
+    hit = truth.join(cand, ["doc_a", "doc_b"])
+    m = (
+        truth.agg(F.count("*").alias("n_true"))
+        .crossJoin(F.broadcast(cand.agg(F.count("*").alias("n_cand"))))
+        .crossJoin(F.broadcast(hit.agg(F.count("*").alias("n_hit"))))
+    )
+    return m.select(
+        F.col("n_true").cast("long").alias("n_true"),
+        F.col("n_cand").cast("long").alias("n_cand"),
+        F.col("n_hit").cast("long").alias("n_hit"),
+        rfix(F.col("n_hit").cast("double")
+             / F.nullif(F.col("n_cand"), F.lit(0)), 4).alias("precision"),
+        rfix(F.col("n_hit").cast("double")
+             / F.nullif(F.col("n_true"), F.lit(0)), 4).alias("recall"),
+    )
+
+
+DRAFTS["dedup_minhash_highrecall_pr_eval"] = (dedup_minhash_highrecall_pr_eval,
+                                              _highrecall_pr_oracle())
+
+
+# ---------------------------------------------------------------------------
+# diag_correlation_matrix — one-scan exact-moment Pearson over lineitem
+# ---------------------------------------------------------------------------
+
+# column -> cents expression name (x100 makes every 2dp value an exact int)
+_CORR_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+_CORR_PAIRS = [
+    (a, b) for i, a in enumerate(_CORR_COLS) for b in _CORR_COLS[i + 1:]
+]
+
+
+def _corr_oracle() -> str:
+    cents = {c: f"CAST(floor({c} * 100 + 0.5) AS BIGINT)" for c in _CORR_COLS}
+    sums = [f"count(*)::HUGEINT AS n"]
+    for c in _CORR_COLS:
+        sums.append(f"sum({cents[c]}::HUGEINT) AS s_{c}")
+        sums.append(f"sum({cents[c]}::HUGEINT * {cents[c]}) AS ss_{c}")
+    for a, b in _CORR_PAIRS:
+        sums.append(f"sum({cents[a]}::HUGEINT * {cents[b]}) AS sp_{a}_{b}")
+    selects = []
+    for a, b in _CORR_PAIRS:
+        num = f"(n * sp_{a}_{b} - s_{a} * s_{b})::DOUBLE"
+        dx = f"(n * ss_{a} - s_{a} * s_{a})::DOUBLE"
+        dy = f"(n * ss_{b} - s_{b} * s_{b})::DOUBLE"
+        selects.append(
+            f"SELECT '{a}' AS col_a, '{b}' AS col_b, "
+            f"{rfix_sql(f'{num} / sqrt({dx} * {dy})', 4)} AS corr FROM m"
+        )
+    body = "\n    UNION ALL ".join(selects)
+    return f"""
+    WITH m AS (SELECT {', '.join(sums)} FROM lineitem)
+    {body}
+    """
+
+
+def diag_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-scan exact-moment Pearson correlation matrix over the lineitem
+    measures — the numeric-profiling companion of diag_table_profiler
+    (which covers cardinality/nulls; this covers linear structure).
+
+    Float discipline: every 2dp measure becomes exact integer cents
+    (floor(x*100+0.5), same on both engines); all sums and cross-products
+    accumulate as decimal(38,0)/HUGEINT — summation order cannot change an
+    integer total, so the corr ratios are bit-deterministic at any
+    parallelism, unlike F.corr's float accumulators. One aggregate
+    (15 exact moments), zero joins; pair assembly is a 6-row explode of
+    the single moment row.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    cents = {c: F.floor(F.col(c) * 100 + F.lit(0.5)).cast("long")
+             for c in _CORR_COLS}
+    dec = lambda col: col.cast("decimal(38,0)")  # noqa: E731
+    aggs = [F.count("*").cast("decimal(38,0)").alias("n")]
+    for c in _CORR_COLS:
+        aggs.append(F.sum(dec(cents[c])).alias(f"s_{c}"))
+        aggs.append(F.sum(dec(cents[c]) * dec(cents[c])).alias(f"ss_{c}"))
+    for a, b in _CORR_PAIRS:
+        aggs.append(F.sum(dec(cents[a]) * dec(cents[b])).alias(f"sp_{a}_{b}"))
+    m = li.agg(*aggs)
+    rows = []
+    for a, b in _CORR_PAIRS:
+        num = (F.col("n") * F.col(f"sp_{a}_{b}")
+               - F.col(f"s_{a}") * F.col(f"s_{b}")).cast("double")
+        dx = (F.col("n") * F.col(f"ss_{a}")
+              - F.col(f"s_{a}") * F.col(f"s_{a}")).cast("double")
+        dy = (F.col("n") * F.col(f"ss_{b}")
+              - F.col(f"s_{b}") * F.col(f"s_{b}")).cast("double")
+        rows.append(F.struct(
+            F.lit(a).alias("col_a"), F.lit(b).alias("col_b"),
+            rfix(num / F.sqrt(dx * dy), 4).alias("corr"),
+        ))
+    return m.select(F.explode(F.array(*rows)).alias("r")).select(
+        "r.col_a", "r.col_b", "r.corr"
+    )
+
+
+DRAFTS["diag_correlation_matrix"] = (diag_correlation_matrix, _corr_oracle())
+
+
+# ---------------------------------------------------------------------------
+# g_jaccard_link_prediction — neighbor-overlap link scores
+# ---------------------------------------------------------------------------
+
+from .graphq import _EDGE_SQL, trade_edges  # noqa: E402
+
+JACCARD_LINK_ORACLE = f"""
+WITH {_EDGE_SQL},
+deg AS (SELECT src AS node, count(*) AS d FROM edges GROUP BY src),
+common AS (
+    SELECT e1.src AS a, e2.src AS b, count(*) AS common
+    FROM edges e1 JOIN edges e2
+      ON e1.dst = e2.dst AND e1.src < e2.src
+    GROUP BY 1, 2
+)
+SELECT na.n_name AS nation_a, nb.n_name AS nation_b,
+       CAST(c.common AS BIGINT) AS common_neighbors,
+       {rfix_sql('c.common::DOUBLE / (da.d + db.d - c.common)', 4)}
+           AS jaccard
+FROM common c
+JOIN deg da ON da.node = c.a
+JOIN deg db ON db.node = c.b
+JOIN nation na ON na.n_nationkey = c.a
+JOIN nation nb ON nb.n_nationkey = c.b
+"""
+
+
+def g_jaccard_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jaccard-coefficient link prediction over the nation trade graph:
+    |N(a) ∩ N(b)| / |N(a) ∪ N(b)| for every node pair sharing a neighbor —
+    the set-overlap sibling of g_adamic_adar_nations (which weights rare
+    neighbors up; Jaccard normalizes by combined degree instead). Both
+    appear in every link-prediction baseline battery (Liben-Nowell &
+    Kleinberg '03).
+
+    Scale shape identical to Adamic-Adar: the edge DERIVATION is the
+    fact-scale part (two joins + distinct, fully distributed); the
+    wedge join and degree rollup run on the nation-bounded edge set.
+    Pairs with zero common neighbors are absent by construction — at any
+    scale the output is bounded by realized wedges, not node pairs.
+    """
+    edges = trade_edges(spark, sf_dir)
+    deg = edges.groupBy(F.col("src").alias("node")).agg(F.count("*").alias("d"))
+    e1 = edges.select(F.col("src").alias("a"), F.col("dst").alias("nn"))
+    e2 = edges.select(F.col("src").alias("b"), F.col("dst").alias("nn"))
+    common = (
+        e1.join(e2, "nn")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("common"))
+    )
+    nation = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    jac = F.col("common").cast("double") / (F.col("da") + F.col("db") - F.col("common"))
+    return (
+        common.join(deg.select(F.col("node").alias("a"), F.col("d").alias("da")), "a")
+        .join(deg.select(F.col("node").alias("b"), F.col("d").alias("db")), "b")
+        .join(F.broadcast(nation.select(F.col("n_nationkey").alias("a"),
+                                        F.col("n_name").alias("nation_a"))), "a")
+        .join(F.broadcast(nation.select(F.col("n_nationkey").alias("b"),
+                                        F.col("n_name").alias("nation_b"))), "b")
+        .select(
+            "nation_a", "nation_b",
+            F.col("common").cast("long").alias("common_neighbors"),
+            rfix(jac, 4).alias("jaccard"),
+        )
+    )
+
+
+DRAFTS["g_jaccard_link_prediction"] = (g_jaccard_link_prediction,
+                                       JACCARD_LINK_ORACLE)
