@@ -64,6 +64,10 @@ _SHAPES = {
     "diag_table_profiler": (1, 0, 0, 0),
     "j21_association_rules": (5, 6, 0, 2),
     "g_bfs_recursive_native": (1, 0, 0, 0),
+    # r13 heavyweight promotions (audited at promotion time)
+    "dedup_minhash_highrecall_pr_eval": (4, 9, 0, 6),
+    "emb_anisotropy_stats": (0, 0, 0, 0),
+    "dedup_simhash_banded_pairs": (1, 3, 0, 1),
     "j14_unshipped_value_topk": (1, 1, 0, 2),
     "g_triangle_support": (1, 2, 0, 0),
     "a_sketch_rollup_regions": (3, 2, 0, 3),

@@ -121,6 +121,11 @@ HEADLINE = [
     "diag_table_profiler",
     "j21_association_rules",
     "g_bfs_recursive_native",
+    # heaviest of the round-13 registrations (same policy), plus the
+    # library's flagship unbounded-simhash scale path
+    "dedup_minhash_highrecall_pr_eval",
+    "emb_anisotropy_stats",
+    "dedup_simhash_banded_pairs",
 ]
 
 
