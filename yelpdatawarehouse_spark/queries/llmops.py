@@ -16,6 +16,12 @@ needs. Design rules:
   fingerprints included.
 * Everything is JVM-side DataFrame expressions (higher-order array
   functions); no Python UDFs.
+
+Since round 10 the reusable machinery lives in the LIBRARY modules
+``operators/dedup.py`` (minhash/banding/jaccard-verify/simhash) and
+``operators/ann.py`` (SRP bucketing, brute-force top-k, IVF) — the
+queries here are thin, registry-bound callers; a user brings their own
+DataFrame to the library functions directly.
 """
 
 from __future__ import annotations
