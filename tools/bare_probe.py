@@ -45,12 +45,18 @@ def build_bare_session():
 
 
 def main() -> int:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    sf_dir = DEFAULT_SF
-    if "--sf-dir" in sys.argv:
-        sf_dir = sys.argv[sys.argv.index("--sf-dir") + 1]
-        args = [a for a in args if a != sf_dir]
-    seed = "--seed-mismatch" in sys.argv
+    import argparse
+
+    ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    ap.add_argument("names", nargs="?", default="",
+                    help="comma-separated registry query names")
+    ap.add_argument("--sf-dir", default=DEFAULT_SF)
+    ap.add_argument("--seed-mismatch", action="store_true")
+    ns = ap.parse_args()
+    sf_dir = ns.sf_dir
+    seed = ns.seed_mismatch
+    if not seed and not ns.names:
+        ap.error("no query names given (silent PASS would verify nothing)")
 
     from tests.parity import compare
     from yelpdatawarehouse_spark.queries import all_queries
@@ -76,7 +82,7 @@ def main() -> int:
         spark.stop()
         return 0 if problems else 1
 
-    names = args[0].split(",") if args else []
+    names = [n for n in ns.names.split(",") if n]
     unknown = [n for n in names if n not in reg]
     if unknown:
         raise SystemExit(f"not registered: {unknown}")

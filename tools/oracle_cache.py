@@ -62,3 +62,46 @@ def put(name: str, oracle_sql: str, fingerprint: str, ocols, o_canon) -> None:
     with gzip.open(tmp, "wt", encoding="utf-8") as fh:
         fh.write(repr([list(ocols), list(o_canon)]))
     os.replace(tmp, path)
+
+
+def prune(sf_dirs=None, dry_run: bool = False) -> list[str]:
+    """Delete cache entries whose key no longer matches any registered
+    oracle at any known dataset fingerprint (ADVICE r10: oracle or dataset
+    churn would otherwise accrete dead files in git history forever).
+
+    Live keys = {md5(name|sql|fp)} ∪ {magaudit-md5(name|sql|fp)} over the
+    current registry × the fingerprints of the standard sf dirs. Anything
+    else in tools/.oracle_cache is an orphan and is removed. Warm re-runs
+    regenerate a wrongly-deleted entry in seconds, so pruning is safe.
+    """
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from yelpdatawarehouse_spark.queries import all_queries
+
+    if sf_dirs is None:
+        sf_dirs = [d for d in ("/root/testdata/sf0.001", "/root/testdata/sf0.01",
+                               "/root/testdata/sf0.1") if os.path.isdir(d)]
+    fps = [dataset_fingerprint(d) for d in sf_dirs]
+    live = set()
+    for name, qd in all_queries().items():
+        if qd.oracle is None:
+            continue
+        for fp in fps:
+            key = hashlib.md5(f"{name}|{qd.oracle}|{fp}".encode()).hexdigest()
+            live.add(f"{key}.repr.gz")
+            live.add(f"magaudit-{key}.repr")
+    removed = []
+    for fn in sorted(os.listdir(_DIR)) if os.path.isdir(_DIR) else []:
+        if fn.endswith(".tmp") or fn not in live:
+            removed.append(fn)
+            if not dry_run:
+                os.remove(os.path.join(_DIR, fn))
+    return removed
+
+
+if __name__ == "__main__":
+    import sys as _sys
+
+    dead = prune(dry_run="--dry-run" in _sys.argv)
+    print(f"pruned {len(dead)} orphaned cache entries")

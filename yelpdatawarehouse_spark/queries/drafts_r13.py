@@ -285,11 +285,14 @@ def ann_srp_multiprobe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("query_id")
         .agg(F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("hits"))
     )
+    # LEFT join + coalesce: a panel query whose five probes all land in
+    # empty buckets must still appear with n_candidates=0 / recall 0.0,
+    # matching the oracle's LEFT JOIN semantics (ADVICE r10).
     return (
-        hits.join(sizes, "query_id")
+        hits.join(sizes, "query_id", "left")
         .select(
             F.col("query_id").cast("long").alias("query_id"),
-            F.col("n_candidates").cast("long").alias("n_candidates"),
+            F.coalesce(F.col("n_candidates"), F.lit(0)).cast("long").alias("n_candidates"),
             F.col("hits").cast("long").alias("hits"),
             rfix(F.col("hits") / float(_MP_K), 4).alias("recall_at_10"),
         )
@@ -759,6 +762,16 @@ def diag_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     parallelism, unlike F.corr's float accumulators. One aggregate
     (15 exact moments), zero joins; pair assembly is a 6-row explode of
     the single moment row.
+
+    Headroom bound (ADVICE r10): the largest intermediate is n * sp_a_b.
+    With extendedprice cents ~1e7, a cross-product term is ~1e14, so at
+    n = 10^12 rows n*sp ≈ 1e12 * (1e12 * 1e14-mean) — concretely
+    n*sp_a_b reaches ~3.6e37 at trillion-row scale, only ~3x below the
+    decimal(38,0) cap, and Spark's non-ANSI decimal overflow yields NULL
+    silently (DuckDB's HUGEINT is 128-bit and has far more headroom).
+    Past ~3e12 lineitem rows, shift this query to per-partition moment
+    blocks (two-level aggregation) or center the cents first; the
+    magnitude audit would catch the NULL, not prevent it.
     """
     li = table(spark, sf_dir, "lineitem")
     cents = {c: F.floor(F.col(c) * 100 + F.lit(0.5)).cast("long")
