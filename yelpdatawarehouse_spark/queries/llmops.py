@@ -35,6 +35,7 @@ from ..functions import vectors as V
 from ..functions.presentation import rfix, rfix_sql
 from ..operators import ann as ann_ops
 from ..operators import dedup as dedup_ops
+from ..operators import textops
 from ..operators.graph import min_label_components
 from ..sources.tables import spread, table
 from .registry import register
@@ -677,24 +678,7 @@ def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     filters (Gopher/C4-style length & repetition rules) compose from these
     columns.
     """
-    d = table(spark, sf_dir, "documents")
-    toks = T.tokens("text")
-    base = d.select("doc_id", "text", toks.alias("toks")).filter(F.size("toks") > 0)
-    n = F.size("toks")
-    sum_len = F.aggregate(
-        F.transform(F.col("toks"), F.length), F.lit(0), lambda acc, x: acc + x
-    )
-    return base.select(
-        F.col("doc_id").cast("long").alias("doc_id"),
-        n.cast("long").alias("n_tokens"),
-        F.size(F.array_distinct("toks")).cast("long").alias("n_uniq"),
-        F.regexp_count("text", F.lit("[a-z0-9]+")).cast("long").alias("n_words_re"),
-        rfix(sum_len.cast("double") / n, 4).alias("avg_token_len"),
-        rfix(T.marker_count(F.col("toks"), T.STOPWORDS).cast("double") / n, 4).alias(
-            "stopword_ratio"
-        ),
-        rfix(F.size(F.array_distinct("toks")).cast("double") / n, 4).alias("uniq_ratio"),
-    )
+    return textops.quality_scores(table(spark, sf_dir, "documents"))
 
 
 def _langid_oracle() -> str:
@@ -728,30 +712,9 @@ def text_langid_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
     (The synthetic corpus is vocab-random, so precision vs the labeled lang
     column is not meaningful — the operator shape and its portability are.)
     """
-    d = table(spark, sf_dir, "documents")
-    toks = T.tokens("text")
-    scored = d.select(
-        F.col("doc_id").cast("long").alias("doc_id"),
-        F.col("lang").alias("labeled_lang"),
-        *[
-            T.marker_count(toks, T.LANG_MARKERS[lang]).cast("long").alias(f"hits_{lang}")
-            for lang in T.LANG_PRIORITY
-        ],
-    )
-    pred = None
-    for lang in T.LANG_PRIORITY:
-        cond = None
-        for other in T.LANG_PRIORITY:
-            if other == lang:
-                continue
-            c = F.col(f"hits_{lang}") >= F.col(f"hits_{other}")
-            cond = c if cond is None else cond & c
-        pred = F.when(cond, lang) if pred is None else pred.when(cond, lang)
-    return scored.select(
-        "doc_id",
-        "labeled_lang",
-        pred.otherwise("und").alias("predicted_lang"),
-        *[f"hits_{lang}" for lang in T.LANG_PRIORITY],
+    return textops.langid(
+        table(spark, sf_dir, "documents"),
+        passthrough=(F.col("lang").alias("labeled_lang"),),
     )
 
 
@@ -787,23 +750,14 @@ def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     downstream near-dup join on fingerprints is the same bucket-join shape
     as MinHash.
     """
-    k, w = 4, 5
-    d = table(spark, sf_dir, "documents")
-    toks = T.tokens("text")
-    hashes = F.transform(T.shingles(toks, k), lambda s: hashing.md5_long(s))
-    base = d.select("doc_id", hashes.alias("hashes")).filter(F.size("hashes") > 0)
-    windows = F.transform(
-        F.sequence(F.lit(1), F.size("hashes") - (w - 1)),
-        lambda i: F.array_min(F.slice(F.col("hashes"), i, w)),
+    fps = textops.winnow_fingerprints(
+        table(spark, sf_dir, "documents"), k=4, w=5
     )
-    fps = F.when(F.size("hashes") >= w, F.array_distinct(windows)).otherwise(
-        F.array_distinct(F.array(F.array_min(F.col("hashes"))))
-    )
-    return base.select(
-        F.col("doc_id").cast("long").alias("doc_id"),
-        F.size(fps).cast("long").alias("n_fingerprints"),
-        F.array_min(fps).cast("long").alias("min_fp"),
-        F.array_max(fps).cast("long").alias("max_fp"),
+    return fps.select(
+        "doc_id",
+        F.size("fps").cast("long").alias("n_fingerprints"),
+        F.array_min("fps").cast("long").alias("min_fp"),
+        F.array_max("fps").cast("long").alias("max_fp"),
     )
 
 
@@ -978,33 +932,8 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     6-digit-rounded score then term, keeping engine and oracle
     row-identical.
     """
-    d = spread(table(spark, sf_dir, "documents"))
-    words = F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")
-    tf = (
-        d.select("doc_id", F.explode(words).alias("term"))
-        .groupBy("doc_id", "term")
-        .agg(F.count("*").alias("tf"))
-    )
-    n_docs = d.agg(
-        F.sum((F.size(words) > 0).cast("long")).alias("n_docs")
-    )
-    scored = (
-        tf.withColumn("df", F.count("*").over(Window.partitionBy("term")))
-        .crossJoin(F.broadcast(n_docs))
-        .select(
-            F.col("doc_id").cast("long").alias("doc_id"),
-            "term",
-            F.col("tf").cast("long").alias("tf"),
-            F.col("df").cast("long").alias("df"),
-            rfix(
-                F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")), 6
-            ).alias("score"),
-        )
-    )
-    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
-    return (
-        scored.withColumn("rn", F.row_number().over(w).cast("long"))
-        .filter(F.col("rn") <= 3)
+    return textops.tfidf_top_terms(
+        spread(table(spark, sf_dir, "documents")), top_k=3
     )
 
 
@@ -1033,13 +962,8 @@ def text_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     carries only distinct grams per task — the corpus itself never moves.
     Deterministic top-20 via the (count desc, bigram) tiebreak.
     """
-    d = table(spark, sf_dir, "documents")
-    grams = d.select(F.explode(T.shingles(T.tokens("text"), 2)).alias("bigram"))
-    return (
-        grams.groupBy("bigram")
-        .agg(F.count("*").alias("gram_cnt"))
-        .orderBy(F.desc("gram_cnt"), F.asc("bigram"))
-        .limit(20)
+    return textops.top_ngrams(
+        table(spark, sf_dir, "documents"), n=2, top_k=20, gram_col="bigram"
     )
 
 
@@ -1272,24 +1196,8 @@ def text_chunk_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     parallelism is inherited from the input partitioning. Chunk text is
     emitted as md5 so the verified payload stays narrow.
     """
-    d = table(spark, sf_dir, "documents")
-    base = d.select(
-        F.col("doc_id").cast("long").alias("doc_id"), T.tokens("text").alias("toks")
-    )
-    n = F.size("toks")
-    exploded = base.select(
-        "doc_id",
-        "toks",
-        F.explode(
-            F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(_STRIDE))
-        ).alias("start"),
-    )
-    chunk = F.slice(F.col("toks"), F.col("start") + 1, _CHUNK)
-    return exploded.select(
-        "doc_id",
-        (F.col("start") / _STRIDE).cast("long").alias("chunk_idx"),
-        F.size(chunk).cast("long").alias("n_tokens"),
-        F.md5(F.array_join(chunk, " ")).alias("chunk_hash"),
+    return textops.chunk_sliding(
+        table(spark, sf_dir, "documents"), chunk=_CHUNK, stride=_STRIDE
     )
 
 
@@ -1318,22 +1226,8 @@ def text_top_token_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc-level max/sum needs no second exchange. Scale cost is one shuffle
     of the distinct (doc, token) pairs, never the raw token stream.
     """
-    d = table(spark, sf_dir, "documents")
-    tok = d.select(
-        F.col("doc_id").cast("long").alias("doc_id"),
-        F.explode(T.tokens("text")).alias("tok"),
-    )
-    cnt = tok.groupBy("doc_id", "tok").agg(F.count("*").alias("c"))
-    m = cnt.groupBy("doc_id").agg(
-        F.max("c").alias("top_cnt"), F.sum("c").alias("n_tokens")
-    )
-    ratio = F.col("top_cnt").cast("double") / F.col("n_tokens")
-    return m.select(
-        "doc_id",
-        "top_cnt",
-        "n_tokens",
-        rfix(ratio, 4).alias("top_ratio"),
-        (ratio > 0.2).alias("repetitive"),
+    return textops.token_repetition(
+        table(spark, sf_dir, "documents"), threshold=0.2
     )
 
 
@@ -1958,29 +1852,14 @@ def text_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference analog: none (SURVEY §2 extension).
     """
     d = table(spark, sf_dir, "documents")
-    slot = hashing.md5_long(
-        F.concat(F.lit("pack:"), F.col("doc_id").cast("string"))
-    ) % PACK_SLOTS
-    t = d.select(
-        "doc_id",
-        slot.alias("slot"),
-        F.size(T.tokens("text")).cast("long").alias("n_tokens"),
+    sized = d.select("doc_id", F.size(T.tokens("text")).alias("n_tokens"))
+    assign = textops.pack_bins(
+        sized, id_col="doc_id", size_col="n_tokens",
+        bin_tokens=PACK_BIN_TOKENS, slots=PACK_SLOTS, salt="pack:",
     )
-    w = (
-        Window.partitionBy("slot")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    c = t.withColumn("cum_excl", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)))
-    return (
-        c.groupBy(
-            F.col("slot").cast("long").alias("slot"),
-            F.expr(f"cum_excl div {PACK_BIN_TOKENS}").cast("long").alias("bin_id"),
-        )
-        .agg(
-            F.count("*").alias("n_docs"),
-            F.sum("n_tokens").cast("long").alias("tokens_used"),
-        )
+    return assign.groupBy("slot", "bin_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("tokens_used"),
     )
 
 
