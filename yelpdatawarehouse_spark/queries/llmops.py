@@ -35,6 +35,7 @@ from ..functions import vectors as V
 from ..functions.presentation import rfix, rfix_sql
 from ..operators import ann as ann_ops
 from ..operators import dedup as dedup_ops
+from ..operators import sampling
 from ..operators import textops
 from ..operators.graph import min_label_components
 from ..sources.tables import spread, table
@@ -1002,19 +1003,13 @@ def sample_stratified_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     layout, any engine (the oracle reproduces it bit-for-bit) — and it's
     a stateless map over the scan: no shuffle at any scale.
     """
-    d = table(spark, sf_dir, "documents")
-    slot = hashing.md5_long(F.concat(F.lit("sample:"), F.col("doc_id").cast("string"))) % 100
-    rate = F.lit(20)
-    for src, pct in _STRATA_RATES.items():
-        rate = F.when(F.col("source") == src, pct).otherwise(rate)
-    return (
-        d.withColumn("slot", slot)
-        .filter(F.col("slot") < rate)
-        .groupBy("source")
-        .agg(
-            F.count("*").alias("kept_docs"),
-            F.sum("n_chars").cast("long").alias("kept_chars"),
-        )
+    kept = sampling.stratified_hash_sample(
+        table(spark, sf_dir, "documents"),
+        rates=_STRATA_RATES, default_pct=20, salt="sample:",
+    )
+    return kept.groupBy("source").agg(
+        F.count("*").alias("kept_docs"),
+        F.sum("n_chars").cast("long").alias("kept_chars"),
     )
 
 
@@ -1046,18 +1041,14 @@ def split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     its split slot), survives any repartitioning, and needs no shuffle;
     the reported per-(source, split) counts aggregate in one exchange.
     """
-    d = table(spark, sf_dir, "documents")
-    slot = hashing.md5_long(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))) % 100
-    split = (
-        F.when(slot < 90, "train").when(slot < 95, "val").otherwise("test")
+    labeled = sampling.hash_split(
+        table(spark, sf_dir, "documents").select("source", "doc_id"),
+        boundaries=((90, "train"), (95, "val")), default_label="test",
+        salt="split:",
     )
-    return (
-        d.select("source", "doc_id", split.alias("split"))
-        .groupBy("source", "split")
-        .agg(
-            F.count("*").alias("n_docs"),
-            F.min("doc_id").cast("long").alias("min_doc"),
-        )
+    return labeled.groupBy("source", "split").agg(
+        F.count("*").alias("n_docs"),
+        F.min("doc_id").cast("long").alias("min_doc"),
     )
 
 
@@ -1104,24 +1095,14 @@ def sample_weighted_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     flatMap, no shuffle; this query reports the per-source blend totals
     (sum(copies) ≡ the exploded row count, cheaper to verify).
     """
-    d = table(spark, sf_dir, "documents")
-    whole = F.lit(1)
-    frac_pct = F.lit(0)
-    for src, wgt in _MIX_WEIGHTS.items():
-        whole = F.when(F.col("source") == src, int(wgt)).otherwise(whole)
-        frac_pct = F.when(F.col("source") == src, int(round((wgt - int(wgt)) * 100))).otherwise(
-            frac_pct
-        )
-    slot = hashing.md5_long(F.concat(F.lit("mix:"), F.col("doc_id").cast("string"))) % 100
-    copies = whole + F.when(slot < frac_pct, 1).otherwise(0)
-    return (
-        d.withColumn("copies", copies)
-        .groupBy("source")
-        .agg(
-            F.count("*").alias("n_docs_in"),
-            F.sum("copies").cast("long").alias("n_docs_out"),
-            F.sum(F.col("copies") * F.col("n_chars")).cast("long").alias("chars_out"),
-        )
+    blended = sampling.weighted_upsample_copies(
+        table(spark, sf_dir, "documents"),
+        weights=_MIX_WEIGHTS, default_weight=1.0, salt="mix:",
+    )
+    return blended.groupBy("source").agg(
+        F.count("*").alias("n_docs_in"),
+        F.sum("copies").cast("long").alias("n_docs_out"),
+        F.sum(F.col("copies") * F.col("n_chars")).cast("long").alias("chars_out"),
     )
 
 
@@ -2073,20 +2054,18 @@ def sample_weighted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus-mixing policies a training pipeline draws with.
     """
     d = table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
-    u = (
-        hashing.md5_long(F.concat(F.lit("wrs:"), F.col("doc_id").cast("string")))
-        + 1
-    ) / F.lit(_WSAMPLE_DENOM)
-    keyed = d.select(
+    base = d.select(
         F.col("doc_id").cast("long").alias("doc_id"),
         "source",
         F.col("n_chars").cast("long").alias("n_chars"),
-        (F.log(u) / F.col("n_chars")).alias("k"),
     )
-    # top-k FIRST (TakeOrderedAndProject, O(k) per partition), THEN rank
-    # the k survivors — a global row_number window over the full corpus
+    # library top-k FIRST (TakeOrderedAndProject, O(k) per partition), THEN
+    # rank the k survivors — a global row_number window over the full corpus
     # would be a single-partition scan at scale.
-    topk = keyed.orderBy(F.desc("k"), F.asc("doc_id")).limit(_WSAMPLE_K)
+    topk = sampling.weighted_topk(
+        base, id_col="doc_id", weight_col="n_chars", k=_WSAMPLE_K,
+        salt="wrs:", key_col="k",
+    )
     w = Window.orderBy(F.desc("k"), F.asc("doc_id"))
     return topk.withColumn("rank", F.row_number().over(w).cast("long")).drop("k")
 
@@ -2251,20 +2230,8 @@ def sample_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-source math is stateless row expressions; nothing scales with
     corpus size except the initial count.
     """
-    d = table(spark, sf_dir, "documents")
-    counts = d.groupBy("source").agg(F.count("*").alias("n_docs"))
-    tot = counts.agg(
-        F.sum("n_docs").cast("double").alias("total"),
-        F.sum(F.pow(F.col("n_docs").cast("double"), F.lit(_MIX_ALPHA))).alias(
-            "pow_total"
-        ),
-    )
-    w = F.pow(F.col("n_docs").cast("double"), F.lit(_MIX_ALPHA)) / F.col("pow_total")
-    return counts.crossJoin(F.broadcast(tot)).select(
-        "source",
-        "n_docs",
-        rfix(w, 6).alias("mix_weight"),
-        rfix(w / (F.col("n_docs").cast("double") / F.col("total")), 4).alias("boost"),
+    return sampling.temperature_mix(
+        table(spark, sf_dir, "documents"), group_col="source", alpha=_MIX_ALPHA
     )
 
 
@@ -2423,23 +2390,14 @@ def sample_token_budget_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")).alias(
             "n_tokens"
         ),
-        hashing.md5_long(
-            F.concat(F.lit("budget:"), F.col("doc_id").cast("string"))
-        ).alias("pri"),
     )
-    w = (
-        Window.partitionBy("source")
-        .orderBy("pri", "doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    kept = sampling.token_budget_fill(
+        sized, id_col="doc_id", group_col="source", size_col="n_tokens",
+        budget=600, salt="budget:",
     )
-    filled = sized.withColumn("cum", F.sum("n_tokens").over(w))
-    return (
-        filled.filter(F.col("cum") - F.col("n_tokens") < 600)
-        .groupBy("source")
-        .agg(
-            F.count("*").cast("long").alias("docs_kept"),
-            F.sum("n_tokens").cast("long").alias("tokens_kept"),
-        )
+    return kept.groupBy("source").agg(
+        F.count("*").cast("long").alias("docs_kept"),
+        F.sum("n_tokens").cast("long").alias("tokens_kept"),
     )
 
 
@@ -2899,9 +2857,10 @@ def sample_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     diag_key_skew_profile flags when it is needed.
     """
     d = table(spark, sf_dir, "documents")
-    w = Window.partitionBy("source").orderBy(F.desc("n_chars"), F.asc("doc_id"))
-    ranked = d.select("source", "n_chars", "doc_id").withColumn(
-        "rn", F.row_number().over(w)
+    ranked = sampling.domain_cap(
+        d.select("source", "n_chars", "doc_id"),
+        group_col="source", id_col="doc_id", order_col="n_chars",
+        cap=_DOMAIN_CAP,
     )
     kept = F.when(F.col("rn") <= _DOMAIN_CAP, 1).otherwise(0)
     return ranked.groupBy("source").agg(
