@@ -272,3 +272,110 @@ def test_ivf_assign_unmaterialized_plan(spark, vecs):
     plan = lazy._jdf.queryExecution().executedPlan().toString()
     assert "Window" in plan
     assert lazy.count() == len(VECS)
+
+
+# ---------------------------------------------------------------------------
+# clone-collapse (r11: collapse_exact) and multi-probe candidates
+# ---------------------------------------------------------------------------
+
+CLONE_DOCS = [
+    # group A: three verbatim clones
+    (1, "alpha beta gamma delta epsilon zeta"),
+    (2, "alpha beta gamma delta epsilon zeta"),
+    (3, "alpha beta gamma delta epsilon zeta"),
+    # group B: two clones, near-dup of A (one token changed)
+    (4, "alpha beta gamma delta epsilon eta"),
+    (5, "alpha beta gamma delta epsilon eta"),
+    # unrelated singleton
+    (6, "totally different words about spark execution plans"),
+]
+
+
+@pytest.fixture(scope="module")
+def clone_docs(spark):
+    return spark.createDataFrame(CLONE_DOCS, ["id", "body"])
+
+
+def test_simhash_band_pairs_collapse_accounts_for_all_pairs(spark, clone_docs):
+    """Sum of collapsed multiplicities == uncollapsed pair count, and the
+    per-cell multiplicities follow the n_a*n_b / C(n,2) contract."""
+    fps = dedup.simhash_fingerprints(clone_docs, "body", "id", bits=32)
+    raw = dedup.simhash_band_pairs(fps, "id", bits=32, bands=2,
+                                   max_hamming=16)
+    col = dedup.simhash_band_pairs(fps, "id", bits=32, bands=2,
+                                   max_hamming=16, collapse_exact=True)
+    raw_rows = raw.collect()
+    col_rows = col.collect()
+    assert sum(r["pair_multiplicity"] for r in col_rows) == len(raw_rows)
+    by_cell = {(r["id_a"], r["id_b"]): r for r in col_rows}
+    # verbatim clone groups: identical fps -> within-rows at hamming 0
+    assert by_cell[(1, 1)]["pair_multiplicity"] == 3  # C(3,2)
+    assert by_cell[(1, 1)]["hamming"] == 0
+    assert by_cell[(4, 4)]["pair_multiplicity"] == 1  # C(2,2)
+    # cross cell A x B: multiplicity 3*2, hamming equal to the rep pair's
+    assert by_cell[(1, 4)]["pair_multiplicity"] == 6
+    raw_ham = {(r["id_a"], r["id_b"]): r["hamming"] for r in raw_rows}
+    assert by_cell[(1, 4)]["hamming"] == raw_ham[(1, 4)]
+    # canonical ids are group minima: no cell mentions 2, 3 or 5
+    assert all(a in (1, 4, 6) and b in (1, 4, 6) for a, b in by_cell)
+
+
+def test_simhash_collapse_output_linear_in_distinct_fps(spark, clone_docs):
+    """Replicating clones grows the uncollapsed output quadratically but
+    leaves the collapsed row COUNT unchanged (only multiplicities grow) —
+    the r10-brief contract fix."""
+    doubled = clone_docs.union(
+        clone_docs.select((F.col("id") + 100).alias("id"), "body"))
+    fps1 = dedup.simhash_fingerprints(clone_docs, "body", "id")
+    fps2 = dedup.simhash_fingerprints(doubled, "body", "id")
+    col1 = dedup.simhash_band_pairs(fps1, "id", bands=2, max_hamming=16,
+                                    collapse_exact=True).collect()
+    col2 = dedup.simhash_band_pairs(fps2, "id", bands=2, max_hamming=16,
+                                    collapse_exact=True).collect()
+    cells1 = {(r["id_a"], r["id_b"]): r["pair_multiplicity"] for r in col1}
+    cells2 = {(r["id_a"], r["id_b"]): r["pair_multiplicity"] for r in col2}
+    # cross-cell structure is unchanged (same distinct fingerprints) ...
+    assert ({c for c in cells1 if c[0] != c[1]}
+            == {c for c in cells2 if c[0] != c[1]})
+    # ... only multiplicities grow: A(3)->A(6), B(2)->B(4)
+    assert cells2[(1, 4)] == 24 and cells1[(1, 4)] == 6
+    assert cells2[(1, 1)] == 15 and cells1[(1, 1)] == 3   # C(6,2) vs C(3,2)
+    # the doubled singleton gains exactly its own C(2,2) self-cell
+    assert cells2[(6, 6)] == 1 and (6, 6) not in cells1
+    assert len(cells2) == len(cells1) + 1
+
+
+def test_minhash_lsh_collapse_exact(spark, clone_docs):
+    raw = dedup.minhash_lsh(clone_docs, "body", "id", n_perm=8, bands=4)
+    col = dedup.minhash_lsh(clone_docs, "body", "id", n_perm=8, bands=4,
+                            collapse_exact=True)
+    raw_pairs = {(r["id_a"], r["id_b"]) for r in raw.collect()}
+    col_rows = {(r["id_a"], r["id_b"]): r["pair_multiplicity"]
+                for r in col.collect()}
+    assert sum(col_rows.values()) == len(raw_pairs)
+    # identical-signature groups produce the C(n,2) self-cells
+    assert col_rows[(1, 1)] == 3 and col_rows[(4, 4)] == 1
+    # every collapsed cell maps to real raw pairs
+    for (a, b), mult in col_rows.items():
+        if a != b:
+            assert (a, b) in raw_pairs
+            assert mult == 6  # 3 A-clones x 2 B-clones
+
+
+def test_srp_multiprobe_candidates_superset_and_guard(spark, vecs):
+    own = ann.srp_multiprobe_candidates(vecs, vecs.filter("vid <= 2"),
+                                        id_col="vid", vec_col="v",
+                                        n_planes=3, dims=4, n_probes=0)
+    multi = ann.srp_multiprobe_candidates(vecs, vecs.filter("vid <= 2"),
+                                          id_col="vid", vec_col="v",
+                                          n_planes=3, dims=4, n_probes=3)
+    own_pairs = {(r["query_id"], r["neighbor_id"]) for r in own.collect()}
+    multi_pairs = {(r["query_id"], r["neighbor_id"]) for r in multi.collect()}
+    assert own_pairs <= multi_pairs          # probing only ADDS candidates
+    assert len(multi_pairs) > len(own_pairs)  # and does add some here
+    # self-matches excluded; candidates are duplicate-free rows
+    assert all(q != n for q, n in multi_pairs)
+    assert multi.count() == len(multi_pairs)
+    with pytest.raises(ValueError):
+        ann.srp_multiprobe_candidates(vecs, vecs, id_col="vid", vec_col="v",
+                                      n_planes=3, dims=4, n_probes=4)

@@ -252,7 +252,6 @@ def ann_srp_multiprobe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly one bucket and a query's five probes are distinct.
     """
     e = table(spark, sf_dir, "embeddings")
-    b = e.select("vec_id", ann_ops.srp_bucket("embedding").alias("bucket"))
     q = e.filter(F.col("vec_id") < _MP_PANEL).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
     )
@@ -266,17 +265,9 @@ def ann_srp_multiprobe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= _MP_K)
         .select("query_id", "neighbor_id")
     )
-    probes = b.filter(F.col("vec_id") < _MP_PANEL).select(
-        F.col("vec_id").alias("query_id"),
-        F.explode(F.array(*[
-            (F.col("bucket").bitwiseXOR(F.lit(m)) if m else F.col("bucket"))
-            for m in _MP_FLIPS
-        ])).alias("bucket"),
-    )
-    cand = (
-        b.join(F.broadcast(probes), "bucket")
-        .filter(F.col("vec_id") != F.col("query_id"))
-        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+    cand = ann_ops.srp_multiprobe_candidates(
+        e, e.filter(F.col("vec_id") < _MP_PANEL),
+        n_planes=4, n_probes=len(_MP_FLIPS) - 1,
     )
     sizes = cand.groupBy("query_id").agg(F.count("*").alias("n_candidates"))
     hits = (

@@ -19,8 +19,11 @@ needs. Design rules:
 
 Since round 10 the reusable machinery lives in the LIBRARY modules
 ``operators/dedup.py`` (minhash/banding/jaccard-verify/simhash) and
-``operators/ann.py`` (SRP bucketing, brute-force top-k, IVF) — the
-queries here are thin, registry-bound callers; a user brings their own
+``operators/ann.py`` (SRP bucketing, brute-force top-k, IVF); round 11
+added ``operators/textops.py`` (quality/langid/winnowing/tf-idf/
+chunking/packing/n-grams/repetition) and ``operators/sampling.py``
+(stratified/split/upsample/A-ES/temperature/budget/cap) — the queries
+here are thin, registry-bound callers; a user brings their own
 DataFrame to the library functions directly.
 """
 
