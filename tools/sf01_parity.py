@@ -103,6 +103,12 @@ def main() -> int:
     if mode in ("all", "tail"):
         tail_names = _pick_tail(reg.keys(), HEADLINE, state, tail_n)
         plan += [("tail", n) for n in tail_names]
+    if mode == "names":  # explicit list, e.g. a fresh registration batch
+        tail_names = [n for n in os.environ.get("SF01_NAMES", "").split(",") if n]
+        unknown = [n for n in tail_names if n not in reg]
+        if unknown:
+            raise SystemExit(f"not registered: {unknown}")
+        plan += [("tail", n) for n in tail_names]
 
     import gc
 
