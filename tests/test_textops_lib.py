@@ -236,3 +236,66 @@ def test_token_repetition_flags(spark, docs):
     assert rows[8]["repetitive"] is True                 # 0.6 > 0.5
     assert rows[7]["repetitive"] is False
     assert rows[8]["top_ratio"] == 0.6
+
+
+# ---------------------------------------------------------------------------
+# entropy_by_group / zipf_fit / oov_rate / redact_tokens (r11 phase-3)
+# ---------------------------------------------------------------------------
+
+
+def test_entropy_by_group_values(spark):
+    df = spark.createDataFrame(
+        [(1, "flat", "a b c d"),            # uniform: entropy = ln(4)
+         (2, "peaky", "x x x x x x x y")],  # skewed: low entropy
+        ["k", "g", "t"])
+    out = {r["g"]: r.asDict()
+           for r in textops.entropy_by_group(df, "t", "g").collect()}
+    assert out["flat"]["vocab_size"] == 4 and out["flat"]["n_tokens"] == 4
+    assert out["flat"]["token_entropy"] == pytest.approx(math.log(4), abs=1e-3)
+    assert out["flat"]["normalized_entropy"] == pytest.approx(1.0, abs=1e-3)
+    p = 7 / 8
+    want = -(p * math.log(p) + (1 - p) * math.log(1 - p))
+    assert out["peaky"]["token_entropy"] == pytest.approx(want, abs=1e-3)
+    assert out["peaky"]["normalized_entropy"] < 1.0
+
+
+def test_zipf_fit_perfect_line(spark):
+    # construct counts following freq = 64 / rank exactly: slope -1, R² 1
+    docs = []
+    i = 0
+    for rank, word in enumerate(["w1", "w2", "w3", "w4"], start=1):
+        for _ in range(64 // rank):
+            docs.append((i, word)); i += 1
+    df = spark.createDataFrame(docs, ["k", "t"])
+    row = textops.zipf_fit(df, "t", top_k=4).collect()[0]
+    assert row["n_terms"] == 4
+    assert row["zipf_slope"] == pytest.approx(-1.0, abs=0.01)
+    assert row["fit_r2"] == pytest.approx(1.0, abs=0.01)
+    assert row["zipf_intercept"] == pytest.approx(math.log(64), abs=0.05)
+
+
+def test_oov_rate_vocab_cut(spark):
+    df = spark.createDataFrame(
+        [(1, "a", "top top top rare1"), (2, "b", "top rare2 rare3 rare4")],
+        ["k", "g", "t"])
+    out = {r["g"]: r.asDict()
+           for r in textops.oov_rate(df, "t", "g", vocab_k=1).collect()}
+    # vocab = {top}; everything else is OOV
+    assert out["a"]["n_oov"] == 1 and out["a"]["oov_rate"] == 0.25
+    assert out["b"]["n_oov"] == 3 and out["b"]["oov_rate"] == 0.75
+
+
+def test_redact_tokens_rowwise(spark):
+    df = spark.createDataFrame(
+        [(1, "g1", "keep secret keep token"), (2, "g1", "keep keep")],
+        ["k", "g", "t"])
+    out = {r["k"]: r.asDict()
+           for r in textops.redact_tokens(df, "t",
+                                          denylist=("secret", "token"),
+                                          marker="<X>").collect()}
+    assert set(out[1]) == {"k", "g", "n_tokens", "n_hits", "redacted_hash"}
+    assert out[1]["n_hits"] == 2 and out[2]["n_hits"] == 0
+    import hashlib
+    assert out[1]["redacted_hash"] == hashlib.md5(
+        b"keep <X> keep <X>").hexdigest()
+    assert out[2]["redacted_hash"] == hashlib.md5(b"keep keep").hexdigest()

@@ -49,6 +49,10 @@ __all__ = [
     "pack_bins",
     "top_ngrams",
     "token_repetition",
+    "entropy_by_group",
+    "zipf_fit",
+    "oov_rate",
+    "redact_tokens",
 ]
 
 # Default word tokenizer for regex-based passes: lowercased alnum runs
@@ -317,6 +321,145 @@ def top_ngrams(
         .agg(F.count("*").alias(count_col))
         .orderBy(F.desc(count_col), F.asc(gram_col))
         .limit(top_k)
+    )
+
+
+def entropy_by_group(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+    out_digits: int = 4,
+) -> DataFrame:
+    """Shannon entropy of each group's token distribution (plus the
+    ln(vocab)-normalized form on [0, 1]) — the lexical-diversity signal
+    that ranks corpus sources (low = templated/boilerplate).
+
+    Scale shape: one map-side-combinable exchange to (group, token)
+    counts — the only stage that sees corpus-sized data — then per-group
+    totals join back on the group key (count-table-sized) and the
+    -Σ p·ln p fold stays in codegen.
+    """
+    tf = (
+        df.select(group_col, F.explode(T.tokens(text_col)).alias("tok"))
+        .groupBy(group_col, "tok")
+        .agg(F.count("*").cast("double").alias("cnt"))
+    )
+    tot = tf.groupBy(group_col).agg(F.sum("cnt").alias("n"))
+    p = F.col("cnt") / F.col("n")
+    ent = -F.sum(p * F.log(p))
+    return (
+        tf.join(tot, group_col)
+        .groupBy(group_col)
+        .agg(
+            F.count("*").cast("long").alias("vocab_size"),
+            F.sum("cnt").cast("long").alias("n_tokens"),
+            rfix(ent, out_digits).alias("token_entropy"),
+            rfix(ent / F.log(F.count("*")), out_digits).alias("normalized_entropy"),
+        )
+    )
+
+
+def zipf_fit(
+    df: DataFrame,
+    text_col: str = "text",
+    top_k: int = 1000,
+    out_digits: int = 4,
+) -> DataFrame:
+    """Zipf's-law fit of the corpus rank-frequency curve: least-squares
+    slope/intercept/R² of ln(freq) on ln(rank) over the ``top_k`` terms —
+    the corpus diagnostic run before sizing a tokenizer vocabulary (a
+    natural corpus fits slope ≈ -1).
+
+    One shuffle for term counts (map-side partial), then
+    TakeOrderedAndProject to the top-k — the global rank window and the
+    regression aggregate (Spark's one-pass mergeable regr_* moments) both
+    run over only those k rows, so the single-partition window is O(k) by
+    construction, never a full sort.
+    """
+    tf = (
+        df.select(F.explode(T.tokens(text_col)).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("tok"))
+        .limit(top_k)
+    )
+    ranked = tf.withColumn(
+        "rank", F.row_number().over(Window.orderBy(F.desc("cnt"), F.asc("tok")))
+    )
+    lc, lr = F.log(F.col("cnt")), F.log(F.col("rank"))
+    return ranked.agg(
+        F.count("*").cast("long").alias("n_terms"),
+        rfix(F.regr_slope(lc, lr), out_digits).alias("zipf_slope"),
+        rfix(F.regr_intercept(lc, lr), out_digits).alias("zipf_intercept"),
+        rfix(F.regr_r2(lc, lr), out_digits).alias("fit_r2"),
+    )
+
+
+def oov_rate(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+    vocab_k: int = 100,
+    out_digits: int = 4,
+) -> DataFrame:
+    """Out-of-vocabulary rate per group against the corpus top-``vocab_k``
+    vocabulary — the tokenizer-coverage diagnostic: how much of each
+    group's token stream falls outside the head of the distribution.
+
+    The vocabulary is a deterministic top-k (count desc, term) built with
+    one token-count exchange + TakeOrderedAndProject, then BROADCAST to
+    the marking join — the fact-side token stream is never reshuffled for
+    the lookup; at 100 TB the vocab stays a driver-bounded k rows.
+    """
+    tok = df.select(group_col, F.explode(T.tokens(text_col)).alias("tok"))
+    vocab = (
+        tok.groupBy("tok")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.desc("c"), "tok")
+        .limit(vocab_k)
+        .select("tok", F.lit(1).alias("in_vocab"))
+    )
+    oov = F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0))
+    return (
+        tok.join(F.broadcast(vocab), "tok", "left")
+        .groupBy(group_col)
+        .agg(
+            F.count("*").alias("n_tokens"),
+            oov.cast("long").alias("n_oov"),
+            rfix(oov.cast("double") / F.count("*"), out_digits).alias("oov_rate"),
+        )
+    )
+
+
+def redact_tokens(
+    df: DataFrame,
+    text_col: str = "text",
+    denylist: Sequence[str] = (),
+    marker: str = "[REDACTED]",
+) -> DataFrame:
+    """Denylist redaction pass: every denylist token replaced with
+    ``marker``. Emits per row (all non-text input columns +) n_tokens,
+    n_hits, and the md5 of the redacted text — the narrow payload callers
+    roll up or join back; swap the token lexicon for PII regexes and the
+    plan shape is identical.
+
+    A pure row transform (higher-order token map, no UDF, no shuffle):
+    at 100 TB it runs at scan speed and the redacted text streams
+    straight to a filtered write.
+    """
+    deny = F.array(*[F.lit(w) for w in denylist])
+    toks = T.tokens(text_col)
+    hit = lambda x: F.array_contains(deny, x)  # noqa: E731
+    return df.select(
+        *[c for c in df.columns if c != text_col],
+        F.size(toks).alias("n_tokens"),
+        F.size(F.filter(toks, hit)).alias("n_hits"),
+        F.md5(
+            F.array_join(
+                F.transform(toks, lambda x: F.when(hit(x), marker).otherwise(x)),
+                " ",
+            )
+        ).alias("redacted_hash"),
     )
 
 

@@ -1479,24 +1479,8 @@ def text_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB the vocab stays a driver-bounded k rows, so the only
     fact-scale costs are the token-count shuffle and the final rollup.
     """
-    d = table(spark, sf_dir, "documents")
-    tok = d.select("source", F.explode(T.tokens("text")).alias("tok"))
-    vocab = (
-        tok.groupBy("tok")
-        .agg(F.count("*").alias("c"))
-        .orderBy(F.desc("c"), "tok")
-        .limit(100)
-        .select("tok", F.lit(1).alias("in_vocab"))
-    )
-    oov = F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0))
-    return (
-        tok.join(F.broadcast(vocab), "tok", "left")
-        .groupBy("source")
-        .agg(
-            F.count("*").alias("n_tokens"),
-            oov.cast("long").alias("n_oov"),
-            rfix(oov.cast("double") / F.count("*"), 4).alias("oov_rate"),
-        )
+    return textops.oov_rate(
+        table(spark, sf_dir, "documents"), group_col="source", vocab_k=100
     )
 
 
@@ -1543,22 +1527,9 @@ def text_redaction_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     the redacted text keeps the verified payload narrow while still
     proving the transform output matches the oracle byte-for-byte.
     """
-    d = table(spark, sf_dir, "documents")
-    deny = F.array(*[F.lit(w) for w in _DENYLIST])
-    toks = T.tokens("text")
-    hit = lambda x: F.array_contains(deny, x)  # noqa: E731
-    m = d.select(
-        "source",
-        F.size(toks).alias("n_tokens"),
-        F.size(F.filter(toks, hit)).alias("n_hits"),
-        F.md5(
-            F.array_join(
-                F.transform(
-                    toks, lambda x: F.when(hit(x), "[REDACTED]").otherwise(x)
-                ),
-                " ",
-            )
-        ).alias("redacted_hash"),
+    m = textops.redact_tokens(
+        table(spark, sf_dir, "documents"), denylist=_DENYLIST,
+        marker="[REDACTED]",
     )
     return m.groupBy("source").agg(
         F.count("*").alias("n_docs"),
@@ -2276,26 +2247,7 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the regression aggregate both run over only those k rows, so the
     single-partition window is O(k) by construction, never a full sort.
     """
-    d = table(spark, sf_dir, "documents")
-    from pyspark.sql import Window
-
-    tf = (
-        d.select(F.explode(T.tokens("text")).alias("tok"))
-        .groupBy("tok")
-        .agg(F.count("*").alias("cnt"))
-        .orderBy(F.desc("cnt"), F.asc("tok"))
-        .limit(_ZIPF_TOP)
-    )
-    ranked = tf.withColumn(
-        "rank", F.row_number().over(Window.orderBy(F.desc("cnt"), F.asc("tok")))
-    )
-    lc, lr = F.log(F.col("cnt")), F.log(F.col("rank"))
-    return ranked.agg(
-        F.count("*").cast("long").alias("n_terms"),
-        rfix(F.regr_slope(lc, lr), 4).alias("zipf_slope"),
-        rfix(F.regr_intercept(lc, lr), 4).alias("zipf_intercept"),
-        rfix(F.regr_r2(lc, lr), 4).alias("fit_r2"),
-    )
+    return textops.zipf_fit(table(spark, sf_dir, "documents"), top_k=_ZIPF_TOP)
 
 
 @register(
@@ -3466,24 +3418,8 @@ def text_entropy_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     in codegen; summation order is absorbed by the rounding edge like
     every float aggregate in the registry.
     """
-    d = spread(table(spark, sf_dir, "documents"))
-    tf = (
-        d.select("source", F.explode(T.tokens("text")).alias("tok"))
-        .groupBy("source", "tok")
-        .agg(F.count("*").cast("double").alias("cnt"))
-    )
-    tot = tf.groupBy("source").agg(F.sum("cnt").alias("n"))
-    p = F.col("cnt") / F.col("n")
-    ent = -F.sum(p * F.log(p))
-    return (
-        tf.join(tot, "source")
-        .groupBy("source")
-        .agg(
-            F.count("*").cast("long").alias("vocab_size"),
-            F.sum("cnt").cast("long").alias("n_tokens"),
-            rfix(ent, 4).alias("token_entropy"),
-            rfix(ent / F.log(F.count("*")), 4).alias("normalized_entropy"),
-        )
+    return textops.entropy_by_group(
+        spread(table(spark, sf_dir, "documents")), group_col="source"
     )
 
 
