@@ -37,6 +37,7 @@ from ..functions import text as T
 from ..functions import vectors as V
 from ..functions.presentation import rfix, rfix_sql
 from ..operators import ann as ann_ops
+from ..operators import curation
 from ..operators import dedup as dedup_ops
 from ..operators import sampling
 from ..operators import textops
@@ -2431,52 +2432,12 @@ def pipeline_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     (no third exchange). Reference analog: none; this is the north-star
     use the engine exists for.
     """
-    d = table(spark, sf_dir, "documents")
-    toks = T.tokens("text")
-    base = d.select(
-        "source",
-        "doc_id",
-        F.size(toks).alias("n_tokens"),
-        (F.size(F.array_distinct(toks)).cast("double") / F.size(toks)).alias(
-            "uniq_ratio"
-        ),
-        (T.marker_count(toks, T.STOPWORDS).cast("double") / F.size(toks)).alias(
-            "stop_ratio"
-        ),
-        F.md5(T.normalize("text")).alias("fp"),
-        hashing.md5_long(
-            F.concat(F.lit("curate:"), F.col("doc_id").cast("string"))
-        ).alias("pri"),
+    flags = curation.curation_flags(
+        table(spark, sf_dir, "documents"),
+        min_tokens=15, min_uniq_ratio=0.35, min_stopword_ratio=0.01,
+        budget=400, salt="curate:",
     )
-    q = (
-        (F.col("n_tokens") >= 15)
-        & (F.col("uniq_ratio") >= 0.35)
-        & (F.col("stop_ratio") >= 0.01)
-    )
-    # rank within each fingerprint with quality rows first: rank 1 == the
-    # min-id QUALITY survivor, computed without materializing the filter
-    w_fp = Window.partitionBy("fp").orderBy(F.col("q").desc(), "doc_id")
-    flagged = base.withColumn("q", q).withColumn(
-        "is_unique", F.col("q") & (F.row_number().over(w_fp) == 1)
-    )
-    wb = (
-        Window.partitionBy("source")
-        .orderBy("pri", "doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    tok_if = F.when(F.col("is_unique"), F.col("n_tokens")).otherwise(F.lit(0))
-    kept = flagged.withColumn("cum", F.sum(tok_if).over(wb)).withColumn(
-        "in_budget", F.col("is_unique") & (F.col("cum") - F.col("n_tokens") < 400)
-    )
-    return kept.groupBy("source").agg(
-        F.count("*").cast("long").alias("n_input"),
-        F.sum(F.col("q").cast("long")).cast("long").alias("n_quality"),
-        F.sum(F.col("is_unique").cast("long")).cast("long").alias("n_unique"),
-        F.sum(F.col("in_budget").cast("long")).cast("long").alias("n_kept"),
-        F.sum(F.when(F.col("in_budget"), F.col("n_tokens")).otherwise(F.lit(0)))
-        .cast("long")
-        .alias("tokens_kept"),
-    )
+    return curation.curation_funnel(flags, group_col="source")
 
 
 @register(
