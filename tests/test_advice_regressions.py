@@ -272,3 +272,114 @@ def test_pareto_concentration_is_integer_exact(spark):
     # total = 410.00 -> target 328.00 cents-exact; 3 customers above the
     # boundary value contribute 300 < 328; one more 100-spender crosses it
     assert r.n_top_customers == 4
+
+
+# ---------------------------------------------------------------------------
+# round-10 ADVICE regressions
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def empty_probe_sf_dir(spark, tmp_path_factory):
+    """A synthetic sf dir where panel query 0's own SRP bucket AND its four
+    1-bit-flip probe buckets contain no other vector — the sparse-corpus
+    branch where the pre-fix INNER join dropped the query row entirely
+    (r10 ADVICE #1)."""
+    import hashlib
+
+    from yelpdatawarehouse_spark.operators.ann import srp_planes
+
+    planes = srp_planes(4, 64)
+
+    def bucket(v):
+        b = 0
+        for p, plane in enumerate(planes):
+            if sum(x * w for x, w in zip(v, plane)) >= 0:
+                b |= 1 << p
+        return b
+
+    def vec(seed):
+        # deterministic pseudo-vector from a seed (no RNG)
+        return [((int(hashlib.md5(f"{seed}:{i}".encode()).hexdigest()[:8], 16)
+                  % 2001) - 1000) / 1000.0 for i in range(64)]
+
+    v0 = vec("probe-lone")
+    probes0 = {bucket(v0) ^ m for m in (0, 1, 2, 4, 8)}
+    others = []
+    seed = 0
+    while len(others) < 14:
+        v = vec(f"bg-{seed}")
+        seed += 1
+        if bucket(v) not in probes0:
+            others.append(v)
+    rows = [(0, v0, 0)] + [(i + 1, v, 0) for i, v in enumerate(others)]
+    out = str(tmp_path_factory.mktemp("empty_probe"))
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(out, "embeddings.parquet")
+    )
+    return out
+
+
+def test_multiprobe_recall_keeps_zero_candidate_queries(spark, empty_probe_sf_dir):
+    """Engine must match the oracle's LEFT JOIN semantics: a panel query
+    whose five probes all land in empty buckets still emits a row with
+    n_candidates = 0 / hits = 0 / recall 0.0."""
+    from yelpdatawarehouse_spark.queries.drafts_r13 import (
+        ann_srp_multiprobe_recall,
+    )
+
+    rows = {r.query_id: r
+            for r in ann_srp_multiprobe_recall(spark, empty_probe_sf_dir).collect()}
+    assert 0 in rows, "zero-candidate panel query must survive (left join)"
+    assert rows[0].n_candidates == 0
+    assert rows[0].hits == 0
+    assert rows[0].recall_at_10 == 0.0
+    # the fixture really does exercise the branch: panel ids 1..7 sit in
+    # populated buckets or at least exist as rows
+    assert sorted(rows) == list(range(8))
+
+
+def test_bare_probe_requires_names(tmp_path):
+    """bare_probe with no query names must error (exit 2), not silently
+    PASS having verified nothing (r10 ADVICE #2)."""
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    for argv in ([], ["--sf-dir", "/root/testdata/sf0.01"]):
+        proc = subprocess.run(
+            [sys.executable, os.path.join(repo, "tools", "bare_probe.py"), *argv],
+            capture_output=True, text=True,
+        )
+        assert proc.returncode == 2
+        assert "no query names" in proc.stderr
+
+
+def test_oracle_cache_prune_removes_only_orphans(tmp_path, monkeypatch):
+    """prune() deletes entries whose key matches no registered oracle and
+    keeps live ones (r10 ADVICE #4)."""
+    import gzip
+    import hashlib
+
+    from tools import oracle_cache
+    from yelpdatawarehouse_spark.queries import all_queries
+
+    fake_dir = str(tmp_path / "cache")
+    os.makedirs(fake_dir)
+    monkeypatch.setattr(oracle_cache, "_DIR", fake_dir)
+
+    name, qd = next((n, q) for n, q in all_queries().items() if q.oracle)
+    fp = oracle_cache.dataset_fingerprint("/root/testdata/sf0.001")
+    live_key = hashlib.md5(f"{name}|{qd.oracle}|{fp}".encode()).hexdigest()
+    with gzip.open(os.path.join(fake_dir, f"{live_key}.repr.gz"), "wt") as fh:
+        fh.write("[['a'], []]")
+    with gzip.open(os.path.join(fake_dir, "deadbeef00.repr.gz"), "wt") as fh:
+        fh.write("[['x'], []]")
+    with open(os.path.join(fake_dir, "magaudit-deadbeef.repr"), "w") as fh:
+        fh.write("{}")
+
+    removed = oracle_cache.prune(sf_dirs=["/root/testdata/sf0.001"])
+    assert sorted(removed) == ["deadbeef00.repr.gz", "magaudit-deadbeef.repr"]
+    assert os.listdir(fake_dir) == [f"{live_key}.repr.gz"]
