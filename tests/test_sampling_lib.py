@@ -208,3 +208,26 @@ def test_domain_cap_rank_semantics(spark, frame):
                       key=lambda t: (-t[0], t[1]))[:5]
         want |= {(col, rid) for _, rid in rows}
     assert top == want
+
+
+# ---------------------------------------------------------------------------
+# softdedup_weights
+# ---------------------------------------------------------------------------
+
+
+def test_softdedup_weights_invariants(spark):
+    df = spark.createDataFrame(
+        [(1, "x", "same text"), (2, "x", "same text"), (3, "x", "same text"),
+         (4, "y", "same text"), (5, "y", "unique here")],
+        ["rid", "g", "body"])
+    out = sampling.softdedup_weights(
+        df, F.md5(F.col("body")), count_col="n", weight_col="w").collect()
+    got = {r["rid"]: (r["n"], r["w"]) for r in out}
+    # 'same text' appears 4x across groups: every member weighted 1/4
+    for rid in (1, 2, 3, 4):
+        assert got[rid] == (4, 0.25)
+    assert got[5] == (1, 1.0)
+    # effective size sums to the number of DISTINCT fingerprints
+    assert abs(sum(w for _, w in got.values()) - 2.0) < 1e-9
+    # all original columns survive
+    assert set(out[0].asDict()) == {"rid", "g", "body", "n", "w"}

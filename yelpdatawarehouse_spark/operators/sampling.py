@@ -52,6 +52,7 @@ __all__ = [
     "temperature_mix",
     "token_budget_fill",
     "domain_cap",
+    "softdedup_weights",
 ]
 
 # md5_long yields 60-bit uniforms; +1 / (2^60 + 1) maps into the OPEN
@@ -241,6 +242,28 @@ def token_budget_fill(
     )
     filled = df.withColumn(cum_col, F.sum(size_col).over(w))
     return filled.filter(F.col(cum_col) - F.col(size_col) < budget)
+
+
+def softdedup_weights(
+    df: DataFrame,
+    fingerprint: Column,
+    count_col: str = "dup_cnt",
+    weight_col: str = "weight",
+) -> DataFrame:
+    """Soft dedup (SoftDeDup): instead of DROPPING duplicates, DOWN-WEIGHT
+    every member of a duplicate group by 1/group_size over the given
+    blocking ``fingerprint`` expression (an exact-text md5, a token-prefix
+    hash, a MinHash band — any Column). Adds ``count_col`` and
+    ``weight_col``; Σ weight is the group's effective dataset size, the
+    sampling-weight input for a mixture tuner.
+
+    One window on the blocking fingerprint; no pairs are ever
+    materialized, so cost is one exchange at any duplication level.
+    """
+    w = Window.partitionBy(fingerprint)
+    return df.withColumn(count_col, F.count("*").over(w)).withColumn(
+        weight_col, F.lit(1.0) / F.col(count_col)
+    )
 
 
 def domain_cap(

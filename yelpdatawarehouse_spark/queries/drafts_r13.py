@@ -585,14 +585,16 @@ def sample_softdedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     blocking fingerprint + one grouped aggregate; the weight join never
     materializes pairs.
     """
+    from ..operators import sampling
+
     d = table(spark, sf_dir, "documents")
-    wfp = Window.partitionBy(F.md5(F.concat_ws(" ", F.slice(T.tokens("text"), 1, 5))))
-    grp = d.select("source", F.count("*").over(wfp).alias("dup_cnt"))
+    fp = F.md5(F.concat_ws(" ", F.slice(T.tokens("text"), 1, 5)))
+    grp = sampling.softdedup_weights(d.select("source", "text"), fp)
     return grp.groupBy("source").agg(
         F.count("*").cast("long").alias("n_docs"),
         F.sum(F.when(F.col("dup_cnt") > 1, 1).otherwise(0)).cast("long")
         .alias("dup_docs"),
-        rfix(F.sum(F.lit(1.0) / F.col("dup_cnt")), 4).alias("eff_docs"),
+        rfix(F.sum("weight"), 4).alias("eff_docs"),
     )
 
 
