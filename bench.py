@@ -89,15 +89,19 @@ def main() -> None:
         sf_val = sf
 
     detail_line, summary_line = build_output_lines(timings, total, sf_val)
-    # Full per-query detail: its own stdout line (NOT the last one) plus a
-    # sidecar file, so humans and tools keep the complete map.
+    # Full per-query detail: its own stdout line (NOT the last one) plus —
+    # only when BENCH_WRITE_DETAIL=1 — a sidecar file. The sidecar is the
+    # committed IDLE record; the driver's per-round run is load-affected and
+    # repeatedly overwrote it (r9-r11 one-line drift), so the write is now
+    # opt-in for the idle round-close run.
     print(detail_line)
-    try:
-        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                               "BENCH_DETAIL.json"), "w") as fh:
-            fh.write(detail_line + "\n")
-    except OSError:
-        pass
+    if os.environ.get("BENCH_WRITE_DETAIL") == "1":
+        try:
+            with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                   "BENCH_DETAIL.json"), "w") as fh:
+                fh.write(detail_line + "\n")
+        except OSError:
+            pass
     # Final stdout line: the machine-readable summary of record.
     print(summary_line)
     spark.stop()

@@ -81,9 +81,9 @@ def test_langid_markers_and_priority(spark):
     ).collect()}
     assert out[1]["predicted_lang"] == "de" and out[1]["hits_de"] == 5
     assert out[2]["predicted_lang"] == "es"
-    # zero hits everywhere -> priority-first wins the tie (>= comparison),
-    # which is the documented deterministic argmax, not 'und'
-    assert out[3]["predicted_lang"] == "de"
+    # zero hits everywhere -> 'und': a prediction requires >=1 marker hit
+    # (ADVICE r11 — previously the >= tie silently resolved to priority[0])
+    assert out[3]["predicted_lang"] == "und"
     assert out[3]["hits_de"] == 0 and out[3]["hits_es"] == 0
 
 

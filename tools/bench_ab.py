@@ -44,8 +44,11 @@ def run_bench(tree: str) -> dict[str, float]:
     for line in out.stdout.splitlines():
         line = line.strip()
         if line.startswith("{"):
-            obj = json.loads(line)
-            if obj.get("detail") == "per_query_sec":
+            try:
+                obj = json.loads(line)
+            except ValueError:
+                continue  # brace-prefixed log noise, not the detail line
+            if isinstance(obj, dict) and obj.get("detail") == "per_query_sec":
                 detail = obj["queries"]
     if detail is None:
         raise RuntimeError(f"bench.py in {tree} printed no detail line:\n"
@@ -129,16 +132,18 @@ def append_md(res: dict) -> None:
 
 
 def main() -> int:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    if not args:
-        print("usage: python tools/bench_ab.py <git-ref> [--rounds N] [--no-md]")
-        return 2
-    rounds = 2
-    if "--rounds" in sys.argv:
-        rounds = int(sys.argv[sys.argv.index("--rounds") + 1])
-        args = [a for a in args if a != str(rounds)]
-    res = ab(args[0], rounds=rounds)
-    if "--no-md" not in sys.argv:
+    import argparse
+
+    ap = argparse.ArgumentParser(
+        description="Interleaved same-box bench A/B: current tree vs a git ref")
+    ap.add_argument("ref", help="prior git ref (e.g. a round commit)")
+    ap.add_argument("--rounds", type=int, default=2,
+                    help="interleaved passes per tree (default 2)")
+    ap.add_argument("--no-md", action="store_true",
+                    help="don't append the result table to SCALING.md")
+    ns = ap.parse_args()
+    res = ab(ns.ref, rounds=ns.rounds)
+    if not ns.no_md:
         append_md(res)
     print(json.dumps(res))
     return 0

@@ -82,6 +82,10 @@ def prune(sf_dirs=None, dry_run: bool = False) -> list[str]:
     if sf_dirs is None:
         sf_dirs = [d for d in ("/root/testdata/sf0.001", "/root/testdata/sf0.01",
                                "/root/testdata/sf0.1") if os.path.isdir(d)]
+        # Extra dataset dirs (synthetic probes, clone-scale dirs, ...) whose
+        # cache entries should survive a prune (ADVICE r11): comma-separated.
+        extra = os.environ.get("ORACLE_CACHE_EXTRA_DIRS", "")
+        sf_dirs += [d for d in extra.split(",") if d and os.path.isdir(d)]
     fps = [dataset_fingerprint(d) for d in sf_dirs]
     live = set()
     for name, qd in all_queries().items():

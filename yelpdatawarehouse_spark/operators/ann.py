@@ -40,6 +40,8 @@ __all__ = [
     "srp_planes",
     "srp_bucket",
     "srp_bucket_sql",
+    "srp_adaptive_flips",
+    "srp_adaptive_flips_sql",
     "srp_multiprobe_candidates",
     "cosine_topk",
     "ivf_assign",
@@ -74,15 +76,92 @@ def srp_bucket(vec_col: str = "embedding", n_planes: int = 4, dims: int = 64) ->
     exponentially smaller buckets: at 100 TB pick n_planes so the expected
     bucket fits an executor's candidate budget.
     """
+    return F.expr(_bucket_expr_str(vec_col, n_planes, dims))
+
+
+def _bucket_expr_str(vec_col: str, n_planes: int, dims: int) -> str:
+    """Spark SQL-expr string form of :func:`srp_bucket` (reused by the
+    adaptive multi-probe bucket-array expression)."""
     parts = []
     for p, plane in enumerate(srp_planes(n_planes, dims)):
-        arr = ", ".join(f"{w!r}D" for w in plane)
-        dotp = (
-            f"aggregate(zip_with(CAST({vec_col} AS ARRAY<DOUBLE>), "
-            f"array({arr}), (x, w) -> x * w), 0.0D, (acc, x) -> acc + x)"
-        )
+        dotp = _plane_dot_expr(vec_col, plane)
         parts.append(f"(CASE WHEN {dotp} >= 0 THEN {1 << p} ELSE 0 END)")
-    return F.expr("CAST((" + " + ".join(parts) + ") AS BIGINT)")
+    return "CAST((" + " + ".join(parts) + ") AS BIGINT)"
+
+
+def _plane_dot_expr(vec_col: str, plane: list[float]) -> str:
+    """Spark SQL-expr string for ⟨vec, plane⟩ as an explicit zip_with
+    product + left-to-right aggregate fold (addition order matches the
+    DuckDB oracle twin term for term)."""
+    arr = ", ".join(f"{w!r}D" for w in plane)
+    return (
+        f"aggregate(zip_with(CAST({vec_col} AS ARRAY<DOUBLE>), "
+        f"array({arr}), (x, w) -> x * w), 0.0D, (acc, x) -> acc + x)"
+    )
+
+
+def srp_adaptive_flips(
+    vec_col: str = "embedding",
+    n_planes: int = 4,
+    dims: int = 64,
+    n_probes: int = 2,
+) -> Column:
+    """Per-query multi-probe flip selection (Lv et al., VLDB '07): the
+    ``n_probes`` plane indices whose boundary the vector sits CLOSEST to
+    (smallest |⟨v, plane_p⟩|) — the buckets the vector most plausibly
+    landed across. Returns an ``array<bigint>`` of plane indices.
+
+    Determinism across engines: |dot| is quantized to integer micro-units
+    (``floor(|dot| * 1e6 + 0.5)``), packed with the plane index into one
+    BIGINT sort key ``q * n_planes + p``, array-sorted, and decoded — so
+    ranking ties break by plane index and both engines pick identical
+    flips (see the correctness contract: float comparisons only on
+    canonicalized values).
+    """
+    return F.expr(_adaptive_flips_expr_str(vec_col, n_planes, dims, n_probes))
+
+
+def _adaptive_flips_expr_str(
+    vec_col: str, n_planes: int, dims: int, n_probes: int
+) -> str:
+    if n_probes > n_planes:
+        raise ValueError(f"n_probes={n_probes} exceeds n_planes={n_planes}")
+    keys = ", ".join(
+        f"(CAST(floor(abs({_plane_dot_expr(vec_col, plane)}) * 1000000.0D"
+        f" + 0.5D) AS BIGINT) * {n_planes} + {p})"
+        for p, plane in enumerate(srp_planes(n_planes, dims))
+    )
+    return (
+        f"transform(slice(array_sort(array({keys})), 1, {n_probes}),"
+        f" k -> k % {n_planes})"
+    )
+
+
+def srp_adaptive_flips_sql(
+    vec: str,
+    n_planes: int = 4,
+    dims: int = 64,
+    n_probes: int = 2,
+) -> str:
+    """DuckDB twin of :func:`srp_adaptive_flips` — identical left-to-right
+    dot sums, identical integer-packed sort keys."""
+    keys = ", ".join(
+        "(CAST(floor(abs({dot}) * 1000000 + 0.5) AS BIGINT) * {n} + {p})".format(
+            dot=_plane_dot_sql(vec, plane), n=n_planes, p=p,
+        )
+        for p, plane in enumerate(srp_planes(n_planes, dims))
+    )
+    return (
+        f"list_transform(list_sort([{keys}])[1:{n_probes}],"
+        f" k -> k % {n_planes})"
+    )
+
+
+def _plane_dot_sql(vec: str, plane: list[float]) -> str:
+    """DuckDB expr for ⟨vec, plane⟩ as an explicit left-to-right sum."""
+    return "(" + " + ".join(
+        f"{vec}[{i + 1}]::DOUBLE * ({w})" for i, w in enumerate(plane)
+    ) + ")"
 
 
 def srp_bucket_sql(vec: str, n_planes: int = 4, dims: int = 64) -> str:
@@ -107,12 +186,24 @@ def srp_multiprobe_candidates(
     dims: int = 64,
     n_probes: int = 4,
     out_cols: tuple[str, str] = ("query_id", "neighbor_id"),
+    adaptive: bool = False,
 ) -> DataFrame:
-    """Multi-probe SRP-LSH candidate generation (Lv et al., VLDB '07):
-    each query draws candidates from its OWN bucket plus the ``n_probes``
-    buckets one hyperplane-sign flip away — the planes a near-boundary
-    vector most plausibly landed across. The standard trick that buys
-    recall without building more hash tables.
+    """Multi-probe SRP-LSH candidate generation: each query draws
+    candidates from its OWN bucket plus ``n_probes`` buckets one
+    hyperplane-sign flip away — the standard trick (Lv et al., VLDB '07)
+    that buys recall without building more hash tables.
+
+    Two flip policies (ADVICE r11):
+
+    * ``adaptive=False`` (default): flip the FIXED low-index planes
+      0..n_probes-1 for every query. Query-independent, so the probe set
+      is a constant plan literal; recall is plane-order-biased when
+      ``n_probes < n_planes``.
+    * ``adaptive=True``: true Lv-style multi-probe — rank planes per
+      query by boundary distance |⟨v, plane_p⟩| (canonicalized, plane-
+      index tie-break; :func:`srp_adaptive_flips`) and flip the
+      ``n_probes`` nearest boundaries, the buckets a near-boundary
+      vector most plausibly landed across.
 
     ``queries`` must be small (panel-sized) — its exploded probe list is
     broadcast against the corpus bucket index, so corpus work is one scan
@@ -125,15 +216,21 @@ def srp_multiprobe_candidates(
         raise ValueError(f"n_probes={n_probes} exceeds n_planes={n_planes} "
                          "(only one-bit flips are probed)")
     qc, nc = out_cols
-    flips = [0] + [1 << j for j in range(n_probes)]
     b = corpus.select(id_col, srp_bucket(vec_col, n_planes, dims).alias("bucket"))
+    home = srp_bucket(vec_col, n_planes, dims)
+    if adaptive:
+        home_s = _bucket_expr_str(vec_col, n_planes, dims)
+        flips_s = _adaptive_flips_expr_str(vec_col, n_planes, dims, n_probes)
+        buckets = F.expr(
+            f"concat(array({home_s}), transform({flips_s}, "
+            f"p -> {home_s} ^ shiftleft(CAST(1 AS BIGINT), CAST(p AS INT))))"
+        )
+    else:
+        buckets = F.array(
+            home, *[home.bitwiseXOR(F.lit(1 << j)) for j in range(n_probes)]
+        )
     probes = queries.select(
-        F.col(id_col).alias(qc),
-        F.explode(F.array(*[
-            (srp_bucket(vec_col, n_planes, dims).bitwiseXOR(F.lit(m))
-             if m else srp_bucket(vec_col, n_planes, dims))
-            for m in flips
-        ])).alias("bucket"),
+        F.col(id_col).alias(qc), F.explode(buckets).alias("bucket"),
     )
     return (
         b.join(F.broadcast(probes), "bucket")

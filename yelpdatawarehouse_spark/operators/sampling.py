@@ -134,18 +134,23 @@ def weighted_upsample_copies(
     (w = its stratum's weight). Adds ``copies_col``; materializing the
     repetition is the caller's ``explode(sequence(1, copies))`` — a
     stateless flatMap, no shuffle.
+
+    Fractional weights are quantized to 1/10000 (basis points): the extra
+    copy is drawn as ``hash_slot % 10000 < round(frac * 10000)``, so e.g.
+    weight 1.0003 is honored while 1.00003 rounds to 1.0 (ADVICE r11:
+    the previous mod-100 draw silently had 0.01 resolution).
     """
     weights = dict(weights or {})
     whole: Column = F.lit(int(default_weight))
-    frac_pct: Column = F.lit(int(round((default_weight - int(default_weight)) * 100)))
+    frac_bp: Column = F.lit(int(round((default_weight - int(default_weight)) * 10000)))
     for key, wgt in weights.items():
         whole = F.when(F.col(strata_col) == key, int(wgt)).otherwise(whole)
-        frac_pct = F.when(
-            F.col(strata_col) == key, int(round((wgt - int(wgt)) * 100))
-        ).otherwise(frac_pct)
-    slot = hash_slot(id_col, salt)
+        frac_bp = F.when(
+            F.col(strata_col) == key, int(round((wgt - int(wgt)) * 10000))
+        ).otherwise(frac_bp)
+    slot = hash_slot(id_col, salt, modulus=10000)
     return df.withColumn(
-        copies_col, whole + F.when(slot < frac_pct, 1).otherwise(0)
+        copies_col, whole + F.when(slot < frac_bp, 1).otherwise(0)
     )
 
 

@@ -114,7 +114,10 @@ def langid(
 ) -> DataFrame:
     """Marker-token language ID: count per-language marker hits, pick the
     max with a deterministic priority-order tie-break (first language in
-    ``priority`` whose hit count is >= every other's).
+    ``priority`` whose hit count is >= every other's). A prediction
+    requires at least one marker hit — documents matching NO language's
+    markers are labeled ``unknown`` (ADVICE r11: without the >0 floor the
+    all-zero tie silently resolved to ``priority[0]``).
 
     One stateless select — no shuffle. ``passthrough`` columns (already
     aliased) are carried between the id and the prediction, letting a thin
@@ -131,12 +134,11 @@ def langid(
     )
     pred: Column | None = None
     for lang in priority:
-        cond: Column | None = None
+        cond: Column = F.col(f"hits_{lang}") > 0
         for other in priority:
             if other == lang:
                 continue
-            c = F.col(f"hits_{lang}") >= F.col(f"hits_{other}")
-            cond = c if cond is None else cond & c
+            cond = cond & (F.col(f"hits_{lang}") >= F.col(f"hits_{other}"))
         pred = F.when(cond, lang) if pred is None else pred.when(cond, lang)
     return scored.select(
         id_col,

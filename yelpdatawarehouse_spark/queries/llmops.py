@@ -691,11 +691,14 @@ def _langid_oracle() -> str:
         f"{T.marker_count_sql('toks', T.LANG_MARKERS[lang])} AS hits_{lang}"
         for lang in T.LANG_PRIORITY
     )
-    # deterministic argmax: first language in priority order with max hits
+    # deterministic argmax: first language in priority order with max hits;
+    # a prediction needs >=1 marker hit (zero-hit docs -> 'und')
     cases = []
     for lang in T.LANG_PRIORITY:
         conds = " AND ".join(
-            f"hits_{lang} >= hits_{other}" for other in T.LANG_PRIORITY if other != lang
+            [f"hits_{lang} > 0"]
+            + [f"hits_{lang} >= hits_{other}"
+               for other in T.LANG_PRIORITY if other != lang]
         )
         cases.append(f"WHEN {conds} THEN '{lang}'")
     case_expr = "CASE " + " ".join(cases) + " ELSE 'und' END"
@@ -1068,13 +1071,13 @@ _MIX_WEIGHTS = {"books": 2.5, "wiki": 1.0, "web": 0.5}
         SELECT source, doc_id, n_chars,
                CASE source {' '.join(f"WHEN '{k}' THEN {int(v)}" for k, v in _MIX_WEIGHTS.items())} ELSE 1 END
                  AS whole,
-               CASE source {' '.join(f"WHEN '{k}' THEN {int(round((v - int(v)) * 100))}" for k, v in _MIX_WEIGHTS.items())} ELSE 0 END
-                 AS frac_pct,
-               {hashing.md5_long_sql("'mix:' || CAST(doc_id AS VARCHAR)")} % 100 AS slot
+               CASE source {' '.join(f"WHEN '{k}' THEN {int(round((v - int(v)) * 10000))}" for k, v in _MIX_WEIGHTS.items())} ELSE 0 END
+                 AS frac_bp,
+               {hashing.md5_long_sql("'mix:' || CAST(doc_id AS VARCHAR)")} % 10000 AS slot
         FROM documents
     ), expanded AS (
         SELECT source, doc_id, n_chars,
-               whole + CASE WHEN slot < frac_pct THEN 1 ELSE 0 END AS copies
+               whole + CASE WHEN slot < frac_bp THEN 1 ELSE 0 END AS copies
         FROM w
     )
     SELECT source,
