@@ -69,7 +69,6 @@ from ..functions import hashing
 from ..functions import text as T
 from ..functions import vectors as V
 from ..functions.presentation import rfix, rfix_sql
-from ..operators.graph import bfs_min_hops_multi
 from ..sources.tables import table
 from .graphq import _EDGE_SQL, trade_edges
 
@@ -135,17 +134,15 @@ def g_closeness_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     (webapp/neo4j_routes.py:695-843); closeness itself is
     beyond-reference, same graph.
     """
+    # Thin caller of operators/graphalgs.closeness_stats (r12 library
+    # extraction over the existing bfs_min_hops_multi frame).
+    from ..operators import graphalgs
+
     edges = trade_edges(spark, sf_dir)
     nation = table(spark, sf_dir, "nation")
-    dist = bfs_min_hops_multi(
-        spark, edges, nation.select("n_nationkey"), max_hops=_CLOSENESS_MAX_HOPS
-    )
-    agg = dist.groupBy("root").agg(
-        F.count(F.when(F.col("hops") > 0, 1)).cast("long").alias("n_reached"),
-        F.sum("hops").cast("long").alias("sum_hops"),
-        F.sum(
-            F.when(F.col("hops") > 0, F.lit(1.0) / F.col("hops")).otherwise(0.0)
-        ).alias("harm"),
+    agg = graphalgs.closeness_stats(
+        spark, edges, nation.select("n_nationkey"),
+        max_hops=_CLOSENESS_MAX_HOPS,
     )
     return nation.join(F.broadcast(agg), nation.n_nationkey == agg.root, "left").select(
         "n_name",
@@ -1359,24 +1356,12 @@ def g_eccentricity_diameter(spark: SparkSession, sf_dir: str) -> DataFrame:
     frame. Hop cap {_CLOSENESS_MAX_HOPS} (the reference's shortestPath
     depth); on this dense graph every eccentricity is far below it.
     """
-    edges = trade_edges(spark, sf_dir)
-    roots = edges.select(F.col("src")).distinct()
-    dist = bfs_min_hops_multi(spark, edges, roots, max_hops=_CLOSENESS_MAX_HOPS)
-    ecc = dist.groupBy("root").agg(F.max("hops").alias("e"))
-    g = F.broadcast(ecc.agg(F.max("e").alias("diameter"), F.min("e").alias("radius")))
-    return (
-        ecc.crossJoin(g)
-        .agg(
-            F.count("*").cast("long").alias("n_nodes"),
-            F.max("diameter").cast("long").alias("diameter"),
-            F.max("radius").cast("long").alias("radius"),
-            F.sum(F.when(F.col("e") == F.col("radius"), 1).otherwise(0))
-            .cast("long")
-            .alias("n_center"),
-            F.sum(F.when(F.col("e") == F.col("diameter"), 1).otherwise(0))
-            .cast("long")
-            .alias("n_periphery"),
-        )
+    # Thin caller of operators/graphalgs.eccentricity_stats (r12 library
+    # extraction over the same multi-root BFS frame closeness consumes).
+    from ..operators import graphalgs
+
+    return graphalgs.eccentricity_stats(
+        spark, trade_edges(spark, sf_dir), max_hops=_CLOSENESS_MAX_HOPS
     )
 
 
@@ -1599,42 +1584,11 @@ def g_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     other graph query; degrees and the moment rollup are
     |nations|-bounded; the degree table joins back as a broadcast.
     """
-    edges = trade_edges(spark, sf_dir)
-    deg = edges.groupBy(F.col("src").alias("node")).agg(
-        F.count("*").cast("long").alias("d")
-    )
-    pairs = (
-        edges.join(
-            F.broadcast(deg.select(F.col("node").alias("src"), F.col("d").alias("xd"))),
-            "src",
-        )
-        .join(
-            F.broadcast(deg.select(F.col("node").alias("dst"), F.col("d").alias("yd"))),
-            "dst",
-        )
-        .select(F.col("xd").cast("double").alias("x"), F.col("yd").cast("double").alias("y"))
-    )
-    m = pairs.agg(
-        F.count("*").cast("double").alias("n"),
-        F.sum("x").alias("sx"),
-        F.sum("y").alias("sy"),
-        F.sum(F.col("x") * F.col("x")).alias("sxx"),
-        F.sum(F.col("y") * F.col("y")).alias("syy"),
-        F.sum(F.col("x") * F.col("y")).alias("sxy"),
-    )
-    vx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
-    vy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
-    return m.select(
-        F.col("n").cast("long").alias("n_directed_edges"),
-        rfix(
-            F.when(
-                (vx > 0) & (vy > 0),
-                (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
-                / F.sqrt(vx * vy),
-            ),
-            6,
-        ).alias("assortativity"),
-    )
+    # Thin caller of operators/graphalgs.degree_assortativity (r12
+    # library extraction).
+    from ..operators import graphalgs
+
+    return graphalgs.degree_assortativity(trade_edges(spark, sf_dir), digits=6)
 
 
 DRAFTS["g_degree_assortativity"] = (g_degree_assortativity, ASSORT_ORACLE)

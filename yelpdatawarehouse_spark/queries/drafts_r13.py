@@ -838,30 +838,18 @@ def g_jaccard_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     Pairs with zero common neighbors are absent by construction — at any
     scale the output is bounded by realized wedges, not node pairs.
     """
-    edges = trade_edges(spark, sf_dir)
-    deg = edges.groupBy(F.col("src").alias("node")).agg(F.count("*").alias("d"))
-    e1 = edges.select(F.col("src").alias("a"), F.col("dst").alias("nn"))
-    e2 = edges.select(F.col("src").alias("b"), F.col("dst").alias("nn"))
-    common = (
-        e1.join(e2, "nn")
-        .filter(F.col("a") < F.col("b"))
-        .groupBy("a", "b")
-        .agg(F.count("*").alias("common"))
-    )
+    # Thin caller of operators/graphalgs.jaccard_links (r12 library
+    # extraction); the nation-name joins stay here.
+    from ..operators import graphalgs
+
+    scored = graphalgs.jaccard_links(trade_edges(spark, sf_dir), digits=4)
     nation = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
-    jac = F.col("common").cast("double") / (F.col("da") + F.col("db") - F.col("common"))
     return (
-        common.join(deg.select(F.col("node").alias("a"), F.col("d").alias("da")), "a")
-        .join(deg.select(F.col("node").alias("b"), F.col("d").alias("db")), "b")
-        .join(F.broadcast(nation.select(F.col("n_nationkey").alias("a"),
-                                        F.col("n_name").alias("nation_a"))), "a")
+        scored.join(F.broadcast(nation.select(F.col("n_nationkey").alias("a"),
+                                              F.col("n_name").alias("nation_a"))), "a")
         .join(F.broadcast(nation.select(F.col("n_nationkey").alias("b"),
                                         F.col("n_name").alias("nation_b"))), "b")
-        .select(
-            "nation_a", "nation_b",
-            F.col("common").cast("long").alias("common_neighbors"),
-            rfix(jac, 4).alias("jaccard"),
-        )
+        .select("nation_a", "nation_b", "common_neighbors", "jaccard")
     )
 
 

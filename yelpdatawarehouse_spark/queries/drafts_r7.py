@@ -169,40 +169,22 @@ def g_adamic_adar_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     mu = F.broadcast(w.agg(F.avg("wt").alias("m")))
     strong = w.crossJoin(mu).filter(F.col("wt") >= F.col("m")).select("wa", "wb")
-    from ..operators.iterative import pin
+    # Thin caller of operators/graphalgs.adamic_adar (r12 library
+    # extraction), which pins the symmetrized edge list — it feeds deg +
+    # both wedge sides + the anti-join; unpinned, each reference re-plans
+    # the whole 4-way fact join (64 FileScans measured).
+    from ..operators import graphalgs
 
-    # eager pin: edges feed deg + both wedge sides + the anti-join — the
-    # node-scale edge set is tiny, but unpinned each reference re-plans
-    # the whole 4-way fact join (64 FileScans measured). Same flat-plan
-    # discipline as g_pagerank_nations / g_kcore_parts.
-    edges = pin(
+    edges = (
         strong.select(F.col("wa").alias("src"), F.col("wb").alias("dst"))
         .union(strong.select(F.col("wb").alias("src"), F.col("wa").alias("dst")))
-        .distinct(),
-        label="aa_edges",
+        .distinct()
     )
-    deg = edges.groupBy("src").agg(F.count("*").cast("double").alias("d"))
-    e1 = edges.select(F.col("src").alias("a"), F.col("dst").alias("z"))
-    e2 = edges.select(F.col("src").alias("z2"), F.col("dst").alias("b"))
-    wedge = e1.join(e2, e1.z == e2.z2).filter(F.col("a") < F.col("b"))
-    non_adj = wedge.join(
-        edges.select(F.col("src").alias("a"), F.col("dst").alias("b")),
-        ["a", "b"],
-        "left_anti",
-    )
-    return (
-        non_adj.join(deg, non_adj.z == deg.src)
-        .groupBy("a", "b")
-        .agg(
-            F.count("*").cast("long").alias("n_common"),
-            rfix(F.sum(1.0 / F.log(F.col("d"))), 6).alias("aa_score"),
-        )
-        .select(
-            F.col("a").cast("long").alias("nation_a"),
-            F.col("b").cast("long").alias("nation_b"),
-            "n_common",
-            "aa_score",
-        )
+    return graphalgs.adamic_adar(edges, digits=6).select(
+        F.col("a").cast("long").alias("nation_a"),
+        F.col("b").cast("long").alias("nation_b"),
+        "n_common",
+        "aa_score",
     )
 
 
@@ -286,27 +268,18 @@ def g_kcore_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("c") >= KCORE_MIN_TOGETHER)
         .select("pa", "pb")
     )
-    from ..operators.iterative import checkpointed_loop, pin
+    # Thin caller of operators/graphalgs.k_core (r12 library extraction),
+    # which pins the basket expansion (it feeds deg + BOTH semi-joins in
+    # every round — unpinned, each round TRIPLES the subtree and the
+    # executed plan reaches ~500 FileScans; measured 13s at sf0.1, 2s
+    # pinned) and runs the peel rounds via checkpointed_loop.
+    from ..operators import graphalgs
 
-    # eager pin: the basket expansion feeds deg + BOTH semi-joins in every
-    # round — unpinned, each round TRIPLES the subtree and the executed
-    # plan reaches ~500 FileScans (measured 13s at sf0.1; 2s pinned).
-    # checkpointed_loop pins each peel round and asserts the plan stays flat.
-    edges = pin(
-        pairs.select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
-        .union(pairs.select(F.col("pb").alias("src"), F.col("pa").alias("dst"))),
-        label="kcore_edges",
+    edges = pairs.select(F.col("pa").alias("src"), F.col("pb").alias("dst")).union(
+        pairs.select(F.col("pb").alias("src"), F.col("pa").alias("dst"))
     )
-
-    def peel(e: DataFrame, _round: int) -> DataFrame:
-        deg = e.groupBy("src").agg(F.count("*").alias("d"))
-        keep = deg.filter(F.col("d") >= KCORE_K).select(F.col("src").alias("node"))
-        return e.join(keep, e.src == keep.node, "left_semi").join(
-            keep, F.col("dst") == keep.node, "left_semi"
-        )
-
-    edges = checkpointed_loop(edges, peel, KCORE_ROUNDS)
-    return edges.groupBy("src").agg(
+    surviving = graphalgs.k_core(edges, k=KCORE_K, rounds=KCORE_ROUNDS)
+    return surviving.groupBy("src").agg(
         F.count("*").cast("long").alias("residual_degree")
     ).select(F.col("src").cast("long").alias("part"), "residual_degree")
 

@@ -100,51 +100,18 @@ def g_hits_two_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").alias("w"))
     )
-    from ..operators.iterative import pin
+    # Thin caller of operators/graphalgs.hits (r12 library extraction):
+    # the library pins the edge list (it feeds 3 aggregates + 2 joins),
+    # broadcasts the node-sized score frames into the edge joins (each
+    # HITS round is broadcast-join -> map-side partial agg -> one
+    # node-keyed exchange, the g_pagerank_nations iteration shape), and
+    # accumulates BOTH rounds in decimal(38,0) — round-1 products are
+    # long×long and Σ w·a1 clears LONG's ~9.2e18 near full-corpus scale
+    # (r9 overflow audit, tests/test_overflow_audit.py).
+    from ..operators import graphalgs
 
-    e = pin(e, label="hits_edges")  # feeds 3 aggregates + 2 joins below
-    auth1 = e.groupBy(F.col("dst").alias("node")).agg(F.sum("w").alias("a1"))
-    # score frames are node-sized: broadcast them into the edge joins so
-    # each HITS round is broadcast-join -> map-side partial agg -> one
-    # node-keyed exchange (the g_pagerank_nations iteration shape)
-    dec = "decimal(38,0)"
-    # round-1 products are long×long: fine at sf0.1 (~5e8) but Σ w·a1 is
-    # O(edges·lines²/nations²) and clears LONG's ~9.2e18 near full-corpus
-    # scale — accumulate round 1 in decimal(38,0) like round 2 (r9
-    # overflow audit, tests/test_overflow_audit.py)
-    hub1 = (
-        e.join(F.broadcast(auth1), e.dst == auth1.node)
-        .groupBy(F.col("src").alias("node"))
-        .agg(F.sum(F.col("w").cast(dec) * F.col("a1").cast(dec)).alias("h1"))
-    )
-    auth2 = (
-        e.join(F.broadcast(hub1), e.src == hub1.node)
-        .groupBy(F.col("dst").alias("node"))
-        .agg(
-            F.sum(F.col("w").cast(dec) * F.col("h1").cast(dec)).alias("a2")
-        )
-    )
-    tot = F.broadcast(
-        hub1.agg(F.sum(F.col("h1").cast(dec)).alias("th")).crossJoin(
-            auth2.agg(F.sum("a2").alias("ta"))
-        )
-    )
-    return (
-        hub1.join(auth2, "node", "full_outer")
-        .crossJoin(tot)
-        .select(
-            F.col("node").cast("long").alias("nation"),
-            rfix(
-                F.coalesce(F.col("h1"), F.lit(0)).cast("double")
-                / F.col("th").cast("double"),
-                8,
-            ).alias("hub_score"),
-            rfix(
-                F.coalesce(F.col("a2"), F.lit(0)).cast("double")
-                / F.col("ta").cast("double"),
-                8,
-            ).alias("auth_score"),
-        )
+    return graphalgs.hits(e, digits=8).select(
+        F.col("node").alias("nation"), "hub_score", "auth_score"
     )
 
 
@@ -1550,8 +1517,6 @@ def g_label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFra
     node-scale, integer arithmetic end to end (weights are counts, so
     the majority vote is exact).
     """
-    from ..operators.iterative import checkpointed_loop, pin
-
     o = table(spark, sf_dir, "orders")
     c = table(spark, sf_dir, "customer")
     li = spread(table(spark, sf_dir, "lineitem"))
@@ -1566,35 +1531,15 @@ def g_label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFra
         )
         .agg(F.count("*").alias("w"))
     )
-    sym = pin(
-        e.select("src", "dst", "w").unionByName(
-            e.select(
-                F.col("dst").alias("src"), F.col("src").alias("dst"), "w"
-            )
-        ),
-        label="lpa_edges",
-    )
-    labels0 = sym.select(F.col("src").alias("node")).distinct().select(
-        "node", F.col("node").alias("label")
-    )
+    # Thin caller of operators/graphalgs.label_propagation (r12 library
+    # extraction — it pins the symmetrized edge list and runs the
+    # tally/argmax rounds via checkpointed_loop).
+    from ..operators import graphalgs
 
-    def lpa_round(lbl: DataFrame, _i: int) -> DataFrame:
-        tally = (
-            sym.join(F.broadcast(lbl), sym.dst == lbl.node)
-            .groupBy(F.col("src").alias("n2"), "label")
-            .agg(F.sum("w").alias("mass"))
-        )
-        w_arg = Window.partitionBy("n2").orderBy(F.desc("mass"), F.asc("label"))
-        win = (
-            tally.select("n2", "label", F.row_number().over(w_arg).alias("rn"))
-            .filter(F.col("rn") == 1)
-            .select(F.col("n2").alias("node"), F.col("label").alias("new_label"))
-        )
-        return lbl.join(win, "node", "left").select(
-            "node", F.coalesce("new_label", "label").alias("label")
-        )
-
-    l2 = checkpointed_loop(labels0, lpa_round, 2)
+    sym = e.select("src", "dst", "w").unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")
+    )
+    l2 = graphalgs.label_propagation(sym, rounds=2)
     return l2.groupBy(F.col("label").cast("long").alias("community")).agg(
         F.count("*").cast("long").alias("n_members"),
         F.min("node").cast("long").alias("min_node"),

@@ -167,9 +167,12 @@ def g_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = table(spark, sf_dir, "customer")
     li = spread(table(spark, sf_dir, "lineitem"))
     s = table(spark, sf_dir, "supplier")
-    from ..operators.iterative import pin
+    # Thin caller of operators/graphalgs.clustering_coefficient (r12
+    # library extraction — the library pins the oriented edge list and
+    # keeps the exact-integer-until-the-final-ratio discipline).
+    from ..operators import graphalgs
 
-    edges = pin(
+    oriented = (
         o.join(c, o.o_custkey == c.c_custkey)
         .join(li, o.o_orderkey == li.l_orderkey)
         .join(s, li.l_suppkey == s.s_suppkey)
@@ -178,43 +181,9 @@ def g_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.least("c_nationkey", "s_nationkey").alias("a"),
             F.greatest("c_nationkey", "s_nationkey").alias("b"),
         )
-        .distinct(),
-        label="cc_edges",
+        .distinct()
     )
-    e1 = edges.select(F.col("a"), F.col("b"))
-    e2 = edges.select(F.col("a").alias("b2"), F.col("b").alias("c"))
-    e3 = edges.select(F.col("a").alias("a3"), F.col("b").alias("c3"))
-    tri = (
-        e1.join(e2, e1.b == e2.b2)
-        .join(e3, (F.col("a") == F.col("a3")) & (F.col("c") == F.col("c3")))
-        .select("a", "b", "c")
-    )
-    tri_per_node = (
-        tri.select(F.col("a").alias("node"))
-        .unionAll(tri.select(F.col("b").alias("node")))
-        .unionAll(tri.select(F.col("c").alias("node")))
-        .groupBy("node")
-        .agg(F.count("*").alias("t"))
-    )
-    deg = (
-        edges.select(F.col("a").alias("node"))
-        .unionAll(edges.select(F.col("b").alias("node")))
-        .groupBy("node")
-        .agg(F.count("*").alias("d"))
-    )
-    return deg.join(tri_per_node, "node", "left").select(
-        F.col("node").cast("long").alias("node"),
-        F.col("d").cast("long").alias("degree"),
-        F.coalesce("t", F.lit(0)).cast("long").alias("triangles"),
-        F.when(
-            F.col("d") >= 2,
-            rfix(
-                2.0 * F.coalesce("t", F.lit(0))
-                / (F.col("d") * (F.col("d") - 1)),
-                4,
-            ),
-        ).alias("clustering_coef"),
-    )
+    return graphalgs.clustering_coefficient(oriented, digits=4)
 
 
 DRAFTS["g_clustering_coefficient"] = (

@@ -96,13 +96,16 @@ def g_bfs_nation_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("A16",),
 )
 def g_degree_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Degree centrality over the derived graph (A16).
+    """Degree centrality over the derived graph (A16) — thin caller of
+    operators/graphalgs.degrees.
 
     Reference: per-node relationship counts top-5, webapp/neo4j_routes.py:812-843.
     Zero-degree nodes are preserved via the dimension left join.
     """
-    edges = trade_edges(spark, sf_dir)
-    deg = edges.groupBy("src").agg(F.count("*").alias("degree"))
+    from ..operators import graphalgs
+
+    deg = graphalgs.degrees(trade_edges(spark, sf_dir),
+                            out_cols=("src", "degree"))
     n = table(spark, sf_dir, "nation")
     return n.join(deg, n.n_nationkey == deg.src, "left").select(
         "n_name", F.coalesce("degree", F.lit(0)).cast("long").alias("degree")
@@ -147,40 +150,24 @@ def g_pagerank_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     base; the symmetric edge set has no dangling mass. The oracle
     unrolls the same 5 iterations as chained CTEs.
     """
-    # The fact-scale edge derivation is pinned FIRST (it would otherwise
-    # execute twice below: the out-degree aggregate and the join probe are
-    # different subplans, so exchange reuse cannot dedupe them), then ALL
-    # remaining loop-invariant state — edges pre-joined with their
-    # out-degree, the src-keyed join the old code repeated inside every
-    # iteration as a broadcast — is pinned as a second edge-sized
-    # checkpoint. Each iteration is then a single broadcast join + one dst
-    # exchange (measured 2.32s → 2.1s at sf0.1 value-identical; a
-    # single-checkpoint variant hits 1.80s here but re-derives the
-    # fact-scale edges twice inside the pin job — the wrong trade at scale).
-    from ..operators.iterative import pin
+    # Thin caller of operators/graphalgs.pagerank (r12 library extraction),
+    # which keeps the two-pin discipline this query established: the
+    # fact-scale edge derivation is pinned FIRST (it would otherwise
+    # execute twice: the out-degree aggregate and the join probe are
+    # different subplans, so exchange reuse cannot dedupe them), then
+    # edges pre-joined with their out-degree are pinned as a second
+    # edge-sized checkpoint. Each iteration is a single broadcast join +
+    # one dst exchange (measured 2.32s → 2.1s at sf0.1 value-identical;
+    # a single-checkpoint variant hits 1.80s but re-derives the
+    # fact-scale edges twice inside the pin job — the wrong trade at
+    # scale).
+    from ..operators import graphalgs
 
-    edges = pin(trade_edges(spark, sf_dir), label="pr_edges")
-    nodes = table(spark, sf_dir, "nation").select(F.col("n_nationkey").alias("node"))
-    ncnt = F.broadcast(nodes.agg(F.count("*").cast("double").alias("n")))
-    outdeg = edges.groupBy("src").agg(F.count("*").cast("double").alias("od"))
-    ew = pin(edges.join(outdeg, "src"), label="pr_edge_weights")
-    base = nodes.crossJoin(ncnt)
-    ranks = base.select("node", (F.lit(1.0) / F.col("n")).alias("rank"))
-    for _ in range(5):
-        contrib = (
-            ew.join(F.broadcast(ranks), ew.src == ranks.node)
-            .groupBy("dst")
-            .agg(F.sum(F.col("rank") / F.col("od")).alias("contrib"))
-        )
-        ranks = (
-            base.join(F.broadcast(contrib), base.node == contrib.dst, "left")
-            .select(
-                "node",
-                (F.lit(0.15) / F.col("n")
-                 + F.lit(0.85) * F.coalesce(F.col("contrib"), F.lit(0.0))).alias("rank"),
-            )
-        )
-    return ranks.select(F.col("node").cast("long").alias("node"), rfix("rank", 6).alias("rank"))
+    return graphalgs.pagerank(
+        trade_edges(spark, sf_dir),
+        table(spark, sf_dir, "nation").select("n_nationkey"),
+        damping=0.85, iters=5, digits=6,
+    )
 
 
 @register(
@@ -218,23 +205,10 @@ def g_triangle_support(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast — a web-scale edge list would flip these to shuffled joins
     with the same orientation bound.
     """
+    from ..operators import graphalgs
+
     edges = trade_edges(spark, sf_dir)
-    elt = edges.filter(F.col("src") < F.col("dst")).select(
+    oriented = edges.filter(F.col("src") < F.col("dst")).select(
         F.col("src").alias("a"), F.col("dst").alias("b")
-    ).localCheckpoint()
-    e1 = elt.alias("e1")
-    e2 = elt.select(F.col("a").alias("b"), F.col("b").alias("c")).alias("e2")
-    e3 = elt.select(F.col("a").alias("a3"), F.col("b").alias("c3")).alias("e3")
-    tri = (
-        e1.join(F.broadcast(e2), "b")
-        .join(F.broadcast(e3), (F.col("a") == F.col("a3")) & (F.col("c") == F.col("c3")))
-        .select("a", "b", "c")
     )
-    corners = (
-        tri.select(F.col("a").alias("node"))
-        .unionAll(tri.select(F.col("b").alias("node")))
-        .unionAll(tri.select(F.col("c").alias("node")))
-    )
-    return corners.groupBy(F.col("node").cast("long").alias("node")).agg(
-        F.count("*").alias("triangles")
-    )
+    return graphalgs.triangle_support(oriented, broadcast_wedges=True)
