@@ -238,51 +238,13 @@ def emb_silhouette_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     (n·K pair rows — the kmeans-assign shape), one vec_id exchange for
     the a/b minima, one K-group rollup. Never vectors × vectors.
     """
-    e = table(spark, sf_dir, "embeddings").select(
-        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
-    )
-    pq = e.select(
-        "label", F.posexplode("v").alias("i", "u")
-    ).select(
-        "label", "i",
-        F.floor(F.col("u") * _SIL_Q + F.lit(0.5)).cast("long").alias("q"),
-    )
-    cent = pq.groupBy("label", "i").agg(
-        (F.sum("q").cast("double") / F.count("*") / _SIL_Q).alias("c")
-    )
-    carr = cent.groupBy(F.col("label").alias("cl")).agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("i", "c"))), lambda x: x["c"]
-        ).alias("cv")
-    ).withColumn("nc2", V.dot(F.col("cv"), F.col("cv")))
-    pairs = (
-        e.withColumn("nv2", V.dot(F.col("v"), F.col("v")))
-        .crossJoin(F.broadcast(carr))
-        .select(
-            "vec_id", "label", "cl",
-            F.sqrt(
-                F.greatest(
-                    F.col("nv2") + F.col("nc2") - 2 * V.dot(F.col("v"), F.col("cv")),
-                    F.lit(0.0),
-                )
-            ).alias("d"),
-        )
-    )
-    ab = pairs.groupBy("vec_id", "label").agg(
-        F.min(F.when(F.col("label") == F.col("cl"), F.col("d"))).alias("a"),
-        F.min(F.when(F.col("label") != F.col("cl"), F.col("d"))).alias("b"),
-    )
-    sil = F.when(
-        F.greatest("a", "b") > 0, (F.col("b") - F.col("a")) / F.greatest("a", "b")
-    ).otherwise(0.0)
-    return ab.groupBy("label").agg(
-        F.count("*").cast("long").alias("n_vectors"),
-        rfix(F.avg("a"), 4).alias("mean_intra_dist"),
-        rfix(F.avg("b"), 4).alias("mean_nearest_other"),
-        rfix(F.avg(sil), 4).alias("mean_silhouette"),
-    ).select(
-        F.col("label").cast("long").alias("label"),
-        "n_vectors", "mean_intra_dist", "mean_nearest_other", "mean_silhouette",
+    # Thin caller of operators/embeddings.silhouette_eval (r12 library
+    # extraction, phase 4).
+    from ..operators import embeddings as emb_ops
+
+    return emb_ops.silhouette_eval(
+        table(spark, sf_dir, "embeddings"), "embedding", "label", "vec_id",
+        quant=_SIL_Q,
     )
 
 

@@ -334,25 +334,12 @@ def emb_anisotropy_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     are computed FROM the 6-digit-canonicalized component means on both
     engines, so parallel summation order can't leak into the output.
     """
-    e = table(spark, sf_dir, "embeddings")
-    nrm = V.norm(F.col("embedding"))
-    agg = e.agg(
-        F.count("*").cast("long").alias("n_vecs"),
-        rfix(F.avg(nrm), 6).alias("avg_norm"),
-        *[rfix(F.avg(F.col("embedding")[i].cast("double")), 6).alias(f"mu{i}")
-          for i in range(_DIMS)],
-    )
-    sumsq = None
-    for i in range(_DIMS):
-        term = F.col(f"mu{i}") * F.col(f"mu{i}")
-        sumsq = term if sumsq is None else sumsq + term
-    maxabs = F.greatest(*[F.abs(F.col(f"mu{i}")) for i in range(_DIMS)])
-    return agg.select(
-        "n_vecs",
-        "avg_norm",
-        rfix(F.sqrt(sumsq), 4).alias("mean_vec_norm"),
-        rfix(F.sqrt(sumsq) / F.col("avg_norm"), 4).alias("anisotropy_ratio"),
-        rfix(maxabs, 4).alias("max_abs_dim_mean"),
+    # Thin caller of operators/embeddings.anisotropy_stats (r12 library
+    # extraction, phase 4).
+    from ..operators import embeddings as emb_ops
+
+    return emb_ops.anisotropy_stats(
+        table(spark, sf_dir, "embeddings"), "embedding", dims=_DIMS,
     )
 
 

@@ -2480,17 +2480,12 @@ def emb_power_iteration_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounds). Iterative-linear-algebra companion to emb_kmeans_update_step.
     Reference analog: none; beyond-reference embedding-ops surface.
     """
-    e = table(spark, sf_dir, "embeddings")
-    vecs = e.select(F.col("embedding").cast("array<double>").alias("e"))
-    rows = vecs.select(
-        F.aggregate("e", F.lit(0.0), lambda acc, x: acc + x).alias("rs"),
-        F.posexplode("e").alias("i", "val"),
-    )
-    w = rows.groupBy("i").agg(F.sum(F.col("rs") * F.col("val")).alias("w"))
-    nrm = w.agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"))
-    return w.crossJoin(F.broadcast(nrm)).select(
-        F.col("i").cast("long").alias("dim_idx"),
-        rfix(F.col("w") / F.col("nrm"), 6).alias("v_next"),
+    # Thin caller of operators/embeddings.power_iteration_step (r12
+    # library extraction, phase 4; v0=None is the all-ones start).
+    from ..operators import embeddings as emb_ops
+
+    return emb_ops.power_iteration_step(
+        table(spark, sf_dir, "embeddings"), "embedding", v0=None, digits=6,
     )
 
 
@@ -2907,49 +2902,13 @@ def emb_matryoshka_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
     ann_ivf_topk/ann_lsh_bucket_topk. Per-pair math is zip_with/aggregate
     folds in codegen; the k fan-out is a 3-row explode.
     """
-    # Norms are precomputed per VECTOR (200 rows) instead of per pair×k —
-    # the pair stage then does ONE dot per pair-row. Same float ops as the
-    # naive cos formula (dot / (sqrt(aa)·sqrt(bb)), folds left-to-right),
-    # so the oracle arithmetic is unchanged; measured ~4× less work.
-    e = (
-        table(spark, sf_dir, "embeddings")
-        .filter(F.col("vec_id") < _MRL_BOUND)
-        .select(
-            "vec_id",
-            "embedding",
-            V.norm(F.col("embedding")).alias("nf"),
-            F.array(
-                *[V.norm(F.slice(F.col("embedding"), 1, k)) for k in _MRL_DIMS]
-            ).alias("nks"),
-        )
-    )
-    b = e.select(
-        F.col("vec_id").alias("b_id"),
-        F.col("embedding").alias("b_emb"),
-        F.col("nf").alias("b_nf"),
-        F.col("nks").alias("b_nks"),
-    )
-    pairs = e.join(b, F.col("vec_id") < F.col("b_id")).select(
-        rfix(V.dot(F.col("embedding"), F.col("b_emb")) / (F.col("nf") * F.col("b_nf")), 6).alias("cf"),
-        "embedding", "b_emb", "nks", "b_nks",
-        F.posexplode(F.array(*[F.lit(k) for k in _MRL_DIMS])).alias("idx", "k"),
-    )
-    ck = rfix(
-        V.dot(F.expr("slice(embedding, 1, k)"), F.expr("slice(b_emb, 1, k)"))
-        / (F.expr("nks[idx]") * F.expr("b_nks[idx]")),
-        6,
-    )
-    diff = F.abs(F.col("cf") - ck)
-    return (
-        pairs.select(F.col("k").cast("long").alias("k"), diff.alias("diff"))
-        .groupBy("k")
-        .agg(
-            F.count("*").cast("long").alias("n_pairs"),
-            rfix(F.avg("diff"), 3).alias("avg_abs_err"),
-            rfix(
-                F.avg(F.when(F.col("diff") <= _MRL_CLOSE, 1.0).otherwise(0.0)), 4
-            ).alias("frac_close"),
-        )
+    # Thin caller of operators/embeddings.matryoshka_fidelity (r12 library
+    # extraction, phase 4) over the bounded evaluation panel.
+    from ..operators import embeddings as emb_ops
+
+    return emb_ops.matryoshka_fidelity(
+        table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < _MRL_BOUND),
+        "embedding", "vec_id", ks=_MRL_DIMS, close=_MRL_CLOSE,
     )
 
 
