@@ -379,3 +379,43 @@ def test_srp_multiprobe_candidates_superset_and_guard(spark, vecs):
     with pytest.raises(ValueError):
         ann.srp_multiprobe_candidates(vecs, vecs, id_col="vid", vec_col="v",
                                       n_planes=3, dims=4, n_probes=4)
+
+
+def test_srp_adaptive_flips_rank_by_boundary_distance(spark, vecs):
+    """adaptive=True must pick each query's |dot|-smallest planes
+    (ADVICE r11: the fixed mode flips planes 0..n_probes-1 regardless of
+    geometry) — verified against a python twin of the packed-key ranking."""
+    import math
+
+    rows = vecs.select(
+        "vid", "v",
+        ann.srp_adaptive_flips("v", n_planes=3, dims=4, n_probes=2).alias("flips"),
+    ).collect()
+    planes = ann.srp_planes(3, 4)
+    for r in rows:
+        keys = []
+        for p, plane in enumerate(planes):
+            dot = 0.0
+            for x, w in zip(r["v"], plane):
+                dot += float(x) * w
+            keys.append(int(math.floor(abs(dot) * 1e6 + 0.5)) * 3 + p)
+        expect = [k % 3 for k in sorted(keys)[:2]]
+        assert list(r["flips"]) == expect
+    # the flips really vary with query geometry on this frame (else the
+    # adaptive mode would be indistinguishable from the fixed one)
+    assert len({tuple(r["flips"]) for r in rows}) > 1
+
+
+def test_srp_multiprobe_adaptive_candidates(spark, vecs):
+    q = vecs.filter("vid <= 2")
+    own = ann.srp_multiprobe_candidates(vecs, q, id_col="vid", vec_col="v",
+                                        n_planes=3, dims=4, n_probes=0,
+                                        adaptive=True)
+    adapt = ann.srp_multiprobe_candidates(vecs, q, id_col="vid", vec_col="v",
+                                          n_planes=3, dims=4, n_probes=2,
+                                          adaptive=True)
+    own_pairs = {(r["query_id"], r["neighbor_id"]) for r in own.collect()}
+    adapt_pairs = {(r["query_id"], r["neighbor_id"]) for r in adapt.collect()}
+    assert own_pairs <= adapt_pairs           # probing only ADDS candidates
+    assert all(qq != n for qq, n in adapt_pairs)
+    assert adapt.count() == len(adapt_pairs)  # distinct probe buckets

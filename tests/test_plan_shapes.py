@@ -68,6 +68,13 @@ _SHAPES = {
     "dedup_minhash_highrecall_pr_eval": (4, 9, 0, 6),
     "emb_anisotropy_stats": (0, 0, 0, 0),
     "dedup_simhash_banded_pairs": (1, 3, 0, 1),
+    # r12 knob-proof registrations: pagerank's 3 iterations are 3 dst
+    # exchanges over the pinned edge RDD (node-sized ranks broadcast);
+    # adaptive multi-probe is one bucket-join shuffle + broadcast panel;
+    # power iteration is ONE d-wide exchange + broadcast normalizer
+    "g_pagerank_damped": (3, 10, 0, 3),
+    "ann_srp_adaptive_topk": (1, 3, 1, 4),
+    "emb_power_iteration_v2": (1, 1, 0, 0),
     "j14_unshipped_value_topk": (1, 1, 0, 2),
     "g_triangle_support": (1, 2, 0, 0),
     "a_sketch_rollup_regions": (3, 2, 0, 3),

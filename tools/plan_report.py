@@ -126,6 +126,12 @@ HEADLINE = [
     "dedup_minhash_highrecall_pr_eval",
     "emb_anisotropy_stats",
     "dedup_simhash_banded_pairs",
+    # round-12 knob-proof registrations (graphalgs/embeddings libraries +
+    # the query-adaptive multi-probe) — timing-of-record slots so the
+    # library paths keep a bench signal
+    "g_pagerank_damped",
+    "ann_srp_adaptive_topk",
+    "emb_power_iteration_v2",
 ]
 
 
