@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.presentation import rfix, rfix_sql
+from ..functions.presentation import rfix_sql
 from ..operators.graph import bfs_min_hops
 from ..sources.tables import table
 from .registry import register
