@@ -43,7 +43,7 @@ the semantics):
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.presentation import rfix
@@ -84,7 +84,7 @@ def degrees(
     edges: DataFrame,
     src: str = "src",
     out_cols: tuple[str, str] = ("node", "degree"),
-) -> Column | DataFrame:
+) -> DataFrame:
     """Out-degree per node of a directed edge list (= degree, when the
     list is symmetrized): one groupBy-count, the A16 primitive. Nodes with
     no outgoing edge are absent — left-join a node dimension to keep them
