@@ -237,3 +237,69 @@ def emb_power_iteration_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 DRAFTS["emb_power_iteration_v2"] = (emb_power_iteration_v2,
                                     _power_v2_oracle())
+
+
+# ---------------------------------------------------------------------------
+# text_bm25_tuned — the retrieval library's k1/b/terms/topk knobs
+# ---------------------------------------------------------------------------
+
+_BM2_K1, _BM2_B = 0.9, 0.4   # the "short-query" Lucene tuning, not 1.2/0.75
+_BM2_TERMS = ("stream", "state", "window")
+_BM2_TOPK = 8
+
+_TOKS = "string_split_regex(text, '\\s+')"
+
+
+def _bm25_tuned_oracle() -> str:
+    terms_sql = ", ".join(f"'{t}'" for t in _BM2_TERMS)
+    return f"""
+    WITH tok AS (
+        SELECT doc_id, unnest({_TOKS}) AS tok FROM documents
+    ),
+    dl AS (SELECT doc_id, len({_TOKS}) AS dlen FROM documents),
+    g AS (SELECT count(*)::DOUBLE AS n_docs, avg(dlen) AS avg_len FROM dl),
+    tf AS (
+        SELECT doc_id, tok AS term, count(*)::DOUBLE AS tf
+        FROM tok WHERE tok IN ({terms_sql})
+        GROUP BY doc_id, tok
+    ),
+    df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+    scored AS (
+        SELECT tf.doc_id,
+               sum(
+                   ln((g.n_docs - df.df + 0.5) / (df.df + 0.5) + 1)
+                   * tf.tf * ({_BM2_K1} + 1)
+                   / (tf.tf + {_BM2_K1}
+                      * (1 - {_BM2_B} + {_BM2_B} * dl.dlen / g.avg_len))
+               ) AS score
+        FROM tf
+        JOIN df ON df.term = tf.term
+        JOIN dl ON dl.doc_id = tf.doc_id
+        CROSS JOIN g
+        GROUP BY tf.doc_id
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           {rfix_sql('score', 4)} AS bm25_score
+    FROM scored
+    ORDER BY bm25_score DESC, doc_id
+    LIMIT {_BM2_TOPK}
+    """
+
+
+def text_bm25_tuned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 at the short-query Lucene tuning k1={_BM2_K1} / b={_BM2_B}
+    with a different term set and depth — operators/retrieval.bm25_topk
+    (phase-5 library) at NON-registry parameters (the registered
+    text_bm25_topk runs 1.2 / 0.75). Lower k1 saturates term frequency
+    faster; lower b softens length normalization — both observable in
+    the oracle-pinned scores, so the knobs are provably wired through.
+    """
+    from ..operators import retrieval
+
+    return retrieval.bm25_topk(
+        table(spark, sf_dir, "documents"), terms=_BM2_TERMS,
+        k1=_BM2_K1, b=_BM2_B, topk=_BM2_TOPK, digits=4,
+    )
+
+
+DRAFTS["text_bm25_tuned"] = (text_bm25_tuned, _bm25_tuned_oracle())

@@ -1641,42 +1641,13 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     TakeOrdered. Per-query cost at 100 TB is one filtered scan — the
     shape an inverted index accelerates but never changes.
     """
-    d = table(spark, sf_dir, "documents")
-    toks = d.select(
-        F.col("doc_id").cast("long").alias("doc_id"),
-        F.explode(T.tokens("text")).alias("term"),
-    ).filter(F.col("term").isin(list(BM25_TERMS)))
-    tf = toks.groupBy("doc_id", "term").agg(
-        F.count("*").cast("double").alias("tf")
-    )
-    dl = d.select(
-        F.col("doc_id").cast("long").alias("doc_id"),
-        F.size(T.tokens("text")).cast("double").alias("dlen"),
-    )
-    g = dl.agg(
-        F.count("*").cast("double").alias("n_docs"),
-        F.avg("dlen").alias("avg_len"),
-    )
-    df_t = tf.groupBy("term").agg(F.count("*").cast("double").alias("df"))
-    idf = F.log(
-        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1
-    )
-    norm = F.col("tf") + BM25_K1 * (
-        1 - BM25_B + BM25_B * F.col("dlen") / F.col("avg_len")
-    )
-    scored = (
-        tf.join(F.broadcast(df_t), "term")
-        .join(dl, "doc_id")
-        .crossJoin(F.broadcast(g))
-        .groupBy("doc_id")
-        .agg(
-            F.sum(idf * F.col("tf") * (BM25_K1 + 1) / norm).alias("score")
-        )
-    )
-    return (
-        scored.select("doc_id", rfix(F.col("score"), 4).alias("bm25_score"))
-        .orderBy(F.desc("bm25_score"), "doc_id")
-        .limit(BM25_TOPK)
+    # Thin caller of operators/retrieval.bm25_topk (r12 library
+    # extraction, phase 5).
+    from ..operators import retrieval
+
+    return retrieval.bm25_topk(
+        table(spark, sf_dir, "documents"), terms=BM25_TERMS,
+        k1=BM25_K1, b=BM25_B, topk=BM25_TOPK, digits=4,
     )
 
 
@@ -2163,90 +2134,29 @@ def text_rrf_hybrid_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     path. Per-query cost at 100 TB = two corpus scans, no full-corpus
     shuffle.
     """
+    # Thin caller of operators/retrieval (r12 library extraction, phase
+    # 5): bm25_scores + rank_topk for the lexical leg, rank_topk over the
+    # broadcast-query cosine scan for the dense leg, rrf_fuse to merge.
+    from ..functions import vectors as V
+    from ..operators import retrieval
+
     d = table(spark, sf_dir, "documents")
     e = table(spark, sf_dir, "embeddings")
-    from ..functions import vectors as V
-
-    # Lexical leg (BM25 scorer at fusion depth).
-    toks = d.select(
-        F.col("doc_id").cast("long").alias("doc_id"),
-        F.explode(T.tokens("text")).alias("term"),
-    ).filter(F.col("term").isin(list(BM25_TERMS)))
-    tf = toks.groupBy("doc_id", "term").agg(
-        F.count("*").cast("double").alias("tf")
+    lex = retrieval.rank_topk(
+        retrieval.bm25_scores(d, terms=BM25_TERMS, k1=BM25_K1, b=BM25_B),
+        "score", depth=RRF_DEPTH, rank_col="lex_rank",
     )
-    dl = d.select(
-        F.col("doc_id").cast("long").alias("doc_id"),
-        F.size(T.tokens("text")).cast("double").alias("dlen"),
-    )
-    g = dl.agg(
-        F.count("*").cast("double").alias("n_docs"),
-        F.avg("dlen").alias("avg_len"),
-    )
-    df_t = tf.groupBy("term").agg(F.count("*").cast("double").alias("df"))
-    idf = F.log(
-        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1
-    )
-    norm = F.col("tf") + BM25_K1 * (
-        1 - BM25_B + BM25_B * F.col("dlen") / F.col("avg_len")
-    )
-    bm = (
-        tf.join(F.broadcast(df_t), "term")
-        .join(dl, "doc_id")
-        .crossJoin(F.broadcast(g))
-        .groupBy("doc_id")
-        .agg(F.sum(idf * F.col("tf") * (BM25_K1 + 1) / norm).alias("score"))
-    )
-    # TakeOrdered to fusion depth FIRST (distributed top-k), then rank the
-    # 50 survivors — the global row_number never sees the full corpus.
-    wl = Window.orderBy(F.desc("s6"), F.asc("doc_id"))
-    lex = (
-        bm.select("doc_id", rfix(F.col("score"), 6).alias("s6"))
-        .orderBy(F.desc("s6"), F.asc("doc_id"))
-        .limit(RRF_DEPTH)
-        .select(
-            "doc_id", F.row_number().over(wl).cast("long").alias("lex_rank")
-        )
-    )
-
-    # Dense leg: one broadcast query vector against the corpus.
     q = e.filter(F.col("vec_id") == RRF_QUERY_VEC).select(
         F.col("embedding").alias("qe")
     )
-    cos = V.cosine(F.col("embedding"), F.col("qe"))
-    wv = Window.orderBy(F.desc("c6"), F.asc("doc_id"))
-    vec = (
-        e.crossJoin(F.broadcast(q))
-        .select(
-            F.col("vec_id").cast("long").alias("doc_id"),
-            rfix(cos, 6).alias("c6"),
-        )
-        .orderBy(F.desc("c6"), F.asc("doc_id"))
-        .limit(RRF_DEPTH)
-        .select(
-            "doc_id", F.row_number().over(wv).cast("long").alias("vec_rank")
-        )
+    dense_scored = e.crossJoin(F.broadcast(q)).select(
+        F.col("vec_id").cast("long").alias("doc_id"),
+        V.cosine(F.col("embedding"), F.col("qe")).alias("cos"),
     )
-
-    rrf = F.coalesce(1.0 / (RRF_K + F.col("lex_rank")), F.lit(0.0)) + F.coalesce(
-        1.0 / (RRF_K + F.col("vec_rank")), F.lit(0.0)
-    )
-    return (
-        lex.join(vec, "doc_id", "full_outer")
-        .select(
-            "doc_id",
-            "lex_rank",
-            "vec_rank",
-            rrf.alias("_rrf"),
-        )
-        .orderBy(F.desc("_rrf"), "doc_id")
-        .limit(RRF_TOPK)
-        .select(
-            "doc_id",
-            "lex_rank",
-            "vec_rank",
-            rfix(F.col("_rrf"), 6).alias("rrf_score"),
-        )
+    vec = retrieval.rank_topk(dense_scored, "cos", depth=RRF_DEPTH,
+                              rank_col="vec_rank")
+    return retrieval.rrf_fuse(
+        [(lex, "lex_rank"), (vec, "vec_rank")], k=RRF_K, topk=RRF_TOPK,
     )
 
 

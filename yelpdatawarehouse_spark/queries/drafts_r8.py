@@ -1111,89 +1111,21 @@ def text_mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     rel_expr = sum(
         F.size(F.filter(T.tokens("text"), _eq(w))) for w in MMR_TERMS
     )
-    # The pool and its token sets feed EVERY greedy round (each round's
-    # semi-joins, sizes, and intersections), and round n's frame builds on
-    # round n-1's — unpinned, Spark re-evaluated the scan+tokenize subtree
-    # 69x (measured round 8). Eager localCheckpoint pins the loop-carried
-    # state, the same discipline as operators/iterative.
-    pool = (
-        d.select("doc_id", rel_expr.cast("long").alias("rel"))
-        .filter(F.col("rel") >= 1)
-        .localCheckpoint()
+    # Thin caller of operators/retrieval.mmr_select (r12 library
+    # extraction, phase 5 — the library pins the loop-carried state per
+    # round; unpinned, the scan+tokenize subtree re-evaluated 69x over
+    # three rounds, measured round 8).
+    from ..operators import retrieval
+
+    pool = d.select("doc_id", rel_expr.cast("long").alias("rel")).filter(
+        F.col("rel") >= 1
     )
     toks = (
         d.join(pool.select("doc_id"), "doc_id", "left_semi")
         .select("doc_id", F.explode(T.tokens("text")).alias("tok"))
         .distinct()
-        .localCheckpoint()
     )
-    sz = toks.groupBy("doc_id").agg(F.count("*").alias("sz"))
-
-    def jacc_vs(cands: DataFrame, sel: DataFrame, out: str) -> DataFrame:
-        """Jaccard of every candidate against the ONE selected doc."""
-        sel_toks = toks.join(
-            F.broadcast(sel.select("doc_id")), "doc_id", "left_semi"
-        ).select("tok")
-        sel_sz = F.broadcast(
-            sz.join(F.broadcast(sel.select("doc_id")), "doc_id", "left_semi")
-            .select(F.col("sz").alias("sel_sz"))
-        )
-        inter = (
-            toks.join(F.broadcast(sel_toks), "tok")
-            .groupBy("doc_id")
-            .agg(F.count("*").alias("inter"))
-        )
-        return (
-            cands.join(sz, "doc_id")
-            .join(inter, "doc_id", "left")
-            .crossJoin(sel_sz)
-            .withColumn(
-                out,
-                F.coalesce("inter", F.lit(0)).cast("double")
-                / (
-                    F.col("sz") + F.col("sel_sz") - F.coalesce("inter", F.lit(0))
-                ).cast("double"),
-            )
-            .drop("sz", "inter", "sel_sz")
-        )
-
-    def pick(df: DataFrame, score) -> DataFrame:
-        return (
-            df.withColumn("score", score)
-            .orderBy(
-                F.floor(F.col("score") * 1e6 + 0.5).desc(), F.col("doc_id").asc()
-            )
-            .limit(1)
-        )
-
-    s1 = pool.orderBy(F.desc("rel"), F.asc("doc_id")).limit(1).localCheckpoint()
-    rest1 = pool.join(F.broadcast(s1.select("doc_id")), "doc_id", "left_anti")
-    sim1 = jacc_vs(rest1, s1, "j1").localCheckpoint()
-    s2 = pick(sim1, F.col("rel") - MMR_LAMBDA * F.col("j1")).localCheckpoint()
-    rest2 = sim1.join(F.broadcast(s2.select("doc_id")), "doc_id", "left_anti")
-    sim2 = jacc_vs(rest2, s2, "j2")
-    s3 = pick(
-        sim2, F.col("rel") - MMR_LAMBDA * F.greatest("j1", "j2")
-    )
-    out1 = s1.select(
-        F.lit(1).cast("long").alias("rank"),
-        F.col("doc_id").cast("long").alias("doc_id"),
-        F.col("rel").cast("long").alias("rel"),
-        rfix(F.col("rel").cast("double"), 6).alias("mmr_score"),
-    )
-    out2 = s2.select(
-        F.lit(2).cast("long").alias("rank"),
-        F.col("doc_id").cast("long").alias("doc_id"),
-        F.col("rel").cast("long").alias("rel"),
-        rfix("score", 6).alias("mmr_score"),
-    )
-    out3 = s3.select(
-        F.lit(3).cast("long").alias("rank"),
-        F.col("doc_id").cast("long").alias("doc_id"),
-        F.col("rel").cast("long").alias("rel"),
-        rfix("score", 6).alias("mmr_score"),
-    )
-    return out1.unionByName(out2).unionByName(out3)
+    return retrieval.mmr_select(pool, toks, rounds=3, lam=MMR_LAMBDA)
 
 
 DRAFTS["text_mmr_diverse_topk"] = (text_mmr_diverse_topk, MMR_ORACLE)
