@@ -303,3 +303,72 @@ def text_bm25_tuned(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 DRAFTS["text_bm25_tuned"] = (text_bm25_tuned, _bm25_tuned_oracle())
+
+
+# ---------------------------------------------------------------------------
+# diag_psi_quartile_drift — the stats library's n_edges / ref knobs
+# ---------------------------------------------------------------------------
+
+_PSIQ_EDGES = 3  # quartiles, not the registered deciles
+
+
+def _psi_quartile_oracle() -> str:
+    step = 1.0 / (_PSIQ_EDGES + 1)
+    edges = ", ".join(
+        f"(floor(quantile_cont(o_totalprice, {step * (k + 1):.10f}) * 1000000 "
+        f"+ 0.5) / 1000000) AS e{k}"
+        for k in range(_PSIQ_EDGES)
+    )
+    bin_case = "CASE " + " ".join(
+        f"WHEN o_totalprice < e{k} THEN {k}" for k in range(_PSIQ_EDGES)
+    ) + f" ELSE {_PSIQ_EDGES} END"
+    return f"""
+    WITH ref AS (SELECT o_totalprice FROM orders WHERE o_orderstatus = 'F'),
+    edges AS (SELECT {edges} FROM ref),
+    binned AS (
+        SELECT {bin_case} AS bin,
+               (o_orderstatus = 'F') AS is_ref
+        FROM orders, edges
+    ),
+    counts AS (
+        SELECT bin,
+               sum(CASE WHEN is_ref THEN 1 ELSE 0 END) AS nr,
+               sum(CASE WHEN is_ref THEN 0 ELSE 1 END) AS nc
+        FROM binned GROUP BY bin
+    ),
+    tot AS (
+        SELECT sum(nr)::DOUBLE AS tr, sum(nc)::DOUBLE AS tc FROM counts
+    )
+    SELECT CAST(bin AS BIGINT) AS bin,
+           CAST(nr AS BIGINT) AS n_ref,
+           CAST(nc AS BIGINT) AS n_cmp,
+           CASE WHEN nr > 0 AND nc > 0 THEN
+               CAST(floor((nr / tr - nc / tc) * ln((nr / tr) / (nc / tc))
+                    * 1000000 + 0.5) / 1000000 AS DOUBLE)
+           END AS psi_contrib
+    FROM counts, tot
+    """
+
+
+def diag_psi_quartile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PSI at QUARTILE granularity against a different reference
+    population (finished-status orders) — operators/stats.psi_profile
+    (phase-6 library) at NON-registry parameters (the registered
+    diag_psi_priority_drift runs 9 decile edges against urgent-priority
+    orders). Coarser bins trade sensitivity for per-bin mass; a
+    different reference predicate re-derives every cut line — both
+    observable in the oracle-pinned histogram, so the n_edges and ref
+    knobs are provably wired through.
+    """
+    from ..operators import stats
+    from ..sources.tables import spread
+
+    return stats.psi_profile(
+        spread(table(spark, sf_dir, "orders")), "o_totalprice",
+        ref=F.col("o_orderstatus") == "F",
+        n_edges=_PSIQ_EDGES, digits_edges=6, digits=6,
+    )
+
+
+DRAFTS["diag_psi_quartile_drift"] = (diag_psi_quartile_drift,
+                                     _psi_quartile_oracle())

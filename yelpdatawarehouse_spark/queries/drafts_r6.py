@@ -2982,36 +2982,16 @@ def a_mad_outlier_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     a single broadcast row; the outlier filter is then a codegen'd scan
     predicate — no shuffle touches the event log itself.
     """
-    # explicit null prune: the CASE-guarded z no longer implies
-    # IsNotNull(value), so push it to the scan ourselves (a NULL value
-    # can never be an outlier; DuckDB's quantile/WHERE skip NULLs too)
-    e = spread(table(spark, sf_dir, "events")).filter(
-        F.col("value").isNotNull()
-    )
-    med = F.broadcast(e.agg(F.expr("percentile(value, 0.5)").alias("m")))
-    mad = F.broadcast(
-        e.crossJoin(med).agg(
-            F.expr("percentile(abs(value - m), 0.5)").alias("d")
-        )
-    )
-    # CASE-guarded z: a majority-identical column has MAD = 0 and the
-    # modified z is undefined (ANSI division would throw; conjunctions do
-    # not short-circuit in codegen, CASE branches do) — by spec such a
-    # degenerate column yields no outliers (same WHERE in the oracle)
-    mz = F.when(
-        F.col("d") > 0,
-        F.lit(MAD_K) * (F.col("value") - F.col("m")) / F.col("d"),
-    )
-    return (
-        e.crossJoin(med)
-        .crossJoin(mad)
-        .filter(F.abs(mz) > MAD_CUT)
-        .select(
-            F.col("event_id").cast("long").alias("event_id"),
-            "event_type",
-            rfix(F.col("value"), 4).alias("value"),
-            rfix(mz, 4).alias("modified_z"),
-        )
+    # Thin caller of operators/stats.mad_outliers (r12 library
+    # extraction, phase 6 — null prune, CASE-guarded z and the exact
+    # percentile pair live in the library).
+    from ..operators import stats
+
+    return stats.mad_outliers(
+        spread(table(spark, sf_dir, "events")), "value",
+        keep_cols=(F.col("event_id").cast("long").alias("event_id"),
+                   F.col("event_type")),
+        k=MAD_K, cut=MAD_CUT, digits=4,
     )
 
 
@@ -3061,37 +3041,14 @@ def a_chi2_priority_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregates, so nothing downstream of the counts scales with the
     fact table.
     """
-    o = spread(table(spark, sf_dir, "orders"))
-    obs = o.groupBy(
-        F.col("o_orderpriority").alias("p"), F.col("o_orderstatus").alias("s")
-    ).agg(F.count("*").alias("o"))
-    rows_ = o.groupBy(F.col("o_orderpriority").alias("p")).agg(
-        F.count("*").alias("rt")
-    )
-    cols_ = o.groupBy(F.col("o_orderstatus").alias("s")).agg(
-        F.count("*").alias("ct")
-    )
-    n = F.broadcast(o.agg(F.count("*").cast("double").alias("n")))
-    grid = (
-        rows_.crossJoin(F.broadcast(cols_))
-        .join(obs, ["p", "s"], "left")
-        .crossJoin(n)
-        .select(
-            "p",
-            "s",
-            F.coalesce(F.col("o"), F.lit(0)).alias("o"),
-            (F.col("rt") * F.col("ct") / F.col("n")).alias("e"),
-        )
-    )
-    return grid.select(
-        F.col("p").alias("priority"),
-        F.col("s").alias("status"),
-        F.col("o").cast("long").alias("observed"),
-        rfix(F.col("e"), 4).alias("expected"),
-        rfix(
-            (F.col("o") - F.col("e")) * (F.col("o") - F.col("e")) / F.col("e"),
-            4,
-        ).alias("chi2_contrib"),
+    # Thin caller of operators/stats.chi2_grid (r12 library extraction,
+    # phase 6).
+    from ..operators import stats
+
+    return stats.chi2_grid(
+        spread(table(spark, sf_dir, "orders")),
+        "o_orderpriority", "o_orderstatus",
+        out_cols=("priority", "status"), digits=4,
     )
 
 
@@ -3215,40 +3172,13 @@ def diag_benford_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
     digit spine is a 9-row broadcast. Nothing downstream of the count
     scales with the fact table.
     """
-    o = spread(table(spark, sf_dir, "orders"))
-    digits = o.filter(F.col("o_totalprice") >= 1).select(
-        F.substring(
-            F.floor("o_totalprice").cast("long").cast("string"), 1, 1
-        )
-        .cast("long")
-        .alias("d")
-    )
-    obs = digits.groupBy("d").agg(F.count("*").alias("o"))
-    n = F.broadcast(digits.agg(F.count("*").cast("double").alias("n")))
-    spine = spark.range(1, 10).select(F.col("id").alias("d"))
-    ben = F.log10(1.0 + 1.0 / F.col("d"))
-    return (
-        spine.join(obs, "d", "left")
-        .crossJoin(n)
-        .select(
-            F.col("d").cast("long").alias("digit"),
-            F.coalesce(F.col("o"), F.lit(0)).cast("long").alias("observed"),
-            rfix(ben, 6).alias("benford_p"),
-            F.when(
-                F.col("n") > 0,
-                rfix(F.coalesce(F.col("o"), F.lit(0)) / F.col("n"), 6),
-            ).alias("observed_p"),
-            F.when(
-                F.col("n") > 0,
-                rfix(
-                    (F.coalesce(F.col("o"), F.lit(0)) / F.col("n") - ben)
-                    * (F.coalesce(F.col("o"), F.lit(0)) / F.col("n") - ben)
-                    / ben
-                    * F.col("n"),
-                    4,
-                ),
-            ).alias("chi2_contrib"),
-        )
+    # Thin caller of operators/stats.benford_profile (r12 library
+    # extraction, phase 6).
+    from ..operators import stats
+
+    return stats.benford_profile(
+        spread(table(spark, sf_dir, "orders")), "o_totalprice",
+        digits_p=6, digits_chi=4,
     )
 
 
@@ -3302,6 +3232,13 @@ def diag_gini_spend_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     (never a single-partition global window); the nation dim joins
     broadcast. One exchange for the rollup, one for the rank partition.
     """
+    # Thin caller of operators/stats.gini_by_group (r12 library
+    # extraction, phase 6): the nation name joins onto the spend rollup
+    # BEFORE the library's group-partitioned ranking (a bijection of the
+    # partition key — identical values, the broadcast just moved ahead
+    # of the window).
+    from ..operators import stats
+
     o = spread(table(spark, sf_dir, "orders"))
     c = table(spark, sf_dir, "customer")
     nat = table(spark, sf_dir, "nation")
@@ -3309,29 +3246,13 @@ def diag_gini_spend_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.join(c, o.o_custkey == c.c_custkey)
         .groupBy("c_nationkey", "o_custkey")
         .agg(F.sum("o_totalprice").alias("s"))
+        .join(F.broadcast(nat), F.col("c_nationkey") == nat.n_nationkey)
+        .select("n_name", "o_custkey", "s")
     )
-    w = Window.partitionBy("c_nationkey").orderBy("s", "o_custkey")
-    wp = Window.partitionBy("c_nationkey")
-    ranked = spend.select(
-        "c_nationkey",
-        "s",
-        F.row_number().over(w).alias("r"),
-        F.count("*").over(wp).alias("n"),
-        F.sum("s").over(wp).alias("tot"),
-    )
-    return (
-        ranked.join(F.broadcast(nat), ranked.c_nationkey == nat.n_nationkey)
-        .groupBy(F.col("n_name").alias("nation"))
-        .agg(
-            F.max("n").cast("long").alias("n_customers"),
-            rfix(F.max("tot"), 2).alias("total_spend"),
-            rfix(
-                2.0 * F.sum(F.col("r") * F.col("s"))
-                / (F.max("n") * F.max("tot"))
-                - (F.max("n") + 1.0) / F.max("n"),
-                4,
-            ).alias("gini"),
-        )
+    return stats.gini_by_group(
+        spend, "n_name", "s", tie_col="o_custkey",
+        out_cols=("nation", "n_customers", "total_spend", "gini"),
+        digits_total=2, digits_gini=4,
     )
 
 
@@ -3897,51 +3818,14 @@ def diag_psi_priority_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     At true 100 TB the edges swap to approx_percentile, the same trade
     the sketch family documents.
     """
-    o = spread(table(spark, sf_dir, "orders"))
-    ref = o.filter(F.col("o_orderpriority") == "1-URGENT")
-    edges = F.broadcast(
-        ref.agg(
-            *[
-                rfix(
-                    F.expr(f"percentile(o_totalprice, {0.1 * (k + 1):.1f})"), 6
-                ).alias(f"e{k}")
-                for k in range(PSI_EDGES)
-            ]
-        )
-    )
-    bin_col = F.lit(PSI_EDGES)
-    for k in reversed(range(PSI_EDGES)):
-        bin_col = F.when(
-            F.col("o_totalprice") < F.col(f"e{k}"), F.lit(k)
-        ).otherwise(bin_col)
-    counts = (
-        o.crossJoin(edges)
-        .select(
-            bin_col.alias("bin"),
-            (F.col("o_orderpriority") == "1-URGENT").alias("is_ref"),
-        )
-        .groupBy("bin")
-        .agg(
-            F.sum(F.when(F.col("is_ref"), 1).otherwise(0)).alias("nr"),
-            F.sum(F.when(F.col("is_ref"), 0).otherwise(1)).alias("nc"),
-        )
-    )
-    tot = F.broadcast(
-        counts.agg(
-            F.sum("nr").cast("double").alias("tr"),
-            F.sum("nc").cast("double").alias("tc"),
-        )
-    )
-    p = F.col("nr") / F.col("tr")
-    q = F.col("nc") / F.col("tc")
-    return counts.crossJoin(tot).select(
-        F.col("bin").cast("long").alias("bin"),
-        F.col("nr").cast("long").alias("n_ref"),
-        F.col("nc").cast("long").alias("n_cmp"),
-        F.when(
-            (F.col("nr") > 0) & (F.col("nc") > 0),
-            rfix((p - q) * F.log(p / q), 6),
-        ).alias("psi_contrib"),
+    # Thin caller of operators/stats.psi_profile (r12 library extraction,
+    # phase 6).
+    from ..operators import stats
+
+    return stats.psi_profile(
+        spread(table(spark, sf_dir, "orders")), "o_totalprice",
+        ref=F.col("o_orderpriority") == "1-URGENT",
+        n_edges=PSI_EDGES, digits_edges=6, digits=6,
     )
 
 
