@@ -3540,53 +3540,16 @@ def t19_acf_daily_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     by construction, bounded by days not orders — same argument as
     t16's prefix sum). One scan, one exchange, constant-width output.
     """
+    # Thin caller of operators/timeseries.acf (r12 library extraction,
+    # phase 7 — the moment-based zero-variance-guarded corr and the
+    # stack() unpivot live in the library).
+    from ..operators import timeseries
+
     o = spread(table(spark, sf_dir, "orders"))
     daily = o.groupBy(
         F.col("o_orderdate").cast("date").alias("d")
     ).agg(F.count("*").cast("double").alias("x"))
-    w = Window.orderBy("d")
-    lagged = daily.select(
-        "x",
-        *[F.lag("x", k).over(w).alias(f"x{k}") for k in range(1, ACF_MAX_LAG + 1)],
-    )
-    # corr from raw moments with explicit zero-variance guards: Spark's
-    # ANSI `corr` THROWS on a constant series (DuckDB returns NULL), so
-    # a flat daily-count stretch would crash the draft — probed directly,
-    # same latent class as the Benford/bootstrap divide-by-zero guards.
-    # Counts are small integers, so the moment sums are exact doubles.
-    def _corr_terms(k: int):
-        y = F.col(f"x{k}")
-        xm = F.when(y.isNotNull(), F.col("x"))
-        n = F.count(y).cast("double")
-        sx, sy = F.sum(xm), F.sum(y)
-        sxy = F.sum(xm * y)
-        sxx, syy = F.sum(xm * xm), F.sum(y * y)
-        vx = n * sxx - sx * sx
-        vy = n * syy - sy * sy
-        c = F.when(
-            (n >= 2) & (vx > 0) & (vy > 0),
-            (n * sxy - sx * sy) / F.sqrt(vx * vy),
-        )
-        return c.alias(f"c{k}"), F.count(y).alias(f"n{k}")
-
-    cols = lagged.agg(
-        *[a for k in range(1, ACF_MAX_LAG + 1) for a in _corr_terms(k)]
-    )
-    # stack() unpivots the ONE aggregate row — a per-lag union would
-    # re-plan the whole scan→agg→window pipeline once per lag (measured:
-    # 14 scans / 21 exchanges before this rewrite, 2 / 3 after)
-    stacked = ", ".join(
-        f"{k}L, c{k}, n{k}" for k in range(1, ACF_MAX_LAG + 1)
-    )
-    return cols.select(
-        F.expr(
-            f"stack({ACF_MAX_LAG}, {stacked}) AS (lag, acf_raw, n_pairs)"
-        )
-    ).select(
-        F.col("lag").cast("long").alias("lag"),
-        rfix(F.col("acf_raw"), 4).alias("acf"),
-        F.col("n_pairs").cast("long").alias("n_pairs"),
-    )
+    return timeseries.acf(daily, "d", "x", max_lag=ACF_MAX_LAG, digits=4)
 
 
 DRAFTS["t19_acf_daily_orders"] = (t19_acf_daily_orders, ACF_ORACLE)
@@ -3632,21 +3595,19 @@ def t20_cusum_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     as t16/t19). One scan, two day-spine passes, nothing data-sized
     after the first aggregate.
     """
+    # Thin caller of operators/timeseries.cusum_trace (r12 library
+    # extraction, phase 7).
+    from ..operators import timeseries
+
     o = spread(table(spark, sf_dir, "orders"))
     daily = o.groupBy(
         F.col("o_orderdate").cast("date").alias("d")
     ).agg(F.sum("o_totalprice").alias("r"))
-    mu = F.broadcast(daily.agg(F.avg("r").alias("m")))
-    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
-    trace = daily.crossJoin(mu).select(
-        "d", "r", F.sum(F.col("r") - F.col("m")).over(w).alias("s")
-    )
-    peak = F.broadcast(trace.agg(F.max(F.abs("s")).alias("peak")))
-    return trace.crossJoin(peak).select(
+    return timeseries.cusum_trace(daily, "d", "r", digits=2).select(
         F.date_format("d", "yyyy-MM-dd").alias("day"),
-        rfix(F.col("r"), 2).alias("daily_revenue"),
-        rfix(F.col("s"), 2).alias("cusum"),
-        (F.abs("s") == F.col("peak")).alias("is_changepoint"),
+        F.col("r").alias("daily_revenue"),
+        "cusum",
+        "is_changepoint",
     )
 
 

@@ -680,44 +680,22 @@ def t21_holt_linear_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     apply the recurrence in strict day order, so the float stream is
     order-identical and 2dp canonicalization is stable.
     """
+    # Thin caller of operators/timeseries.holt_linear (r12 library
+    # extraction, phase 7 — the single-F.aggregate-fold recurrence lives
+    # in the library with alpha/beta as plan literals).
+    from ..operators import timeseries
+
     o = spread(table(spark, sf_dir, "orders"))
     daily = o.groupBy(F.col("o_orderdate").cast("date").alias("d")).agg(
         F.sum("o_totalprice").alias("r")
     )
-    series = daily.agg(
-        F.sort_array(F.collect_list(F.struct("d", "r"))).alias("s")
-    )
-    a, b = float(HOLT_ALPHA), float(HOLT_BETA)
-    trace = series.select(
-        F.expr(
-            f"""
-            CASE WHEN size(s) = 0 THEN array()
-            ELSE aggregate(
-              slice(s, 2, greatest(size(s) - 1, 0)),
-              array(named_struct(
-                  'd', s[0].d, 'y', CAST(s[0].r AS DOUBLE),
-                  'l', CAST(s[0].r AS DOUBLE),
-                  'b', CASE WHEN size(s) >= 2
-                            THEN CAST(s[1].r - s[0].r AS DOUBLE)
-                            ELSE 0.0D END)),
-              (acc, x) -> concat(acc, array(named_struct(
-                  'd', x.d, 'y', CAST(x.r AS DOUBLE),
-                  'l', {a}D * x.r + {1 - a}D
-                       * (element_at(acc, -1).l + element_at(acc, -1).b),
-                  'b', {b}D * (({a}D * x.r + {1 - a}D
-                                * (element_at(acc, -1).l
-                                   + element_at(acc, -1).b))
-                               - element_at(acc, -1).l)
-                       + {1 - b}D * element_at(acc, -1).b)))
-            ) END AS trace
-            """
-        )
-    ).select(F.explode("trace").alias("t"))
-    return trace.select(
-        F.date_format("t.d", "yyyy-MM-dd").alias("day"),
-        rfix(F.col("t.y"), 2).alias("daily_revenue"),
-        rfix(F.col("t.l"), 2).alias("level"),
-        rfix(F.col("t.b"), 2).alias("trend"),
+    return timeseries.holt_linear(
+        daily, "d", "r", alpha=HOLT_ALPHA, beta=HOLT_BETA, digits=2,
+    ).select(
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        F.col("r").alias("daily_revenue"),
+        "level",
+        "trend",
     )
 
 
@@ -1488,44 +1466,24 @@ def t25_kalman_local_level(spark: SparkSession, sf_dir: str) -> DataFrame:
     a recursive CTE in the same day order, so the float stream is
     order-identical.
     """
+    # Thin caller of operators/timeseries.kalman_local_level (r12 library
+    # extraction, phase 7; the daily series is canonicalized FIRST so
+    # both engines fold identical doubles).
+    from ..operators import timeseries
+
     o = spread(table(spark, sf_dir, "orders"))
     daily = o.groupBy(F.col("o_orderdate").cast("date").alias("d")).agg(
         rfix(F.sum("o_totalprice"), 2).alias("r")
     )
-    series = daily.agg(
-        F.sort_array(F.collect_list(F.struct("d", "r"))).alias("s")
-    )
-    q, rr = float(KALMAN_Q), float(KALMAN_R)
-    trace = series.select(
-        F.expr(
-            f"""
-            CASE WHEN size(s) = 0 THEN array()
-            ELSE aggregate(
-              slice(s, 2, greatest(size(s) - 1, 0)),
-              array(named_struct(
-                  'd', s[0].d, 'y', CAST(s[0].r AS DOUBLE),
-                  'x', CAST(s[0].r AS DOUBLE), 'p', {rr}D, 'k', 1.0D)),
-              (acc, e) -> concat(acc, array(named_struct(
-                  'd', e.d, 'y', CAST(e.r AS DOUBLE),
-                  'x', element_at(acc, -1).x
-                       + ((element_at(acc, -1).p + {q}D)
-                          / (element_at(acc, -1).p + {q}D + {rr}D))
-                         * (e.r - element_at(acc, -1).x),
-                  'p', (1.0D - (element_at(acc, -1).p + {q}D)
-                               / (element_at(acc, -1).p + {q}D + {rr}D))
-                       * (element_at(acc, -1).p + {q}D),
-                  'k', (element_at(acc, -1).p + {q}D)
-                       / (element_at(acc, -1).p + {q}D + {rr}D))))
-            ) END AS trace
-            """
-        )
-    ).select(F.explode("trace").alias("t"))
-    return trace.select(
-        F.date_format("t.d", "yyyy-MM-dd").alias("day"),
-        F.col("t.y").alias("daily_revenue"),
-        rfix(F.col("t.x"), 2).alias("level_estimate"),
-        rfix(F.col("t.p"), 2).alias("error_variance"),
-        rfix(F.col("t.k"), 6).alias("kalman_gain"),
+    return timeseries.kalman_local_level(
+        daily, "d", "r", q=KALMAN_Q, r=KALMAN_R,
+        digits_level=2, digits_gain=6,
+    ).select(
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        F.col("r").alias("daily_revenue"),
+        "level_estimate",
+        "error_variance",
+        "kalman_gain",
     )
 
 
