@@ -75,6 +75,15 @@ _SHAPES = {
     "g_pagerank_damped": (3, 10, 0, 3),
     "ann_srp_adaptive_topk": (1, 3, 1, 4),
     "emb_power_iteration_v2": (1, 1, 0, 0),
+    # late-r12 knob-proof promotions: bm25's 4 exchanges are the tf/df/
+    # doclen rollups + final top-k (term panel broadcast); PSI is one
+    # grouped-expand exchange + two broadcast cut-line/ref sides; the
+    # 4-stage funnel is one groupBy(user) exchange per stage over
+    # type-pruned scans (6 pushed filters = 4 stage scans + 2 chained
+    # first-touch joins), stage joins broadcast the per-user min-ts side
+    "text_bm25_tuned": (4, 3, 0, 2),
+    "diag_psi_quartile_drift": (1, 2, 0, 1),
+    "a_funnel_reengagement": (4, 5, 0, 6),
     "j14_unshipped_value_topk": (1, 1, 0, 2),
     "g_triangle_support": (1, 2, 0, 0),
     "a_sketch_rollup_regions": (3, 2, 0, 3),
@@ -184,7 +193,12 @@ _SHAPES = {
     # never a pool×pool similarity join
     # r8: pool/token-set/round-1 state pinned (localCheckpoint) — visible
     # plan is round 2+3 only (was 69 FileScans re-tokenizing per round)
-    "text_mmr_diverse_topk": (3, 6, 0, 0),
+    # mmr: since the phase-5 retrieval library (r12), every greedy round is
+    # pinned (localCheckpoint inside mmr_select), so the VISIBLE suffix is a
+    # union of projections over ExistingRDD scans — the per-round broadcast
+    # semi-joins run inside the eager pin jobs and are audited by the
+    # library's own plan assertions, not this executed-plan string
+    "text_mmr_diverse_topk": (0, 0, 0, 0),
     # fact join is inside the eager edge pin; every post-pin exchange is
     # node-sized (nations²), score frames broadcast into the edge joins
     "g_hits_two_rounds": (10, 8, 0, 0),

@@ -132,6 +132,10 @@ HEADLINE = [
     "g_pagerank_damped",
     "ann_srp_adaptive_topk",
     "emb_power_iteration_v2",
+    # late-r12 knob-proofs (retrieval/stats/sessionops libraries)
+    "text_bm25_tuned",
+    "diag_psi_quartile_drift",
+    "a_funnel_reengagement",
 ]
 
 

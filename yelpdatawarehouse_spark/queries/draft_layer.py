@@ -22,6 +22,7 @@ from .drafts_r12 import DRAFTS as _R12
 from .drafts_r13 import DRAFTS as _R13
 from .drafts_r14 import DRAFTS as _R14
 from .drafts_r15 import DRAFTS as _R15
+from .drafts_r16 import DRAFTS as _R16
 from .registry import register
 
 _REGISTERED = False
@@ -29,7 +30,8 @@ _REGISTERED = False
 
 def all_drafts() -> Dict[str, Tuple[Callable, str]]:
     merged: Dict[str, Tuple[Callable, str]] = {}
-    for layer in (_R6, _R7, _R8, _R9, _R10, _R11, _R12, _R13, _R14, _R15):
+    for layer in (_R6, _R7, _R8, _R9, _R10, _R11, _R12, _R13, _R14, _R15,
+                  _R16):
         for name, pair in layer.items():
             assert name not in merged, f"duplicate draft name: {name}"
             merged[name] = pair

@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 from ..functions import hashing as H
 from ..functions import text as T
 from ..functions.presentation import rfix, rfix_sql
+from ..operators import sessionops
 from ..sources.tables import spread, table
 
 _TOKS = "string_split_regex(text, '\\s+')"
@@ -2352,28 +2353,20 @@ def a_cohort_retention_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     float months_between, so both engines bucket identically; month
     labels format through the session-UTC pin in sources.table().
 
-    Scale shape: first-event per user is one user-keyed partial-agg
-    exchange; active months dedup on (user, month); the cohort join is
-    user-keyed (AQE will co-locate it with the dedup's partitioning);
-    the final matrix rollup is a cells-sized exchange. No windows, no
-    skew hazard beyond the user key itself.
+    Thin caller over the phase-8 library:
+    ``operators.sessionops.cohort_retention`` at granularity="month" —
+    the calendar-integer-arithmetic knob of the same function behind
+    the week-bucketed a_cohort_retention (sessions.py). Scale shape:
+    first-event per user is one user-keyed partial-agg exchange; active
+    months dedup on (user, month) BELOW the cohort join (AQE co-locates
+    it with the dedup's partitioning); the final matrix rollup is a
+    cells-sized exchange. No windows, no skew hazard beyond the user
+    key itself.
     """
     e = spread(table(spark, sf_dir, "events"))
-    ym = lambda c: (F.year(c) * 12 + F.month(c)).cast("long")  # noqa: E731
-    fm = e.groupBy("user_id").agg(F.min("ts").alias("fts"))
-    am = e.select(
-        "user_id", F.date_trunc("month", F.col("ts")).alias("m")
-    ).distinct()
-    return (
-        am.join(fm, "user_id")
-        .select(
-            F.date_format(F.date_trunc("month", F.col("fts")), "yyyy-MM").alias(
-                "cohort_month"
-            ),
-            (ym(F.col("m")) - ym(F.col("fts"))).alias("age_months"),
-        )
-        .groupBy("cohort_month", "age_months")
-        .agg(F.count("*").cast("long").alias("n_active"))
+    return sessionops.cohort_retention(
+        e, "user_id", "ts", granularity="month", label_fmt="yyyy-MM",
+        out_cols=("cohort_month", "age_months", "n_active"),
     )
 
 
@@ -2415,30 +2408,17 @@ def t13_event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     probability is exact-integer division canonicalized at the
     presentation edge, so both engines emit identical cells.
 
-    Scale shape: one user-keyed exchange feeds the ordered lead();
-    the pair rollup is a |types|²-sized aggregate (partial map-side),
-    and row-normalization is a window over the tiny matrix itself —
-    nothing downstream of the first shuffle scales with the event log.
+    Thin caller over the phase-8 library:
+    ``operators.sessionops.transition_matrix``. Scale shape: one
+    user-keyed exchange feeds the ordered lead(); the pair rollup is a
+    |types|²-sized aggregate (partial map-side), and row-normalization
+    is a window over the tiny matrix itself — nothing downstream of the
+    first shuffle scales with the event log.
     """
     e = spread(table(spark, sf_dir, "events"))
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    cnt = (
-        e.select(
-            F.col("event_type").alias("from_type"),
-            F.lead("event_type").over(w).alias("to_type"),
-        )
-        .filter(F.col("to_type").isNotNull())
-        .groupBy("from_type", "to_type")
-        .agg(F.count("*").alias("n"))
-    )
-    wt = Window.partitionBy("from_type")
-    return cnt.select(
-        "from_type",
-        "to_type",
-        F.col("n").cast("long").alias("n_transitions"),
-        rfix(
-            F.col("n").cast("double") / F.sum("n").over(wt).cast("double"), 4
-        ).alias("p_transition"),
+    return sessionops.transition_matrix(
+        e, "user_id", "ts", "event_type", order_cols=("ts", "event_id"),
+        digits=4,
     )
 
 

@@ -22,11 +22,12 @@ here is shaped for the 100 TB plan:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.presentation import rfix, rfix_sql
 from ..functions.timeops import epoch_us as _us
+from ..operators import sessionops
 from ..operators.asof import asof_join, bucketed_range_join
 from ..sources.tables import table
 from .registry import register
@@ -74,21 +75,17 @@ def t8_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     inactivity; emit per-session start/duration/size/value stats.
 
     Reference analog: none — the consumer applies events one at a time
-    (streaming/consumer.py:128-179) and never groups them. Plan shape:
-    one hash shuffle on user_id feeds BOTH window passes (lag + running
-    sum share the partitioning) and the final group-by is on (user_id,
-    sess_no), a prefix of the same key — Catalyst reuses the exchange,
-    so the whole operator is a single shuffle regardless of scale. The
-    streaming twin is F.session_window (see streaming/pipeline.py).
+    (streaming/consumer.py:128-179) and never groups them. Thin caller
+    over the phase-8 library: ``operators.sessionops.sessionize`` owns
+    the lag-flag + running-sum construction (one hash shuffle on user_id
+    feeds both window passes AND the (user_id, sess_no) rollup — a
+    prefix of the same key, so the whole operator is a single shuffle
+    regardless of scale). The streaming twin is F.session_window (see
+    streaming/pipeline.py).
     """
     ev = table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = _us("ts") - F.lag(_us("ts")).over(w)
-    flagged = ev.withColumn(
-        "new_sess", F.when(gap.isNull() | (gap > SESSION_GAP_SECONDS * 1_000_000), 1).otherwise(0)
-    )
-    numbered = flagged.withColumn(
-        "sess_no", F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    numbered = sessionops.sessionize(
+        ev, "user_id", "ts", SESSION_GAP_SECONDS, order_cols=("ts", "event_id")
     )
     return (
         numbered.groupBy(
@@ -246,37 +243,22 @@ def a_funnel_signup_view_purchase(spark: SparkSession, sf_dir: str) -> DataFrame
     the product-analytics sequence query the reference's dashboards can't
     ask (every endpoint aggregates one event type at a time).
 
-    Each stage is a groupBy(user_id) min plus a join back to events on the
-    SAME key, so all three stages ride one user_id hash partitioning and
-    the per-stage state is one timestamp per user. The event table is
+    Thin caller over the phase-8 library:
+    ``operators.sessionops.funnel_counts`` owns the first-touch stage
+    chain — each stage a groupBy(user_id) min plus a join back on the
+    SAME key, so all stages ride one user_id hash partitioning and the
+    per-stage state is one timestamp per user; the event table is
     scanned per stage but filtered to one type at the scan (pushed
-    predicate), never materialized per pair — at 100 TB this is 3 pruned
-    scans + co-partitioned joins, no window over the full stream.
+    predicate) — at 100 TB this is 3 pruned scans + co-partitioned
+    joins, no window over the full stream. The N-stage/repeated-type
+    knobs are proven by a_funnel_reengagement (drafts_r16).
     """
     ev = table(spark, sf_dir, "events")
-
-    def stage(prev: DataFrame | None, etype: str, prev_ts: str, out_ts: str) -> DataFrame:
-        src = ev.filter(F.col("event_type") == etype)
-        if prev is not None:
-            src = src.join(prev, "user_id").filter(F.col("ts") >= F.col(prev_ts))
-        return src.groupBy("user_id").agg(F.min("ts").alias(out_ts))
-
-    s = stage(None, "signup", "", "s_ts")
-    v = stage(s, "view", "s_ts", "v_ts")
-    p = stage(v, "purchase", "v_ts", "p_ts")
-    counts = [
-        s.agg(F.count("*").alias("n_users")).select(F.lit("1_signup").alias("stage"), "n_users"),
-        v.agg(F.count("*").alias("n_users")).select(
-            F.lit("2_view_after_signup").alias("stage"), "n_users"
-        ),
-        p.agg(F.count("*").alias("n_users")).select(
-            F.lit("3_purchase_after_view").alias("stage"), "n_users"
-        ),
-    ]
-    out = counts[0]
-    for c in counts[1:]:
-        out = out.unionByName(c)
-    return out
+    return sessionops.funnel_counts(
+        ev, "user_id", "ts", "event_type",
+        stages=("signup", "view", "purchase"),
+        labels=("1_signup", "2_view_after_signup", "3_purchase_after_view"),
+    )
 
 
 @register(
@@ -363,37 +345,23 @@ def a_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     the cohort week itself) — the canonical product-analytics workload the
     reference's one-aggregate-at-a-time dashboards cannot express.
 
-    Plan shape: first-seen is one groupBy(user_id); the activity join
-    rides the same user_id key (co-partitioned, no extra exchange of the
-    fact); DISTINCT collapses (user, cohort, offset) before the final
-    count so the last shuffle carries at most |users|·|weeks| rows. Week
-    arithmetic uses date_trunc + epoch microseconds so engine and oracle
-    bucket identically under the UTC-pinned session.
+    Thin caller over the phase-8 library:
+    ``operators.sessionops.cohort_retention`` (week granularity,
+    signup-opened cohorts) owns the plan — first-seen is one
+    groupBy(user_id); the activity join rides the same user_id key
+    (co-partitioned, no extra exchange of the fact); DISTINCT collapses
+    (user, cohort, offset) before the final count so the last shuffle
+    carries at most |users|·|weeks| rows. Week arithmetic uses
+    date_trunc + epoch microseconds so engine and oracle bucket
+    identically under the UTC-pinned session; the calendar-month
+    integer-arithmetic knob is proven by a_cohort_retention_matrix
+    (drafts_r6), which is the same library call at granularity="month".
     """
     ev = table(spark, sf_dir, "events")
-    cohorts = (
-        ev.filter(F.col("event_type") == "signup")
-        .groupBy("user_id")
-        .agg(F.date_trunc("week", F.min("ts")).alias("cohort_week"))
+    return sessionops.cohort_retention(
+        ev, "user_id", "ts", granularity="week", cohort_types=("signup",),
+        label_fmt=_ISO,
     )
-    week_us = 7 * 86400 * 1_000_000
-    activity = (
-        ev.join(cohorts, "user_id")
-        .filter(F.col("ts") >= F.col("cohort_week"))
-        .select(
-            "user_id",
-            "cohort_week",
-            F.floor(
-                (_us(F.date_trunc("week", F.col("ts"))) - _us("cohort_week")) / week_us
-            )
-            .cast("long")
-            .alias("week_offset"),
-        )
-        .distinct()
-    )
-    return activity.groupBy(
-        F.date_format("cohort_week", _ISO).alias("cohort_week"), "week_offset"
-    ).agg(F.count("*").alias("active_users"))
 
 
 @register(
@@ -418,24 +386,22 @@ def a_latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Latest-state-per-key (CDC latest-wins compaction): each user's most
     recent event, total order (ts, event_id).
 
-    Implemented as a struct-MAX aggregation — max of (ts, event_id,
-    payload) structs compares lexicographically, so ONE hash aggregate
-    with map-side partial combining replaces the window+filter plan
-    (which would sort every partition). This is the primitive behind
-    snapshotting a change stream into current state at 100 TB: shuffle
-    carries one struct per (partial) key, not the event history. The
-    oracle states the same semantics as row_number() = 1.
+    Thin caller over the phase-8 library:
+    ``operators.sessionops.latest_state`` owns the struct-MAX
+    aggregation — max of (ts, event_id, payload) structs compares
+    lexicographically, so ONE hash aggregate with map-side partial
+    combining replaces the window+filter plan (which would sort every
+    partition). This is the primitive behind snapshotting a change
+    stream into current state at 100 TB: shuffle carries one struct per
+    (partial) key, not the event history. The oracle states the same
+    semantics as row_number() = 1.
     """
     ev = table(spark, sf_dir, "events")
-    latest = ev.groupBy(F.col("user_id").cast("long").alias("user_id")).agg(
-        F.max(
-            F.struct(
-                F.col("ts"),
-                F.col("event_id").cast("long").alias("event_id"),
-                F.col("event_type"),
-                F.col("value"),
-            )
-        ).alias("s")
+    latest = sessionops.latest_state(
+        ev,
+        keys=(F.col("user_id").cast("long").alias("user_id"),),
+        order_cols=(F.col("ts"), F.col("event_id").cast("long").alias("event_id")),
+        payload_cols=(F.col("event_type"), F.col("value")),
     )
     return latest.select(
         "user_id",
@@ -490,38 +456,29 @@ def scd2_state_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     needs for leakage-free point-in-time features, cf. j11/
     pointintime_enriched_stream).
 
-    Scale shape: ONE hash exchange on user_id serves both windows and
-    the run-collapse aggregate (run_id is a running sum over the same
-    sort; groupBy(user_id, run_id) is satisfied by the user_id
-    partitioning; the validity-interval lead rides the same exchange).
-    Ties on ts break on event_id, so versions are total-ordered and
-    deterministic on any cluster layout.
+    Thin caller over the phase-8 library:
+    ``operators.sessionops.scd2_intervals`` owns the run-collapse —
+    ONE hash exchange on user_id serves both windows and the aggregate
+    (the run id is the sessionize construction keyed on state change;
+    groupBy(user_id, run_id) is satisfied by the user_id partitioning;
+    the validity-interval lead rides the same exchange). Ties on ts
+    break on event_id, so versions are total-ordered and deterministic
+    on any cluster layout; this query formats validity to epoch
+    microseconds at the presentation edge.
     """
     ev = table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    changed = (
-        F.lag("event_type").over(w).isNull()
-        | (F.lag("event_type").over(w) != F.col("event_type"))
-    ).cast("int")
-    numbered = ev.select("user_id", "ts", "event_id", "event_type").withColumn(
-        "run_id",
-        F.sum(changed).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    runs = sessionops.scd2_intervals(
+        ev.select("user_id", "ts", "event_id", "event_type"),
+        "user_id", "ts", "event_type", order_cols=("ts", "event_id"),
     )
-    runs = numbered.groupBy("user_id", "run_id").agg(
-        F.min("event_type").alias("state"),
-        F.min("ts").alias("vf"),
-        F.count("*").alias("n_events"),
-    )
-    w2 = Window.partitionBy("user_id").orderBy("run_id")
-    nxt = F.lead("vf").over(w2)
     return runs.select(
         F.col("user_id").cast("long").alias("user_id"),
-        F.col("run_id").cast("long").alias("version"),
+        F.col("version").cast("long").alias("version"),
         "state",
-        _us("vf").alias("valid_from_us"),
-        _us(nxt).alias("valid_to_us"),
+        _us("valid_from").alias("valid_from_us"),
+        _us("valid_to").alias("valid_to_us"),
         F.col("n_events").cast("long").alias("n_events"),
-        nxt.isNull().alias("is_current"),
+        "is_current",
     )
 
 
