@@ -51,7 +51,11 @@ _SHAPES = {
     # bucket join, per-group top-4 window, per-query top-3 window — the
     # naive quadratic-in-clones self-join (x26.86 at 20x replication) is
     # gone (x0.81 after); +0.4s on a clone-free corpus is the price
-    "ann_lsh_bucket_topk": (3, 3, 5, 0),
+    # r13 block-matmul: rep-vectors exchange ONCE on bucket into the
+    # applyInPandas BLAS kernel (O(members) through Arrow, not O(pairs)
+    # interpreted HOF dots — 2.9s pair subtree -> matmul); the former
+    # broadcast pair join becomes the bucket exchange + expansion joins
+    "ann_lsh_bucket_topk": (5, 2, 4, 0),
     "text_quality_scores": (0, 0, 0, 0),
     "text_tfidf_top_terms": (4, 1, 2, 0),  # +1: spread()
     "text_chunk_sliding": (0, 0, 0, 0),
@@ -61,7 +65,11 @@ _SHAPES = {
     # r10 promotions (VERDICT r9 #7): pins mirror the audited shapes at
     # promotion time (test_draft_plan_shapes carried j21/profiler earlier)
     "a_approx_distinct_check": (2, 0, 0, 0),
-    "diag_table_profiler": (1, 0, 0, 0),
+    # r13: one union leg per column (single-column scans), each leg a
+    # distinct-collapse + 1-row rollup joined by broadcast-nested-loop —
+    # 6 distinct-value exchanges replace the Expand-based 6-way mixed
+    # multi-distinct whose interpreted aggregation cost ~5x (3.2s->0.5s)
+    "diag_table_profiler": (6, 6, 0, 0),
     "j21_association_rules": (5, 6, 0, 2),
     "g_bfs_recursive_native": (1, 0, 0, 0),
     # r13 heavyweight promotions (audited at promotion time)
@@ -100,7 +108,9 @@ _SHAPES = {
     # the fact scan reaches the prefilter and verify join broadcast-only
     "j16_bloom_semi_filter": (4, 4, 0, 4),
     "text_unigram_logprob": (3, 1, 0, 0),
-    "mm_png_decode_roundtrip": (2, 0, 0, 0),  # +1: spread() before the encode kernel
+    # r13: encode+decode kernels fused into ONE mapInPandas (no hash
+    # exchange at all — spread() is round-robin, not counted)
+    "mm_png_decode_roundtrip": (0, 0, 0, 0),
     "sample_token_budget_fill": (1, 0, 1, 0),
     # single-pass funnel: fp-window + source-window exchanges only
     "pipeline_corpus_curation": (2, 0, 2, 0),
@@ -177,8 +187,12 @@ _SHAPES = {
     # skyline via day-collapse + day-spine suffix-max + broadcast join —
     # the pin that keeps the x35-at-20x two-phase row-window form out
     "o7_pareto_front_orders": (1, 1, 1, 0),
-    # kernel fingerprints, band-keyed candidate join, hamming verify
-    "mm_ahash_near_dup_pairs": (2, 1, 0, 1),
+    # kernel fingerprints, band-keyed candidate join, hamming verify.
+    # r13: fingerprint frame pinned (kernel evaluated once, not once per
+    # join side), so the visible plan starts at a checkpointed RDD — the
+    # pushed-filter scan lives inside the pin now (floor 0), and the
+    # redundant spread()+repartition double exchange is gone
+    "mm_ahash_near_dup_pairs": (1, 1, 0, 0),
     # multi-stage curation funnel: quality/langid/dedup/pack stages each
     # keyed on their own column — 9 exchanges is the honest price, every
     # small side broadcast

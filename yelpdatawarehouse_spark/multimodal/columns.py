@@ -149,17 +149,19 @@ def _resize_real(image_mod, b: bytes, width: int, height: int):
         return None
 
 
-def decode_image_features(media_df: DataFrame, strict: bool = False) -> DataFrame:
-    """Decode + feature-extract over binary payloads via mapInPandas.
+def image_features_kernel(strict: bool = False):
+    """The decode+feature-extract batch kernel as a standalone
+    ``Iterator[pd.DataFrame(doc_id, payload)] →
+    Iterator[pd.DataFrame(doc_id, width, height, features)]`` generator
+    function (schema: ``IMAGE_FEATURES_SCHEMA``).
 
-    Kernel behavior is probed at runtime on the worker: when PIL is
-    importable, payloads are decoded for real (true width/height; features
-    = per-band mean/extrema of an ``_FEATURE_DIM``-bin thumbnail
-    histogram); rows whose bytes aren't a decodable image fall back to the
-    deterministic stub, so mixed corpora and this codec-less container
-    produce the same schema and row count either way. ``strict=True``
-    raises NotImplementedError when NO codec is present instead of
-    stubbing (the production switch).
+    Exposed separately from :func:`decode_image_features` so callers that
+    already run a Python stage producing payloads can COMPOSE the two
+    generators inside ONE ``mapInPandas`` worker instead of chaining two
+    Python stages: a chained pair costs a second JVM↔Python Arrow
+    round-trip of every payload byte and doubles the per-task Python
+    worker count (2 workers x n tasks — measured as a multi-second
+    worker-spawn storm on the bench; optimization guide §4.1).
     """
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -181,9 +183,30 @@ def decode_image_features(media_df: DataFrame, strict: bool = False) -> DataFram
                 out["features"].append(feats)
             yield pd.DataFrame(out)
 
+    return kernel
+
+
+# Public alias of the kernel's output schema for composing callers.
+IMAGE_FEATURES_SCHEMA = _DECODE_SCHEMA
+
+
+def decode_image_features(media_df: DataFrame, strict: bool = False) -> DataFrame:
+    """Decode + feature-extract over binary payloads via mapInPandas.
+
+    Kernel behavior is probed at runtime on the worker: when PIL is
+    importable, payloads are decoded for real (true width/height; features
+    = per-band mean/extrema of an ``_FEATURE_DIM``-bin thumbnail
+    histogram); rows whose bytes aren't a decodable image fall back to the
+    deterministic stub, so mixed corpora and this codec-less container
+    produce the same schema and row count either way. ``strict=True``
+    raises NotImplementedError when NO codec is present instead of
+    stubbing (the production switch).
+    """
     cols = media_df.select("doc_id", "payload")
     # hash-repartition so payload-size skew can't create straggler tasks
-    return cols.repartition(F.col("doc_id")).mapInPandas(kernel, _DECODE_SCHEMA)
+    return cols.repartition(F.col("doc_id")).mapInPandas(
+        image_features_kernel(strict), _DECODE_SCHEMA
+    )
 
 
 _RESIZE_SCHEMA = S.StructType(

@@ -67,18 +67,12 @@ def decode_wav_pcm16(data: bytes) -> tuple[int, list[int]]:
     return rate, list(struct.unpack(f"<{n}h", raw))
 
 
-def decode_audio_features(media_df: DataFrame, payload_col: str = "payload") -> DataFrame:
-    """Arrow-batched mapInPandas audio feature extraction: decode each WAV
-    payload and emit (doc_id, sample_rate, n_samples, rms, peak,
-    zero_crossings). Per-task memory is one record batch; payload bytes
-    never leave the executor."""
-    import math
-
-    import numpy as np
-    import pandas as pd
+def audio_features_schema():
+    """Output schema of :func:`audio_features_kernel` (for composing
+    callers that run the kernel inside their own ``mapInPandas``)."""
     from pyspark.sql import types as S
 
-    schema = S.StructType(
+    return S.StructType(
         [
             S.StructField("doc_id", S.LongType()),
             S.StructField("sample_rate", S.LongType()),
@@ -88,6 +82,19 @@ def decode_audio_features(media_df: DataFrame, payload_col: str = "payload") -> 
             S.StructField("zero_crossings", S.LongType()),
         ]
     )
+
+
+def audio_features_kernel(payload_col: str = "payload"):
+    """The WAV decode+feature batch kernel as a standalone generator
+    function — exposed (like ``columns.image_features_kernel``) so a
+    payload-producing Python stage can compose with it in ONE worker
+    instead of paying a second JVM↔Python round-trip of every payload
+    byte plus a doubled per-task worker count (optimization guide §4.1).
+    """
+    import math
+
+    import numpy as np
+    import pandas as pd
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -119,4 +126,14 @@ def decode_audio_features(media_df: DataFrame, payload_col: str = "payload") -> 
                 )
             yield pd.DataFrame(out)
 
-    return media_df.mapInPandas(kernel, schema)
+    return kernel
+
+
+def decode_audio_features(media_df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Arrow-batched mapInPandas audio feature extraction: decode each WAV
+    payload and emit (doc_id, sample_rate, n_samples, rms, peak,
+    zero_crossings). Per-task memory is one record batch; payload bytes
+    never leave the executor."""
+    return media_df.mapInPandas(
+        audio_features_kernel(payload_col), audio_features_schema()
+    )

@@ -768,9 +768,17 @@ def mm_ahash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from ..multimodal.columns import attach_fake_media, perceptual_ahash
 
-    docs = spread(table(spark, sf_dir, "documents"))
+    # r13: no spread() — perceptual_ahash already hash-repartitions by
+    # doc_id, so the round-robin rebalance was a second back-to-back
+    # exchange of the payload bytes (guide §2.4). The fingerprint frame is
+    # pinned because BOTH sides of the band self-join consume it: without
+    # the pin the plan evaluated the whole scan→exchange→Python-kernel
+    # subtree twice (one per side — exchange reuse cannot fire across a
+    # BroadcastExchange boundary); with it the kernel runs once and the
+    # join reads the node-scale (doc_id, ahash) frame.
+    docs = table(spark, sf_dir, "documents")
     media = attach_fake_media(docs).filter(F.octet_length("payload") > 0)
-    hashes = perceptual_ahash(media)
+    hashes = perceptual_ahash(media).localCheckpoint()
     bands = hashes.select(
         "doc_id",
         "ahash",

@@ -854,18 +854,50 @@ def ann_lsh_bucket_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     first4 = gm.filter(F.col("mrn") <= 4).select(
         F.col("gkey").alias("n_gkey"), F.col("vec_id").alias("neighbor_id")
     )
-    a, n = reps.alias("a"), reps.alias("n")
-    cos = V.dot(F.col("a.embedding"), F.col("n.embedding")) / (
-        F.col("a.nrm") * F.col("n.nrm")
-    )
     # rep×rep INCLUDING the self-pair: a group's own members are each
-    # other's (exact-duplicate) candidates; per-query self-exclusion below
-    pairs = a.join(n, F.col("n.bucket") == F.col("a.bucket")).select(
-        F.col("a.gkey").alias("q_gkey"),
-        F.col("n.gkey").alias("n_gkey"),
-        F.col("a.bucket").alias("bucket"),
-        rfix(cos, 6).alias("c6"),
-        rfix(cos, 4).alias("cos_sim"),
+    # other's (exact-duplicate) candidates; per-query self-exclusion below.
+    # r13 BLOCK-MATMUL scoring (the r9 dedup_embedding_cosine_pairs move,
+    # guide §4.2): the bucket-keyed HOF self-join paid one interpreted
+    # ~12µs zip_with/aggregate dot per candidate PAIR (~261k pairs at
+    # sf0.1, measured 2.9 s for the pair subtree alone); instead ship each
+    # bucket's MEMBER vectors once through Arrow (O(reps) rows) and score
+    # the whole bucket with one dense numpy matmul. Raw cosines leave
+    # Python; the 6/4-digit rfix canonicalization stays in Spark exactly
+    # as before, absorbing the matmul's last-ulp reassociation the same
+    # way it already absorbs DuckDB's vectorized list_inner_product.
+    import pandas as pd
+
+    def _score_bucket(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import numpy as np
+
+        ma = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+        nr = pdf["nrm"].to_numpy()
+        cos = (ma @ ma.T) / np.outer(nr, nr)
+        k = len(pdf)
+        gk = pdf["gkey"].to_numpy()
+        iq, ine = np.meshgrid(np.arange(k), np.arange(k), indexing="ij")
+        return pd.DataFrame(
+            {
+                "q_gkey": gk[iq.ravel()],
+                "n_gkey": gk[ine.ravel()],
+                "bucket": np.repeat(pdf["bucket"].to_numpy()[0], k * k),
+                "_c": cos.ravel(),
+            }
+        )
+
+    pairs = (
+        reps.select("gkey", "bucket", "embedding", "nrm")
+        .groupBy("bucket")
+        .applyInPandas(
+            _score_bucket, "q_gkey string, n_gkey string, bucket long, _c double"
+        )
+        .select(
+            "q_gkey",
+            "n_gkey",
+            "bucket",
+            rfix(F.col("_c"), 6).alias("c6"),
+            rfix(F.col("_c"), 4).alias("cos_sim"),
+        )
     )
     gw = Window.partitionBy("q_gkey").orderBy(F.desc("c6"), F.asc("neighbor_id"))
     top4 = (

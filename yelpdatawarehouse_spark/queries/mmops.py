@@ -159,16 +159,9 @@ def mm_png_decode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from collections.abc import Iterator
 
     import pandas as pd
-    from pyspark.sql import types as S
 
+    from ..multimodal.columns import IMAGE_FEATURES_SCHEMA, image_features_kernel
     from ..multimodal.png import encode_png_gray
-
-    schema = S.StructType(
-        [
-            S.StructField("doc_id", S.LongType()),
-            S.StructField("payload", S.BinaryType()),
-        ]
-    )
 
     def make_png(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -180,10 +173,21 @@ def mm_png_decode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                 payloads.append(encode_png_gray(w, h, bytes([gray]) * (w * h)))
             yield pd.DataFrame({"doc_id": ids, "payload": payloads})
 
+    # r13 fusion (guide §4.1/§8): the same two batch kernels as before,
+    # COMPOSED inside ONE mapInPandas worker. The chained two-stage form
+    # shipped every payload byte JVM→Python→JVM→Python and needed 2 Python
+    # workers per task (a measured multi-second worker-spawn storm on the
+    # bench); the fused form moves payload bytes zero times and the plan
+    # drops both the second MapInPandas and the payload-carrying
+    # repartition exchange. Row-wise outputs are identical by construction.
+    decode = image_features_kernel()
+
+    def synth_and_decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        yield from decode(make_png(batches))
+
     base = table(spark, sf_dir, "documents")
     docs = spread(inherit_scan_key(base.select(F.col("doc_id").cast("long")), base))
-    media = docs.mapInPandas(make_png, schema)
-    decoded = decode_image_features(media)
+    decoded = docs.mapInPandas(synth_and_decode, IMAGE_FEATURES_SCHEMA)
     return decoded.select(
         "doc_id",
         F.col("width").cast("long").alias("width"),
@@ -279,15 +283,11 @@ def mm_wav_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from collections.abc import Iterator
 
     import pandas as pd
-    from pyspark.sql import types as S
 
-    from ..multimodal.wav import decode_audio_features, encode_wav_pcm16
-
-    schema = S.StructType(
-        [
-            S.StructField("doc_id", S.LongType()),
-            S.StructField("payload", S.BinaryType()),
-        ]
+    from ..multimodal.wav import (
+        audio_features_kernel,
+        audio_features_schema,
+        encode_wav_pcm16,
     )
 
     def make_wav(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -305,10 +305,17 @@ def mm_wav_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                 payloads.append(encode_wav_pcm16(samples, sample_rate=8000))
             yield pd.DataFrame({"doc_id": ids, "payload": payloads})
 
+    # r13 fusion (guide §4.1/§8): compose encode + decode kernels in ONE
+    # mapInPandas worker — same rationale and same row-identical outputs
+    # as mm_png_decode_roundtrip's fusion (see that query's comment).
+    decode = audio_features_kernel()
+
+    def synth_and_decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        yield from decode(make_wav(batches))
+
     base = table(spark, sf_dir, "documents")
     docs = spread(inherit_scan_key(base.select(F.col("doc_id").cast("long")), base))
-    media = docs.mapInPandas(make_wav, schema)
-    decoded = decode_audio_features(media)
+    decoded = docs.mapInPandas(synth_and_decode, audio_features_schema())
     return decoded.select(
         "doc_id",
         "sample_rate",

@@ -53,12 +53,23 @@ def a_approx_distinct_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixed-width buffer per group, so the exchange carries ~4 KB per
     (group × partition) instead of one row per distinct key. The exact
     column here is the verification harness, not the scale path.
+
+    r13 shape: the exact and sketch legs aggregate over the DISTINCT
+    (priority, custkey) pairs — one partial-aggregated pair collapse, then
+    a plain count plus the HLL. Value-identical to the old single mixed
+    countDistinct+HLL aggregate (an HLL sketch is a set function: register
+    state is a max over hashed values, so duplicates cannot move it —
+    verified bit-identical at sf0.1), but the plan loses the Expand-based
+    mixed-distinct rewrite, whose interpreted multi-phase HLL merge made
+    the combined aggregate 3.4 s where the two legs alone cost 0.4 s + 1.0 s
+    (guide §1.2/§2.3: measured 3.44 s -> 0.98 s at sf0.1).
     """
     o = table(spark, sf_dir, "orders")
+    pairs = o.select("o_orderpriority", "o_custkey").distinct()
     return (
-        o.groupBy("o_orderpriority")
+        pairs.groupBy("o_orderpriority")
         .agg(
-            F.countDistinct("o_custkey").alias("exact_uniques"),
+            F.count("*").alias("exact_uniques"),
             F.approx_count_distinct("o_custkey", 0.01).alias("hll"),
         )
         .select(
