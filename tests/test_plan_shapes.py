@@ -70,10 +70,18 @@ _SHAPES = {
     # 6 distinct-value exchanges replace the Expand-based 6-way mixed
     # multi-distinct whose interpreted aggregation cost ~5x (3.2s->0.5s)
     "diag_table_profiler": (6, 6, 0, 0),
-    "j21_association_rules": (5, 6, 0, 2),
+    # r13 basket shape: ONE order-keyed collect_set exchange + in-task
+    # pair expansion replaces the distinct + self-join (4 fact-distinct
+    # subtree evaluations -> 1); the pushed-filter floor drops to 0
+    # because the old plan's pushed isnotnull came from the self-join
+    # keys — the basket aggregate needs no scan predicate
+    "j21_association_rules": (4, 5, 0, 0),
     "g_bfs_recursive_native": (1, 0, 0, 0),
     # r13 heavyweight promotions (audited at promotion time)
-    "dedup_minhash_highrecall_pr_eval": (4, 9, 0, 6),
+    # r13 metric assembly: one flagged full_outer join + single aggregate
+    # replaces three aggregates + a hit join — the truth/candidate
+    # subtrees (whose panel dims were 5 of the 9 broadcasts) run once
+    "dedup_minhash_highrecall_pr_eval": (4, 4, 0, 6),
     "emb_anisotropy_stats": (0, 0, 0, 0),
     "dedup_simhash_banded_pairs": (1, 3, 0, 1),
     # r12 knob-proof registrations: pagerank's 3 iterations are 3 dst
@@ -194,14 +202,21 @@ _SHAPES = {
     # redundant spread()+repartition double exchange is gone
     "mm_ahash_near_dup_pairs": (1, 1, 0, 0),
     # multi-stage curation funnel: quality/langid/dedup/pack stages each
-    # keyed on their own column — 9 exchanges is the honest price, every
-    # small side broadcast
-    "pipeline_curation_v2": (9, 6, 2, 2),
-    # codebook broadcast onto the ADC scan; per-query top-k window
-    "ann_pq_adc_topk": (2, 1, 1, 2),
+    # keyed on their own column, every small side broadcast. r13: the
+    # raw/target DSIR histograms collapse to ONE conditional-count
+    # groupBy (8 exchanges, the bucket re-join and its broadcast gone)
+    "pipeline_curation_v2": (8, 4, 2, 1),
+    # codebook broadcast onto the ADC scan; per-query top-k window.
+    # r13: code assignment is ONE Arrow mapInPandas (numpy matmul per
+    # subspace) — the m·(K+1) interpreted HOF-dot projection and its
+    # pushed isnotnull(embedding) scan predicate live inside the opaque
+    # kernel's select now (pushed floor 2 -> 1)
+    "ann_pq_adc_topk": (2, 1, 1, 1),
     # candidate/truth panels and per-band dims ride broadcasts;
-    # precision/recall rollups are key-sized
-    "dedup_minhash_pr_eval": (4, 9, 0, 6),
+    # precision/recall rollups are key-sized. r13 metric assembly: one
+    # flagged full_outer join + single aggregate — each subtree runs
+    # once, dropping the duplicated panel broadcasts (9 -> 4)
+    "dedup_minhash_pr_eval": (4, 4, 0, 6),
     # --- round-8 headline promotions ---
     # 3 greedy rounds: token-set joins against 1-doc broadcasts only —
     # never a pool×pool similarity join
@@ -216,11 +231,16 @@ _SHAPES = {
     # fact join is inside the eager edge pin; every post-pin exchange is
     # node-sized (nations²), score frames broadcast into the edge joins
     "g_hits_two_rounds": (10, 8, 0, 0),
-    # two custkey aggs build durations; gap-day-spine windows only
-    "a_survival_hazard_curve": (5, 5, 2, 2),
-    # interval agg + delta collapse are the fact exchanges; day-spine
-    # prefix window; by_day broadcast onto the spine
-    "a_open_orders_per_day": (4, 4, 1, 4),
+    # r13: ONE custkey collect_set agg yields d1 AND d2 (was two fact
+    # aggs + join), and the calendar-bounded by_t frame is pinned — the
+    # visible plan is the spine windows over the checkpoint (n_total
+    # derived from by_t, broadcast); fact exchanges run inside the pin
+    "a_survival_hazard_curve": (0, 1, 2, 0),
+    # r13: intervals explode into both delta rows in-task (union of two
+    # subtree evaluations gone) and the calendar-bounded by_day frame is
+    # pinned — visible plan is the prefix window + bounds broadcast over
+    # the checkpoint; the interval join/aggregate runs inside the pin
+    "a_open_orders_per_day": (0, 1, 1, 0),
     # rounds are checkpoint-pinned (labels broadcast inside each round);
     # the final plan is one node-keyed rollup over the pinned labels
     "g_label_propagation_communities": (1, 0, 0, 0),
@@ -242,8 +262,10 @@ _SHAPES = {
     "j23_late_orders_q4": (1, 1, 0, 2),
     # --- round-10 headline promotions ---
     # assignment behind the pin; ADC tables + query cells ride broadcasts;
-    # one (query, neighbor) exchange; per-query top-k window
-    "ann_ivfpq_topk": (1, 3, 1, 2),
+    # one (query, neighbor) exchange; per-query top-k window. r13: Arrow
+    # code assignment folds the pushed isnotnull(embedding) of the old
+    # HOF-dot encode into the kernel's select (pushed floor 2 -> 1)
+    "ann_ivfpq_topk": (1, 3, 1, 1),
     # exact_global_rank (range exchange + 2 bounded windows + offsets
     # broadcast) + ONE rank-keyed neighbor join; no cross join
     # r8: exact_global_rank pins its ranged frame (operators/ranks.py) —
@@ -251,8 +273,11 @@ _SHAPES = {
     "dedup_sorted_neighborhood": (4, 3, 4, 0),
     # --- r10-cohort promotions after driver verification (VERDICT r7 #6) ---
     # truth = panel-bounded shared-token join; candidate side is the SNM
-    # query (rank exchange + neighbor join); metrics are 1-row broadcasts
-    "dedup_snm_recall_eval": (10, 13, 8, 4),
+    # query (rank exchange + neighbor join). r13 metric assembly: one
+    # flagged full_outer join + single aggregate — truth AND candidate
+    # subtrees (each formerly evaluated twice, with their panel
+    # broadcasts and rank windows) now run once
+    "dedup_snm_recall_eval": (6, 6, 4, 4),
     # ONE K-way ranking pass yields db assignment AND probe list from the
     # same pinned window; candidates cell-keyed; truth panel-broadcast
     "ann_ivf_nprobe2_recall": (5, 4, 1, 2),

@@ -109,6 +109,33 @@ def test_audio_kernel_composition_matches_two_stage():
     assert (a["n_samples"].to_numpy() == (32 + a["doc_id"].to_numpy() % 97)).all()
 
 
+def test_pq_arrow_codes_match_expression_encode(spark):
+    # encode_codes_arrow (numpy matmul argmin) must produce EXACTLY the
+    # codes of the expression path (HOF-dot argmin, ties to lower cid)
+    # for every vector — the equivalence the ADC queries rely on.
+    import numpy as np
+
+    from yelpdatawarehouse_spark.operators.pq import train_pq
+
+    rng = [(i, [float(((i * 37 + j * 13) % 29) - 14) / 7.0 for j in range(16)])
+           for i in range(60)]
+    emb = spark.createDataFrame(rng, "vec_id LONG, embedding ARRAY<DOUBLE>")
+    model = train_pq(emb, m=4, k=5, max_iters=0)
+    expr = {r["vec_id"]: list(r["codes"])
+            for r in model.encode(emb).select("vec_id", "codes").collect()}
+    arrow = {r["vec_id"]: list(r["codes"])
+             for r in model.encode_codes_arrow(emb).collect()}
+    assert expr == arrow and len(arrow) == 60
+
+
+def test_pq_arrow_codes_empty_model(spark):
+    from yelpdatawarehouse_spark.operators.pq import PQModel
+
+    empty = PQModel(m=4, dim=0, codebooks=[{} for _ in range(4)])
+    emb = spark.createDataFrame([], "vec_id LONG, embedding ARRAY<DOUBLE>")
+    assert empty.encode_codes_arrow(emb).count() == 0
+
+
 def test_hll_is_a_set_function(spark):
     # The a_approx_distinct_check rewrite feeds the HLL deduplicated
     # (group, key) pairs; the sketch value must be bit-identical to the

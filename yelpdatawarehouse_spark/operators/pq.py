@@ -79,6 +79,68 @@ class PQModel:
             F.greatest(err_col, F.lit(0.0)).alias("sq_err"),
         )
 
+    def encode_codes_arrow(self, emb: DataFrame, emb_col: str = "embedding",
+                           id_col: str = "vec_id") -> DataFrame:
+        """(id, codes array<int>) via ONE Arrow ``mapInPandas`` pass — the
+        r13 fast path for consumers that need only the CODES (the ADC
+        query stage): the expression path runs m·(K+1) interpreted
+        zip_with/aggregate HOF dots per row (CodegenFallback, ~12-30µs
+        each — the vectors.py kernel-economics note), while this kernel
+        scores each subspace against its whole codebook with one dense
+        numpy matmul. No shuffle, no per-row Python; the embedding column
+        crosses the boundary once, batched.
+
+        Equivalence to ``encode()``'s codes: the argmin compares
+        ‖x_j‖² + ‖c‖² − 2·x_j·c exactly as the expression path does, and
+        ``np.argmin`` returns the FIRST minimum over the ascending-cid
+        centroid rows — the same ties-to-lower-cid rule. Summation order
+        inside each dot differs in the last ulp, which can only matter
+        when two centroids are equidistant to sub-ulp precision — the
+        codebooks are distinct seed vectors, and the agreement is pinned
+        by tests (exact code equality vs encode()) plus every consuming
+        query's DuckDB-oracle hash. sq_err consumers stay on encode()."""
+        if not all(self.codebooks):
+            return emb.sparkSession.createDataFrame(
+                [], f"{id_col} LONG, codes ARRAY<INT>"
+            )
+        books = [
+            [(int(cid), [float(x) for x in self.codebooks[j][cid]])
+             for cid in sorted(self.codebooks[j])]
+            for j in range(self.m)
+        ]
+        m, sub = self.m, self.sub_dim
+
+        def kernel(batches):
+            import numpy as np
+            import pandas as pd
+
+            cids = [np.array([cid for cid, _ in b], dtype=np.int32)
+                    for b in books]
+            cents = [np.array([v for _, v in b], dtype=np.float64)
+                     for b in books]
+            c2 = [(c * c).sum(axis=1) for c in cents]
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                x = np.stack(pdf[emb_col].to_numpy()).astype(np.float64)
+                per_sub = []
+                for j in range(m):
+                    xj = x[:, j * sub:(j + 1) * sub]
+                    d2 = (
+                        (xj * xj).sum(axis=1)[:, None]
+                        + c2[j][None, :]
+                        - 2.0 * (xj @ cents[j].T)
+                    )
+                    per_sub.append(cids[j][np.argmin(d2, axis=1)])
+                stacked = np.stack(per_sub, axis=1)
+                yield pd.DataFrame(
+                    {id_col: pdf[id_col], "codes": list(stacked)}
+                )
+
+        return emb.select(id_col, emb_col).mapInPandas(
+            kernel, f"{id_col} LONG, codes ARRAY<INT>"
+        )
+
 
 def train_pq(
     emb: DataFrame,

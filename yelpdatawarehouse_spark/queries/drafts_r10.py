@@ -1086,8 +1086,11 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(
             [], "query_id LONG, neighbor_id LONG, rank LONG, adc_dist DOUBLE"
         )
+    # r13: Arrow code assignment (guide §4.2; equivalence note at
+    # operators/pq.encode_codes_arrow) — drops 36 interpreted HOF dots
+    # per vector from the encode projection.
     codes = (
-        model.encode(e)
+        model.encode_codes_arrow(e)
         .select("vec_id", F.posexplode("codes").alias("j", "cid"))
         .join(assign, "vec_id")
     )
@@ -1619,11 +1622,20 @@ def dedup_snm_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("doc_a") < SNM_EVAL_PANEL)
     )
-    hit = truth.join(cand, ["doc_a", "doc_b"])
+    # r13 metric assembly: one flagged full-outer join + one aggregate
+    # instead of three aggregates + a hit join (which evaluated the truth
+    # subtree twice and the SNM candidate subtree — including its rank
+    # join above the pinned ranged frame — twice). Counts identical: both
+    # frames are pair-unique (truth groupBy'd; SNM emits each (a,b) once
+    # because ranks are unique and rn_a < rn_b).
     m = (
-        truth.agg(F.count("*").alias("n_true"))
-        .crossJoin(F.broadcast(cand.agg(F.count("*").alias("n_cand"))))
-        .crossJoin(F.broadcast(hit.agg(F.count("*").alias("n_hit"))))
+        truth.withColumn("_t", F.lit(1))
+        .join(cand.withColumn("_c", F.lit(1)), ["doc_a", "doc_b"], "full_outer")
+        .agg(
+            F.count("_t").alias("n_true"),
+            F.count("_c").alias("n_cand"),
+            F.count(F.when(F.col("_t").isNotNull() & F.col("_c").isNotNull(), 1)).alias("n_hit"),
+        )
     )
     return m.select(
         F.col("n_true").cast("long").alias("n_true"),

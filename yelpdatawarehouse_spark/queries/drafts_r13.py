@@ -674,11 +674,18 @@ def dedup_minhash_highrecall_pr_eval(spark: SparkSession, sf_dir: str) -> DataFr
     cand = dedup_minhash_lsh_highrecall(spark, sf_dir).filter(
         F.col("doc_a") < _HRPR_PANEL
     )
-    hit = truth.join(cand, ["doc_a", "doc_b"])
+    # r13 metric assembly: one flagged full-outer join + one aggregate
+    # instead of three aggregates + a hit join (which evaluated each of
+    # the truth/candidate subtrees twice) — same rationale and identical
+    # counts as dedup_minhash_pr_eval (both frames pair-unique).
     m = (
-        truth.agg(F.count("*").alias("n_true"))
-        .crossJoin(F.broadcast(cand.agg(F.count("*").alias("n_cand"))))
-        .crossJoin(F.broadcast(hit.agg(F.count("*").alias("n_hit"))))
+        truth.withColumn("_t", F.lit(1))
+        .join(cand.withColumn("_c", F.lit(1)), ["doc_a", "doc_b"], "full_outer")
+        .agg(
+            F.count("_t").alias("n_true"),
+            F.count("_c").alias("n_cand"),
+            F.count(F.when(F.col("_t").isNotNull() & F.col("_c").isNotNull(), 1)).alias("n_hit"),
+        )
     )
     return m.select(
         F.col("n_true").cast("long").alias("n_true"),

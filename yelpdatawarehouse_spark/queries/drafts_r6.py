@@ -438,11 +438,22 @@ def dedup_minhash_pr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = dedup_minhash_lsh_candidates(spark, sf_dir).filter(
         F.col("doc_a") < _PR_PANEL
     )
-    hit = truth.join(cand, ["doc_a", "doc_b"])
+    # r13 metric assembly (guide §1.2): ONE full-outer join of the two
+    # (unique-pair) frames with membership flags, then a single 1-row
+    # aggregate — the old three-aggregate + hit-join form evaluated the
+    # truth subtree twice and the candidate subtree twice (24 parquet
+    # scans in the before-plan; 2.9s of it duplicated work). Counts are
+    # identical: both frames are pair-unique (truth is groupBy'd, the
+    # banding candidates end in .distinct()), so the join neither drops
+    # nor multiplies rows, and count(flag) ≡ the old per-frame counts.
     m = (
-        truth.agg(F.count("*").alias("n_true"))
-        .crossJoin(F.broadcast(cand.agg(F.count("*").alias("n_cand"))))
-        .crossJoin(F.broadcast(hit.agg(F.count("*").alias("n_hit"))))
+        truth.withColumn("_t", F.lit(1))
+        .join(cand.withColumn("_c", F.lit(1)), ["doc_a", "doc_b"], "full_outer")
+        .agg(
+            F.count("_t").alias("n_true"),
+            F.count("_c").alias("n_cand"),
+            F.count(F.when(F.col("_t").isNotNull() & F.col("_c").isNotNull(), 1)).alias("n_hit"),
+        )
     )
     return m.select(
         F.col("n_true").cast("long").alias("n_true"),
@@ -576,7 +587,11 @@ def pq_adc_distances(spark: SparkSession, sf_dir: str):
     model = train_pq(e, m=_PQ_M, k=_PQ_K, max_iters=0)
     if not all(model.codebooks):
         return None
-    codes = model.encode(e).select(
+    # r13: Arrow code assignment (guide §4.2) — the expression encode ran
+    # m·(K+1)=36 interpreted HOF dots per vector; encode_codes_arrow
+    # scores each subspace codebook with one numpy matmul (code-identical,
+    # see the operator's equivalence note).
+    codes = model.encode_codes_arrow(e).select(
         "vec_id", F.posexplode("codes").alias("j", "cid")
     )
     # per-query distance table: raw ||q_j - c||^2 for every (j, cid) —
@@ -1467,18 +1482,23 @@ def pipeline_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     bk = tokd.select(
         "doc_id", "lang", (H.md5_long("tok") % DSIR_BUCKETS).alias("bucket")
     )
-    tgt = (
-        bk.filter(F.col("lang") == DSIR_TARGET_LANG)
-        .groupBy("bucket")
-        .agg(F.count("*").cast("double").alias("tc"))
+    # r13 (guide §1.2/§2.3): BOTH histograms from ONE pass over the token
+    # stream — the raw count and the target-language count are a single
+    # groupBy(bucket) with a conditional count, replacing two separate
+    # fact-scale aggregations of the same explode subtree plus their
+    # bucket-keyed re-join (16 parquet scans -> fewer; the explode ran 3x,
+    # now 2x). `tc` is NULL when a bucket has no target-language tokens,
+    # matching the old left join's NULL semantics bit-for-bit.
+    hist = bk.groupBy("bucket").agg(
+        F.count("*").cast("double").alias("rc"),
+        F.nullif(
+            F.count(F.when(F.col("lang") == DSIR_TARGET_LANG, 1)).cast("double"),
+            F.lit(0.0),
+        ).alias("tc"),
     )
-    raw = bk.groupBy("bucket").agg(F.count("*").cast("double").alias("rc"))
-    totals = raw.join(tgt, "bucket", "left").agg(
-        F.sum("tc").alias("t_tot"), F.sum("rc").alias("r_tot")
-    )
+    totals = hist.agg(F.sum("tc").alias("t_tot"), F.sum("rc").alias("r_tot"))
     ratio = (
-        raw.join(tgt, "bucket", "left")
-        .crossJoin(F.broadcast(totals))
+        hist.crossJoin(F.broadcast(totals))
         .select(
             "bucket",
             (
@@ -2687,9 +2707,14 @@ def dedup_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = rep_docs.select("gid", F.explode("set_lex").alias("t"))
     freq = tok.groupBy("t").agg(F.count("*").cast("long").alias("f"))
     # Per-representative token set sorted by (corpus frequency, token):
-    # rarest first.
+    # rarest first. r13: freq joins BROADCAST (guide §3.1) — it is
+    # vocab-sized (the same Heaps-law bound the BPE trainer's broadcast
+    # rides), and the broadcast turns the token-stream SMJ (exchange +
+    # sort of every token row) into a map-side hash probe feeding the
+    # gid aggregate directly: measured 2.56 s -> 1.90 s for the
+    # pin+candidate phases at sf0.1.
     by_doc = (
-        tok.join(freq, "t")
+        tok.join(F.broadcast(freq), "t")
         .groupBy("gid")
         .agg(
             F.array_sort(
@@ -2744,16 +2769,23 @@ def dedup_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             "gb",
         )
+        # r13: materialize the intersection size ONCE per candidate —
+        # the single-select form evaluated array_intersect twice per row
+        # (numerator and denominator), doubling the dominant verify cost
+        # (guide §1.2: cheapest work is work not done twice).
+        .select(
+            "ga",
+            "gb",
+            "na",
+            "nb",
+            F.size(F.array_intersect("ta", "tb")).alias("_i"),
+        )
         .select(
             "ga",
             "gb",
             (
-                F.size(F.array_intersect("ta", "tb")).cast("double")
-                / (
-                    F.col("na")
-                    + F.col("nb")
-                    - F.size(F.array_intersect("ta", "tb"))
-                )
+                F.col("_i").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("_i"))
             ).alias("_j"),
         )
         .filter(F.col("_j") >= PPJ_TAU)
@@ -3360,24 +3392,44 @@ def j21_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate. Basket count rides in as a broadcast 1-row aggregate;
     the direction flip is a union of two projections, no second join.
     """
-    li = spread(table(spark, sf_dir, "lineitem"))
-    it = li.select("l_orderkey", "l_partkey").distinct()
-    n = F.broadcast(
-        it.agg(F.countDistinct("l_orderkey").cast("double").alias("n"))
+    li = table(spark, sf_dir, "lineitem")
+    # r13 basket shape (guide §2.3/§3.4; the j5/fuzzy-pairs move applied
+    # for real): ONE order-keyed exchange builds each basket's SORTED
+    # distinct part set (collect_set partial-aggregates map-side), and
+    # the pair candidates expand IN-TASK from the array — the old
+    # distinct + self-join form re-evaluated the fact-distinct subtree
+    # four times (18 parquet scans in the before-plan) and shuffled the
+    # pair probe twice. Basket arrays are ≤7 parts (TPC-H contract), so
+    # the expansion is bounded. The frame is NOT pinned although three
+    # consumers read it (basket count, item supports, pair expansion):
+    # all three sit above the IDENTICAL order-keyed Exchange, so
+    # ReusedExchange shares the shuffle while the stages overlap —
+    # measured 1.7 s unpinned vs 3.3 s with an eager localCheckpoint
+    # (the pin serializes what Spark runs concurrently; same finding as
+    # the r8 pr_eval note). spread() dropped: the groupBy exchange
+    # redistributes anyway (guide §2.4). Equivalence: collect_set ≡
+    # distinct per order; the array is sorted ascending so in-task
+    # (x, y at later index) enumerates exactly the a.partkey < b.partkey
+    # pairs; n = basket count = countDistinct(l_orderkey).
+    baskets = (
+        li.groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("parts"))
+        .select("parts")
     )
-    isup = it.groupBy(F.col("l_partkey").alias("p")).agg(
-        F.count("*").alias("s")
+    n = F.broadcast(baskets.agg(F.count("*").cast("double").alias("n")))
+    isup = (
+        baskets.select(F.explode("parts").alias("p"))
+        .groupBy("p")
+        .agg(F.count("*").alias("s"))
     )
-    a, b = it.alias("a"), it.alias("b")
+    pair_structs = F.expr(
+        "flatten(transform(parts, (x, i) -> "
+        "transform(slice(parts, i + 2, size(parts)), y -> struct(x AS pa, y AS pb))))"
+    )
     pairs = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
-        )
+        baskets.select(F.explode(pair_structs).alias("pr"))
+        .select(F.col("pr.pa").alias("pa"), F.col("pr.pb").alias("pb"))
+        .groupBy("pa", "pb")
         .agg(F.count("*").alias("c"))
         .filter(F.col("c") >= RULE_MIN_SUP)
         .join(isup.select(F.col("p").alias("pa"), F.col("s").alias("sa")), "pa")

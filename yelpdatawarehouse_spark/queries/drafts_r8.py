@@ -189,35 +189,42 @@ def a_survival_hazard_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     (calendar-bounded), including the single-partition cumulative window.
     """
     o = spread(table(spark, sf_dir, "orders"))
-    d1 = o.groupBy("o_custkey").agg(
-        F.min(F.to_date("o_orderdate")).alias("d1")
-    )
-    second = (
-        o.join(d1, "o_custkey")
-        .filter(F.to_date("o_orderdate") > F.col("d1"))
-        .groupBy("o_custkey")
-        .agg(F.min(F.to_date("o_orderdate")).alias("d2"))
+    # r13 (guide §1.2/§2.2): first AND second order date from ONE
+    # customer-keyed aggregate — the distinct order dates collapse to a
+    # sorted set per customer (collect_set partial-aggregates map-side;
+    # per-customer order counts are dimension-bounded), d1 = element 1,
+    # d2 = element 2 (NULL when only one distinct date — exactly "min
+    # date strictly after d1"). The old shape aggregated the fact twice
+    # and joined them (12 parquet scans in the before-plan). The
+    # gap-day frame is calendar-bounded, so it is pinned and n_total is
+    # DERIVED from it (every customer lands in exactly one t bucket, so
+    # n = Σ(d+c)) instead of re-running the fact aggregate a third time.
+    dates = o.groupBy("o_custkey").agg(
+        F.array_sort(F.collect_set(F.to_date("o_orderdate"))).alias("ds")
     )
     horizon = F.broadcast(
         o.agg(F.max(F.to_date("o_orderdate")).alias("h"))
     )
-    durations = (
-        d1.join(second, "o_custkey", "left")
-        .crossJoin(horizon)
-        .select(
-            F.when(
-                F.col("d2").isNotNull(), F.datediff("d2", "d1")
-            )
-            .otherwise(F.datediff("h", "d1"))
-            .alias("t"),
-            F.col("d2").isNotNull().cast("int").alias("is_event"),
+    durations = dates.crossJoin(horizon).select(
+        F.element_at("ds", 1).alias("d1"),
+        # try_: single-date customers have no element 2 -> NULL (censored)
+        F.try_element_at("ds", F.lit(2)).alias("d2"),
+        "h",
+    ).select(
+        F.when(
+            F.col("d2").isNotNull(), F.datediff("d2", "d1")
         )
+        .otherwise(F.datediff("h", "d1"))
+        .alias("t"),
+        F.col("d2").isNotNull().cast("int").alias("is_event"),
     )
     by_t = durations.groupBy("t").agg(
         F.sum("is_event").alias("d"),
         F.sum(F.lit(1) - F.col("is_event")).alias("c"),
+    ).localCheckpoint()
+    n_total = F.broadcast(
+        by_t.agg(F.sum(F.col("d") + F.col("c")).alias("n"))
     )
-    n_total = F.broadcast(durations.agg(F.count("*").alias("n")))
     w_prev = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
     spine = by_t.crossJoin(n_total).select(
         "t",
@@ -669,14 +676,26 @@ def a_open_orders_per_day(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderkey", F.to_date("o_orderdate").alias("d_start"))
         .agg(F.max(F.to_date("l_shipdate")).alias("d_end"))
     )
+    # r13 (guide §1.2/§2.3): EXPLODE each interval into its two delta
+    # rows instead of a union of two projections — the union form
+    # evaluated the whole join+aggregate interval subtree twice (16
+    # parquet scans in the before-plan). Same rows by construction. The
+    # collapsed per-day frame is calendar-bounded (~2.4k rows), so it is
+    # pinned once and its three consumers (bounds, spine join) read the
+    # pin instead of re-running the fact subtree.
     deltas = intervals.select(
-        F.col("d_start").alias("d"), F.lit(1).alias("delta")
-    ).unionByName(
-        intervals.select(
-            F.date_add("d_end", 1).alias("d"), F.lit(-1).alias("delta")
-        )
+        F.explode(
+            F.array(
+                F.struct(F.col("d_start").alias("d"), F.lit(1).alias("delta")),
+                F.struct(
+                    F.date_add("d_end", 1).alias("d"), F.lit(-1).alias("delta")
+                ),
+            )
+        ).alias("e")
+    ).select("e.d", "e.delta")
+    by_day = (
+        deltas.groupBy("d").agg(F.sum("delta").alias("delta")).localCheckpoint()
     )
-    by_day = deltas.groupBy("d").agg(F.sum("delta").alias("delta"))
     bounds = F.broadcast(
         by_day.agg(F.min("d").alias("dmin"), F.max("d").alias("dmax"))
     )
