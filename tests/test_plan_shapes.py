@@ -245,13 +245,17 @@ _SHAPES = {
     # the final plan is one node-keyed rollup over the pinned labels
     "g_label_propagation_communities": (1, 0, 0, 0),
     # --- round-8/9 headline promotions (VERDICT r6 #4) ---
-    # custkey + value collapses; TWO exact_prefix_sum passes (range
-    # exchanges + pid-local windows + bounded offsets windows); boundary
-    # filter rides the 1-row total broadcast
-    # r8: exact_prefix_sum pins its ranged frame (correctness — see
-    # operators/ranks.py), truncating the visible lineage to the two
-    # offset joins + boundary filter
-    "a_pareto_8020_concentration": (4, 2, 2, 0),
+    # custkey + value collapses; boundary filter rides the 1-row total
+    # broadcast. r8: exact_prefix_sum pins its ranged frame (correctness —
+    # see operators/ranks.py), truncating the visible lineage.
+    # r13: BOTH descending running totals come from ONE
+    # exact_prefix_sums range pass (was two chained passes = two range
+    # exchanges + two pins), and the grand total aggregates the PINNED
+    # frame instead of re-evaluating the orders-scan subtree — the
+    # second range exchange is gone (4 -> 3 shuffles) and the totals
+    # broadcast now hangs off the pin (2 -> 3 broadcasts, 0 visible
+    # pushed-filter scans: no fact scan survives outside the pin)
+    "a_pareto_8020_concentration": (3, 3, 2, 0),
     # one (source, token) collapse; pair grid + totals ride broadcasts
     "text_jsd_source_pairs": (6, 4, 0, 1),
     # edges pinned once; triangle join + degree/corner rollups are all

@@ -78,6 +78,38 @@ def test_prefix_sum_matches_naive_window(spark):
     assert got == want
 
 
+def test_prefix_sums_multi_matches_chained(spark):
+    """exact_prefix_sums (one range pass, N columns — r13) must be
+    bit-identical to chaining exact_prefix_sum per column."""
+    from yelpdatawarehouse_spark.operators.ranks import (
+        exact_prefix_sum,
+        exact_prefix_sums,
+    )
+
+    df = spark.createDataFrame(
+        [((i * 7919) % 500, ((i * 31) % 11) + 1, ((i * 13) % 7) + 1)
+         for i in range(500)],
+        "k int, v int, u int",
+    ).groupBy("k").agg(F.sum("v").alias("v"), F.sum("u").alias("u"))
+    fused = {
+        (r.k, r.pv, r.pu)
+        for r in exact_prefix_sums(
+            df, "k", [("v", "pv"), ("u", "pu")], num_partitions=5
+        ).collect()
+    }
+    c1 = exact_prefix_sum(df, "k", "v", out_col="pv", num_partitions=5)
+    c2 = exact_prefix_sum(c1, "k", "u", out_col="pu", num_partitions=5)
+    chained = {(r.k, r.pv, r.pu) for r in c2.collect()}
+    assert fused == chained
+
+
+def test_prefix_sums_multi_empty(spark):
+    from yelpdatawarehouse_spark.operators.ranks import exact_prefix_sums
+
+    df = spark.createDataFrame([], "k long, v long, u long")
+    assert exact_prefix_sums(df, "k", [("v", "pv"), ("u", "pu")]).count() == 0
+
+
 def test_prefix_sum_empty(spark):
     from yelpdatawarehouse_spark.operators.ranks import exact_prefix_sum
 

@@ -126,6 +126,62 @@ def exact_global_rank(
     )
 
 
+def exact_prefix_sums(
+    df: DataFrame,
+    order_key: str,
+    value_cols: "list[tuple[str, str]]",
+    *,
+    num_partitions: int = 32,
+    reliable: bool = False,
+) -> DataFrame:
+    """EXCLUSIVE running sums of SEVERAL value columns over the same
+    ``ORDER BY order_key``, in ONE range pass: ``value_cols`` is a list of
+    ``(value_col, out_col)`` pairs. Chaining :func:`exact_prefix_sum` once
+    per column pays the range exchange + eager pin + offset pass N times
+    over for the identical ordering; this computes all N sums from a
+    single ranged frame (one exchange, one pin, one offsets broadcast),
+    with each column's arithmetic unchanged. Same key contract
+    (unique, NON-NULL) and eager-materialization trade as
+    :func:`exact_prefix_sum`.
+    """
+    # Pin rationale: see exact_prefix_sum below — __pid is
+    # nondeterministic and feeds two consumers.
+    ranged = _pin(
+        df.repartitionByRange(num_partitions, F.col(order_key)).withColumn(
+            "__pid", _guarded_pid(order_key, "exact_prefix_sum")
+        ),
+        reliable,
+    )
+    totals = ranged.groupBy("__pid").agg(
+        *[F.sum(v).alias(f"__tot{i}") for i, (v, _) in enumerate(value_cols)]
+    )
+    off_w = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        "__pid",
+        *[
+            F.coalesce(F.sum(f"__tot{i}").over(off_w), F.lit(0)).alias(f"__off{i}")
+            for i in range(len(value_cols))
+        ],
+    )
+    local_w = (
+        Window.partitionBy("__pid")
+        .orderBy(order_key)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    out = ranged
+    for i, (v, _) in enumerate(value_cols):
+        out = out.withColumn(
+            f"__lps{i}", F.coalesce(F.sum(v).over(local_w), F.lit(0))
+        )
+    out = out.join(F.broadcast(offsets), "__pid")
+    for i, (_, oc) in enumerate(value_cols):
+        out = out.withColumn(oc, F.col(f"__off{i}") + F.col(f"__lps{i}"))
+    drop = ["__pid"]
+    for i in range(len(value_cols)):
+        drop += [f"__lps{i}", f"__off{i}"]
+    return out.drop(*drop)
+
+
 def exact_prefix_sum(
     df: DataFrame,
     order_key: str,

@@ -1127,23 +1127,32 @@ def text_mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         # the ARRAY INDEX as the second argument (PySpark HOF convention)
         return lambda t: t == F.lit(word)
 
-    rel_expr = sum(
-        F.size(F.filter(T.tokens("text"), _eq(w))) for w in MMR_TERMS
-    )
     # Thin caller of operators/retrieval.mmr_select (r12 library
     # extraction, phase 5 — the library pins the loop-carried state per
     # round; unpinned, the scan+tokenize subtree re-evaluated 69x over
     # three rounds, measured round 8).
+    #
+    # r13 (guide §1.2/§4.2): tokenize ONCE into a pinned base frame.
+    # The old shape evaluated the scan+tokenize subtree twice (pool pin
+    # and toks pin inside mmr_select) and the regex tokenizer
+    # len(MMR_TERMS)+1 times per row (one HOF filter per term, each
+    # re-deriving the token array — HOFs are CodegenFallback, no CSE);
+    # now the token array is materialized one time and rel counts read
+    # it, and toks no longer needs the semi-join back against pool.
     from ..operators import retrieval
+    from ..operators.iterative import pin
 
-    pool = d.select("doc_id", rel_expr.cast("long").alias("rel")).filter(
-        F.col("rel") >= 1
+    rel_expr = sum(
+        F.size(F.filter(F.col("_t"), _eq(w))) for w in MMR_TERMS
     )
-    toks = (
-        d.join(pool.select("doc_id"), "doc_id", "left_semi")
-        .select("doc_id", F.explode(T.tokens("text")).alias("tok"))
-        .distinct()
+    base = pin(
+        d.select("doc_id", T.tokens("text").alias("_t"))
+        .select("doc_id", rel_expr.cast("long").alias("rel"), "_t")
+        .filter(F.col("rel") >= 1),
+        label="mmr_base",
     )
+    pool = base.select("doc_id", "rel")
+    toks = base.select("doc_id", F.explode("_t").alias("tok")).distinct()
     return retrieval.mmr_select(pool, toks, rounds=3, lam=MMR_LAMBDA)
 
 
@@ -1947,8 +1956,11 @@ def a_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cb",
         (F.col("less") + (F.col("ca") + F.col("cb") + 1) / 2.0).alias("midrank"),
     )
+    # Totals from the PINNED prefix frame (r13, guide §1.2): aggregating
+    # `byv` here re-evaluated the whole orders-scan + value-collapse
+    # subtree a second time just for the 1-row (na, nb).
     tot = F.broadcast(
-        byv.agg(F.sum("ca").alias("na"), F.sum("cb").alias("nb"))
+        cum.agg(F.sum("ca").alias("na"), F.sum("cb").alias("nb"))
     )
     ra = F.sum(F.col("ca") * F.col("midrank"))
     na, nb = F.col("na").cast("double"), F.col("nb").cast("double")

@@ -331,7 +331,7 @@ def a_pareto_8020_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     windows + broadcast offsets) and a 1-row boundary filter. Nothing
     fact-scale is ever globally sorted.
     """
-    from ..operators.ranks import exact_prefix_sum
+    from ..operators.ranks import exact_prefix_sums
 
     o = spread(table(spark, sf_dir, "orders"))
     # exact cents per ROW (2-decimal money converts exactly), THEN an
@@ -344,12 +344,18 @@ def a_pareto_8020_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     byv = spend.groupBy("s_c").agg(
         F.count("*").alias("c"), F.sum("s_c").alias("rev")
     )
-    # descending order = ascending on the negated key
+    # descending order = ascending on the negated key. BOTH running
+    # totals come from ONE range pass (r13, guide §1.2/§2.2: the chained
+    # two-call form paid the range exchange + eager pin twice for the
+    # same ordering), and the grand totals aggregate the PINNED prefix
+    # frame — the fact-scan subtree (orders → spend → byv) used to be
+    # re-evaluated just to produce the 1-row total.
     byv_neg = byv.withColumn("neg_s", -F.col("s_c"))
-    cum = exact_prefix_sum(byv_neg, "neg_s", "rev", out_col="rev_above")
-    cum = exact_prefix_sum(cum, "neg_s", "c", out_col="cnt_above")
+    cum = exact_prefix_sums(
+        byv_neg, "neg_s", [("rev", "rev_above"), ("c", "cnt_above")]
+    )
     tot = F.broadcast(
-        byv.agg(F.sum("c").alias("n"), F.sum("rev").alias("t"))
+        cum.agg(F.sum("c").alias("n"), F.sum("rev").alias("t"))
     )
     t4 = F.lit(4) * F.col("t")
     boundary = (
