@@ -92,8 +92,17 @@ def minhash_signatures(
         F.explode(F.array_distinct(T.shingles(T.tokens(text_col), shingle_k))).alias("s"),
     )
     hashed = sh.select(id_col, (hashing.md5_long("s") % hashing.MERSENNE).alias("h"))
-    return hashed.groupBy(id_col).agg(
-        *[F.min(hashing.perm(F.col("h"), i)).alias(f"m{i}") for i in range(n_perm)]
+    # ONE parsed aggregate pack instead of n_perm py4j Column chains
+    # (r13, guide §5: driver fixed cost — the Catalyst tree is identical,
+    # hashing.perm_sql renders the same affine permutation as
+    # hashing.perm, so plans and results are bit-unchanged)
+    mins = ", ".join(
+        f"min({hashing.perm_sql('h', i)}) as m{i}" for i in range(n_perm)
+    )
+    return (
+        hashed.groupBy(id_col)
+        .agg(F.expr(f"struct({mins})").alias("_sig"))
+        .select(id_col, "_sig.*")
     )
 
 

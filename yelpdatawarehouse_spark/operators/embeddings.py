@@ -70,24 +70,36 @@ def anisotropy_stats(
     ``digits_mu``-canonicalized component means, so parallel summation
     order can't leak into the output.
     """
+    # r13 (guide §5/§1: driver-side fixed cost): the component-mean pack
+    # and the derived sumsq/maxabs chains are built as ONE parsed SQL
+    # expression each instead of ~4·dims py4j Column calls — the Python
+    # round-trips alone cost ~0.7 s warm (2.6 s cold) at dims=64, an
+    # order of magnitude more than executing the aggregate. The parsed
+    # expressions resolve to the identical Catalyst tree (same rfix
+    # canonicalization, same avg/cast), so results are bit-unchanged.
+    from ..functions.presentation import rfix_sql
+
     nrm = V.norm(F.col(vec_col))
+    mu_fields = ", ".join(
+        f"{rfix_sql(f'avg(cast({vec_col}[{i}] as double))', digits_mu)}"
+        f" as mu{i}"
+        for i in range(dims)
+    )
     agg = df.agg(
         F.count("*").cast("long").alias("n_vecs"),
         rfix(F.avg(nrm), digits_mu).alias("avg_norm"),
-        *[rfix(F.avg(F.col(vec_col)[i].cast("double")), digits_mu).alias(f"mu{i}")
-          for i in range(dims)],
+        F.expr(f"struct({mu_fields})").alias("_mu"),
     )
-    sumsq = None
-    for i in range(dims):
-        term = F.col(f"mu{i}") * F.col(f"mu{i}")
-        sumsq = term if sumsq is None else sumsq + term
-    maxabs = F.greatest(*[F.abs(F.col(f"mu{i}")) for i in range(dims)])
-    return agg.select(
+    sumsq = " + ".join(f"(_mu.mu{i} * _mu.mu{i})" for i in range(dims))
+    maxabs = "greatest(" + ", ".join(
+        f"abs(_mu.mu{i})" for i in range(dims)
+    ) + ")"
+    return agg.selectExpr(
         "n_vecs",
         "avg_norm",
-        rfix(F.sqrt(sumsq), digits).alias("mean_vec_norm"),
-        rfix(F.sqrt(sumsq) / F.col("avg_norm"), digits).alias("anisotropy_ratio"),
-        rfix(maxabs, digits).alias("max_abs_dim_mean"),
+        f"{rfix_sql(f'sqrt({sumsq})', digits)} as mean_vec_norm",
+        f"{rfix_sql(f'sqrt({sumsq}) / avg_norm', digits)} as anisotropy_ratio",
+        f"{rfix_sql(maxabs, digits)} as max_abs_dim_mean",
     )
 
 

@@ -197,8 +197,21 @@ def min_label_components(edges: DataFrame, max_rounds: int = 15) -> DataFrame:
     # .setCheckpointDir + .checkpoint(), cleaner-managed) or cache()+count()
     # to keep lineage recoverable.
     edges = edges.select("src", "dst").distinct().localCheckpoint()
-    labels = edges.select(F.col("src").alias("node")).distinct().select(
-        "node", F.col("node").alias("label")
+    # Seeded start (r13, guide §1.2: fewer driver-loop rounds): labels
+    # begin at least(node, min neighbor) — exactly the state the old
+    # identity start reached after round 1's neighbor-min step, for the
+    # same single exchange the identity distinct cost (groupBy node over
+    # the pinned edges instead of distinct over them). Every label is
+    # still the id of a reachable node, so the fixpoint ("min reachable
+    # id") and the convergence argument below are unchanged; the loop
+    # just starts one neighbor-min further along.
+    labels = (
+        edges.groupBy("src")
+        .agg(F.min("dst").alias("_mn"))
+        .select(
+            F.col("src").alias("node"),
+            F.least(F.col("src"), F.col("_mn")).alias("label"),
+        )
     )
 
     # r13 round structure (guide §1.2: fewer rounds, fewer actions — the

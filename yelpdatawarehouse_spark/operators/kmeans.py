@@ -30,22 +30,30 @@ def argmin_centroid(emb_col: str, centroids: dict[int, list[float]]) -> Column:
     """(d2, cid) struct of the nearest centroid, ties to the lower cid.
     ‖x−c‖² = x·x + c·c − 2·x·c; x·x is computed once and shared across the
     K candidate expressions, c·c is folded at plan-build time."""
+    # ONE parsed expression for the whole argmin (r13, guide §5: driver
+    # fixed cost — was one F.expr parse + ~6 py4j calls per centroid,
+    # re-built every Lloyd iteration). The rendered tree is identical:
+    # same folds, same literal rendering (repr round-trips doubles
+    # exactly), same ties-to-lower-cid via array_min struct ordering.
     e = f"CAST({emb_col} AS ARRAY<DOUBLE>)"
-    self_dot = F.expr(
-        f"aggregate(zip_with({e}, {e}, (x, y) -> x * y), 0.0D, (acc, x) -> acc + x)"
+    self_dot = (
+        f"aggregate(zip_with({e}, {e}, (x, y) -> x * y), "
+        f"0.0D, (acc, x) -> acc + x)"
     )
     choices = []
     for cid in sorted(centroids):
         c = centroids[cid]
         arr = ", ".join(f"{float(x)!r}D" for x in c)
-        dot_c = F.expr(
+        dot_c = (
             f"aggregate(zip_with({e}, array({arr}), (x, y) -> x * y), "
             f"0.0D, (acc, x) -> acc + x)"
         )
         c2 = sum(x * x for x in c)
-        d2 = self_dot + F.lit(c2) - 2 * dot_c
-        choices.append(F.struct(d2.alias("d2"), F.lit(int(cid)).alias("cid")))
-    return F.array_min(F.array(*choices))
+        choices.append(
+            f"struct((({self_dot} + {float(c2)!r}D) - (2 * {dot_c})) AS d2, "
+            f"{int(cid)} AS cid)"
+        )
+    return F.expr(f"array_min(array({', '.join(choices)}))")
 
 
 @dataclass
