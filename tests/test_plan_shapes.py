@@ -43,8 +43,12 @@ _SHAPES = {
     "t8_sessionization": (1, 0, 2, 0),
     "j11_asof_join_last_view": (1, 0, 1, 2),
     "j12_range_join_bucketed": (1, 1, 0, 2),
-    "dedup_minhash_lsh_candidates": (2, 1, 0, 1),
-    "dedup_ngram_jaccard_pairs": (1, 3, 0, 3),
+    # r14 pin-once (guide §1.2): the band frame / shingle sets are
+    # localCheckpointed before their self-joins, so the tokenize+signature
+    # subtree runs once — the parquet scans (and their pushed filters) live
+    # inside the pin job, not the visible plan (pushed floor drops to 0)
+    "dedup_minhash_lsh_candidates": (0, 1, 0, 0),
+    "dedup_ngram_jaccard_pairs": (1, 3, 0, 0),
     "ann_topk_cosine": (1, 1, 1, 2),
     "ann_ivf_topk": (1, 1, 1, 0),
     # r8 clone collapse: gkey member-rank window (reps + first-4), rep×rep
@@ -81,9 +85,13 @@ _SHAPES = {
     # r13 metric assembly: one flagged full_outer join + single aggregate
     # replaces three aggregates + a hit join — the truth/candidate
     # subtrees (whose panel dims were 5 of the 9 broadcasts) run once
-    "dedup_minhash_highrecall_pr_eval": (4, 4, 0, 6),
+    # r14: candidate band frame pinned once (see lsh_candidates) — two
+    # fewer shuffles and the candidate-side scans move inside the pin
+    "dedup_minhash_highrecall_pr_eval": (2, 4, 0, 4),
     "emb_anisotropy_stats": (0, 0, 0, 0),
-    "dedup_simhash_banded_pairs": (1, 3, 0, 1),
+    # r14: fingerprint frame pinned once (fed the chunk self-join AND both
+    # hamming-verify joins — 4 evaluations of the 32-bit-sum aggregate)
+    "dedup_simhash_banded_pairs": (0, 3, 0, 0),
     # r12 knob-proof registrations: pagerank's 3 iterations are 3 dst
     # exchanges over the pinned edge RDD (node-sized ranks broadcast);
     # adaptive multi-probe is one bucket-join shuffle + broadcast panel;
@@ -216,7 +224,9 @@ _SHAPES = {
     # precision/recall rollups are key-sized. r13 metric assembly: one
     # flagged full_outer join + single aggregate — each subtree runs
     # once, dropping the duplicated panel broadcasts (9 -> 4)
-    "dedup_minhash_pr_eval": (4, 4, 0, 6),
+    # r14: + band-frame pin-once (2 fewer shuffles, candidate scans
+    # inside the pin job)
+    "dedup_minhash_pr_eval": (2, 4, 0, 4),
     # --- round-8 headline promotions ---
     # 3 greedy rounds: token-set joins against 1-doc broadcasts only —
     # never a pool×pool similarity join
@@ -274,14 +284,19 @@ _SHAPES = {
     # broadcast) + ONE rank-keyed neighbor join; no cross join
     # r8: exact_global_rank pins its ranged frame (operators/ranks.py) —
     # both join sides re-read the pinned rank, counted per branch
-    "dedup_sorted_neighborhood": (4, 3, 4, 0),
+    # r14: the RANKED frame is pinned too — the r13 plan ran the rank
+    # pipeline (pid exchange + sort + local window + offsets window) once
+    # per join side x rank subplan = 4x; now one ranking pass feeds both
+    # sides (windows 4 -> 0 in the visible plan, shuffles 4 -> 0)
+    "dedup_sorted_neighborhood": (0, 1, 0, 0),
     # --- r10-cohort promotions after driver verification (VERDICT r7 #6) ---
     # truth = panel-bounded shared-token join; candidate side is the SNM
     # query (rank exchange + neighbor join). r13 metric assembly: one
     # flagged full_outer join + single aggregate — truth AND candidate
     # subtrees (each formerly evaluated twice, with their panel
     # broadcasts and rank windows) now run once
-    "dedup_snm_recall_eval": (6, 6, 4, 4),
+    # r14: inherits the pinned SNM rank (windows 4 -> 0, shuffles 6 -> 2)
+    "dedup_snm_recall_eval": (2, 4, 0, 4),
     # ONE K-way ranking pass yields db assignment AND probe list from the
     # same pinned window; candidates cell-keyed; truth panel-broadcast
     "ann_ivf_nprobe2_recall": (5, 4, 1, 2),

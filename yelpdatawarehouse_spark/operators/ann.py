@@ -46,7 +46,36 @@ __all__ = [
     "cosine_topk",
     "ivf_assign",
     "ivf_search_topk",
+    "COSINE_BLOCK_ROWS",
+    "blocked_cosine_rows",
 ]
+
+# Row-block height for the Arrow block-matmul kernels (r14, guide §2.5/§5):
+# a grouped kernel that materializes the FULL k x k cosine matrix of one
+# bucket/cell-pair is fine at harness scale but one hot, skewed bucket at
+# 100 TB is a straggler-then-OOM (k = 1e6 members -> an 8 TB dense float64
+# matrix in ONE Python worker). Blocking the matmul over fixed-height row
+# blocks caps the live intermediate at block_rows x k (~2 GB at k = 1e6
+# with the default 256) while the column-side member matrix stays O(k·d);
+# each yielded block leaves the worker as its own Arrow batch, so peak
+# worker memory no longer scales with the SQUARE of the hottest group.
+COSINE_BLOCK_ROWS = 256
+
+
+def blocked_cosine_rows(ma, na, mb, nb, block_rows: int = COSINE_BLOCK_ROWS):
+    """Yield ``(i0, cos_block)`` over row blocks of the pairwise cosine
+    matrix ``(ma @ mb.T) / outer(na, nb)`` — ``cos_block`` covers query
+    rows ``i0 .. i0+block_rows`` against ALL of ``mb``. Each block's rows
+    are the same GEMM row-dots the unblocked matmul computes; consumers'
+    fixed-digit canonicalization (``rfix``) absorbs last-ulp BLAS
+    reassociation exactly as it does for the unblocked kernel (pinned by
+    tests/test_r14_optimizations.py against the full matmul)."""
+    import numpy as np
+
+    n = ma.shape[0]
+    for i0 in range(0, n, block_rows):
+        i1 = min(i0 + block_rows, n)
+        yield i0, (ma[i0:i1] @ mb.T) / np.outer(na[i0:i1], nb)
 
 
 def srp_planes(n_planes: int = 4, dims: int = 64) -> list[list[float]]:

@@ -145,6 +145,15 @@ def lsh_candidate_pairs(
     the LSH contract; never an n² cross join.
     """
     ca, cb = pair_cols
+    # r14 (guide §1.2): pin the band frame — the self-join's two sides
+    # otherwise each re-evaluate the whole upstream subtree (tokenize +
+    # shingle explode + md5 + n_perm min-aggregates for MinHash callers);
+    # exchange reuse shares the shuffle files but the reduce-side
+    # aggregation re-runs per side. One (id, band, bh) row per band per
+    # doc — node-scale by construction.
+    from .iterative import pin
+
+    band_df = pin(band_df, label="lsh_bands")
     a, b = band_df.alias("a"), band_df.alias("b")
     return (
         a.join(
@@ -258,15 +267,26 @@ def jaccard_verify(
     reported score is rounded to ``out_digits``.
     """
     ca, cb = pair_cols
-    sh = shingle_sets(df, text_col, id_col, shingle_k)
+    # r14 (guide §1.2): pin the shingle sets — both join probes otherwise
+    # re-run the tokenize + shingle subtree; and materialize the
+    # intersection size ONCE per candidate row (the old form evaluated
+    # array_intersect twice per expression and the filter + projection
+    # each re-evaluated it: 4 intersections per surviving pair).
+    from .iterative import pin
+
+    sh = pin(shingle_sets(df, text_col, id_col, shingle_k), label="verify_shingles")
     a = sh.select(F.col(id_col).alias(ca), F.col("shingles").alias("_sa"))
     b = sh.select(F.col(id_col).alias(cb), F.col("shingles").alias("_sb"))
-    inter = F.size(F.array_intersect("_sa", "_sb")).cast("double")
-    union = F.size("_sa") + F.size("_sb") - F.size(F.array_intersect("_sa", "_sb"))
-    jac = inter / union
+    jac = F.col("_i") / (F.col("_na") + F.col("_nb") - F.col("_i"))
     return (
         pairs.join(a, ca)
         .join(b, cb)
+        .select(
+            ca, cb,
+            F.size(F.array_intersect("_sa", "_sb")).cast("double").alias("_i"),
+            F.size("_sa").cast("double").alias("_na"),
+            F.size("_sb").cast("double").alias("_nb"),
+        )
         .filter(rfix(jac, threshold_digits) >= threshold)
         .select(ca, cb, rfix(jac, out_digits).alias(score_col))
     )
@@ -365,6 +385,13 @@ def simhash_band_pairs(
     """
     if bits % bands:
         raise ValueError(f"bits={bits} not divisible by bands={bands}")
+    # r14 (guide §1.2): pin the fingerprint frame — it feeds the chunk
+    # self-join (both sides) AND both verify joins, so unpinned the
+    # token-explode + 32-bit-sum aggregation subtree ran up to 4x.
+    # One (id, fp) row per doc — node-scale by construction.
+    from .iterative import pin
+
+    fps = pin(fps, label="simhash_fps")
     if collapse_exact:
         groups = fps.groupBy("fp").agg(
             F.min(id_col).alias(id_col), F.count("*").alias("_n")
@@ -441,7 +468,15 @@ def ngram_jaccard_pairs(
     or MinHash-LSH bound the candidate set instead.
     """
     ca, cb = pair_cols
-    docs = shingle_sets(df, text_col, id_col, k).filter(F.size("shingles") > 0)
+    # r14 (guide §1.2): pin the shingle sets — they feed the size lookup
+    # (twice) and both sides of the shingle-key self-join, so unpinned the
+    # tokenize + shingle subtree ran 4x per query.
+    from .iterative import pin
+
+    docs = pin(
+        shingle_sets(df, text_col, id_col, k).filter(F.size("shingles") > 0),
+        label="ngram_shingles",
+    )
     sizes = docs.select(id_col, F.size("shingles").alias("n"))
     ex = docs.select(id_col, F.explode("shingles").alias("s"))
     a, b = ex.alias("a"), ex.alias("b")

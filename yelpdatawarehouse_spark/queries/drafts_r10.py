@@ -552,7 +552,18 @@ def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     # move the wide rows into a twice-evaluated join subtree (same bytes,
     # plus a shuffle) — measured trade recorded in SCALING.md "Pinned-rank
     # operators at 20x (round 9)".
-    ranked = exact_global_rank(keyed, "skey", rank_col="rn").drop("skey", "bkey")
+    # r14 (guide §1.2): pin the RANKED output too — exact_global_rank
+    # returns a lazy frame over its internally-pinned ranged input, and
+    # the left/right join sides below each re-ran the local-rank window +
+    # offsets aggregate + broadcast join (the r13 before-plan shows the
+    # sort+window pipeline 4x: 2 consumers x the rank's 2 subplans). One
+    # more node-scale materialization buys a single ranking pass.
+    from ..operators.iterative import pin
+
+    ranked = pin(
+        exact_global_rank(keyed, "skey", rank_col="rn").drop("skey", "bkey"),
+        label="snm_ranked",
+    )
     right = ranked.select(
         F.col("doc_id").alias("doc_b"),
         F.col("toks").alias("toks_b"),

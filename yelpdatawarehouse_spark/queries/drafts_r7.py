@@ -175,9 +175,23 @@ def g_adamic_adar_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the whole 4-way fact join (64 FileScans measured).
     from ..operators import graphalgs
 
+    # r14 (guide §1.2): symmetrize with one explode pass — the union form
+    # evaluated `strong` (and inside it the fact-scale weighted-edge
+    # aggregate PLUS its crossJoined mean, i.e. w twice over) once per
+    # orientation: 4 evaluations of the 4-table fact join before
+    # adamic_adar's pin. One explode leaves exactly one evaluation of
+    # `strong` in the plan (w still feeds both the mean and the filter —
+    # the exchange under its aggregate is shared via exchange reuse).
     edges = (
-        strong.select(F.col("wa").alias("src"), F.col("wb").alias("dst"))
-        .union(strong.select(F.col("wb").alias("src"), F.col("wa").alias("dst")))
+        strong.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("wa").alias("src"), F.col("wb").alias("dst")),
+                    F.struct(F.col("wb").alias("src"), F.col("wa").alias("dst")),
+                )
+            ).alias("e")
+        )
+        .select("e.src", "e.dst")
         .distinct()
     )
     return graphalgs.adamic_adar(edges, digits=6).select(
@@ -275,9 +289,17 @@ def g_kcore_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pinned) and runs the peel rounds via checkpointed_loop.
     from ..operators import graphalgs
 
-    edges = pairs.select(F.col("pa").alias("src"), F.col("pb").alias("dst")).union(
-        pairs.select(F.col("pb").alias("src"), F.col("pa").alias("dst"))
-    )
+    # r14 (guide §1.2): symmetrize with one explode pass — the union form
+    # re-evaluated the whole pairs subtree (basket expansion + pair count
+    # aggregate) once per orientation before k_core's pin could see it.
+    edges = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("pa").alias("src"), F.col("pb").alias("dst")),
+                F.struct(F.col("pb").alias("src"), F.col("pa").alias("dst")),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
     surviving = graphalgs.k_core(edges, k=KCORE_K, rounds=KCORE_ROUNDS)
     return surviving.groupBy("src").agg(
         F.count("*").cast("long").alias("residual_degree")

@@ -1496,9 +1496,19 @@ def g_label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFra
     # tally/argmax rounds via checkpointed_loop).
     from ..operators import graphalgs
 
-    sym = e.select("src", "dst", "w").unionByName(
-        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")
-    )
+    # r14 (guide §1.2): symmetrize with one explode pass — the unionByName
+    # form re-evaluated the fact-scale 4-table join + edge aggregate once
+    # per orientation before label_propagation's pin could see it.
+    sym = e.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("src"), F.col("dst"), F.col("w")),
+                F.struct(
+                    F.col("dst").alias("src"), F.col("src").alias("dst"), F.col("w")
+                ),
+            )
+        ).alias("ed")
+    ).select("ed.src", "ed.dst", "ed.w")
     l2 = graphalgs.label_propagation(sym, rounds=2)
     return l2.groupBy(F.col("label").cast("long").alias("community")).agg(
         F.count("*").cast("long").alias("n_members"),

@@ -49,9 +49,32 @@ def trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst"))
         .distinct()
     )
-    return directed.union(
-        directed.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).distinct()
+    # r14 (guide §1.2): symmetrize the already-distinct directed set with
+    # ONE explode pass, and PIN the result. The previous union form put
+    # TWO copies of the fact subtree in every consumer's plan — exchange
+    # reuse shared the shuffle files, but the reduce-side distinct
+    # aggregation re-read the whole fact-scale exchange output once per
+    # orientation, and multi-consumer queries (degree/assortativity/
+    # triangle) re-planned the union per reference. The explode runs the
+    # reduce side once; the eager pin materializes the dimension-bounded
+    # (≤ nations²) edge set so every consumer — and every explain/plan
+    # build — reads one checkpoint instead of re-deriving the 4-table
+    # fact join.
+    from ..operators.iterative import pin
+
+    return pin(
+        directed.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("src"), F.col("dst")),
+                    F.struct(F.col("dst").alias("src"), F.col("src").alias("dst")),
+                )
+            ).alias("e")
+        )
+        .select("e.src", "e.dst")
+        .distinct(),
+        label="trade_edges",
+    )
 
 
 @register(

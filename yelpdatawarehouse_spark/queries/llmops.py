@@ -29,6 +29,9 @@ DataFrame to the library functions directly.
 
 from __future__ import annotations
 
+from typing import Iterator
+
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -470,8 +473,6 @@ def dedup_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # canonicalized threshold and 4-digit output absorb last-ulp
     # differences exactly as they already do for DuckDB's vectorized
     # list_inner_product on the oracle side.
-    import pandas as pd
-
     cp = spark.createDataFrame(cell_pairs, "pid INT, ca INT, cb INT")
     left = assigned.join(
         F.broadcast(cp.select("pid", "ca")), F.col("cell") == F.col("ca")
@@ -481,21 +482,39 @@ def dedup_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("pid", F.lit(1).alias("side"), "vec_id", "embedding", "nrm")
     both = left.unionByName(right)
 
-    def _score_block(pdf: "pd.DataFrame") -> "pd.DataFrame":
+    # r14 (guide §2.5/§5): iterator form + blocked matmul — the r13 kernel
+    # materialized the full |a| x |b| cosine matrix of one admitted cell
+    # pair in a single return value; a hot cell pair at scale is a
+    # straggler-then-OOM. Row blocks stream out as separate Arrow batches
+    # (same move as ann_lsh_bucket_topk's _score_bucket).
+    def _score_block(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
 
+        from ..operators.ann import blocked_cosine_rows
+
+        chunks = [pdf for pdf in batches if len(pdf)]
+        if not chunks:
+            return
+        pdf = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
         a = pdf[pdf["side"] == 0]
         b = pdf[pdf["side"] == 1]
         if a.empty or b.empty:
-            return pd.DataFrame({"vec_a": [], "vec_b": [], "_c": []})
+            return
         ma = np.stack(a["embedding"].to_numpy()).astype(np.float64)
         mb = np.stack(b["embedding"].to_numpy()).astype(np.float64)
-        cos = (ma @ mb.T) / np.outer(a["nrm"].to_numpy(), b["nrm"].to_numpy())
-        ia, ib = np.meshgrid(
-            a["vec_id"].to_numpy(), b["vec_id"].to_numpy(), indexing="ij"
-        )
-        mask = ia < ib
-        return pd.DataFrame({"vec_a": ia[mask], "vec_b": ib[mask], "_c": cos[mask]})
+        na = a["nrm"].to_numpy()
+        nb = b["nrm"].to_numpy()
+        ids_a = a["vec_id"].to_numpy()
+        ids_b = b["vec_id"].to_numpy()
+        for i0, cos in blocked_cosine_rows(ma, na, mb, nb):
+            blk = cos.shape[0]
+            ia, ib = np.meshgrid(
+                ids_a[i0:i0 + blk], ids_b, indexing="ij"
+            )
+            mask = ia < ib
+            yield pd.DataFrame(
+                {"vec_a": ia[mask], "vec_b": ib[mask], "_c": cos[mask]}
+            )
 
     scored = both.groupBy("pid").applyInPandas(
         _score_block, "vec_a long, vec_b long, _c double"
@@ -865,25 +884,36 @@ def ann_lsh_bucket_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Python; the 6/4-digit rfix canonicalization stays in Spark exactly
     # as before, absorbing the matmul's last-ulp reassociation the same
     # way it already absorbs DuckDB's vectorized list_inner_product.
-    import pandas as pd
-
-    def _score_bucket(pdf: "pd.DataFrame") -> "pd.DataFrame":
+    # r14 (guide §2.5/§5): iterator form + blocked matmul — the r13 kernel
+    # materialized the whole k x k cosine matrix and emitted k² rows from
+    # ONE return value, so a hot bucket's memory grew with the SQUARE of
+    # its membership. Blocks of ann.blocked_cosine_rows leave the worker
+    # as separate Arrow batches; peak live state is O(k·d + block·k).
+    # Same values row for row (each block row is the same GEMM dot).
+    def _score_bucket(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
 
+        from ..operators.ann import blocked_cosine_rows
+
+        chunks = [pdf for pdf in batches if len(pdf)]
+        if not chunks:
+            return
+        pdf = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
         ma = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
         nr = pdf["nrm"].to_numpy()
-        cos = (ma @ ma.T) / np.outer(nr, nr)
         k = len(pdf)
         gk = pdf["gkey"].to_numpy()
-        iq, ine = np.meshgrid(np.arange(k), np.arange(k), indexing="ij")
-        return pd.DataFrame(
-            {
-                "q_gkey": gk[iq.ravel()],
-                "n_gkey": gk[ine.ravel()],
-                "bucket": np.repeat(pdf["bucket"].to_numpy()[0], k * k),
-                "_c": cos.ravel(),
-            }
-        )
+        bucket = pdf["bucket"].to_numpy()[0]
+        for i0, cos in blocked_cosine_rows(ma, nr, ma, nr):
+            blk = cos.shape[0]
+            yield pd.DataFrame(
+                {
+                    "q_gkey": np.repeat(gk[i0:i0 + blk], k),
+                    "n_gkey": np.tile(gk, blk),
+                    "bucket": np.repeat(bucket, blk * k),
+                    "_c": cos.ravel(),
+                }
+            )
 
     pairs = (
         reps.select("gkey", "bucket", "embedding", "nrm")
@@ -2685,8 +2715,13 @@ def dedup_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("p.a.c_custkey").alias("x"), F.col("p.b.c_custkey").alias("y"))
         .distinct()
     )
-    both = pairs.select(F.col("x").alias("c_custkey")).unionAll(
-        pairs.select(F.col("y").alias("c_custkey"))
+    # r14 (guide §1.2): explode both endpoints from ONE pass over the
+    # verified-distinct pairs — the unionAll form re-evaluated the whole
+    # expansion + levenshtein + distinct subtree once per side (the
+    # before-plan shows the distinct exchange twice and the customer scan
+    # four times; with the basket pin + this explode it appears once).
+    both = pairs.select(
+        F.explode(F.array(F.col("x"), F.col("y"))).alias("c_custkey")
     )
     return both.groupBy(F.col("c_custkey").cast("long").alias("c_custkey")).agg(
         F.count("*").cast("long").alias("n_fuzzy_matches")

@@ -332,6 +332,16 @@ def _basket_pair_rows(
     whole cluster instead of one task. At harness scale the large branch
     is empty and AQE prunes it to nothing.
     """
+    # r14 (guide §1.2): the small/large branches are disjoint filters over
+    # the SAME baskets subtree — unpinned, the union evaluates the whole
+    # upstream derivation (fact scan + collect_set exchange + repartition)
+    # once per branch (2 fact scans in every consumer's plan; 4 in
+    # dedup_fuzzy_name_pairs, which unioned the pairs again). Pinning the
+    # compacted basket frame (one row per key — node-scale by
+    # construction) makes both branches read one materialization.
+    from ..operators.iterative import pin
+
+    baskets = pin(baskets, label="basket_pair_rows")
     small = baskets.filter(F.size(arr) < threshold).select(
         F.explode(_sorted_pairs(F.col(arr), a_name, b_name)).alias("p")
     )
