@@ -69,6 +69,7 @@ def main() -> int:
         return 0
     with open(OUT, "w") as fh:
         json.dump(dict(sorted(pins.items())), fh, indent=1)
+        fh.write("\n")  # trailing newline keeps future diffs clean (ADVICE r13)
     print(f"wrote {len(pins)} pins -> {OUT}")
     return 0
 

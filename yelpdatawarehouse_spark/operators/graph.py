@@ -204,7 +204,13 @@ def min_label_components(edges: DataFrame, max_rounds: int = 15) -> DataFrame:
     # the pinned edges instead of distinct over them). Every label is
     # still the id of a reachable node, so the fixpoint ("min reachable
     # id") and the convergence argument below are unchanged; the loop
-    # just starts one neighbor-min further along.
+    # just starts one neighbor-min further along. Consequence for a
+    # TRUNCATED loop (ADVICE r13): if max_rounds is exhausted before
+    # convergence, the returned labels sit one neighbor-min step further
+    # along than the pre-r13 implementation would have returned — only the
+    # converged fixpoint is pinned, not intermediate states. Callers that
+    # need the fixpoint must budget max_rounds >= log2(diameter)+2 (the
+    # pointer jump halves label distance per round).
     labels = (
         edges.groupBy("src")
         .agg(F.min("dst").alias("_mn"))

@@ -144,11 +144,17 @@ def exact_prefix_sums(
     (unique, NON-NULL) and eager-materialization trade as
     :func:`exact_prefix_sum`.
     """
-    # Pin rationale: see exact_prefix_sum below — __pid is
-    # nondeterministic and feeds two consumers.
+    # Pin rationale (round 8, the sf0.1 pareto corruption): __pid is
+    # spark_partition_id() — NONDETERMINISTIC — and `ranged` feeds TWO
+    # consumers (the per-partition totals and the data join). Unpinned,
+    # each consumer re-evaluates the subtree, and when the INPUT is itself
+    # a shuffle output, AQE may give the two evaluations different
+    # partitionings — offsets computed against one boundary set get
+    # applied to another, silently corrupting the prefix sums. The pin
+    # guarantees one evaluation, one partitioning, one consistent __pid.
     ranged = _pin(
         df.repartitionByRange(num_partitions, F.col(order_key)).withColumn(
-            "__pid", _guarded_pid(order_key, "exact_prefix_sum")
+            "__pid", _guarded_pid(order_key, "exact_prefix_sums")
         ),
         reliable,
     )
@@ -210,37 +216,11 @@ def exact_prefix_sum(
     function's docstring for the storage/lineage trade and the
     reliable-checkpoint escape hatch.
     """
-    # Pinned (eager localCheckpoint), NOT just lazily shared: __pid is
-    # spark_partition_id() — NONDETERMINISTIC — and `ranged` feeds TWO
-    # consumers (the per-partition totals and the data join). Unpinned,
-    # each consumer re-evaluates the subtree, and when the INPUT is
-    # itself a shuffle output, AQE may give the two evaluations different
-    # partitionings — offsets computed against one boundary set get
-    # applied to another, silently corrupting the prefix sums (caught at
-    # sf0.1 in round 8: the second chained exact_prefix_sum inside the
-    # pareto query drifted mid-frame). The pin guarantees one evaluation,
-    # one partitioning, one consistent __pid assignment.
-    ranged = _pin(
-        df.repartitionByRange(num_partitions, F.col(order_key)).withColumn(
-            "__pid", _guarded_pid(order_key, "exact_prefix_sum")
-        ),
-        reliable,
-    )
-    totals = ranged.groupBy("__pid").agg(F.sum(value_col).alias("__tot"))
-    off_w = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = totals.select(
-        "__pid", F.coalesce(F.sum("__tot").over(off_w), F.lit(0)).alias("__off")
-    )
-    local_w = (
-        Window.partitionBy("__pid")
-        .orderBy(order_key)
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    return (
-        ranged.withColumn(
-            "__lps", F.coalesce(F.sum(value_col).over(local_w), F.lit(0))
-        )
-        .join(F.broadcast(offsets), "__pid")
-        .withColumn(out_col, F.col("__off") + F.col("__lps"))
-        .drop("__pid", "__lps", "__off")
+    # Thin wrapper over the multi-column form (ADVICE r13: the two copies
+    # of the pin/totals/offsets/local-window construction could drift —
+    # bit-equality of this delegation is pinned by
+    # tests/test_ranks.py::test_prefix_sums_multi_matches_chained).
+    return exact_prefix_sums(
+        df, order_key, [(value_col, out_col)],
+        num_partitions=num_partitions, reliable=reliable,
     )
