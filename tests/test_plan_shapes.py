@@ -85,9 +85,10 @@ _SHAPES = {
     # r13 metric assembly: one flagged full_outer join + single aggregate
     # replaces three aggregates + a hit join — the truth/candidate
     # subtrees (whose panel dims were 5 of the 9 broadcasts) run once
-    # r14: candidate band frame pinned once (see lsh_candidates) — two
-    # fewer shuffles and the candidate-side scans move inside the pin
-    "dedup_minhash_highrecall_pr_eval": (2, 4, 0, 4),
+    # r14: candidate band frame AND truth shingle sets pinned once — two
+    # fewer shuffles; all scans (and their pushed filters) move inside
+    # the pin jobs, so the visible plan reads checkpoints only
+    "dedup_minhash_highrecall_pr_eval": (2, 4, 0, 0),
     "emb_anisotropy_stats": (0, 0, 0, 0),
     # r14: fingerprint frame pinned once (fed the chunk self-join AND both
     # hamming-verify joins — 4 evaluations of the 32-bit-sum aggregate)
@@ -199,7 +200,12 @@ _SHAPES = {
     # (localCheckpoint) — the visible plan is only the candidate join +
     # verify + expansions downstream of the pins (was 20 FileScans / 25
     # exchanges re-evaluating the scan subtree; now 1 scan inside the pin)
-    "dedup_prefix_filter_jaccard": (5, 3, 0, 0),
+    # r14: tokens ride as vocab-rank longs (freq table bijection) and the
+    # verified-candidate frame is pinned too (the optimizer had re-inlined
+    # array_intersect into the join condition — 3 evaluations/candidate);
+    # the candidate join + verify now run inside pin jobs, leaving only
+    # the member expansions + TakeOrdered in the visible plan
+    "dedup_prefix_filter_jaccard": (0, 3, 0, 0),
     # skyline via day-collapse + day-spine suffix-max + broadcast join —
     # the pin that keeps the x35-at-20x two-phase row-window form out
     "o7_pareto_front_orders": (1, 1, 1, 0),
@@ -224,9 +230,9 @@ _SHAPES = {
     # precision/recall rollups are key-sized. r13 metric assembly: one
     # flagged full_outer join + single aggregate — each subtree runs
     # once, dropping the duplicated panel broadcasts (9 -> 4)
-    # r14: + band-frame pin-once (2 fewer shuffles, candidate scans
-    # inside the pin job)
-    "dedup_minhash_pr_eval": (2, 4, 0, 4),
+    # r14: + band-frame and truth-shingle pin-once (2 fewer shuffles;
+    # all scans move inside the pin jobs)
+    "dedup_minhash_pr_eval": (2, 4, 0, 0),
     # --- round-8 headline promotions ---
     # 3 greedy rounds: token-set joins against 1-doc broadcasts only —
     # never a pool×pool similarity join
@@ -296,7 +302,8 @@ _SHAPES = {
     # subtrees (each formerly evaluated twice, with their panel
     # broadcasts and rank windows) now run once
     # r14: inherits the pinned SNM rank (windows 4 -> 0, shuffles 6 -> 2)
-    "dedup_snm_recall_eval": (2, 4, 0, 4),
+    # + pinned truth token sets (scans inside the pin jobs)
+    "dedup_snm_recall_eval": (2, 4, 0, 0),
     # ONE K-way ranking pass yields db assignment AND probe list from the
     # same pinned window; candidates cell-keyed; truth panel-broadcast
     "ann_ivf_nprobe2_recall": (5, 4, 1, 2),

@@ -1595,8 +1595,17 @@ def dedup_snm_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = table(spark, sf_dir, "documents")
     norm = F.coalesce(T.normalize("text"), F.lit(""))  # match SNM blocking key
-    docs = d.select(
-        "doc_id", F.array_distinct(F.split(norm, " ")).alias("toks")
+    # r14 (guide §1.2): pin the normalized token sets — they feed the
+    # explode, the panel slice and both size joins (4 corpus-wide
+    # normalize+tokenize evaluations unpinned); same move as the minhash
+    # pr_evals.
+    from ..operators.iterative import pin
+
+    docs = pin(
+        d.select(
+            "doc_id", F.array_distinct(F.split(norm, " ")).alias("toks")
+        ),
+        label="snm_eval_toks",
     )
     sizes = docs.select("doc_id", F.size("toks").alias("n"))
     ex = docs.select("doc_id", F.explode("toks").alias("tok"))

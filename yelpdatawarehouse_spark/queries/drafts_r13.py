@@ -644,9 +644,17 @@ def dedup_minhash_highrecall_pr_eval(spark: SparkSession, sf_dir: str) -> DataFr
     broadcast-sized counts.
     """
     d = table(spark, sf_dir, "documents")
-    sh = d.select(
-        F.col("doc_id").cast("long").alias("doc_id"),
-        F.array_distinct(T.shingles(T.tokens("text"), 3)).alias("s"),
+    # r14 (guide §1.2): pin the shingle sets — they feed the explode, the
+    # panel slice and both size joins (4 corpus-wide tokenize+shingle
+    # evaluations unpinned); same move as dedup_minhash_pr_eval.
+    from ..operators.iterative import pin
+
+    sh = pin(
+        d.select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.array_distinct(T.shingles(T.tokens("text"), 3)).alias("s"),
+        ),
+        label="hrpr_shingles",
     )
     sizes = sh.select("doc_id", F.size("s").alias("n"))
     ex = sh.select("doc_id", F.explode("s").alias("sg"))

@@ -402,9 +402,18 @@ def dedup_minhash_pr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .llmops import dedup_minhash_lsh_candidates
 
     d = table(spark, sf_dir, "documents")
-    sh = d.select(
-        F.col("doc_id").cast("long").alias("doc_id"),
-        F.array_distinct(T.shingles(T.tokens("text"), 3)).alias("s"),
+    # r14 (guide §1.2): pin the shingle sets — they feed the token
+    # explode, the panel slice AND both size joins, so unpinned the
+    # corpus-wide tokenize + shingle subtree ran 4x. One (doc_id,
+    # shingles) row per doc; same pin the r14 jaccard_verify uses.
+    from ..operators.iterative import pin
+
+    sh = pin(
+        d.select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.array_distinct(T.shingles(T.tokens("text"), 3)).alias("s"),
+        ),
+        label="pr_eval_shingles",
     )
     sizes = sh.select("doc_id", F.size("s").alias("n"))
     ex = sh.select("doc_id", F.explode("s").alias("sg"))
@@ -1574,6 +1583,22 @@ RECURSIVE_BFS_ORACLE = _RECURSIVE_BFS_SQL.format(
     supplier="supplier",
 )
 
+# The engine-side recursion (r14): the same `walk` CTE text as the oracle,
+# reading the edge set from a view over the pinned trade_edges derivation
+# (identical DISTINCT-symmetrized edge semantics — see the oracle's
+# directed/edges CTEs above and graphq._EDGE_SQL).
+_RECURSIVE_WALK_SQL = """
+WITH RECURSIVE walk(node, hop) AS (
+    SELECT 0, 0
+    UNION ALL
+    SELECT e.dst, w.hop + 1
+    FROM walk w JOIN {edges} e ON e.src = w.node
+    WHERE w.hop < 3
+)
+SELECT CAST(node AS BIGINT) AS node, CAST(min(hop) AS BIGINT) AS hops
+FROM walk GROUP BY node
+"""
+
 
 def g_bfs_recursive_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BFS min-hops via a NATIVE recursive CTE (``WITH RECURSIVE``,
@@ -1591,17 +1616,22 @@ def g_bfs_recursive_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     frontiers and is the scale path for unbounded BFS on fact-sized
     graphs, where walk enumeration explodes combinatorially. Same
     result, different growth laws; SURVEY §2.4's J10 ships with both.
+
+    r14 (guide §1.2 — cut per-round fixed cost, keep the recursion):
+    Spark plans a non-recursive CTE referenced inside the recursion STEP
+    by inlining it, so every UnionLoop iteration re-executed the whole
+    4-table edge derivation (the r14 before-dump shows the fact join
+    TWICE — union of orientations — inside the step subtree: up to 8
+    fact-join evaluations for 3 hops). The recursive WALK — the declared
+    surface — is unchanged ANSI text; it now reads the edge set from a
+    pinned view (trade_edges: the same DISTINCT-symmetrized derivation
+    the oracle's edges CTE builds), so each iteration scans a
+    nations²-bounded checkpoint instead of re-deriving the facts.
     """
-    for t in ("orders", "customer", "lineitem", "supplier"):
-        table(spark, sf_dir, t).createOrReplaceTempView(f"_gbfs_{t}")
-    return spark.sql(
-        _RECURSIVE_BFS_SQL.format(
-            orders="_gbfs_orders",
-            customer="_gbfs_customer",
-            lineitem="_gbfs_lineitem",
-            supplier="_gbfs_supplier",
-        )
-    )
+    from .graphq import trade_edges
+
+    trade_edges(spark, sf_dir).createOrReplaceTempView("_gbfs_edges")
+    return spark.sql(_RECURSIVE_WALK_SQL.format(edges="_gbfs_edges"))
 
 
 # ---------------------------------------------------------------------------
@@ -2705,7 +2735,21 @@ def dedup_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         reps.select(F.col("rep").alias("doc_id")), "doc_id"
     )
     tok = rep_docs.select("gid", F.explode("set_lex").alias("t"))
+    # r14 (guide §2.3 "narrower types"): every token is replaced by its
+    # RANK in the (frequency, token) total order — a bijection computed
+    # once on the vocab-sized freq table (the single-partition rank window
+    # is bounded by the same Heaps-law vocab argument as the broadcast),
+    # so the candidate join keys, the shuffled prefix rows, and the
+    # array_intersect verification all operate on longs instead of
+    # strings. Ascending rid IS rarest-first, so sorting the rid sets
+    # replaces the (f, t)-struct sort and the prefix slice picks the
+    # identical token set; intersection/union sizes are unchanged under a
+    # bijection, so candidates, Jaccard values and output rows are
+    # bit-identical. Measured: the verify stage (268k candidate pairs at
+    # sf0.1) dominated this query at 3.2 s on string arrays.
     freq = tok.groupBy("t").agg(F.count("*").cast("long").alias("f"))
+    rid_w = Window.orderBy("f", "t")
+    freq = freq.select("t", F.row_number().over(rid_w).cast("long").alias("rid"))
     # Per-representative token set sorted by (corpus frequency, token):
     # rarest first. r13: freq joins BROADCAST (guide §3.1) — it is
     # vocab-sized (the same Heaps-law bound the BPE trainer's broadcast
@@ -2717,15 +2761,13 @@ def dedup_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         tok.join(F.broadcast(freq), "t")
         .groupBy("gid")
         .agg(
-            F.array_sort(
-                F.collect_list(F.struct(F.col("f"), F.col("t")))
-            ).alias("st"),
+            F.array_sort(F.collect_list("rid")).alias("toks"),
             F.count("*").cast("long").alias("n"),
         )
         .select(
             "gid",
             "n",
-            F.transform(F.col("st"), lambda s: s.getField("t")).alias("toks"),
+            "toks",
             # prefix length = n - ceil(tau*n) + 1, exact in integers for tau=3/5
             (
                 F.col("n") - F.floor((3 * F.col("n") + 4) / 5).cast("long") + 1
@@ -2769,10 +2811,15 @@ def dedup_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             "gb",
         )
-        # r13: materialize the intersection size ONCE per candidate —
-        # the single-select form evaluated array_intersect twice per row
-        # (numerator and denominator), doubling the dominant verify cost
-        # (guide §1.2: cheapest work is work not done twice).
+        # r14: materialize the intersection size ONCE per candidate,
+        # BEHIND A PIN. The r13 chained-select form did not survive the
+        # optimizer: predicate pushdown re-inlined `_i` into the ga/gb
+        # JOIN CONDITION (the r14 before-dump shows array_intersect in
+        # the Join node's condition AND the projection — 3 evaluations
+        # per candidate). The eager checkpoint of the small
+        # (ga, gb, na, nb, _i) candidate frame is a fence the optimizer
+        # cannot push through, so the (now long-array) intersection runs
+        # exactly once per candidate (guide §1.2).
         .select(
             "ga",
             "gb",
@@ -2780,6 +2827,7 @@ def dedup_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             "nb",
             F.size(F.array_intersect("ta", "tb")).alias("_i"),
         )
+        .localCheckpoint()
         .select(
             "ga",
             "gb",
