@@ -78,8 +78,11 @@ _SHAPES = {
     # pair expansion replaces the distinct + self-join (4 fact-distinct
     # subtree evaluations -> 1); the pushed-filter floor drops to 0
     # because the old plan's pushed isnotnull came from the self-join
-    # keys — the basket aggregate needs no scan predicate
-    "j21_association_rules": (4, 5, 0, 0),
+    # keys — the basket aggregate needs no scan predicate. r14: the
+    # direction flip explodes a 2-struct array instead of unioning two
+    # projections, so the frequent-pair frame (and its two item-support
+    # broadcast joins) plans once — broadcast floor 5 -> 3 (isup x2 + n)
+    "j21_association_rules": (4, 3, 0, 0),
     "g_bfs_recursive_native": (1, 0, 0, 0),
     # r13 heavyweight promotions (audited at promotion time)
     # r13 metric assembly: one flagged full_outer join + single aggregate
@@ -272,8 +275,11 @@ _SHAPES = {
     # broadcast now hangs off the pin (2 -> 3 broadcasts, 0 visible
     # pushed-filter scans: no fact scan survives outside the pin)
     "a_pareto_8020_concentration": (3, 3, 2, 0),
-    # one (source, token) collapse; pair grid + totals ride broadcasts
-    "text_jsd_source_pairs": (6, 4, 0, 1),
+    # one (source, token) collapse; pair grid + totals ride broadcasts.
+    # r14: the collapse is pinned (it fed totals, the source list twice
+    # and the grid = 4 corpus tokenize evaluations, 10 scans); pushed
+    # floor 1 -> 0 — no fact scan survives outside the pin job
+    "text_jsd_source_pairs": (6, 4, 0, 0),
     # edges pinned once; triangle join + degree/corner rollups are all
     # edge-scale exchanges (deliberately NOT broadcast: edge lists are
     # fact-derived and unbounded on real graphs)

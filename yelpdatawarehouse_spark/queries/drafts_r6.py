@@ -3438,7 +3438,8 @@ def j21_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     skew); the support HAVING prunes BEFORE the item-support joins, so
     rule assembly joins a frequent-pair set against an item-sized
     aggregate. Basket count rides in as a broadcast 1-row aggregate;
-    the direction flip is a union of two projections, no second join.
+    the direction flip explodes a 2-struct array in-task — one
+    evaluation of the frequent-pair frame, no union re-plan.
     """
     li = table(spark, sf_dir, "lineitem")
     # r13 basket shape (guide §2.3/§3.4; the j5/fuzzy-pairs move applied
@@ -3483,17 +3484,24 @@ def j21_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(isup.select(F.col("p").alias("pa"), F.col("s").alias("sa")), "pa")
         .join(isup.select(F.col("p").alias("pb"), F.col("s").alias("sb")), "pb")
     )
-    fwd = pairs.select(
-        F.col("pa").alias("ant"), F.col("pb").alias("con"),
-        "c", F.col("sa").alias("s_ant"), F.col("sb").alias("s_con"),
-    )
-    rev = pairs.select(
-        F.col("pb").alias("ant"), F.col("pa").alias("con"),
-        "c", F.col("sb").alias("s_ant"), F.col("sa").alias("s_con"),
-    )
+    # r14 (guide §1.2): the direction flip as a UNION of two projections
+    # re-planned the whole frequent-pair subtree (pair agg + both item-
+    # support joins) once per direction — 7 parquet scans in the before-
+    # plan. Exploding a 2-element struct array emits both directed rules
+    # from ONE evaluation of the pair frame; row multiset is identical
+    # (fwd ∪ rev, unordered).
+    rules = pairs.select(
+        F.explode(
+            F.expr(
+                "array(struct(pa AS ant, pb AS con, c AS c, "
+                "sa AS s_ant, sb AS s_con), "
+                "struct(pb AS ant, pa AS con, c AS c, "
+                "sb AS s_ant, sa AS s_con))"
+            )
+        ).alias("r")
+    ).select("r.ant", "r.con", "r.c", "r.s_ant", "r.s_con")
     return (
-        fwd.unionByName(rev)
-        .crossJoin(n)
+        rules.crossJoin(n)
         .select(
             F.col("ant").cast("long").alias("antecedent"),
             F.col("con").cast("long").alias("consequent"),

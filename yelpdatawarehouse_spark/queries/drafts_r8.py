@@ -2137,9 +2137,20 @@ def text_jsd_source_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions import text as T
 
     d = spread(table(spark, sf_dir, "documents"))
-    cnt = d.select("source", F.explode(T.tokens("text")).alias("w")).groupBy(
-        "source", "w"
-    ).agg(F.count("*").alias("c"))
+    # r14 (guide §1.2): pin the (source, token) collapse — it feeds the
+    # per-source totals, the source list (twice, via the pair self-join)
+    # and the pair grid, so unpinned the corpus-wide tokenize + count
+    # subtree ran 4x (5 parquet scans in the before-plan). The frame is
+    # vocab x sources — bounded by the same Heaps-law argument as the
+    # freq broadcasts.
+    from ..operators.iterative import pin
+
+    cnt = pin(
+        d.select("source", F.explode(T.tokens("text")).alias("w"))
+        .groupBy("source", "w")
+        .agg(F.count("*").alias("c")),
+        label="jsd_counts",
+    )
     tot = cnt.groupBy("source").agg(F.sum("c").alias("t"))
     srcs = cnt.select("source").distinct()
     prs = (
