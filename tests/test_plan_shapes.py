@@ -125,8 +125,12 @@ _SHAPES = {
     "sample_temperature_mix": (2, 1, 0, 0),
     "scd2_state_intervals": (1, 0, 3, 0),
     # j16: every exchange is dimension-sized (bitmap words / supplier keys);
-    # the fact scan reaches the prefilter and verify join broadcast-only
-    "j16_bloom_semi_filter": (4, 4, 0, 4),
+    # the fact scan reaches the prefilter and verify join broadcast-only.
+    # r14: the exact verify join broadcasts the key set too (was a
+    # sort-merge LeftSemi shuffling every Bloom survivor — the exact
+    # shuffle the prefilter exists to avoid); shuffles 4 -> 3, +2
+    # broadcasts (verify keys + their build-side dims)
+    "j16_bloom_semi_filter": (3, 6, 0, 5),
     "text_unigram_logprob": (3, 1, 0, 0),
     # r13: encode+decode kernels fused into ONE mapInPandas (no hash
     # exchange at all — spread() is round-robin, not counted)
@@ -221,8 +225,13 @@ _SHAPES = {
     # multi-stage curation funnel: quality/langid/dedup/pack stages each
     # keyed on their own column, every small side broadcast. r13: the
     # raw/target DSIR histograms collapse to ONE conditional-count
-    # groupBy (8 exchanges, the bucket re-join and its broadcast gone)
-    "pipeline_curation_v2": (8, 4, 2, 1),
+    # groupBy (8 exchanges, the bucket re-join and its broadcast gone).
+    # r14: the funnel rides ONE flagged frame + one rollup (tokenize 3x
+    # -> 1x on the base side) and the DSIR totals ride a whole-frame
+    # window over the bucket-constant hist instead of re-planning the
+    # corpus explode inside a broadcast — shuffles 8 -> 4, broadcasts
+    # 4 -> 2, windows stay 2 (fp dedup + bucket totals)
+    "pipeline_curation_v2": (4, 2, 2, 1),
     # codebook broadcast onto the ADC scan; per-query top-k window.
     # r13: code assignment is ONE Arrow mapInPandas (numpy matmul per
     # subspace) — the m·(K+1) interpreted HOF-dot projection and its
@@ -247,9 +256,13 @@ _SHAPES = {
     # semi-joins run inside the eager pin jobs and are audited by the
     # library's own plan assertions, not this executed-plan string
     "text_mmr_diverse_topk": (0, 0, 0, 0),
-    # fact join is inside the eager edge pin; every post-pin exchange is
-    # node-sized (nations²), score frames broadcast into the edge joins
-    "g_hits_two_rounds": (10, 8, 0, 0),
+    # fact join is inside the eager edge pin; score frames broadcast into
+    # the edge joins. r14: hub1 (3 consumers) and the full-outer score
+    # frame (2: totals + final select) are pinned, so each HITS round's
+    # edge join+agg runs ONCE — the visible plan is the totals broadcast
+    # over the score checkpoint (was 10 exchanges / 8 broadcasts of
+    # re-planned round subtrees)
+    "g_hits_two_rounds": (0, 1, 0, 0),
     # r13: ONE custkey collect_set agg yields d1 AND d2 (was two fact
     # aggs + join), and the calendar-bounded by_t frame is pinned — the
     # visible plan is the spine windows over the checkpoint (n_total

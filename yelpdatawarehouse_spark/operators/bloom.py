@@ -110,6 +110,7 @@ def bloom_semi_join(
     n_bits: int = 1 << 17,
     k: int = 5,
     verify: bool = True,
+    broadcast_verify: bool = False,
 ) -> DataFrame:
     """Semi-join ``probe`` to ``build`` on ``key`` via a Bloom prefilter.
 
@@ -126,4 +127,14 @@ def bloom_semi_join(
     ).drop("__bloom")
     if not verify:
         return filtered
-    return filtered.join(build.select(key).distinct(), key, "left_semi")
+    keys = build.select(key).distinct()
+    # r14 (guide §3.1): when the caller KNOWS the build side is
+    # dimension-bounded, broadcasting the exact key set keeps the verify
+    # step map-side too — without it the planner (no stats through the
+    # distinct) falls back to a sort-merge semi join that shuffles every
+    # Bloom survivor, i.e. the exact shuffle the prefilter exists to
+    # avoid. Default stays shuffled: the operator's contract is a build
+    # side too big to broadcast as rows.
+    if broadcast_verify:
+        keys = F.broadcast(keys)
+    return filtered.join(keys, key, "left_semi")

@@ -175,24 +175,35 @@ def hits(
             label="hits_edges")
     dec = "decimal(38,0)"
     auth1 = e.groupBy(F.col("dst").alias("node")).agg(F.sum("w").alias("a1"))
-    hub1 = (
+    # r14 (guide §1.2): hub1 had THREE consumers (auth2's probe, the th
+    # total, the final full-outer join) and auth2 two (ta total, final
+    # join) — each an edge-scale join + aggregate re-planned per
+    # reference (10 real exchanges in the before-plan). Pin the
+    # node-scale round results instead: each HITS round's edge join runs
+    # ONCE, and both totals fall out of the already-joined score frame
+    # (sum skips the full-outer NULLs, every hub1/auth2 row appears
+    # exactly once — node is unique per side by construction; the sums
+    # are exact decimal(38,0), so regrouping cannot change a bit).
+    hub1 = pin(
         e.join(F.broadcast(auth1), e.dst == auth1.node)
         .groupBy(F.col("src").alias("node"))
-        .agg(F.sum(F.col("w").cast(dec) * F.col("a1").cast(dec)).alias("h1"))
+        .agg(F.sum(F.col("w").cast(dec) * F.col("a1").cast(dec)).alias("h1")),
+        label="hits_hub1",
     )
     auth2 = (
         e.join(F.broadcast(hub1), e.src == hub1.node)
         .groupBy(F.col("dst").alias("node"))
         .agg(F.sum(F.col("w").cast(dec) * F.col("h1").cast(dec)).alias("a2"))
     )
+    joined = pin(hub1.join(auth2, "node", "full_outer"), label="hits_scores")
     tot = F.broadcast(
-        hub1.agg(F.sum(F.col("h1").cast(dec)).alias("th")).crossJoin(
-            auth2.agg(F.sum("a2").alias("ta"))
+        joined.agg(
+            F.sum(F.col("h1").cast(dec)).alias("th"),
+            F.sum("a2").alias("ta"),
         )
     )
     return (
-        hub1.join(auth2, "node", "full_outer")
-        .crossJoin(tot)
+        joined.crossJoin(tot)
         .select(
             F.col("node").cast("long").alias("node"),
             rfix(

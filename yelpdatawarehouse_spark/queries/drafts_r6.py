@@ -1449,10 +1449,11 @@ def pipeline_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     target distribution than the raw corpus (sample_dsir_importance's
     estimator used as a filter, the way the published method applies it).
 
-    Shuffle audit: fp-window dedup (1 exchange) ∥ DSIR weighting (token
-    explode, two {DSIR_BUCKETS}-row histograms, broadcast ratio, 1
-    per-doc exchange) → doc_id equi-join of the two survivor frames →
-    per-source rollup. The importance model is trained on the RAW corpus
+    Shuffle audit: fp-window dedup flags ride ONE corpus frame (1
+    exchange) ∥ DSIR weighting (token explode, one conditional-count
+    {DSIR_BUCKETS}-row histogram with whole-frame-window totals,
+    broadcast ratio, 1 per-doc exchange) → doc_id left join → ONE
+    per-source conditional rollup. The importance model is trained on the RAW corpus
     (not the survivors), matching DSIR practice — selection must not
     shift the raw feature distribution it normalizes against.
     """
@@ -1475,12 +1476,29 @@ def pipeline_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("uniq_ratio") >= 0.35)
         & (F.col("stop_ratio") >= 0.01)
     )
-    q = base.filter(qcond)
-    w_fp = Window.partitionBy("fp").orderBy("doc_id")
-    uq = (
-        q.withColumn("rn", F.row_number().over(w_fp))
-        .filter(F.col("rn") == 1)
-        .select("source", "doc_id", "n_tokens")
+    # r14 (guide §1.2): the funnel used to materialize THREE separate
+    # frames off `base` (s_in over all rows, s_u over the fp-window
+    # dedup, kept over the dedup ⋈ weights) — the corpus-wide tokenize +
+    # normalize-md5 subtree re-planned once per consumer (6 parquet
+    # scans in the before-dump; a pin was measured strictly worse
+    # locally, it serializes what the planner overlaps). Instead the
+    # whole funnel rides ONE frame with per-row flags: is_q = quality
+    # gate, is_uq = survivor of the exact-dup window. The dedup rank
+    # (row_number over fp ORDER BY doc_id == 1 among q rows) is
+    # equivalently "doc_id equals the min q-row doc_id of its fp
+    # partition" — doc_id is unique, so the min is the rank-1 row.
+    w_fp = Window.partitionBy("fp")
+    flagged = (
+        base.withColumn("is_q", qcond)
+        .withColumn(
+            "is_uq",
+            F.col("is_q")
+            & (
+                F.col("doc_id")
+                == F.min(F.when(F.col("is_q"), F.col("doc_id"))).over(w_fp)
+            ),
+        )
+        .select("source", "doc_id", "n_tokens", "is_q", "is_uq")
     )
 
     tokd = d.select(
@@ -1505,47 +1523,63 @@ def pipeline_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0.0),
         ).alias("tc"),
     )
-    totals = hist.agg(F.sum("tc").alias("t_tot"), F.sum("rc").alias("r_tot"))
-    ratio = (
-        hist.crossJoin(F.broadcast(totals))
-        .select(
-            "bucket",
-            (
-                F.log(
-                    (F.coalesce(F.col("tc"), F.lit(0.0)) + DSIR_ALPHA)
-                    / (F.col("t_tot") + DSIR_ALPHA * DSIR_BUCKETS)
-                )
-                - F.log(
-                    (F.col("rc") + DSIR_ALPHA)
-                    / (F.col("r_tot") + DSIR_ALPHA * DSIR_BUCKETS)
-                )
-            ).alias("lr"),
-        )
+    # r14 (guide §1.2): the separate 1-row `totals` aggregate re-planned
+    # the whole hist subtree (corpus token explode + bucket agg) a second
+    # time inside its broadcast. The totals now ride a whole-frame window
+    # over hist itself — hist is DSIR_BUCKETS rows (a constant), so the
+    # single-partition window is scale-independent, and the bucket counts
+    # are integer-valued doubles < 2^53, so the window sum is bit-equal
+    # to the old aggregate in any addition order.
+    w_all = Window.partitionBy()
+    ratio = hist.select(
+        "bucket",
+        (
+            F.log(
+                (F.coalesce(F.col("tc"), F.lit(0.0)) + DSIR_ALPHA)
+                / (F.sum("tc").over(w_all) + DSIR_ALPHA * DSIR_BUCKETS)
+            )
+            - F.log(
+                (F.col("rc") + DSIR_ALPHA)
+                / (F.sum("rc").over(w_all) + DSIR_ALPHA * DSIR_BUCKETS)
+            )
+        ).alias("lr"),
     )
     weights = (
         bk.join(F.broadcast(ratio), "bucket")
         .groupBy("doc_id")
         .agg(F.avg("lr").alias("wgt"))
     )
-    kept = uq.join(weights.filter(F.col("wgt") > 0), "doc_id")
-
-    s_in = base.groupBy("source").agg(F.count("*").alias("n_input"))
-    s_u = uq.groupBy("source").agg(F.count("*").alias("n_unique_quality"))
-    s_k = kept.groupBy("source").agg(
-        F.count("*").alias("n_kept"),
-        F.sum("n_tokens").cast("long").alias("tokens_kept"),
+    # One left join attaches DSIR survival (weights is one row per
+    # doc_id by construction, so the join cannot duplicate), and ONE
+    # per-source rollup replaces the three aggregates + two re-joins:
+    # conditional counts over the flags are row-for-row the counts the
+    # old s_in/s_u/s_k frames produced (NULL has_w short-circuits the
+    # `when` exactly like the old inner join dropped the row), and the
+    # integer sums are exact, so regrouping cannot change a bit.
+    wpos = weights.filter(F.col("wgt") > 0).select(
+        "doc_id", F.lit(True).alias("has_w")
     )
     return (
-        s_in.join(s_u, "source", "left")
-        .join(s_k, "source", "left")
-        .select(
-            "source",
-            F.col("n_input").cast("long").alias("n_input"),
-            F.coalesce("n_unique_quality", F.lit(0))
+        flagged.join(wpos, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_input"),
+            F.count(F.when(F.col("is_uq"), 1))
             .cast("long")
             .alias("n_unique_quality"),
-            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
-            F.coalesce("tokens_kept", F.lit(0)).cast("long").alias("tokens_kept"),
+            F.count(F.when(F.col("is_uq") & F.col("has_w"), 1))
+            .cast("long")
+            .alias("n_kept"),
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("is_uq") & F.col("has_w"), F.col("n_tokens")
+                    )
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("tokens_kept"),
         )
     )
 

@@ -2262,7 +2262,15 @@ def j16_bloom_semi_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(r.filter(F.col("r_name") == "ASIA"), n.n_regionkey == F.col("r_regionkey"))
         .select(F.col("s_suppkey").alias("l_suppkey"))
     )
-    kept = bloom_semi_join(li, asia_keys, "l_suppkey")
+    # broadcast_verify (r14, guide §3.1): the build side here is
+    # dimension-scale (ASIA suppliers), so the exact verify join rides
+    # the same broadcast regime as the bitmap — before, the planner
+    # sort-merge-shuffled every Bloom survivor into the verify join
+    # (SortMergeJoin LeftSemi + 2 exchanges in the before-dump), undoing
+    # the prefilter's point. The fact table now never shuffles: scan →
+    # bitmap test → broadcast semi join → partial agg → one
+    # returnflag-keyed exchange.
+    kept = bloom_semi_join(li, asia_keys, "l_suppkey", broadcast_verify=True)
     return kept.groupBy("l_returnflag").agg(
         F.count("*").cast("long").alias("n_lines"),
         F.sum("l_quantity").cast("long").alias("total_qty"),
