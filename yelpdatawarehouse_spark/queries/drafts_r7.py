@@ -2032,11 +2032,25 @@ def diag_heaps_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("b"),
         )
     )
-    first_seen = bucketed.groupBy("w").agg(F.min("b").alias("fb"))
+    # r14 (guide §1.2): first_seen and tokcnt each re-planned `bucketed`
+    # (corpus explode + rank join) — and the OLS fit below re-planned the
+    # whole curve again, so the explode ran 4x (14 shuffles / 10 windows
+    # in the before-dump). ONE (w, b) collapse feeds both: tokcnt is the
+    # sum of the per-(w,b) counts (exact integers — regrouping cannot
+    # change a bit) and first_seen's min(b) sees the same (w,b) set. The
+    # pinned frame is vocab x deciles (Heaps-law bounded, the jsd-counts
+    # argument).
+    from ..operators.iterative import pin
+
+    g1 = pin(
+        bucketed.groupBy("w", "b").agg(F.count("*").alias("c")),
+        label="heaps_wb",
+    )
+    first_seen = g1.groupBy("w").agg(F.min("b").alias("fb"))
     newv = first_seen.groupBy(F.col("fb").alias("b")).agg(
         F.count("*").cast("double").alias("new_tokens")
     )
-    tokcnt = bucketed.groupBy("b").agg(F.count("*").cast("double").alias("n_tokens"))
+    tokcnt = g1.groupBy("b").agg(F.sum("c").cast("double").alias("n_tokens"))
     wcum = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, 0)
     curve = (
         tokcnt.join(newv, "b", "left")
@@ -2046,12 +2060,20 @@ def diag_heaps_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.coalesce("new_tokens", F.lit(0.0))).over(wcum).alias("cum_vocab"),
         )
     )
-    pts = curve.filter((F.col("cum_tokens") > 0) & (F.col("cum_vocab") > 0)).select(
-        "b",
-        "cum_tokens",
-        "cum_vocab",
-        F.log("cum_tokens").alias("lx"),
-        F.log("cum_vocab").alias("ly"),
+    # pts is ≤ HEAPS_BUCKETS rows and has TWO consumers (the OLS fit and
+    # the final projection) — pinned so the vocab-scale aggregates above
+    # plan once instead of twice.
+    pts = pin(
+        curve.filter(
+            (F.col("cum_tokens") > 0) & (F.col("cum_vocab") > 0)
+        ).select(
+            "b",
+            "cum_tokens",
+            "cum_vocab",
+            F.log("cum_tokens").alias("lx"),
+            F.log("cum_vocab").alias("ly"),
+        ),
+        label="heaps_pts",
     )
     n = F.count("*").cast("double")
     sx, sy = F.sum("lx"), F.sum("ly")
